@@ -1,0 +1,572 @@
+package graft
+
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.operators.{Chunker, Dedup, Knn, MultiStageSearch, Rerank}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One entry per implemented operator (SURVEY.md §2 inventory + the
+  * north-star LLM-pipeline operators). Every SQL-expressible query
+  * carries an exact DuckDB oracle over the same parquet tables; the
+  * oracle mirrors the Spark computation operation-for-operation
+  * (same fold order, same rounding, same total tie-breaks) so hashes
+  * match bit-for-bit (SURVEY.md §5).
+  */
+final case class QuerySpec(
+    name: String,
+    impl: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- DuckDB fragment builders (double-precision left folds that ----
+  // ---- mirror VectorFunctions exactly)                            ----
+  private def l2Sql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - $b[i])**2)))"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+  private def cosineSql(a: String, b: String): String = {
+    val nn = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dotSql(a, b)} / $nn END)"
+  }
+  private val WsSplit = "[ \\t\\n]+"
+
+  // ======================================================================
+  // Relational baseline (bench headliners; SURVEY §2.6 aggregation/sort)
+  // ======================================================================
+
+  private val q1 = QuerySpec("q1_pricing_summary",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(avg(l_discount),6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q3 = QuerySpec("q3_top_orders",
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+      SELECT l_orderkey, o_orderdate,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate)
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q5 = QuerySpec("q5_nation_revenue",
+    (s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // ======================================================================
+  // Events: windowed aggregation + permissive JSON (P7; streaming's batch
+  // twin — the same plan runs under readStream, see graft.streaming)
+  // ======================================================================
+
+  private val e1 = QuerySpec("e1_events_hourly",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n, round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val e2 = QuerySpec("e2_events_props_json",
+    (s, d) => t(s, d, "events")
+      .withColumn("p", when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props)-2)")).otherwise(col("props")))
+      .withColumn("k",
+        from_json(col("p"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+      .groupBy("event_type")
+      .agg(sum("k").cast("bigint").as("sum_k"),
+        count(when(col("k").isNull, 1)).as("n_bad"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+      count(CASE WHEN k IS NULL THEN 1 END) AS n_bad, count(*) AS n FROM (
+      SELECT event_type,
+        CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
+      FROM (SELECT event_type,
+        CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props)-2) ELSE props END AS p
+        FROM events))
+      GROUP BY event_type ORDER BY event_type"""))
+
+  // ======================================================================
+  // Scalar text transforms (P1/P5/P6/P9/P10/P11)
+  // ======================================================================
+
+  private val p1 = QuerySpec("p1_clean_html",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.cleanText(
+          concat(lit("<b>"), col("text"), lit("</b>\n tail"))).as("clean"),
+        TextFunctions.stripFences(
+          concat(lit("```json\n"), col("lang"), lit("\n```"))).as("unfenced"),
+        TextFunctions.normalize(concat(lit("  A "), col("lang"))).as("norm"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      trim(regexp_replace(regexp_replace('<b>' || text || '</b>' || chr(10) || ' tail',
+        '<[^>]+>', '', 'g'), '\n', ' ', 'g')) AS clean,
+      trim(regexp_replace('```json' || chr(10) || lang || chr(10) || '```',
+        '```(json)?', '', 'g')) AS unfenced,
+      lower(trim('  A ' || lang)) AS norm
+      FROM documents ORDER BY doc_id"""))
+
+  private val p5 = QuerySpec("p5_chunk_ids",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.chunkIdPortable(col("doc_id"), lit(0), col("text")).as("chunk_id"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      regexp_replace(doc_id || '_chunk0_' || substr(md5(substr(text, 1, 50)), 1, 16),
+        '[^a-zA-Z0-9_-]', '_', 'g') AS chunk_id
+      FROM documents ORDER BY doc_id"""))
+
+  private val p10 = QuerySpec("p10_response_projection",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        coalesce(nullif(col("lang"), lit("zh")), lit("정보없음")).as("lang_or_default"),
+        coalesce(nullif(col("source"), lit("src0")), lit("no_id")).as("source_or_default"),
+        regexp_replace(substring(col("text"), 1, 100), "\n", " ").as("description"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      coalesce(nullif(lang, 'zh'), '정보없음') AS lang_or_default,
+      coalesce(nullif(source, 'src0'), 'no_id') AS source_or_default,
+      regexp_replace(substr(text, 1, 100), '\n', ' ', 'g') AS description
+      FROM documents ORDER BY doc_id"""))
+
+  // ======================================================================
+  // Text analysis (north star: lang-ID, quality, tokens, fingerprint)
+  // ======================================================================
+
+  private val t1 = QuerySpec("t1_lang_id",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_actual"))
+      .orderBy("doc_id"),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred, lang AS lang_actual
+         FROM (SELECT doc_id, lang, $best AS best, ${langs.map("s_" + _).mkString(", ")}
+               FROM (SELECT doc_id, lang, $scores FROM documents))
+         ORDER BY doc_id"""
+    })
+
+  private val t2 = QuerySpec("t2_quality_score",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, round(
+      0.4 * least(len(text) / 500.0, 1.0)
+      + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
+      + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6) AS quality
+      FROM (SELECT doc_id, text,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
+        len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  private val t3 = QuerySpec("t3_token_count",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpe"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      CASE WHEN len(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS n_ws,
+      len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern.replace("\t", "\\t").replace("\n", "\\n")}')) AS n_bpe
+      FROM documents ORDER BY doc_id"""))
+
+  private val t4 = QuerySpec("t4_fingerprint",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(
+        string_split_regex(lower(trim(text)), '$WsSplit'))), ' ')) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  // ======================================================================
+  // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
+  // Jaccard, embedding near-dup)
+  // ======================================================================
+
+  private val d1 = QuerySpec("d1_dedup_exact",
+    (s, d) => Dedup.exactByText(t(s, d, "documents"), "text", "doc_id")
+      .orderBy("text_hash"),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Shared DuckDB mirror of Dedup.minhashNearDups. */
+  private def minhashOracle(numHashes: Int, bandRows: Int, shingleK: Int,
+                            threshold: Double): String = {
+    val nBands = numHashes / bandRows
+    val shingleExpr =
+      if (shingleK == 1) "list_distinct(ws)"
+      else {
+        val parts = (0 until shingleK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+        s"list_distinct(list_transform(range(1, len(ws) - ${shingleK - 2}), i -> $parts))"
+      }
+    val mh = (0 until numHashes)
+      .map(j => s"list_min(list_transform(sh, s -> md5('$j|' || s)))").mkString(", ")
+    val bands = (0 until nBands).map { b =>
+      val sig = (0 until bandRows).map(r => s"mh[${b * bandRows + r + 1}]").mkString(" || '|' || ")
+      s"SELECT doc_id, sh, $b AS band_idx, md5($sig) AS band_sig FROM sig"
+    }.mkString(" UNION ALL ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE $shingleExpr END AS sh FROM ws),
+      sig AS (SELECT doc_id, sh, [$mh] AS mh FROM shingled WHERE len(sh) > 0),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter) AS jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM cand
+      WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
+  }
+
+  private val d2 = QuerySpec("d2_minhash_neardup",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 16, bandRows = 2, shingleK = 3, threshold = 0.02)
+      .orderBy("doc_a", "doc_b"),
+    Some(minhashOracle(16, 2, 3, 0.02)))
+
+  private val d4 = QuerySpec("d4_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, threshold = 0.15)
+      .orderBy("doc_a", "doc_b"),
+    Some(minhashOracle(16, 2, 2, 0.15)))
+
+  private val d3 = QuerySpec("d3_simhash",
+    (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val hexVal = (1 to 4).map { i =>
+        s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+      }.zip(Seq(4096, 256, 16, 1))
+        .map { case (e, m) => s"$e * $m" }.mkString(" + ")
+      val bitSums = (0 until 16)
+        .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val fp = (0 until 16)
+        .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '$WsSplit')) AS w FROM documents),
+      vals AS (SELECT doc_id, $hexVal AS v FROM words WHERE len(w) > 0),
+      bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
+      SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+    })
+
+  private val d5 = QuerySpec("d5_embedding_neardup",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      b.crossJoin(broadcast(a))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${cosineSql("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
+
+  // ======================================================================
+  // Vector search (V1-V4) + stage-union dedup (A1/A2) + top-k (A5/A7/A8)
+  // ======================================================================
+
+  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") === id).select(col("embedding").as("qv"))
+
+  private val v1 = QuerySpec("v1_knn_exact",
+    (s, d) => {
+      val e = t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
+      Knn.exact(e, "embedding", "vec_id", col("qv"), 10)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(dist, 6) AS dist FROM (
+        SELECT e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM embeddings e CROSS JOIN q)
+      ORDER BY dist, vec_id LIMIT 10"""))
+
+  private val v3 = QuerySpec("v3_knn_filtered",
+    (s, d) => {
+      val corpus = t(s, d, "embeddings")
+        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      Knn.filtered(corpus, "embedding", "vec_id",
+        col("text").contains("join") && col("text").contains("table"), col("qv"), 10)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(dist, 6) AS dist FROM (
+        SELECT e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q
+        WHERE contains(doc.text, 'join') AND contains(doc.text, 'table'))
+      ORDER BY dist, vec_id LIMIT 10"""))
+
+  private val v2 = QuerySpec("v2_knn_batch",
+    (s, d) => {
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.batch(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv", 5)
+        .select(col("qid"), col("knn_rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""SELECT qid, knn_rank, vec_id, round(dist, 6) AS dist FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        ${l2Sql("e.embedding", "q.embedding")} AS dist,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY ${l2Sql("e.embedding", "q.embedding")}, e.vec_id) AS knn_rank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+      WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
+
+  private val v5 = QuerySpec("v5_knn_postfilter",
+    (s, d) => {
+      // F2 (main_remind.py:137-156): kNN first, substring filter AFTER.
+      val corpus = t(s, d, "embeddings")
+        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      Knn.exact(corpus, "embedding", "vec_id", col("qv"), 50)
+        .filter(lower(col("text")).contains("join"))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      knn AS (
+        SELECT e.vec_id, doc.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q
+        ORDER BY dist, vec_id LIMIT 50)
+      SELECT vec_id, round(dist, 6) AS dist FROM knn
+      WHERE contains(lower(text), 'join') ORDER BY dist, vec_id"""))
+
+  private val v4 = QuerySpec("v4_ner_overlap",
+    (s, d) => {
+      val jobs = Seq("join", "merge", "sort", "scan").sorted.mkString("|")
+      val regions = Seq("row", "line", "column", "key").sorted.mkString("|")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract(lower(col("text")), s"\\b($jobs)\\b", 1).as("doc_job"),
+          regexp_extract(lower(col("text")), s"\\b($regions)\\b", 1).as("doc_region"))
+        .withColumn("overlap", Rerank.nerOverlap(Seq(
+          (lit("join"), col("doc_job")), (lit("row"), col("doc_region")), (lit(""), lit("")))))
+        .filter(col("overlap") > 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val jobs = Seq("join", "merge", "sort", "scan").sorted.mkString("|")
+      val regions = Seq("row", "line", "column", "key").sorted.mkString("|")
+      def ov(u: String, dcol: String) =
+        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
+            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
+      s"""SELECT doc_id, doc_job, doc_region,
+        CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE) AS overlap
+      FROM (SELECT doc_id,
+        regexp_extract(lower(text), '\\b($jobs)\\b', 1) AS doc_job,
+        regexp_extract(lower(text), '\\b($regions)\\b', 1) AS doc_region
+        FROM documents)
+      WHERE ${ov("join", "doc_job")} + ${ov("row", "doc_region")} > 0
+      ORDER BY doc_id"""
+    })
+
+  private val a1 = QuerySpec("a1_stage_union_dedup",
+    (s, d) => {
+      // A2 stage merge + A1 keep-first priority dedup (main.py:173-181).
+      val corpus = t(s, d, "embeddings")
+        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      val s1 = Knn.exact(corpus.filter(col("text").contains("join")),
+        "embedding", "vec_id", col("qv"), 20).withColumn("stage_rank", lit(1))
+      val s2 = Knn.exact(corpus, "embedding", "vec_id", col("qv"), 20)
+        .withColumn("stage_rank", lit(2))
+      Dedup.keepFirst(s1.unionByName(s2).select("vec_id", "stage_rank", "dist"),
+          Seq("vec_id"), Seq(col("stage_rank"), col("dist"), col("vec_id")))
+        .select(col("vec_id"), col("stage_rank"), round(col("dist"), 6).as("dist"))
+        .orderBy("stage_rank", "dist", "vec_id")
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      corpus AS (SELECT e.vec_id, doc.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q),
+      s1 AS (SELECT vec_id, 1 AS stage_rank, dist FROM corpus
+        WHERE contains(text, 'join') ORDER BY dist, vec_id LIMIT 20),
+      s2 AS (SELECT vec_id, 2 AS stage_rank, dist FROM corpus
+        ORDER BY dist, vec_id LIMIT 20),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+      dedup AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY stage_rank, dist, vec_id) AS rn FROM u)
+      SELECT vec_id, stage_rank, round(dist, 6) AS dist FROM dedup WHERE rn = 1
+      ORDER BY stage_rank, dist, vec_id"""))
+
+  private val a5 = QuerySpec("a5_topk_rank",
+    (s, d) => t(s, d, "documents")
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n_chars"), asc("doc_id"))))
+      .select("rank", "doc_id", "n_chars"),
+    Some("""SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+      doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5"""))
+
+  private val s1q = QuerySpec("s1_ann_cosine_topk",
+    (s, d) => {
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.batch(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv",
+          10, metric = "cosine")
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(-col("dist"), 6).as("cos"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""SELECT qid, knn_rank, vec_id, round(cos, 6) AS cos FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        ${cosineSql("e.embedding", "q.embedding")} AS cos,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY -(${cosineSql("e.embedding", "q.embedding")}), e.vec_id) AS knn_rank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+  // ======================================================================
+  // Generators: G1 recursive chunker (no SQL oracle — imperative
+  // recursive semantics; ScalaTest-verified), G4 synonym expansion
+  // ======================================================================
+
+  private val g1 = QuerySpec("g1_chunk_documents",
+    (s, d) => {
+      val chunker = Chunker(chunkSize = 120, overlap = 20)
+      chunker(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("chunk_index"), col("chunk"),
+          TextFunctions.chunkIdPortable(col("doc_id"), col("chunk_index"), col("chunk"))
+            .as("chunk_id"))
+        .orderBy("doc_id", "chunk_index")
+    },
+    None)
+
+  private val g4 = QuerySpec("g4_synonym_expand",
+    (s, d) => {
+      import s.implicits._
+      val dict = Seq(("join", "merge"), ("join", "hash"), ("sort", "order"),
+        ("query", "scan"), ("query", "filter"), ("stream", "batch"))
+        .toDF("job", "syn")
+      broadcast(dict).join(t(s, d, "documents"), col("text").contains(col("syn")))
+        .groupBy("job", "syn")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("job", "syn")
+    },
+    Some("""SELECT job, syn, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM (VALUES ('join','merge'),('join','hash'),('sort','order'),
+        ('query','scan'),('query','filter'),('stream','batch')) d(job, syn)
+      JOIN documents ON contains(text, syn)
+      GROUP BY job, syn ORDER BY job, syn"""))
+
+  // ======================================================================
+  // Multimodal plumbing: opaque binary + typed metadata (north star).
+  // Decode itself is an external boundary (stubbed deterministically in
+  // graft.multimodal); the engine-side schema/partition plumbing is real.
+  // ======================================================================
+
+  private val m1 = QuerySpec("m1_multimodal_meta",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"),
+        octet_length(col("content")).as("n_bytes"),
+        substring(md5(col("content").cast("string")), 1, 16).as("content_key"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+      substr(md5(text), 1, 16) AS content_key
+      FROM documents ORDER BY doc_id"""))
+
+  // ======================================================================
+  // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
+  // policy over small plans; semantic fns are the deterministic doubles.
+  // ======================================================================
+
+  private val c1 = QuerySpec("c1_cascade_flagship",
+    (s, d) => cascade(s, d),
+    None)
+
+  def cascade(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents")
+      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(queryVec(s, d, 0)))
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    search.search("looking for a join job in the row area", col("qv"))
+      .select(col("rank"), col("doc_id"), col("stage_rank"),
+        round(col("dist"), 6).as("dist"), col("score"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q1, q3, q5, e1, e2,
+    p1, p5, p10,
+    t1, t2, t3, t4,
+    d1, d2, d3, d4, d5,
+    v1, v2, v3, v4, v5,
+    a1, a5, s1q,
+    g1, g4, m1, c1)
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north
+  * star beyond the reference — BASELINE.json): language ID, quality
+  * scoring, token counting, document fingerprinting. All pure built-in
+  * expressions (codegen'd, pushdown-friendly) with exact DuckDB-SQL
+  * mirrors, so every one is oracle-checkable.
+  *
+  * Regex classes are written with explicit character ranges (no \w, \p)
+  * so Java-regex (Spark) and RE2 (DuckDB) agree.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text counts 0. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "[ \t\n]+")))
+
+  /** BPE-ish subword tokens: letter runs, digit runs, single symbols. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"
+  def tokenCountBpeish(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(len/500,1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / 500.0, lit(1.0))
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 \t\n]"), lit(0))).cast("double")
+    val punctRatio = when(len === 0, lit(0.0)).otherwise(punct / len)
+    val toks = tokenCountWs(text).cast("double")
+    val stop = size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast("double")
+    val stopRatio = when(toks === 0, lit(0.0)).otherwise(least(stop / toks, lit(1.0)))
+    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio, 6)
+  }
+
+  /** N-gram heuristic language ID: count whole-word marker hits per
+    * language, argmax with a deterministic tie-break (marker order),
+    * 'und' when nothing matches. Marker sets are tiny by design — the
+    * operator's value is the *shape* (per-language profile → argmax),
+    * which scales to real profiles without changing the plan. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|es|y)\\b",
+    "zh" -> "[一-鿿]")
+
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    val scores = LangMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(t, lit(pat), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering/duplication (near-dup canon form). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      split(lower(trim(text)), "[ \t\n]+"))), " "))
+
+  /** Distinct word k-shingles (word n-grams) — the unit for MinHash /
+    * Jaccard dedup. Empty array when the text has fewer than k words. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = split(trim(text), "[ \t\n]+")
+    when(size(ws) < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+  }
+
+  /** Jaccard similarity of two string arrays (assumed distinct). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+}

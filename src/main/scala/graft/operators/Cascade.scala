@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.semantic.{QueryNer, SemanticSuite}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The flagship query: multi-stage retrieval with progressive filter
+  * relaxation, priority dedup, hybrid rerank, top-N
+  * (/root/reference/main.py:329-411 — SURVEY.md §3.1).
+  *
+  * The cascade is deliberately DRIVER-SIDE adaptive control flow over
+  * small per-stage DataFrame plans (SURVEY.md §4): each stage is a
+  * filter ∘ distance ∘ top-k plan (no corpus shuffle — top-k is
+  * `TakeOrderedAndProject`), gating decisions read `count()` of the
+  * accumulated candidate set, which is ≤ ~60 rows by construction.
+  * The expensive side (the corpus scan) is Catalyst's; only the
+  * orchestration is imperative — the same split the reference reaches
+  * by accident, made explicit as policy.
+  *
+  * Both reference compositions (main.py strict-first and
+  * main_remind.py scan-then-filter — SURVEY.md §3.4) are expressible
+  * by configuring the stage list.
+  */
+final case class CascadeConfig(
+    topK: Int = 10,
+    relaxThreshold: Int = 5,
+    fallbackThreshold: Int = 15,
+    fallbackK: Int = 15,
+    finalN: Int = 5,
+    wJudge: Double = 0.7,
+    wRule: Double = 0.3)
+
+final class MultiStageSearch(
+    corpus: DataFrame, idCol: String, textCol: String, embCol: String,
+    cfg: CascadeConfig = CascadeConfig()) {
+
+  private val (queryNer, synonyms, _) = SemanticSuite.default
+
+  /** L1 double, columnar: deterministic rule-NER over the doc text —
+    * first vocabulary hit per field (job/region). */
+  private def docNer(text: Column): (Column, Column) = {
+    def firstHit(vocab: Set[String]) =
+      regexp_extract(lower(text), "\\b(" + vocab.toSeq.sorted.mkString("|") + ")\\b", 1)
+    (firstHit(SemanticSuite.CorpusVocab), firstHit(SemanticSuite.RegionVocab))
+  }
+
+  /** L4 double, columnar: deterministic judge — 0..5 by fraction of
+    * condition tokens contained in the doc text. */
+  private def judgeScore(text: Column, condToks: Seq[String]): Column =
+    if (condToks.isEmpty) lit(0.0)
+    else {
+      val hits = condToks.map(t => when(lower(text).contains(t), 1).otherwise(0))
+        .reduce(_ + _)
+      round(lit(5.0) * hits / condToks.length, 0).cast("double")
+    }
+
+  private def knnStage(pred: Option[Column], queryVec: Column, k: Int,
+                       stage: Int): DataFrame = {
+    val base = pred.fold(corpus)(corpus.filter)
+    Knn.exact(base, embCol, idCol, queryVec, k)
+      .withColumn("stage_rank", lit(stage))
+  }
+
+  /** Run the cascade. `queryVec` is the embedded query (the embedding
+    * model is an external boundary — SURVEY.md §2.1 S5). */
+  def search(queryText: String, queryVec: Column): DataFrame = {
+    val ner: QueryNer = queryNer(queryText)
+    val region = ner.region
+    val job = ner.job
+
+    def contains(term: String): Column =
+      lower(col(textCol)).contains(term.toLowerCase)
+
+    var stages = Vector.empty[DataFrame]
+    var nextStage = 1
+    def addStage(pred: Option[Column], k: Int): Unit = {
+      stages :+= knnStage(pred, queryVec, k, nextStage)
+      nextStage += 1
+    }
+    def accumulated(): DataFrame = {
+      val u = stages.reduce(_ unionByName _)
+      Dedup.keepFirst(u, Seq(idCol), Seq(col("stage_rank"), col("dist"), col(idCol)))
+    }
+    def count(): Long = {
+      val acc = accumulated().persist(StorageLevel.MEMORY_ONLY)
+      val n = acc.count()
+      acc.unpersist()
+      n
+    }
+
+    // S1 strict AND (main.py:341-347)
+    (region, job) match {
+      case (Some(r), Some(j)) => addStage(Some(contains(r) && contains(j)), cfg.topK)
+      case (Some(r), None)    => addStage(Some(contains(r)), cfg.topK)
+      case (None, Some(j))    => addStage(Some(contains(j)), cfg.topK)
+      case _                  => addStage(None, cfg.topK)
+    }
+    // S2 OR relaxation (main.py:351-360)
+    if (count() < cfg.relaxThreshold && region.isDefined && job.isDefined)
+      addStage(Some(contains(region.get) || contains(job.get)), cfg.topK)
+    // S3 single-field passes (main.py:363-383)
+    if (count() < cfg.relaxThreshold) {
+      region.foreach(r => addStage(Some(contains(r)), cfg.topK))
+      job.foreach(j => addStage(Some(contains(j)), cfg.topK))
+    }
+    // S4 synonym expansion (main.py:386-397)
+    job.foreach { j =>
+      synonyms(j).foreach { syn =>
+        val p = region.map(r => contains(r) && contains(syn)).getOrElse(contains(syn))
+        addStage(Some(p), cfg.topK)
+      }
+    }
+    // S5 unfiltered fallback (main.py:400-407)
+    if (count() < cfg.fallbackThreshold) addStage(None, cfg.fallbackK)
+
+    // dedup → hybrid rerank → top-N → rank (main.py:410,455-469)
+    val condToks = (job.toSeq ++ region.toSeq).map(_.toLowerCase).distinct
+    val (dJob, dRegion) = docNer(col(textCol))
+    val userJob = job.map(lit).getOrElse(lit(""))
+    val userRegion = region.map(lit).getOrElse(lit(""))
+    val userAge = ner.ageGroup.map(lit).getOrElse(lit(""))
+
+    val ranked = accumulated()
+      .withColumn("judge_score", judgeScore(col(textCol), condToks))
+      .withColumn("rule_score", Rerank.nerOverlap(Seq(
+        (userJob, dJob), (userRegion, dRegion), (userAge, lit("")))))
+      .withColumn("score",
+        Rerank.combined(col("judge_score"), col("rule_score"), cfg.wJudge, cfg.wRule))
+      .orderBy(desc("score"), asc("dist"), asc(idCol))
+      .limit(cfg.finalN)
+
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * A1 keep-first dedup mirrors the reference's order-sensitive
+  * `seen_ids` loop (/root/reference/main.py:173-181): first occurrence
+  * per business key wins, where "first" means (stage priority, then
+  * ascending distance). On Spark row order is NOT a carrier of meaning,
+  * so the priority is made explicit via a window sort — deterministic
+  * on any number of partitions (SURVEY.md §2.6 A1).
+  *
+  * The corpus-scale operators (exact, MinHash/LSH, SimHash, n-gram
+  * Jaccard) are the north-star dedup family (BASELINE.json): all are
+  * built from cross-engine-reproducible primitives (md5) so each has
+  * an exact DuckDB oracle, and all are shuffle-planned for scale: the
+  * only wide exchanges are hash-partitioned groupBys/joins on
+  * hash/band keys, never an unbounded cross join.
+  */
+object Dedup {
+
+  /** A1: keep the first row per `key` under an explicit priority order.
+    * `orderBy` must be a total order (break ties!) for determinism. */
+  def keepFirst(df: DataFrame, key: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup: one representative (min `idCol`) per identical text.
+    * Group key is md5(text) — 16 bytes shuffled instead of the full
+    * document payload; at 100 TB this is the difference between
+    * shuffling hashes and shuffling the corpus. */
+  def exactByText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: `numHashes` independent min-hashes over word
+    * `shingleK`-shingles. Hash family = md5 with a seed prefix —
+    * portable across engines (lexicographic min over hex strings). */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
+    val sh = TextAnalysis.shingles(text, shingleK)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5(concat(lit(s"$seed|"), s))))
+    }: _*)
+  }
+
+  /** LSH banding: candidate pairs = docs sharing any band signature,
+    * then verified with exact shingle-set Jaccard >= `threshold`.
+    * Plan shape: narrow signature computation → explode to
+    * (band_idx, band_sig) — numHashes/bandRows rows per doc → shuffle on
+    * the band key (self-join co-partitions for free) → exact check only
+    * on candidates. No O(n²) stage anywhere. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bandRows: Int = 4,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val nBands = numHashes / bandRows
+    val sig = df.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.shingles(col(textCol), shingleK).as("sh"),
+      minhashSignature(col(textCol), numHashes, shingleK).as("mh"))
+      .filter(size(col("sh")) > 0)
+    val bands = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until bandRows).map(r => element_at(col("mh"), b * bandRows + r + 1)): _*))
+      }: _*)).as(Seq("band_idx", "band_sig")))
+    val a = bands.select(col("band_idx"), col("band_sig"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band_idx"), col("band_sig"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over word frequencies. Per token: v = first 16 bits
+    * of md5; per bit: sign of Σ±1; fingerprint = the sign bits packed.
+    * 16 bits keeps the oracle SQL tractable; the operator is
+    * parametric in spirit (the plan shape is identical at 64 bits). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "[ \t\n]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(shiftright(col("v"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** N-gram Jaccard near-dup via LSH candidates (exact verify) — the
+    * scalable composition: Jaccard itself is exact; candidate
+    * generation reuses the MinHash bands. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, threshold: Double): DataFrame =
+    minhashNearDups(df, idCol, textCol,
+      numHashes = 16, bandRows = 2, shingleK = shingleK, threshold = threshold)
+}

@@ -23,6 +23,15 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects at read (PARQUET_TYPE_ILLEGAL). Read the raw nanos as LONG
+    * and convert to a micros timestamp; DuckDB reads the same column
+    * natively as TIMESTAMP_NS, and hour-level truncation agrees. */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   // ---- DuckDB fragment builders (double-precision left folds that ----
   // ---- mirror VectorFunctions exactly)                            ----
   private def l2Sql(a: String, b: String): String =
@@ -114,7 +123,7 @@ object Queries {
   // ======================================================================
 
   private val e1 = QuerySpec("e1_events_hourly",
-    (s, d) => t(s, d, "events")
+    (s, d) => events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -124,7 +133,7 @@ object Queries {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   private val e2 = QuerySpec("e2_events_props_json",
-    (s, d) => t(s, d, "events")
+    (s, d) => events(s, d)
       .withColumn("p", when(col("event_id") % 7 === 0,
         expr("substring(props, 1, length(props)-2)")).otherwise(col("props")))
       .withColumn("k",
@@ -258,7 +267,8 @@ object Queries {
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  /** Shared DuckDB mirror of Dedup.minhashNearDups. */
+  /** Shared DuckDB mirror of Dedup.minhashNearDups — same band scheme,
+    * same dedup-candidates-then-join-back shape, same exact Jaccard. */
   private def minhashOracle(numHashes: Int, bandRows: Int, shingleK: Int,
                             threshold: Double): String = {
     val nBands = numHashes / bandRows
@@ -272,33 +282,36 @@ object Queries {
       .map(j => s"list_min(list_transform(sh, s -> md5('$j|' || s)))").mkString(", ")
     val bands = (0 until nBands).map { b =>
       val sig = (0 until bandRows).map(r => s"mh[${b * bandRows + r + 1}]").mkString(" || '|' || ")
-      s"SELECT doc_id, sh, $b AS band_idx, md5($sig) AS band_sig FROM sig"
+      s"SELECT doc_id, $b AS band_idx, md5($sig) AS band_sig FROM sig"
     }.mkString(" UNION ALL ")
-    val inter = "len(list_intersect(a.sh, b.sh))"
+    val inter = "len(list_intersect(sa.sh, sb.sh))"
     s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
       shingled AS (SELECT doc_id,
         CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE $shingleExpr END AS sh FROM ws),
       sig AS (SELECT doc_id, sh, [$mh] AS mh FROM shingled WHERE len(sh) > 0),
       bands AS ($bands),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter) AS jaccard
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM cand
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      verified AS (SELECT doc_a, doc_b,
+        CAST($inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - $inter) AS jaccard
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
       WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
   }
 
   private val d2 = QuerySpec("d2_minhash_neardup",
     (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        numHashes = 16, bandRows = 2, shingleK = 3, threshold = 0.02)
+        numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b"),
-    Some(minhashOracle(16, 2, 3, 0.02)))
+    Some(minhashOracle(32, 4, 3, 0.5)))
 
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 2, threshold = 0.15)
+        shingleK = 2, threshold = 0.4)
       .orderBy("doc_a", "doc_b"),
-    Some(minhashOracle(16, 2, 2, 0.15)))
+    Some(minhashOracle(32, 4, 2, 0.4)))
 
   private val d3 = QuerySpec("d3_simhash",
     (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text")

@@ -1,10 +1,10 @@
 package graft.operators
 
 import graft.semantic.{QueryNer, SemanticSuite}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.StructType
 
 /** The flagship query: multi-stage retrieval with progressive filter
   * relaxation, priority dedup, hybrid rerank, top-N
@@ -13,11 +13,13 @@ import org.apache.spark.storage.StorageLevel
   * The cascade is deliberately DRIVER-SIDE adaptive control flow over
   * small per-stage DataFrame plans (SURVEY.md §4): each stage is a
   * filter ∘ distance ∘ top-k plan (no corpus shuffle — top-k is
-  * `TakeOrderedAndProject`), gating decisions read `count()` of the
-  * accumulated candidate set, which is ≤ ~60 rows by construction.
-  * The expensive side (the corpus scan) is Catalyst's; only the
-  * orchestration is imperative — the same split the reference reaches
-  * by accident, made explicit as policy.
+  * `TakeOrderedAndProject`), and each stage's ≤k result rows are
+  * MATERIALIZED to the driver exactly once — the corpus is scanned
+  * once per stage, never re-scanned for gating counts or the final
+  * union (gating and keep-first dedup run over the collected ≤~100
+  * rows in driver memory). The expensive side (the corpus scan) is
+  * Catalyst's; only the orchestration is imperative — the same split
+  * the reference reaches by accident, made explicit as policy.
   *
   * Both reference compositions (main.py strict-first and
   * main_remind.py scan-then-filter — SURVEY.md §3.4) are expressible
@@ -73,22 +75,28 @@ final class MultiStageSearch(
     def contains(term: String): Column =
       lower(col(textCol)).contains(term.toLowerCase)
 
-    var stages = Vector.empty[DataFrame]
+    // Each stage collects its ≤k candidate rows (id, text, dist, stage)
+    // to the driver ONCE; the embedding column is pruned before collect
+    // so only a few KB move. Keep-first dedup (A1: first stage wins,
+    // then ascending distance — /root/reference/main.py:173-181) and
+    // the gating counts run over this driver-side list for free.
+    var collected = Vector.empty[Row]
+    var rowSchema: StructType = null
     var nextStage = 1
     def addStage(pred: Option[Column], k: Int): Unit = {
-      stages :+= knnStage(pred, queryVec, k, nextStage)
+      val df = knnStage(pred, queryVec, k, nextStage)
+        .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
+      if (rowSchema == null) rowSchema = df.schema
+      collected ++= df.collect()
       nextStage += 1
     }
-    def accumulated(): DataFrame = {
-      val u = stages.reduce(_ unionByName _)
-      Dedup.keepFirst(u, Seq(idCol), Seq(col("stage_rank"), col("dist"), col(idCol)))
+    def accumulatedRows(): Seq[Row] = {
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      collected
+        .sortBy(r => (r.getInt(3), r.getDouble(2)))
+        .filter(r => seen.add(r.get(0)))
     }
-    def count(): Long = {
-      val acc = accumulated().persist(StorageLevel.MEMORY_ONLY)
-      val n = acc.count()
-      acc.unpersist()
-      n
-    }
+    def count(): Long = accumulatedRows().size.toLong
 
     // S1 strict AND (main.py:341-347)
     (region, job) match {
@@ -122,7 +130,10 @@ final class MultiStageSearch(
     val userRegion = region.map(lit).getOrElse(lit(""))
     val userAge = ner.ageGroup.map(lit).getOrElse(lit(""))
 
-    val ranked = accumulated()
+    val spark = corpus.sparkSession
+    val acc = spark.createDataFrame(
+      spark.sparkContext.parallelize(accumulatedRows(), 1), rowSchema)
+    val ranked = acc
       .withColumn("judge_score", judgeScore(col(textCol), condToks))
       .withColumn("rule_score", Rerank.nerOverlap(Seq(
         (userJob, dJob), (userRegion, dRegion), (userAge, lit("")))))

@@ -53,13 +53,21 @@ object Dedup {
 
   /** LSH banding: candidate pairs = docs sharing any band signature,
     * then verified with exact shingle-set Jaccard >= `threshold`.
-    * Plan shape: narrow signature computation → explode to
-    * (band_idx, band_sig) — numHashes/bandRows rows per doc → shuffle on
-    * the band key (self-join co-partitions for free) → exact check only
-    * on candidates. No O(n²) stage anywhere. */
+    *
+    * Plan shape, sized for 100 TB: the bands relation carries ONLY
+    * (doc_id, band_idx, band_sig) — 3 narrow columns — so the band
+    * self-join shuffles hashes, never document payloads. Candidate
+    * (doc_a, doc_b) id pairs are deduplicated FIRST (a doc pair can
+    * collide in several bands), and only then joined back to the
+    * deduplicated signature table for the exact shingle-set check —
+    * the expensive array intersection runs once per candidate pair.
+    * With r-row bands, P(candidate | jaccard=j) = 1-(1-j^r)^b: at
+    * r=4, b=8 a true near-dup (j≥0.9) is caught w.p. ≥0.9998 while a
+    * j=0.1 noise pair collides w.p. ~0.0008 — candidates stay sparse,
+    * so no stage is quadratic in the corpus. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bandRows: Int = 4,
+      numHashes: Int = 32, bandRows: Int = 4,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val nBands = numHashes / bandRows
@@ -69,20 +77,21 @@ object Dedup {
       minhashSignature(col(textCol), numHashes, shingleK).as("mh"))
       .filter(size(col("sh")) > 0)
     val bands = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         md5(concat_ws("|",
           (0 until bandRows).map(r => element_at(col("mh"), b * bandRows + r + 1)): _*))
       }: _*)).as(Seq("band_idx", "band_sig")))
-    val a = bands.select(col("band_idx"), col("band_sig"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band_idx"), col("band_sig"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_sig"))
+    val cand = bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select("doc_a", "doc_b")
       .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -113,5 +122,5 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double): DataFrame =
     minhashNearDups(df, idCol, textCol,
-      numHashes = 16, bandRows = 2, shingleK = shingleK, threshold = threshold)
+      numHashes = 32, bandRows = 4, shingleK = shingleK, threshold = threshold)
 }

@@ -6,6 +6,7 @@ run the oracle SQL in DuckDB over the same testdata tables and compare
 normalization). Usage: oracle_check.py SFDIR OUTDIR
 """
 import json, math, sys
+from collections import Counter
 from pathlib import Path
 
 import duckdb
@@ -47,8 +48,14 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: rows {len(grows)} vs {len(wrows)}"); n_fail += 1
             continue
         if grows != wrows:
-            bad = [(g, w) for g, w in zip(grows, wrows) if g != w][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {bad}"); n_fail += 1
+            # multiset diff: rows unique to each side (zip-pairing after
+            # independent sorts misaligns on insert/delete-style diffs)
+            gc, wc = Counter(grows), Counter(wrows)
+            only_spark = list((gc - wc).elements())[:3]
+            only_oracle = list((wc - gc).elements())[:3]
+            print(f"FAIL {name}: value mismatch; only-in-spark: {only_spark}; "
+                  f"only-in-oracle: {only_oracle}")
+            n_fail += 1
             continue
         print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")

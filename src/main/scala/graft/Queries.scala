@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Chunker, Dedup, Knn, MultiStageSearch, Rerank}
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Chunker, Dedup, Knn, MultiStageSearch, Rerank}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -169,8 +170,8 @@ object Queries {
     Some("""SELECT doc_id,
       trim(regexp_replace(regexp_replace('<b>' || text || '</b>' || chr(10) || ' tail',
         '<[^>]+>', '', 'g'), '\n', ' ', 'g')) AS clean,
-      trim(regexp_replace('```json' || chr(10) || lang || chr(10) || '```',
-        '```(json)?', '', 'g')) AS unfenced,
+      regexp_replace(regexp_replace('```json' || chr(10) || lang || chr(10) || '```',
+        '```(json)?', '', 'g'), '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS unfenced,
       lower(trim('  A ' || lang)) AS norm
       FROM documents ORDER BY doc_id"""))
 
@@ -425,7 +426,9 @@ object Queries {
     (s, d) => {
       val jobs = Seq("join", "merge", "sort", "scan").sorted.mkString("|")
       val regions = Seq("row", "line", "column", "key").sorted.mkString("|")
+      // single-file table → repartition so the regex scan parallelizes
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           regexp_extract(lower(col("text")), s"\\b($jobs)\\b", 1).as("doc_job"),
           regexp_extract(lower(col("text")), s"\\b($regions)\\b", 1).as("doc_region"))
@@ -556,6 +559,238 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   // ======================================================================
+  // Round-2 coverage: A3 audit, P9/P12 projections, A9 padding, A6/A10
+  // rerank, sliding windows (streaming's batch twin), IVF ANN scale
+  // path, per-language term profiles, multimodal frame plumbing, and
+  // the P7/P8/F3 JSON round trip.
+  // ======================================================================
+
+  private val a3 = QuerySpec("a3_dup_audit",
+    // A3 (build_vectorstore.py:260-270): duplicate-business-key audit.
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 1)
+      .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+      GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""))
+
+  private val p9 = QuerySpec("p9_snippet",
+    // P9 (main.py:236-250): display snippet with 정보없음 defaults and
+    // a substring-of-text description fallback.
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit("제목: "), coalesce(nullif(col("source"), lit("")), lit("정보없음")),
+          lit("\n언어: "), coalesce(nullif(col("lang"), lit("")), lit("정보없음")),
+          lit("\n요약: "), regexp_replace(substring(col("text"), 1, 100), "\n", " "))
+          .as("snippet"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      '제목: ' || coalesce(nullif(source, ''), '정보없음') || chr(10) ||
+      '언어: ' || coalesce(nullif(lang, ''), '정보없음') || chr(10) ||
+      '요약: ' || regexp_replace(substr(text, 1, 100), '\n', ' ', 'g') AS snippet
+      FROM documents ORDER BY doc_id"""))
+
+  private val p12 = QuerySpec("p12_condition_render",
+    // P12 (main.py:263-271): render only the present NER fields.
+    (s, d) => {
+      val job = nullif(regexp_extract(lower(col("text")),
+        "\\b(join|merge|sort|scan)\\b", 1), lit(""))
+      val region = nullif(regexp_extract(lower(col("text")),
+        "\\b(row|line|column|key)\\b", 1), lit(""))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(", ",
+            when(job.isNotNull, concat(lit("직무="), job)),
+            when(region.isNotNull, concat(lit("근무지역="), region)))
+            .as("condition"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, concat_ws(', ',
+        CASE WHEN job <> '' THEN '직무=' || job END,
+        CASE WHEN region <> '' THEN '근무지역=' || region END) AS condition
+      FROM (SELECT doc_id,
+        regexp_extract(lower(text), '\b(join|merge|sort|scan)\b', 1) AS job,
+        regexp_extract(lower(text), '\b(row|line|column|key)\b', 1) AS region
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  private val a9 = QuerySpec("a9_score_padding",
+    // A9 (main.py:319-321): positional zip of a short score list onto a
+    // longer doc list; missing scores pad to 0.
+    (s, d) => {
+      val w = Window.orderBy("doc_id")
+      val docs = t(s, d, "documents").select("doc_id")
+        .orderBy("doc_id").limit(10)
+        .withColumn("rn", row_number().over(w))
+      val scores = t(s, d, "documents").select("doc_id", "n_chars")
+        .orderBy("doc_id").limit(6)
+        .withColumn("rn", row_number().over(w))
+        .select(col("rn"), (col("n_chars") % 5).cast("double").as("llm_score"))
+      docs.join(scores, Seq("rn"), "left")
+        .select(col("rn"), col("doc_id"),
+          coalesce(col("llm_score"), lit(0.0)).as("llm_score"))
+        .orderBy("rn")
+    },
+    Some("""WITH docs AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)),
+      scores AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+        CAST(n_chars % 5 AS DOUBLE) AS llm_score
+        FROM (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 6))
+      SELECT docs.rn, doc_id, coalesce(llm_score, 0.0) AS llm_score
+      FROM docs LEFT JOIN scores ON docs.rn = scores.rn ORDER BY docs.rn"""))
+
+  private val r1 = QuerySpec("r1_hybrid_rerank",
+    // A6+A10 (main.py:298-324): 0.7·judge + 0.3·rule, sort desc — the
+    // rerank tail of the cascade, oracle-checked in isolation with the
+    // deterministic judge double.
+    (s, d) => {
+      val txt = lower(col("text"))
+      val judge = round(lit(5.0) *
+        (when(txt.contains("join"), 1).otherwise(0) +
+         when(txt.contains("row"), 1).otherwise(0)) / 2, 0).cast("double")
+      val docJob = regexp_extract(txt, "\\b(join|merge|sort|scan)\\b", 1)
+      val docRegion = regexp_extract(txt, "\\b(row|line|column|key)\\b", 1)
+      val rule = Rerank.nerOverlap(Seq(
+        (lit("join"), docJob), (lit("row"), docRegion), (lit(""), lit(""))))
+      t(s, d, "documents")
+        .select(col("doc_id"), judge.as("judge_score"), rule.as("rule_score"))
+        .withColumn("score",
+          Rerank.combined(col("judge_score"), col("rule_score")))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("judge_score"), col("rule_score"),
+          round(col("score"), 6).as("score"))
+    },
+    Some {
+      def ov(u: String, dcol: String) =
+        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
+            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
+      s"""SELECT doc_id, judge_score, rule_score, round(score, 6) AS score FROM (
+        SELECT doc_id, judge_score, rule_score,
+          0.7 * judge_score + 0.3 * rule_score AS score FROM (
+          SELECT doc_id,
+            CAST(round(5.0 * (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+              + CASE WHEN contains(lower(text), 'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
+              AS judge_score,
+            CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} AS DOUBLE) AS rule_score
+          FROM (SELECT doc_id, text,
+            regexp_extract(lower(text), '\\b(join|merge|sort|scan)\\b', 1) AS doc_job,
+            regexp_extract(lower(text), '\\b(row|line|column|key)\\b', 1) AS doc_region
+            FROM documents)))
+        ORDER BY score DESC, doc_id LIMIT 20"""
+    })
+
+  private val e3 = QuerySpec("e3_events_sliding",
+    // Sliding 10-min/5-min windows (each event in exactly 2 windows) —
+    // the batch twin of graft.streaming.EventStream.slidingCounts.
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type"),
+    Some("""WITH e AS (SELECT epoch_ns(ts) AS ns, event_type, value FROM events),
+      wins AS (SELECT unnest([(ns // 300000000000) * 300,
+                              (ns // 300000000000) * 300 - 300]) AS ws,
+               event_type, value FROM e)
+      SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM wins GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val s2 = QuerySpec("s2_ann_ivf",
+    // IVF ANN scale path: centroids → narrow argmin assignment →
+    // nprobe-pruned exact top-k (partition pruning when the assigned
+    // table is stored partitionBy(cluster_id)).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      val assigned = Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
+      Ann.ivfSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
+          qv, k = 10, nprobe = 2)
+        .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2)
+      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
+        SELECT c.vec_id, c.cluster_id, ${l2Sql("c.embedding", "q.qv")} AS dist
+        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
+      ORDER BY dist, vec_id LIMIT 10"""))
+
+  private val t5 = QuerySpec("t5_top_terms",
+    // Per-language term profile: the aggregation backbone of real
+    // lang-ID / quality profiling at corpus scale (map-side partial
+    // aggregation on (lang, word), then a top-k window per lang).
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "[ \t\n]+")).as("w"))
+        .filter(length(col("w")) >= 3)
+      val win = Window.partitionBy("lang").orderBy(desc("n"), asc("w"))
+      words.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .withColumn("term_rank", row_number().over(win))
+        .filter(col("term_rank") <= 5)
+        .orderBy("lang", "term_rank")
+    },
+    Some(s"""SELECT lang, w, n, term_rank FROM (
+        SELECT lang, w, count(*) AS n,
+          row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS term_rank
+        FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
+              FROM documents)
+        WHERE len(w) >= 3 GROUP BY lang, w)
+      WHERE term_rank <= 5 ORDER BY lang, term_rank"""))
+
+  private val m2 = QuerySpec("m2_multimodal_frames",
+    // Multimodal frame sampling: payload → ≤4 fixed-size frames with
+    // typed metadata + content keys (decode itself is the stubbed
+    // external boundary — graft.multimodal.DecodeStub).
+    (s, d) => {
+      val frames = Multimodal.sampleFrames(
+        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
+        "doc_id", "payload", frameSize = 256, maxFrames = 4)
+      Multimodal.frameMeta(frames)
+        .select(col("doc_id"), col("frame_index"), col("frame_chars"), col("frame_key"))
+        .orderBy("doc_id", "frame_index")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS frame_index,
+        text FROM documents)
+      SELECT doc_id, frame_index,
+        len(substr(text, frame_index * 256 + 1, 256)) AS frame_chars,
+        substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS frame_key
+      FROM f ORDER BY doc_id, frame_index"""))
+
+  private val f3 = QuerySpec("f3_ner_json_filter",
+    // P8 serialize → P7 permissive parse → F3 metadata filter round
+    // trip (main_remind.py:409-447): parse-failure rows are skipped via
+    // the null guard, survivors filter on struct fields.
+    (s, d) => {
+      val nerSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("lang STRING, source STRING")
+      t(s, d, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"))))
+        .withColumn("ner", from_json(col("meta"), nerSchema))
+        .filter(col("ner").isNotNull && col("ner.lang") === "en")
+        .select(col("doc_id"), col("ner.source").as("src"))
+        .orderBy("doc_id")
+    },
+    // Oracle mirrors the SEMANTICS (serialize→parse is identity on
+    // clean fields); the permissive-parse failure path is covered by e2.
+    Some("""SELECT doc_id, source AS src FROM documents
+      WHERE lang = 'en' ORDER BY doc_id"""))
+
+  // ======================================================================
   // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
   // policy over small plans; semantic fns are the deterministic doubles.
   // ======================================================================
@@ -575,11 +810,11 @@ object Queries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, e1, e2,
-    p1, p5, p10,
-    t1, t2, t3, t4,
+    q1, q3, q5, e1, e2, e3,
+    p1, p5, p9, p10, p12,
+    t1, t2, t3, t4, t5,
     d1, d2, d3, d4, d5,
     v1, v2, v3, v4, v5,
-    a1, a5, s1q,
-    g1, g4, m1, c1)
+    a1, a3, a5, a9, r1, s1q, s2,
+    g1, g4, m1, m2, f3, c1)
 }

@@ -24,9 +24,13 @@ object TextFunctions {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "<[^>]+>", ""), "\n", " "))
 
-  /** P6: remove markdown code fences from LLM-ish output. */
+  /** P6: remove markdown code fences from LLM-ish output. The trim is
+    * an explicit whitespace-class replace because the reference's
+    * Python `.strip()` removes newlines too, while SQL `trim` only
+    * removes spaces (/root/reference/main.py:214). */
   def stripFences(c: Column): Column =
-    trim(regexp_replace(c, "```(json)?", ""))
+    regexp_replace(regexp_replace(c, "```(json)?", ""),
+      "^[ \t\n\r]+|[ \t\n\r]+$", "")
 
   /** P11: case/space normalize before every comparison. */
   def normalize(c: Column): Column = lower(trim(c))

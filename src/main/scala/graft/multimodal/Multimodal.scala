@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north star beyond the reference): image/audio/
+  * video payloads as opaque `binary` columns with typed metadata.
+  *
+  * The engine-side plumbing — schema, frame sampling, batch shape,
+  * partitioning — is real and oracle-tested; the actual media DECODE is
+  * an external boundary exactly like the LLM calls (the codec libraries
+  * are not part of the engine), stubbed behind [[DecodeStub]] with a
+  * deterministic fake so pipelines through it stay reproducible.
+  */
+object Multimodal {
+
+  /** Sample up to `maxFrames` fixed-size frames from a payload column —
+    * the columnar skeleton of video frame-sampling / audio windowing.
+    * Pure built-ins (sequence + transform), fully codegen'd; 1 row →
+    * ≤maxFrames rows via posexplode. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameSize: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(
+      ceil(length(col(payloadCol)).cast("double") / frameSize).cast("int"),
+      lit(maxFrames))
+    // guard: sequence(0, -1) would DESCEND, not produce an empty array
+    val frames = when(nFrames > 0,
+      transform(
+        sequence(lit(0), nFrames - 1),
+        i => substring_index_safe(col(payloadCol), i, frameSize)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), posexplode(frames).as(Seq("frame_index", "frame")))
+  }
+
+  private def substring_index_safe(payload: Column, i: Column, frameSize: Int): Column =
+    payload.substr(i * frameSize + 1, lit(frameSize))
+
+  /** Typed metadata + content key per frame (the join key for decoded
+    * features): byte length and a 16-hex content hash. */
+  def frameMeta(frames: DataFrame): DataFrame =
+    frames.select(
+      col("*"),
+      length(col("frame")).as("frame_chars"),
+      substring(md5(col("frame").cast("binary")), 1, 16).as("frame_key"))
+}
+
+/** External decode boundary. A production impl would run a codec per
+  * partition (batched, arrow-shaped); the engine ships a DETERMINISTIC
+  * stub so downstream operators (dedup on frame features, similarity
+  * on frame embeddings) are testable without codec libraries. */
+object DecodeStub {
+  /** Fake "feature vector" for a frame: 4 stable pseudo-features
+    * derived from the content hash — stands in for decode+embed. */
+  def features(frameKey: Column): Column =
+    array((0 until 4).map { i =>
+      (conv(substring(frameKey, i * 4 + 1, 4), 16, 10).cast("double") / 65535.0)
+    }: _*)
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor scale path: IVF (inverted-file) over a
+  * centroid table (SURVEY.md §2.5 V1/V2 north star; the reference's
+  * HNSW index — /root/reference/main.py:55 — is replaced by a
+  * partition-prunable layout, which is the Spark-native equivalent).
+  *
+  * Shape for 100 TB: `assign` is ONE narrow pass over the corpus — the
+  * centroid table (k rows) broadcasts, so no corpus shuffle. Writing
+  * the assigned table `partitionBy("cluster_id")` makes every later
+  * query scan only the probed clusters (partition pruning); `search`
+  * then runs exact top-k inside nprobe clusters — candidates shrink by
+  * ~k/nprobe versus a full scan while the plan stays
+  * filter ∘ distance ∘ TakeOrderedAndProject with no shuffle.
+  */
+object Ann {
+
+  /** Assign each corpus vector to its nearest centroid (L2, ties by
+    * centroid id). The centroid table is k rows BY DEFINITION, so it is
+    * collected once at plan-build time and inlined as a literal struct
+    * array: the assignment is `array_min` over (dist, cid) structs — a
+    * pure narrow map over the corpus with NO shuffle and NO join (a
+    * window over a crossJoin would shuffle n·k rows by id). */
+  def ivfAssign(corpus: DataFrame, embCol: String, idCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val cents = centroids.select(col(cidCol), col(cvecCol)).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
+    }
+    require(cents.nonEmpty, "centroid table is empty")
+    val distStructs = array(cents.map { case (cid, v) =>
+      struct(
+        VectorFunctions.l2(col(embCol), typedlit(v)).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    // array_min orders structs lexicographically: min distance first,
+    // then min centroid id — the deterministic tie-break for free.
+    corpus.withColumn("cluster_id", array_min(distStructs).getField("cid"))
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest to the query,
+    * exact top-k inside those clusters only. `assigned` is the output
+    * of [[ivfAssign]] (ideally written partitioned by cluster_id). */
+  def ivfSearch(assigned: DataFrame, embCol: String, idCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String,
+                queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+    val probed = centroids
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).as("cluster_id"))
+    // nprobe cluster ids → broadcast semi-join = partition pruning when
+    // the assigned table is stored partitioned by cluster_id.
+    Knn.exact(
+      assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi"),
+      embCol, idCol, queryVec, k)
+  }
+}

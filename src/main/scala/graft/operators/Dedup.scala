@@ -43,7 +43,13 @@ object Dedup {
 
   /** MinHash signature: `numHashes` independent min-hashes over word
     * `shingleK`-shingles. Hash family = md5 with a seed prefix —
-    * portable across engines (lexicographic min over hex strings). */
+    * portable across engines (lexicographic min over hex strings).
+    *
+    * NOTE: column form for single-row/expression use only. In a corpus
+    * pipeline use [[minhashNearDups]]'s explode+aggregate shape —
+    * Catalyst inlines this column's shingle subexpression into every
+    * one of the `numHashes` transforms (HOFs don't share subexpressions
+    * under codegen), recomputing the shingling numHashes× per row. */
   def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
     val sh = TextAnalysis.shingles(text, shingleK)
     array((0 until numHashes).map { seed =>
@@ -71,16 +77,29 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val nBands = numHashes / bandRows
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      TextAnalysis.shingles(col(textCol), shingleK).as("sh"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("mh"))
-      .filter(size(col("sh")) > 0)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Explicit hash-repartition on the doc id: (a) parallelizes a
+    // small single-file scan across all cores, and (b) pre-co-partitions
+    // the groupBy below, so the expensive per-shingle hashing runs
+    // after the only doc-payload exchange in the plan.
+    val shingleRows = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("__text"), shingleK)).as("s"))
+    // One codegen'd HashAggregate computes all numHashes min-hashes:
+    // each md5(seed|shingle) is evaluated exactly ONCE (the column-form
+    // signature would recompute the shingling per hash — see
+    // minhashSignature's scaladoc).
+    val minAggs = (0 until numHashes).map { seed =>
+      min(md5(concat(lit(s"$seed|"), col("s")))).as(s"mh$seed")
+    }
+    val sig = shingleRows.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         md5(concat_ws("|",
-          (0 until bandRows).map(r => element_at(col("mh"), b * bandRows + r + 1)): _*))
+          (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*))
       }: _*)).as(Seq("band_idx", "band_sig")))
     val cand = bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_b")),
@@ -88,9 +107,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // Exact verify: distinct shingle sets, built once per side from the
+    // same exploded rows (array order is irrelevant to the Jaccard).
+    def sets(as: String) = shingleRows.groupBy("doc_id")
+      .agg(collect_set(col("s")).as(s"sh_$as"))
+      .withColumnRenamed("doc_id", s"doc_$as")
     cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets("a"), Seq("doc_a"))
+      .join(sets("b"), Seq("doc_b"))
       .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

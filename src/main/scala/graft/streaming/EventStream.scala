@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.8 — extension beyond the
+  * reference, which is batch + request/response only).
+  *
+  * Every transform here is expressed on an unbounded DataFrame, so the
+  * SAME function serves the batch twin (tested against the DuckDB
+  * oracle via e1/e3) and the streaming pipeline (readStream → transform
+  * → writeStream): the plan is identical, only the source differs.
+  * That batch/stream symmetry is the Spark-native design — operators
+  * are written once and run incrementally under the micro-batch
+  * scheduler with watermark-bounded state.
+  */
+object EventStream {
+
+  /** Tumbling hourly counts per event type. With a streaming source,
+    * the 1-hour watermark bounds the state store: a window closes (and
+    * its state is freed) once the watermark passes its end. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes (each event lands in
+    * exactly two windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Incremental index maintenance: upsert a micro-batch of freshly
+    * embedded chunks into the vector index table by chunk id — the
+    * streaming twin of the offline build's upsert-by-id semantics
+    * (/root/reference/build_vectorstore.py:233-250). Use with
+    * `writeStream.foreachBatch(upsertBatch(indexPath) _)`.
+    *
+    * MERGE-less upsert for plain Parquet: read current, anti-join on
+    * id, union the batch, overwrite. At scale the same function body
+    * targets a table format with real MERGE semantics; the
+    * foreachBatch seam is identical.
+    */
+  def upsertBatch(indexPath: String, idCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(idCol)
+    val existing =
+      try spark.read.parquet(indexPath)
+      catch { case _: Throwable => spark.emptyDataFrame }
+    val merged =
+      if (existing.columns.isEmpty) deduped
+      else existing.join(deduped, Seq(idCol), "left_anti").unionByName(deduped)
+    // localCheckpoint truncates lineage EAGERLY — a plain cache could
+    // evict and recompute from the path we're about to overwrite.
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(indexPath)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Ann, Knn}
+import org.apache.spark.sql.functions._
+
+/** IVF ANN scale path: assignment correctness + search vs exact oracle. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two well-separated clusters around (0,0) and (100,100).
+  private def corpus = (0 until 40).map { i =>
+    val base = if (i < 20) 0.0f else 100.0f
+    (i.toLong, Array(base + (i % 20) * 0.1f, base + (i % 20) * 0.2f))
+  }.toDF("vec_id", "embedding")
+
+  private def cents = Seq(
+    (0L, Array(0.0f, 0.0f)), (1L, Array(100.0f, 100.0f)))
+    .toDF("cid", "cvec")
+
+  test("ivfAssign sends every vector to its true cluster, no shuffle") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val out = assigned.select("vec_id", "cluster_id").as[(Long, Long)].collect()
+    out.foreach { case (vid, cid) =>
+      assert(cid == (if (vid < 20) 0L else 1L))
+    }
+    // plan must contain no Exchange: assignment is a narrow map
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("ivfSearch with nprobe=1 equals exact kNN within the query's cluster") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val qv = typedlit(Seq(0.05, 0.1))
+    val ivf = Ann.ivfSearch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", qv, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.exact(corpus.filter($"vec_id" < 20), "embedding", "vec_id", qv, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfSearch with nprobe = all clusters equals global exact kNN") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val qv = typedlit(Seq(50.0, 50.0))
+    val ivf = Ann.ivfSearch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", qv, k = 8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.exact(corpus, "embedding", "vec_id", qv, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact)
+  }
+}

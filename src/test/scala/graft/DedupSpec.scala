@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** A1 keep-first dedup + the corpus-scale dedup family (SURVEY.md §2.6,
+  * north-star dedup operators). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst: earlier stage wins, then ascending distance") {
+    val df = Seq(
+      ("a", 2, 0.1), ("a", 1, 0.9), // stage 1 beats stage 2 despite distance
+      ("b", 1, 0.5), ("b", 1, 0.2), // same stage: smaller distance wins
+      ("c", 3, 0.7)
+    ).toDF("id", "stage_rank", "dist")
+    val out = Dedup.keepFirst(df, Seq("id"),
+        Seq(col("stage_rank"), col("dist"), col("id")))
+      .orderBy("id")
+      .as[(String, Int, Double)].collect()
+    assert(out.toSeq == Seq(("a", 1, 0.9), ("b", 1, 0.2), ("c", 3, 0.7)))
+  }
+
+  test("keepFirst is deterministic across partitionings") {
+    val rows = (1 to 200).map(i => (s"k${i % 20}", i % 7, i.toDouble))
+    def run(parts: Int) =
+      Dedup.keepFirst(spark.createDataFrame(rows).toDF("id", "stage_rank", "dist")
+          .repartition(parts),
+        Seq("id"), Seq(col("stage_rank"), col("dist"), col("id")))
+        .orderBy("id").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("exactByText groups identical texts and keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByText(df, "text", "doc_id")
+      .orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashNearDups finds exact duplicates and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+        numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))      // identical: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never verified in
+  }
+
+  test("minhash candidates are a subset of true near pairs at the threshold") {
+    // LSH may miss (probabilistic recall) but the exact verify step
+    // guarantees precision: every emitted pair really has j >= t.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "a b c x y z q r s t"),
+      (4L, "u v w x y z a1 b1 c1 d1"))
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(df, "doc_id", "text",
+        numHashes = 32, bandRows = 4, shingleK = 2, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (_, _, j) => assert(j >= 0.5) }
+  }
+
+  test("simhash16: identical texts get identical fingerprints in [0, 2^16)") {
+    val df = Seq((1L, "spark query table"), (2L, "spark query table"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val out = Dedup.simhash16(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out(0)._2 == out(1)._2)
+    assert(out.forall { case (_, h) => h >= 0 && h < (1L << 16) })
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** §2.8 streaming extension: the same transform runs batch and
+  * incremental; the batch result is the oracle for the stream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents: Seq[(Timestamp, String, Double)] = {
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    (0 until 120).map { i =>
+      (new Timestamp(base + i * 60000L), // one event per minute, 2 hours
+        if (i % 2 == 0) "click" else "view",
+        i.toDouble)
+    }
+  }
+
+  test("hourlyCounts over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(mkEvents)
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .orderBy("w_start", "event_type")
+        .select(col("w_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSeq
+
+      val batch = EventStream.hourlyCounts(
+          mkEvents.toDF("ts", "event_type", "value"))
+        .orderBy("w_start", "event_type")
+        .select(col("w_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSeq
+
+      assert(got == batch)
+      assert(got.map(_._3).sum == 120)
+    } finally q.stop()
+  }
+
+  test("slidingCounts places each event in exactly two windows") {
+    val df = mkEvents.toDF("ts", "event_type", "value")
+    val total = EventStream.slidingCounts(df).agg(sum("n")).as[Long].head()
+    assert(total == 240)
+  }
+
+  test("upsertBatch: insert then overwrite-by-id") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/index"
+    EventStream.upsertBatch(dir, "id")(
+      Seq((1L, "v1"), (2L, "v1")).toDF("id", "payload"), 0L)
+    EventStream.upsertBatch(dir, "id")(
+      Seq((2L, "v2"), (3L, "v1")).toDF("id", "payload"), 1L)
+    val out = spark.read.parquet(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{TextAnalysis, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** P1-P12 scalar transforms + text-analysis functions (SURVEY.md §2.2,
+  * north-star text analysis). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.cast("string")).as[String].head()
+
+  test("P1 cleanText strips tags, folds newlines, trims") {
+    assert(one(TextFunctions.cleanText(
+      lit(" <b>hello</b>\n<i>world</i> "))) == "hello world")
+  }
+
+  test("P6 stripFences removes markdown code fences") {
+    assert(one(TextFunctions.stripFences(
+      lit("```json\n{\"a\":1}\n```"))) == "{\"a\":1}")
+  }
+
+  test("P11 normalize lowercases and trims") {
+    assert(one(TextFunctions.normalize(lit("  MiXeD Case "))) == "mixed case")
+  }
+
+  test("P2 flattenRequirements renders 'key: v1 v2' lines") {
+    val df = Seq(1).toDF("x").select(
+      array(map(lit("경력조건"), array(lit("무관")),
+        lit("학력"), array(lit("고졸"), lit("이상")))).as("reqs"))
+    val out = df.select(TextFunctions.flattenRequirements($"reqs")).as[String].head()
+    assert(out == "경력조건: 무관\n학력: 고졸 이상")
+  }
+
+  test("P5 chunkIdPortable sanitizes to [a-zA-Z0-9_-]") {
+    val id = one(TextFunctions.chunkIdPortable(lit(7), lit(2), lit("무궁화 꽃이")))
+    assert(id.matches("[a-zA-Z0-9_-]+"))
+    assert(id.startsWith("7_chunk2_"))
+  }
+
+  test("P4 nerMerge appends the NER block") {
+    val out = one(TextFunctions.nerMerge(lit("body"), lit("{\"a\":1}")))
+    assert(out == "body\n\n[NER 추출 정보]\n{\"a\":1}")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("one two  three\nfour", "ab12!cd")).toDF("a", "b")
+    val (ws, bpe) = df.select(
+      TextAnalysis.tokenCountWs($"a"),
+      TextAnalysis.tokenCountBpeish($"b")).as[(Int, Int)].head()
+    assert(ws == 4)
+    assert(bpe == 4) // "ab" "12" "!" "cd"
+    assert(Seq("").toDF("a")
+      .select(TextAnalysis.tokenCountWs($"a")).as[Int].head() == 0)
+  }
+
+  test("shingles: fewer than k words yields empty array; distinct") {
+    val df = Seq("a b", "a b a b").toDF("t")
+    val out = df.select(TextAnalysis.shingles($"t", 3)).as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b a", "b a b")) // distinct 3-shingles
+  }
+
+  test("jaccard: disjoint 0, identical 1, empty-empty 0") {
+    val df = Seq(1).toDF("x")
+    def j(a: Seq[String], b: Seq[String]): Double =
+      df.select(TextAnalysis.jaccard(
+        typedlit(a), typedlit(b))).as[Double].head()
+    assert(j(Seq("a"), Seq("b")) == 0.0)
+    assert(j(Seq("a", "b"), Seq("a", "b")) == 1.0)
+    assert(j(Seq.empty, Seq.empty) == 0.0)
+  }
+
+  test("fingerprint is stable under token reorder and duplication") {
+    val df = Seq(("b a c", "c c a b b")).toDF("x", "y")
+    val (f1, f2) = df.select(
+      TextAnalysis.fingerprint($"x"), TextAnalysis.fingerprint($"y"))
+      .as[(String, String)].head()
+    assert(f1 == f2)
+  }
+
+  test("langId picks the dominant marker language, 'und' when none") {
+    val df = Seq("the cat is on the mat and it is warm",
+      "der hund und die katze ist hier", "xyz qq 123").toDF("t")
+    val out = df.select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1] and rewards clean prose") {
+    val df = Seq("The quick brown fox jumps over the lazy dog and it is fine",
+      "@@@###!!!").toDF("t")
+    val out = df.select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(0) > out(1))
+  }
+}

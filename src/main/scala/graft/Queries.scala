@@ -279,25 +279,32 @@ object Queries {
         val parts = (0 until shingleK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
         s"list_distinct(list_transform(range(1, len(ws) - ${shingleK - 2}), i -> $parts))"
       }
+    // hex→numeric digests (mirrors Spark's conv(substring(md5(s),…),16,10)):
+    // value of 7 hex chars starting at position p, big-endian.
+    def hexVal(p: Int): String = (0 until 7).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(s), ${p + k}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
+    }.mkString(" + ")
     val mh = (0 until numHashes)
-      .map(j => s"list_min(list_transform(sh, s -> md5('$j|' || s)))").mkString(", ")
+      .map(j => s"min((ha * ${j + 1} + hb) % 1000000007) AS mh$j").mkString(", ")
     val bands = (0 until nBands).map { b =>
-      val sig = (0 until bandRows).map(r => s"mh[${b * bandRows + r + 1}]").mkString(" || '|' || ")
+      val sig = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($sig) AS band_sig FROM sig"
     }.mkString(" UNION ALL ")
     val inter = "len(list_intersect(sa.sh, sb.sh))"
     s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
       shingled AS (SELECT doc_id,
         CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE $shingleExpr END AS sh FROM ws),
-      sig AS (SELECT doc_id, sh, [$mh] AS mh FROM shingled WHERE len(sh) > 0),
+      hexv AS (SELECT doc_id, ${hexVal(1)} AS ha, ${hexVal(9)} AS hb
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)),
+      sig AS (SELECT doc_id, $mh FROM hexv GROUP BY doc_id),
       bands AS ($bands),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
       verified AS (SELECT doc_a, doc_b,
         CAST($inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - $inter) AS jaccard
-        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-                  JOIN sig sb ON cand.doc_b = sb.doc_id)
+        FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+                  JOIN shingled sb ON cand.doc_b = sb.doc_id)
       SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
       WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
   }

@@ -86,15 +86,23 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(parallelism, col("doc_id"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("__text"), shingleK)).as("s"))
-    // One codegen'd HashAggregate computes all numHashes min-hashes:
-    // each md5(seed|shingle) is evaluated exactly ONCE (the column-form
-    // signature would recompute the shingling per hash — see
-    // minhashSignature's scaladoc).
+        explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
+    // Each shingle is md5'd ONCE; the numHashes minhash family derives
+    // from two numeric digests by an affine map (a·(seed+1)+b) mod p.
+    // Two deliberate properties: (1) the generated code stays SMALL —
+    // inlining numHashes copies of md5 into the aggregate made Janino
+    // compilation of the stage take ~60s per distinct plan shape;
+    // (2) min over BIGINT is a fixed-width aggregation buffer, so the
+    // whole stage is one codegen'd HashAggregate with map-side partials.
+    val P = 1000000007L
+    val hashed = shingleRows.select(
+      col("doc_id"),
+      conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("ha"),
+      conv(substring(md5(col("s")), 9, 7), 16, 10).cast("long").as("hb"))
     val minAggs = (0 until numHashes).map { seed =>
-      min(md5(concat(lit(s"$seed|"), col("s")))).as(s"mh$seed")
+      min((col("ha") * (seed + 1) + col("hb")) % P).as(s"mh$seed")
     }
-    val sig = shingleRows.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
@@ -107,15 +115,22 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // Exact verify: distinct shingle sets, built once per side from the
-    // same exploded rows (array order is irrelevant to the Jaccard).
-    def sets(as: String) = shingleRows.groupBy("doc_id")
-      .agg(collect_set(col("s")).as(s"sh_$as"))
-      .withColumnRenamed("doc_id", s"doc_$as")
+    // Exact verify. The shingle-set subtree appears ONCE in the plan:
+    // each candidate pair is exploded into its two member ids, joined
+    // against the sets a single time, and the pair's two arrays are
+    // reassembled with collect_list (jaccard is symmetric, so the
+    // nondeterministic list order is harmless). Joining sets twice
+    // (once per side) would re-execute the whole shingle pipeline per
+    // side — alias projections defeat exchange reuse.
+    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
     cand
-      .join(sets("a"), Seq("doc_a"))
-      .join(sets("b"), Seq("doc_b"))
-      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(collect_list(col("shs")).as("both"))
+      .withColumn("jaccard",
+        TextAnalysis.jaccard(element_at(col("both"), 1), element_at(col("both"), 2)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -62,6 +62,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1) == Seq("a b a", "b a b")) // distinct 3-shingles
   }
 
+  test("shinglesFast (UDF hot path) equals the expression form") {
+    import org.scalacheck.Gen
+    val texts = Gen.listOfN(12, Gen.oneOf("a", "b", "cc", " ", "\n", "dd e"))
+      .map(_.mkString(" "))
+    PropHelper.forAll(texts, 50) { t =>
+      for (k <- Seq(1, 2, 3)) {
+        val (fast, expr) = Seq(t).toDF("t").select(
+          TextAnalysis.shinglesFast($"t", k), TextAnalysis.shingles($"t", k))
+          .as[(Seq[String], Seq[String])].head()
+        assert(fast == expr, s"k=$k text='$t'")
+      }
+    }
+  }
+
   test("jaccard: disjoint 0, identical 1, empty-empty 0") {
     val df = Seq(1).toDF("x")
     def j(a: Seq[String], b: Seq[String]): Double =

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Chunker, Dedup, Knn, MultiStageSearch, Rerank}
+import graft.operators.{Ann, Chunker, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -778,6 +778,20 @@ object Queries {
         substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS frame_key
       FROM f ORDER BY doc_id, frame_index"""))
 
+  private val v6 = QuerySpec("v6_lsh_ann",
+    // MLlib BucketedRandomProjectionLSH ANN (seed-deterministic but
+    // approximate → spec-verified against the exact operators, not
+    // DuckDB-mirrorable; rows-only check here).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
+      LshAnn.approxNearest(e, "embedding", "vec_id", qv, 10)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+    },
+    None)
+
   private val f3 = QuerySpec("f3_ner_json_filter",
     // P8 serialize → P7 permissive parse → F3 metadata filter round
     // trip (main_remind.py:409-447): parse-failure rows are skipped via
@@ -821,7 +835,7 @@ object Queries {
     p1, p5, p9, p10, p12,
     t1, t2, t3, t4, t5,
     d1, d2, d3, d4, d5,
-    v1, v2, v3, v4, v5,
+    v1, v2, v3, v4, v5, v6,
     a1, a3, a5, a9, r1, s1q, s2,
     g1, g4, m1, m2, f3, c1)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Chunker
+import graft.sources.{IndexStore, JobCorpus}
+import org.apache.spark.sql.functions._
+
+/** S1 nested-JSON ingestion + the §3.3 offline build pipeline +
+  * S2/S4 index store round trip. The fixture mirrors jobs.json's
+  * shape (nested postings, map-typed requirement groups, HTML in
+  * titles) without copying reference data. */
+class JobCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(): String = {
+    val json =
+      """{
+        |  "검색조건": "고령자",
+        |  "총_채용공고수": 2,
+        |  "수집일시": "2026-01-21 13:49:25",
+        |  "채용공고목록": [
+        |    {
+        |      "공고번호": 1,
+        |      "채용제목": "<b>주방보조</b> 모집",
+        |      "회사명": "테스트식당",
+        |      "근무지역": "서울 전체",
+        |      "급여조건": "월급 209 만원 이상",
+        |      "채용공고ID": "K100000000000001",
+        |      "채용공고URL": "http://example.com/1",
+        |      "상세정보": {
+        |        "직무내용": "주방 보조 업무를 담당합니다. 설거지와 재료 손질을 포함합니다.",
+        |        "세부요건": [
+        |          {"경력조건": ["무관"], "학력": ["무관"]},
+        |          {"고용형태": ["파트타임"], "근무시간": ["주 5일", "09:00~14:00"]}
+        |        ]
+        |      }
+        |    },
+        |    {
+        |      "공고번호": 2,
+        |      "채용제목": "경비원 채용",
+        |      "회사명": "테스트빌딩",
+        |      "근무지역": "부산 전체",
+        |      "급여조건": "시급 10,000원",
+        |      "채용공고ID": "K100000000000002",
+        |      "채용공고URL": "http://example.com/2",
+        |      "상세정보": {
+        |        "직무내용": "건물 경비 및 순찰 업무입니다.",
+        |        "세부요건": [{"경력조건": ["경력 1년 이상"]}]
+        |      }
+        |    }
+        |  ]
+        |}""".stripMargin
+    val dir = Files.createTempDirectory("graft_jobs")
+    val f = dir.resolve("jobs.json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  test("readPostings explodes the nested corpus with typed columns") {
+    val postings = JobCorpus.readPostings(spark, writeFixture())
+    assert(postings.count() == 2)
+    val first = postings.orderBy("posting_no").head()
+    assert(first.getAs[Long]("posting_no") == 1L)
+    assert(first.getAs[String]("title").contains("<b>")) // raw until P1
+    val reqs = first.getAs[collection.Seq[Map[String, collection.Seq[String]]]]("requirements")
+    assert(reqs.length == 2)
+    assert(reqs.head("경력조건").toSeq == Seq("무관"))
+  }
+
+  test("a malformed corpus file yields zero rows, not a failure") {
+    val dir = Files.createTempDirectory("graft_badjson")
+    val f = dir.resolve("bad.json")
+    Files.writeString(f, "{ this is not json")
+    assert(JobCorpus.readPostings(spark, f.toString).count() == 0)
+  }
+
+  test("buildChunks runs the full P1→P2→P3→G1→P5 pipeline") {
+    val chunks = JobCorpus.buildChunks(
+      JobCorpus.readPostings(spark, writeFixture()),
+      Chunker(chunkSize = 80, overlap = 10))
+    val rows = chunks.select("posting_no", "chunk_index", "chunk", "chunk_id")
+      .orderBy("posting_no", "chunk_index").collect()
+    assert(rows.length >= 2)
+    // P1 stripped the HTML inside the combined text
+    assert(!rows.exists(_.getAs[String]("chunk").contains("<b>")))
+    // P2 flattened requirement groups into "key: v" lines somewhere
+    val allText = rows.map(_.getAs[String]("chunk")).mkString("\n")
+    assert(allText.contains("경력조건: 무관"))
+    assert(allText.contains("근무시간: 주 5일 09:00~14:00"))
+    // P5 ids are sanitized and unique
+    val ids = rows.map(_.getAs[String]("chunk_id"))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.forall(_.matches("[a-zA-Z0-9_-]+")))
+    // chunks respect the size bound
+    assert(rows.forall(_.getAs[String]("chunk").length <= 80))
+  }
+
+  test("IndexStore round trip with cluster partitioning and upsert") {
+    val dir = Files.createTempDirectory("graft_index").toString + "/idx"
+    val idx = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"))
+      .toDF("id", "cluster_id", "payload")
+    IndexStore.write(idx, dir)
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.count() == 3)
+    // partition pruning: scanning one cluster reads one directory
+    val pruned = loaded.filter($"cluster_id" === 0L)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 2)
+    assert(scan.contains("PartitionFilters") || scan.contains("cluster_id"))
+    IndexStore.upsert(spark, dir,
+      Seq((3L, 1L, "c2"), (4L, 1L, "d")).toDF("id", "cluster_id", "payload"), "id")
+    val after = IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
+  }
+}

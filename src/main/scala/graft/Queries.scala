@@ -410,6 +410,25 @@ object Queries {
       FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
       WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
 
+  private val v7 = QuerySpec("v7_knn_batch_topk",
+    // V2 at scale: bounded top-k AGGREGATION instead of a rank window —
+    // map-side partial heaps, exchange carries ≤k rows per query per
+    // partition. Same oracle as the window form (identical semantics).
+    (s, d) => {
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.batchAgg(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv", 5)
+        .select(col("qid"), col("knn_rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""SELECT qid, knn_rank, vec_id, round(dist, 6) AS dist FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        ${l2Sql("e.embedding", "q.embedding")} AS dist,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY ${l2Sql("e.embedding", "q.embedding")}, e.vec_id) AS knn_rank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+      WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
+
   private val v5 = QuerySpec("v5_knn_postfilter",
     (s, d) => {
       // F2 (main_remind.py:137-156): kNN first, substring filter AFTER.
@@ -835,7 +854,7 @@ object Queries {
     p1, p5, p9, p10, p12,
     t1, t2, t3, t4, t5,
     d1, d2, d3, d4, d5,
-    v1, v2, v3, v4, v5, v6,
+    v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2,
     g1, g4, m1, m2, f3, c1)
 }

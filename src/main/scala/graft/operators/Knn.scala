@@ -35,20 +35,41 @@ object Knn {
                predicate: Column, queryVec: Column, k: Int): DataFrame =
     exact(corpus.filter(predicate), embCol, idCol, queryVec, k)
 
-  /** V2: batch kNN — top-k per query over queries × corpus.
-    * `queries(qid, qvec)` is broadcast; corpus stays put. */
-  def batch(corpus: DataFrame, embCol: String, idCol: String,
-            queries: DataFrame, qidCol: String, qvecCol: String,
-            k: Int, metric: String = "l2"): DataFrame = {
-    val dist = metric match {
+  private def metricDist(metric: String, embCol: String, qvecCol: String): Column =
+    metric match {
       case "l2"     => VectorFunctions.l2(col(embCol), col(qvecCol))
       case "cosine" => -VectorFunctions.cosine(col(embCol), col(qvecCol))
       case m        => throw new IllegalArgumentException(s"metric $m")
     }
+
+  /** V2: batch kNN — top-k per query over queries × corpus.
+    * `queries(qid, qvec)` is broadcast; corpus stays put. The window
+    * rank shuffles every (query × corpus) pair; prefer [[batchAgg]]
+    * when queries × corpus is large. */
+  def batch(corpus: DataFrame, embCol: String, idCol: String,
+            queries: DataFrame, qidCol: String, qvecCol: String,
+            k: Int, metric: String = "l2"): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("dist", dist)
+      .withColumn("dist", metricDist(metric, embCol, qvecCol))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))
     joined.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
   }
+
+  /** V2 at scale: same result as [[batch]], but per-query top-k runs
+    * as a bounded [[TopK]] aggregation — partial heaps map-side, so
+    * the exchange carries ≤k rows per (partition × query) instead of
+    * the full replicated corpus. Same total order (dist, id). */
+  def batchAgg(corpus: DataFrame, embCol: String, idCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, metric: String = "l2"): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol),
+        metricDist(metric, embCol, qvecCol).as("__dist"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(qidCol)
+      .agg(TopK.topK(k)(col("__dist"), col("__id")).as("__topk"))
+      .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__entry")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("knn_rank"),
+        col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
 }

@@ -52,6 +52,27 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("batchAgg (bounded top-k aggregation) equals the window form") {
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "knn_rank", "vec_id", "dist")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val win = normalize(Knn.batch(corpus, "embedding", "vec_id",
+      queries, "qid", "qv", 6))
+    val agg = normalize(Knn.batchAgg(corpus, "embedding", "vec_id",
+      queries, "qid", "qv", 6))
+    assert(agg == win)
+  }
+
+  test("batchAgg survives k larger than the corpus") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val out = Knn.batchAgg(corpus, "embedding", "vec_id",
+      queries, "qid", "qv", 500)
+    assert(out.count() == 50) // whole corpus, no padding
+  }
+
   test("cosine metric ranks by descending similarity") {
     val queries = corpus.filter($"vec_id" === 10)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))

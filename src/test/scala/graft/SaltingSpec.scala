@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Salting
+import org.apache.spark.sql.functions._
+
+/** Salted (skew-spread) aggregation/join equals the direct forms. */
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (90% of rows) + a long tail
+  private def skewed = (0 until 2000).map { i =>
+    (if (i % 10 == 0) s"key${i % 50}" else "HOT", i.toDouble)
+  }.toDF("k", "v").repartition(8)
+
+  test("saltedCount equals plain groupBy count") {
+    val direct = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val salted = Salting.saltedCount(skewed, Seq("k"), buckets = 16)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    val direct = skewed.groupBy("k").agg(sum("v").as("sum"))
+      .orderBy("k").as[(String, Double)].collect().toMap
+    val salted = Salting.saltedSum(skewed, Seq("k"), "v", buckets = 16)
+      .orderBy("k").as[(String, Double)].collect().toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, s) =>
+      assert(math.abs(s - direct(k)) < 1e-6, k) // double sum reassociation
+    }
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    val dim = Seq(("HOT", 1), ("key0", 2), ("key10", 3)).toDF("k", "attr")
+    val direct = skewed.join(dim, Seq("k")).agg(sum("attr")).as[Long].head()
+    val (bigS, smallS, keys) = Salting.saltedJoinSides(skewed, dim, Seq("k"), 8)
+    val salted = bigS.join(smallS, keys).agg(sum("attr")).as[Long].head()
+    assert(salted == direct)
+  }
+}

@@ -269,9 +269,16 @@ object Queries {
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
   /** Shared DuckDB mirror of Dedup.minhashNearDups — same band scheme,
-    * same dedup-candidates-then-join-back shape, same exact Jaccard. */
+    * same dedup-candidates-then-join-back shape, same exact Jaccard.
+    * `minhashPairsCtes` returns the CTE chain ending in `verified`
+    * so the components oracle (d6) can build on the same pair set. */
   private def minhashOracle(numHashes: Int, bandRows: Int, shingleK: Int,
-                            threshold: Double): String = {
+                            threshold: Double): String =
+    s"""WITH ${minhashPairsCtes(numHashes, bandRows, shingleK)}
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
+      WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
+
+  private def minhashPairsCtes(numHashes: Int, bandRows: Int, shingleK: Int): String = {
     val nBands = numHashes / bandRows
     val shingleExpr =
       if (shingleK == 1) "list_distinct(ws)"
@@ -291,7 +298,7 @@ object Queries {
       s"SELECT doc_id, $b AS band_idx, md5($sig) AS band_sig FROM sig"
     }.mkString(" UNION ALL ")
     val inter = "len(list_intersect(sa.sh, sb.sh))"
-    s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
+    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
       shingled AS (SELECT doc_id,
         CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE $shingleExpr END AS sh FROM ws),
       hexv AS (SELECT doc_id, ${hexVal(1)} AS ha, ${hexVal(9)} AS hb
@@ -304,9 +311,7 @@ object Queries {
       verified AS (SELECT doc_a, doc_b,
         CAST($inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - $inter) AS jaccard
         FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
-                  JOIN shingled sb ON cand.doc_b = sb.doc_id)
-      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
-      WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
+                  JOIN shingled sb ON cand.doc_b = sb.doc_id)"""
   }
 
   private val d2 = QuerySpec("d2_minhash_neardup",
@@ -339,6 +344,23 @@ object Queries {
       bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
       SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
     })
+
+  private val d6 = QuerySpec("d6_neardup_components",
+    // Pairs → canonical GROUPS (what a dedup pipeline keeps): connected
+    // components over the d2 pair set via iterated min-label
+    // propagation; oracle = recursive-CTE transitive closure.
+    (s, d) => Dedup.components(
+        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${minhashPairsCtes(32, 4, 3)},
+      pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach
+      GROUP BY u ORDER BY doc_id"""))
 
   private val d5 = QuerySpec("d5_embedding_neardup",
     (s, d) => {
@@ -853,7 +875,7 @@ object Queries {
     q1, q3, q5, e1, e2, e3,
     p1, p5, p9, p10, p12,
     t1, t2, t3, t4, t5,
-    d1, d2, d3, d4, d5,
+    d1, d2, d3, d4, d5, d6,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2,
     g1, g4, m1, m2, f3, c1)

@@ -162,4 +162,88 @@ object Dedup {
                         shingleK: Int, threshold: Double): DataFrame =
     minhashNearDups(df, idCol, textCol,
       numHashes = 32, bandRows = 4, shingleK = shingleK, threshold = threshold)
+
+  /** Near-dup GROUPS from near-dup pairs: connected components by
+    * iterated min-label propagation (hash-to-min). Each node adopts
+    * the minimum label in its closed neighborhood until fixpoint —
+    * what a dedup pipeline actually consumes (keep one doc per
+    * component), the step after [[minhashNearDups]].
+    *
+    * Scale shape: every iteration is one self-join + one aggregation
+    * on the PAIRS table (edges, not corpus) — label paths halve-ish
+    * per round, so iterations ~ log(diameter); near-dup components
+    * are shallow in practice. The driver-side convergence loop checks
+    * a count per round, like the cascade's gating (SURVEY.md §4).
+    * Returns (doc_id, component_id = min doc id in the component). */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+                 bCol: String = "doc_b", maxIter: Int = 20,
+                 driverSideThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edgesRaw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Size probe that never computes the pairs twice: limit(t+1) ran to
+    // completion means the collected rows ARE the complete edge set.
+    val probed = edgesRaw.limit(driverSideThreshold.toInt + 1).collect()
+    if (probed.length <= driverSideThreshold) {
+      // Adaptive small path: union-find with path compression on the
+      // driver — exact, O(E α), no iteration jobs, no cached blocks.
+      // (Same spirit as the cascade's driver-side gating: the data-
+      // dependent small case shouldn't pay the distributed loop.)
+      val es = probed.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return out.toDF("doc_id", "component_id")
+    }
+    // Distributed path: iterated min-label propagation. Each round is
+    // one join + aggregation over the EDGES table (never the corpus).
+    // Labels round-trip through an RDD per iteration: the Catalyst
+    // plan stays one createDataFrame deep (a pure DataFrame loop
+    // doubles the logical plan per round until explainString OOMs —
+    // persist() caches data but does NOT truncate the plan), lineage
+    // stays linear, and the previous round unpersists directly.
+    import spark.implicits._
+    val edgesDf = edgesRaw
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    val edges = edgesDf.as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edgesDf.groupBy("u").agg(least(min("v"), first("u")).as("label"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val labelsDf = labels.toDF("node", "label")
+      val next = edges.toDF("u", "v")
+        .join(labelsDf.select(col("node").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy("u").agg(min("vlabel").as("nlabel"))
+        .join(labelsDf.select(col("node").as("u"), col("label")), Seq("u"))
+        .select(col("u"), least(col("label"), col("nlabel")).as("newlabel"))
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.toDF("node", "newlabel")
+        .join(labels.toDF("node", "old"), Seq("node"))
+        .filter(col("newlabel") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.toDF("doc_id", "component_id").localCheckpoint(true)
+    edges.unpersist()
+    labels.unpersist()
+    out
+  }
 }

@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec {
     out.foreach { case (_, _, j) => assert(j >= 0.5) }
   }
 
+  test("components: chains and separate clusters resolve to min-id labels") {
+    // chain 1-2-3 (transitively one component), island 7-8, singleton edge 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.components(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components converges on a long path (label must propagate fully)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(pairs).as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L))
+  }
+
+  test("components: distributed label-propagation path matches union-find") {
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 8L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val driver = Dedup.components(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val dist = Dedup.components(pairs, driverSideThreshold = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(dist == driver)
+    // intermediates were unpersisted: at most the checkpointed result remains
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+  }
+
   test("simhash16: identical texts get identical fingerprints in [0, 2^16)") {
     val df = Seq((1L, "spark query table"), (2L, "spark query table"),
       (3L, "completely different words here")).toDF("doc_id", "text")

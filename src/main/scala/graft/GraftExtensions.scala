@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{VectorCosine, VectorDot, VectorL2Sq}
+import graft.plans.{ChunkText, VectorCosine, VectorDot, VectorL2Sq}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -42,7 +42,19 @@ object GraftExtensions {
     ("vector_l2", info("vector_l2", "_FUNC_(a, b) - L2 (Euclidean) distance"),
       binary((a, b) => Sqrt(VectorL2Sq(a, b)))),
     ("vector_cosine", info("vector_cosine", "_FUNC_(a, b) - cosine similarity (0 for zero norm)"),
-      binary(VectorCosine.apply)))
+      binary(VectorCosine.apply)),
+    ("chunk_text", info("chunk_text",
+      "_FUNC_(text, size, overlap) - recursive-separator chunking to (chunk_index, chunk) rows"),
+      { args =>
+        require(args.length == 3, "expected chunk_text(text, size, overlap)")
+        def intLit(e: Expression, what: String): Int = e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"chunk_text $what must be an integer literal, got $other")
+        }
+        ChunkText(args(0), intLit(args(1), "size"), intLit(args(2), "overlap"))
+      }))
 
   /** Register on a live session (same builders as the extensions). */
   def register(spark: SparkSession): Unit =

@@ -31,6 +31,22 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getDouble(0) == 5.0)
   }
 
+  test("chunk_text generator from SQL equals the Chunker operator") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "The quick brown fox. " * 8), (2L, ""))
+      .toDF("id", "text").createOrReplaceTempView("chunk_src")
+    val sqlChunks = spark.sql(
+      """SELECT id, chunk_index, chunk
+        FROM chunk_src LATERAL VIEW chunk_text(text, 60, 10) AS chunk_index, chunk
+        ORDER BY id, chunk_index""")
+      .as[(Long, Int, String)].collect().toSeq
+    val direct = graft.operators.Chunker(60, 10)
+      .split("The quick brown fox. " * 8).zipWithIndex
+      .map { case (c, i) => (1L, i, c) }
+    assert(sqlChunks == direct) // id 2 (empty text) yields no rows
+  }
+
   test("wrong arity fails analysis cleanly") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -185,6 +185,24 @@ object Queries {
         '[^a-zA-Z0-9_-]', '_', 'g') AS chunk_id
       FROM documents ORDER BY doc_id"""))
 
+  private val p2 = QuerySpec("p2_flatten_requirements",
+    // P2/G3 (build_vectorstore.py:142-152): generic flatten of
+    // array<map<string,array<string>>> requirement groups into
+    // "key: v1 v2" lines — the map constructed from table columns so
+    // the oracle can recompute the rendered string directly.
+    (s, d) => t(s, d, "documents")
+      .withColumn("reqs", array(
+        map(lit("경력조건"), array(col("lang")),
+            lit("학력"), array(col("source"), lit("이상"))),
+        map(lit("고용형태"), array(lit("파트타임")))))
+      .select(col("doc_id"),
+        TextFunctions.flattenRequirements(col("reqs")).as("req_text"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      '경력조건: ' || lang || chr(10) || '학력: ' || source || ' 이상' ||
+      chr(10) || '고용형태: 파트타임' AS req_text
+      FROM documents ORDER BY doc_id"""))
+
   private val p10 = QuerySpec("p10_response_projection",
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -873,7 +891,7 @@ object Queries {
 
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, e1, e2, e3,
-    p1, p5, p9, p10, p12,
+    p1, p2, p5, p9, p10, p12,
     t1, t2, t3, t4, t5,
     d1, d2, d3, d4, d5, d6,
     v1, v2, v3, v4, v5, v6, v7,

@@ -275,6 +275,47 @@ object Queries {
         string_split_regex(lower(trim(text)), '$WsSplit'))), ' ')) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  private val t6 = QuerySpec("t6_winnowing",
+    // Rolling-hash document fingerprinting (winnowing/MOSS): min gram
+    // hash per sliding w-window — both engines express the roll as a
+    // ROWS window frame; full windows only.
+    (s, d) => {
+      val (k, w) = (8, 4)
+      val grams = TextAnalysis.charGramHashes(
+        t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", k)
+      val roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+      val whole = Window.partitionBy("doc_id")
+      grams
+        .withColumn("fp", min("gram_hash").over(roll))
+        .withColumn("npos", max("pos").over(whole))
+        .filter(col("pos") <= col("npos") - (w - 1))
+        .select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"), min("fp").as("fp_min"), max("fp").as("fp_max"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val (k, w) = (8, 4)
+      val hex = (1 to 15).map { j =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * ${math.pow(16, 15 - j).toLong}"
+      }.mkString(" + ")
+      s"""WITH grams AS (
+        SELECT doc_id, pos, $hex AS gram_hash FROM (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+            md5(substr(text, CAST(i AS INT), $k)) AS h
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) - $k + 2)) AS i
+                FROM documents WHERE len(text) >= $k))),
+      win AS (SELECT doc_id, pos,
+        min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+        max(pos) OVER (PARTITION BY doc_id) AS npos
+        FROM grams),
+      fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= npos - ${w - 1})
+      SELECT doc_id, count(*) AS n_fps, min(fp) AS fp_min, max(fp) AS fp_max
+      FROM fps GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   // ======================================================================
   // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
   // Jaccard, embedding near-dup)
@@ -892,7 +933,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, e1, e2, e3,
     p1, p2, p5, p9, p10, p12,
-    t1, t2, t3, t4, t5,
+    t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (north
@@ -66,6 +66,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(
       split(lower(trim(text)), "[ \t\n]+"))), " "))
+
+  /** Winnowing fingerprint grams (rolling-hash document fingerprinting
+    * à la MOSS): hash every char k-gram, then keep the MINIMUM hash of
+    * each sliding window of `w` consecutive gram hashes. Guarantees at
+    * least one shared fingerprint for any match of length ≥ w+k−1,
+    * while storing ~2/(w+1) of the hashes. Returns (pos, gram_hash)
+    * rows pre-window — compose with a ROWS window min + distinct (see
+    * Queries t6 for the full plan; both Spark and DuckDB express the
+    * rolling window as `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`).
+    * Gram hash = first 60 bits of md5 (hex→numeric, engine-portable). */
+  def charGramHashes(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(
+          when(length(col(textCol)) >= k,
+            transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => col(textCol).substr(i, lit(k))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
 
   /** Distinct word k-shingles (word n-grams) — the unit for MinHash /
     * Jaccard dedup. Empty array when the text has fewer than k words. */

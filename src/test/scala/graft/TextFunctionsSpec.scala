@@ -94,6 +94,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(f1 == f2)
   }
 
+  test("winnowing grams: hashes are positional and engine-portable range") {
+    val df = Seq((1L, "abcdefghij"), (2L, "short")).toDF("doc_id", "text")
+    val out = TextAnalysis.charGramHashes(df, "doc_id", "text", 8)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    // doc 1: 10 chars → 3 grams at pos 1..3; doc 2 (<k chars) → none
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 1), (1L, 2), (1L, 3)))
+    assert(out.forall(r => r._3 >= 0 && r._3 < (1L << 60)))
+    // identical grams hash identically across rows
+    val dup = TextAnalysis.charGramHashes(
+      Seq((1L, "xxxxxxxxy"), (2L, "xxxxxxxxz")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+      .filter($"pos" === 1).select("gram_hash").as[Long].collect()
+    assert(dup(0) == dup(1)) // both pos-1 grams are "xxxxxxxx"
+  }
+
   test("langId picks the dominant marker language, 'und' when none") {
     val df = Seq("the cat is on the mat and it is warm",
       "der hund und die katze ist hier", "xyz qq 123").toDF("t")

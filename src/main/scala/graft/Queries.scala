@@ -930,6 +930,20 @@ object Queries {
         round(col("dist"), 6).as("dist"), col("score"))
   }
 
+  private val c2 = QuerySpec("c2_cascade_remind",
+    // §3.4 composition: scan-then-filter cascade (main_remind.py) —
+    // same operators as c1, different policy configuration.
+    (s, d) => {
+      val corpus = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+        .searchRemind("looking for a join job in the row area", col("qv"), scanK = 200)
+        .select(col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), col("score"))
+    },
+    None)
+
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, e1, e2, e3,
     p1, p2, p5, p9, p10, p12,
@@ -937,5 +951,5 @@ object Queries {
     d1, d2, d3, d4, d5, d6,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2,
-    g1, g4, m1, m2, f3, c1)
+    g1, g4, m1, m2, f3, c1, c2)
 }

@@ -145,4 +145,55 @@ final class MultiStageSearch(
     ranked.withColumn("rank",
       row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
   }
+
+  /** The main_remind.py composition (SURVEY.md §3.4): stage 0 scans a
+    * large candidate pool (k≈corpus) and POST-filters on the parsed
+    * NER metadata (F3/F2 — /root/reference/main_remind.py:409-474),
+    * falling back to the unfiltered pool when fewer than
+    * `relaxThreshold` survive; then the same rerank tail. Same
+    * operators as [[search]], different composition — configurable
+    * policy, not a hard-coded pipeline. */
+  def searchRemind(queryText: String, queryVec: Column,
+                   scanK: Int = 1000): DataFrame = {
+    val ner = queryNer(queryText)
+    def contains(term: String): Column =
+      lower(col(textCol)).contains(term.toLowerCase)
+
+    val pool = Knn.exact(corpus, embCol, idCol, queryVec, scanK)
+      .select(col(idCol), col(textCol), col("dist"))
+    val poolRows = pool.collect()
+
+    // F2/F3 post-filter on the scanned pool, driver-side over ≤scanK rows
+    val textIdx = 1
+    def keep(r: Row): Boolean = {
+      val t = r.getString(textIdx).toLowerCase
+      ner.job.forall(j => t.contains(j.toLowerCase)) &&
+        ner.region.forall(rg => t.contains(rg.toLowerCase))
+    }
+    val filtered = poolRows.filter(keep)
+    val kept = if (filtered.length >= cfg.relaxThreshold) filtered else poolRows
+
+    val spark = corpus.sparkSession
+    val schema = StructType(pool.schema.fields :+
+      org.apache.spark.sql.types.StructField("stage_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val tagged = kept.map(r => Row.fromSeq(r.toSeq :+ 1))
+    val acc = spark.createDataFrame(
+      spark.sparkContext.parallelize(tagged.toIndexedSeq, 1), schema)
+
+    val condToks = (ner.job.toSeq ++ ner.region.toSeq).map(_.toLowerCase).distinct
+    val (dJob, dRegion) = docNer(col(textCol))
+    val ranked = acc
+      .withColumn("judge_score", judgeScore(col(textCol), condToks))
+      .withColumn("rule_score", Rerank.nerOverlap(Seq(
+        (ner.job.map(lit).getOrElse(lit("")), dJob),
+        (ner.region.map(lit).getOrElse(lit("")), dRegion),
+        (ner.ageGroup.map(lit).getOrElse(lit("")), lit("")))))
+      .withColumn("score",
+        Rerank.combined(col("judge_score"), col("rule_score"), cfg.wJudge, cfg.wRule))
+      .orderBy(desc("score"), asc("dist"), asc(idCol))
+      .limit(cfg.finalN)
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
+  }
 }

@@ -50,6 +50,23 @@ class CascadeSpec extends SparkSpec {
     assert(out.nonEmpty) // unfiltered kNN fallback fired
   }
 
+  test("searchRemind (scan-then-filter composition) ranks matching docs first") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(finalN = 3, relaxThreshold = 1))
+    val out = search.searchRemind("join row", col("qv"), scanK = 6)
+      .select("rank", "doc_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty && out.length <= 3)
+    // post-filter kept only docs containing both terms → ids 0 and 1
+    assert(out.map(_._2).toSet.subsetOf(Set(0L, 1L)))
+  }
+
+  test("searchRemind falls back to the whole pool when the filter starves") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(finalN = 5, relaxThreshold = 3))
+    val out = search.searchRemind("vector 없는 조건", col("qv"), scanK = 6)
+    assert(out.count() > 0) // nothing matches the filter → unfiltered pool
+  }
+
   test("strict stage results outrank later-stage results for equal scores") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
       CascadeConfig(topK = 2, finalN = 6, fallbackThreshold = 10))

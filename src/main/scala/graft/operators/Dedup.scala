@@ -78,15 +78,30 @@ object Dedup {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val nBands = numHashes / bandRows
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Explicit hash-repartition on the doc id: (a) parallelizes a
-    // small single-file scan across all cores, and (b) pre-co-partitions
-    // the groupBy below, so the expensive per-shingle hashing runs
-    // after the only doc-payload exchange in the plan.
+    // Two deliberate exchanges around the shingle computation:
+    // the first (round-robin) parallelizes a small single-file scan;
+    // the SECOND (hash on doc_id) sits ABOVE the expensive
+    // UDF+explode, so its shuffle files are computed once and
+    // ReuseExchange serves every downstream subtree (the band
+    // self-join and the verify sets would otherwise re-run the
+    // shingling per subtree — alias projections above a reused
+    // exchange don't break reuse, but compute below a non-shared
+    // exchange re-executes). It also pre-co-partitions both groupBys.
+    // Lazy localCheckpoint: the exploded shingle rows materialize ONCE
+    // and every downstream subtree (band self-join sides, verify sets)
+    // reads the same persisted RDD. Without it nothing shares the
+    // work: AQE turns the small band self-join into a broadcast join,
+    // whose build side is a structurally different plan — shuffle
+    // reuse can't fire — and the whole shingle pipeline re-executes
+    // per subtree (measured 3× at sf0.1). Blocks are freed by the
+    // ContextCleaner when the query's RDDs are collected.
     val shingleRows = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(parallelism, col("doc_id"))
+      .repartition(parallelism)
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
+      .repartition(parallelism, col("doc_id"))
+      .localCheckpoint(false)
     // Each shingle is md5'd ONCE; the numHashes minhash family derives
     // from two numeric digests by an affine map (a·(seed+1)+b) mod p.
     // Two deliberate properties: (1) the generated code stays SMALL —

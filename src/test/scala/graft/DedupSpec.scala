@@ -88,13 +88,15 @@ class DedupSpec extends SparkSpec {
   test("components: distributed label-propagation path matches union-find") {
     val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 8L)) ++
       (20L until 29L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val driver = Dedup.components(pairs)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val dist = Dedup.components(pairs, driverSideThreshold = 0L)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(dist == driver)
-    // intermediates were unpersisted: at most the checkpointed result remains
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1)
+    // loop intermediates were unpersisted: at most the checkpointed
+    // result outlives the call (other suites' lazy checkpoints aside)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
   test("simhash16: identical texts get identical fingerprints in [0, 2^16)") {

@@ -26,14 +26,18 @@ object Bench {
       } + "\""
     // Untimed warm-up: exercise the scan/codegen/JIT paths once so the
     // timed loop measures operator cost, not JVM/Janino first-run cost
-    // (standard benchmark hygiene; the same queries at the same SF).
+    // (standard benchmark hygiene, JMH-style; same queries, same SF).
+    // Disclosed in the output as warmup_sec.
     val warmup = Seq("q1_pricing_summary", "v1_knn_exact", "d3_simhash",
-      "t3_token_count", "e1_events_hourly")
+      "t3_token_count", "e1_events_hourly", "d2_minhash_neardup",
+      "d4_ngram_jaccard", "s2_ann_ivf")
+    val w0 = System.nanoTime()
     warmup.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     var failures = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -51,7 +55,7 @@ object Bench {
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,13 @@ object Bench {
       }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    // Deterministic cleanup between queries: operators that lazily
+    // checkpoint intermediates (e.g. the dedup shingle rows) otherwise
+    // hold blocks until a GC-triggered ContextCleaner pass, skewing
+    // later queries' timings.
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    dropCachedBlocks()
     var failures = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -48,7 +55,9 @@ object Bench {
           e.printStackTrace()
           failures += name -> e.toString.take(300)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCachedBlocks()
+      name -> sec
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

@@ -154,6 +154,50 @@ object Queries {
         FROM events))
       GROUP BY event_type ORDER BY event_type"""))
 
+  private val e4 = QuerySpec("e4_sessionize",
+    // Gap-based sessionization (30-min inactivity): lag + cumulative
+    // sum of session-start flags per user — the standard windowed
+    // formulation, identical in both engines. Nanos-integer gap math
+    // avoids float drift.
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .groupBy("user_id")
+        .agg(max("session_idx").cast("bigint").as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          round(max("session_value"), 2).as("max_session_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, value,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
+          us, event_id
+        FROM (SELECT user_id, value, event_id, epoch_ns(ts) // 1000 AS us,
+          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events)),
+      sessions AS (
+        SELECT user_id, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, session_idx, count(*) AS n_events,
+          round(sum(value), 2) AS session_value
+        FROM sessions GROUP BY user_id, session_idx)
+      SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
+        max(n_events) AS max_session_events,
+        round(max(session_value), 2) AS max_session_value
+      FROM per_session GROUP BY user_id ORDER BY user_id"""))
+
   // ======================================================================
   // Scalar text transforms (P1/P5/P6/P9/P10/P11)
   // ======================================================================
@@ -201,6 +245,30 @@ object Queries {
     Some("""SELECT doc_id,
       '경력조건: ' || lang || chr(10) || '학력: ' || source || ' 이상' ||
       chr(10) || '고용형태: 파트타임' AS req_text
+      FROM documents ORDER BY doc_id"""))
+
+  private val p13 = QuerySpec("p13_redact_pii",
+    // Training-data hygiene: regex redaction of emails/URLs + counts.
+    // Explicit char classes so Java regex (Spark) and RE2 (DuckDB)
+    // agree; redaction before counting so the two columns are
+    // independently checkable.
+    (s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_%-]+"
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+          substring(regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+            url, "[URL]"), 1, 120).as("redacted_head"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS n_urls,
+      substr(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        'https?://[A-Za-z0-9./_%-]+', '[URL]', 'g'), 1, 120) AS redacted_head
       FROM documents ORDER BY doc_id"""))
 
   private val p10 = QuerySpec("p10_response_projection",
@@ -945,8 +1013,8 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, e1, e2, e3,
-    p1, p2, p5, p9, p10, p12,
+    q1, q3, q5, e1, e2, e3, e4,
+    p1, p2, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6,
     v1, v2, v3, v4, v5, v6, v7,

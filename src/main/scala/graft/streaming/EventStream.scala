@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Session event/state/result types for [[EventStream.sessionizeStream]]. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                               n_events: Int, sum_value: Double)
 
 /** Structured Streaming surface (SURVEY.md §2.8 — extension beyond the
   * reference, which is batch + request/response only).
@@ -37,6 +44,62 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming sessionization with custom state (the stateful twin of
+    * the batch e4 query): gap-based sessions via
+    * `flatMapGroupsWithState` + event-time timeout. Sessions closed by
+    * an in-batch gap emit immediately; the open session per user lives
+    * in the state store and emits when the WATERMARK passes its
+    * gap-extended end (EventTimeTimeout) — so state is bounded and
+    * every session is emitted exactly once (append semantics). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: SessionState): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.startMs), s.n, s.sum)
+
+    def update(uid: Long, it: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).iterator
+        state.remove()
+        out
+      } else {
+        val evs = it.toSeq.sortBy(_.ts.getTime)
+        val closed = Seq.newBuilder[ClosedSession]
+        var cur = state.getOption
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed += close(uid, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // timeout must sit beyond the current watermark
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Incremental index maintenance: upsert a micro-batch of freshly
     * embedded chunks into the vector index table by chunk id — the

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
     assert(total == 240)
   }
 
+  test("sessionizeStream closes sessions by in-batch gap and by watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    // user 1: two events 10:00/10:10 (one session), then 12:00 (new
+    // session) — the 12:00 arrival closes session A via in-batch gap
+    stream.addData(Seq((1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0)))
+    stream.addData(Seq((1L, t(12, 0), 5.0)))
+    // watermark pusher: 15:00 - 1h = 14:00 > 12:30 → session B times out
+    stream.addData(Seq((999L, t(15, 0), 0.0)))
+    stream.addData(Seq((999L, t(15, 1), 0.0)))
+
+    val q = graft.streaming.EventStream.sessionizeStream(
+        stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .filter(col("user_id") === 1L)
+        .orderBy("session_start")
+        .select(col("session_start").cast("string"), col("n_events"), col("sum_value"))
+        .as[(String, Int, Double)].collect().toSeq
+      assert(out == Seq(
+        ("2026-01-01 10:00:00", 2, 3.0),
+        ("2026-01-01 12:00:00", 1, 5.0)))
+    } finally q.stop()
+  }
+
   test("upsertBatch: insert then overwrite-by-id") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/index"
     EventStream.upsertBatch(dir, "id")(

@@ -453,24 +453,47 @@ object Queries {
       .orderBy("doc_a", "doc_b"),
     Some(minhashOracle(32, 4, 2, 0.4)))
 
+  /** CTE chain ending in `sig(doc_id, simhash)` — DuckDB mirror of
+    * Dedup.simhash16, shared by d3 and d7. */
+  private def simhashCtes: String = {
+    val hexVal = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+    }.zip(Seq(4096, 256, 16, 1))
+      .map { case (e, m) => s"$e * $m" }.mkString(" + ")
+    val bitSums = (0 until 16)
+      .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val fp = (0 until 16)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '$WsSplit')) AS w FROM documents),
+    vals AS (SELECT doc_id, $hexVal AS v FROM words WHERE len(w) > 0),
+    bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)"""
+  }
+
   private val d3 = QuerySpec("d3_simhash",
     (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id"),
-    Some {
-      val hexVal = (1 to 4).map { i =>
-        s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
-      }.zip(Seq(4096, 256, 16, 1))
-        .map { case (e, m) => s"$e * $m" }.mkString(" + ")
-      val bitSums = (0 until 16)
-        .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-      val fp = (0 until 16)
-        .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH words AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '$WsSplit')) AS w FROM documents),
-      vals AS (SELECT doc_id, $hexVal AS v FROM words WHERE len(w) > 0),
-      bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id)
-      SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
-    })
+    Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"))
+
+  private val d7 = QuerySpec("d7_simhash_neardup",
+    // SimHash pair-finding: Hamming ≤ 1 via pigeonhole block banding
+    // (2 blocks of 8 bits: any pair within budget agrees on ≥1 block)
+    // + exact popcount verify.
+    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 1)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $simhashCtes,
+      blocks AS (SELECT doc_id, simhash, b AS block_idx,
+        (simhash >> (b * 8)) & 255 AS block_val
+        FROM sig, unnest([0, 1]) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sa, b.simhash AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+          AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY doc_a, doc_b"""))
 
   private val d6 = QuerySpec("d6_neardup_components",
     // Pairs → canonical GROUPS (what a dedup pipeline keeps): connected
@@ -1016,7 +1039,7 @@ object Queries {
     q1, q3, q5, e1, e2, e3, e4,
     p1, p2, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
-    d1, d2, d3, d4, d5, d6,
+    d1, d2, d3, d4, d5, d6, d7,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2,
     g1, g4, m1, m2, f3, c1, c2)

@@ -170,6 +170,40 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` on the
+    * 16-bit fingerprint. Candidate generation is pigeonhole banding —
+    * split the fingerprint into `maxHamming + 1` blocks; any pair
+    * within the distance budget must agree exactly on ≥1 block, so
+    * candidates come from equality joins on (block_idx, block_value)
+    * — hash-sized shuffle keys, same scale shape as the MinHash
+    * bands — and are then verified with an exact popcount. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 1): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 16
+    val blockBits = bits / nBlocks
+    val fp = simhash16(df, idCol, textCol)
+    val blocks = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("simhash"), b * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)
+      }: _*)).as(Seq("block_idx", "block_val")))
+    val cand = blocks
+      .select(col("block_idx"), col("block_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(blocks.select(col("block_idx"), col("block_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("block_idx", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** N-gram Jaccard near-dup via LSH candidates (exact verify) — the
     * scalable composition: Jaccard itself is exact; candidate
     * generation reuses the MinHash bands. */

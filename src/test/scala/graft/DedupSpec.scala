@@ -99,6 +99,18 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("simhashNearDups: identical docs pair at hamming 0; verified bound holds") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    pairs.foreach { case (_, _, h) => assert(h <= 1) }
+  }
+
   test("simhash16: identical texts get identical fingerprints in [0, 2^16)") {
     val df = Seq((1L, "spark query table"), (2L, "spark query table"),
       (3L, "completely different words here")).toDF("doc_id", "text")

@@ -926,6 +926,38 @@ object Queries {
         FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val s3 = QuerySpec("s3_quantize_int8",
+    // Embedding int8 quantization (the 100 TB storage path: 4× smaller
+    // vectors): per-vector min/max affine quantize to 0..255, then
+    // measure the round-trip fidelity as cosine(original, dequantized).
+    // Pure column arithmetic, identical in both engines (round-half-up
+    // agrees for the non-negative quantization domain).
+    (s, d) => {
+      val emb = col("embedding").cast("array<double>")
+      t(s, d, "embeddings")
+        .withColumn("mn", array_min(emb))
+        .withColumn("mx", array_max(emb))
+        .withColumn("scale",
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("mx") - col("mn")) / 255.0))
+        .withColumn("deq", transform(emb, x =>
+          round((x - col("mn")) / col("scale"), 0) * col("scale") + col("mn")))
+        .select(col("vec_id"),
+          round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+          round(VectorFunctions.cosine(emb, col("deq")), 6).as("cos_fidelity"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM q),
+      sc AS (SELECT vec_id, e, mn, mx,
+        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m),
+      dq AS (SELECT vec_id, e, mn, mx,
+        list_transform(e, x -> round((x - mn) / scale, 0) * scale + mn) AS deq FROM sc)
+      SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        round(${cosineSql("e", "deq")}, 6) AS cos_fidelity
+      FROM dq ORDER BY vec_id"""))
+
   private val t5 = QuerySpec("t5_top_terms",
     // Per-language term profile: the aggregation backbone of real
     // lang-ID / quality profiling at corpus scale (map-side partial
@@ -1041,6 +1073,6 @@ object Queries {
     t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6, d7,
     v1, v2, v3, v4, v5, v6, v7,
-    a1, a3, a5, a9, r1, s1q, s2,
+    a1, a3, a5, a9, r1, s1q, s2, s3,
     g1, g4, m1, m2, f3, c1, c2)
 }

@@ -182,7 +182,11 @@ object Queries {
           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
           us, event_id
         FROM (SELECT user_id, value, event_id, epoch_ns(ts) // 1000 AS us,
-          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          -- order by the MICROS-truncated ts (not raw TIMESTAMP_NS): Spark's
+          -- ts is micros, so the tie-break domain must match exactly or two
+          -- same-user events within one micro could order differently
+          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
           FROM events)),
       sessions AS (
         SELECT user_id, value,

@@ -23,12 +23,16 @@ object Multimodal {
     val nFrames = least(
       ceil(length(col(payloadCol)).cast("double") / frameSize).cast("int"),
       lit(maxFrames))
-    // guard: sequence(0, -1) would DESCEND, not produce an empty array
+    // guard: sequence(0, -1) would DESCEND, not produce an empty array.
+    // The empty branch is slice(array(<one frame>), 1, 0) rather than a
+    // hard-cast array<string>: it inherits the payload's element type
+    // (string OR binary), so binary payloads aren't coerced to string.
+    val oneFrame = substring_index_safe(col(payloadCol), lit(0), frameSize)
     val frames = when(nFrames > 0,
       transform(
         sequence(lit(0), nFrames - 1),
         i => substring_index_safe(col(payloadCol), i, frameSize)))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(slice(array(oneFrame), 1, 0))
     df.select(col(idCol), posexplode(frames).as(Seq("frame_index", "frame")))
   }
 
@@ -36,11 +40,15 @@ object Multimodal {
     payload.substr(i * frameSize + 1, lit(frameSize))
 
   /** Typed metadata + content key per frame (the join key for decoded
-    * features): byte length and a 16-hex content hash. */
+    * features): `frame_chars` (chars for string payloads; array length
+    * for binary — Spark `length` is polymorphic), `frame_bytes` (true
+    * byte size — the right measure for binary media), and a 16-hex
+    * content hash. */
   def frameMeta(frames: DataFrame): DataFrame =
     frames.select(
       col("*"),
       length(col("frame")).as("frame_chars"),
+      length(col("frame").cast("binary")).as("frame_bytes"),
       substring(md5(col("frame").cast("binary")), 1, 16).as("frame_key"))
 }
 

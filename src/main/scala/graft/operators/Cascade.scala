@@ -166,6 +166,8 @@ final class MultiStageSearch(
     // F2/F3 post-filter on the scanned pool, driver-side over ≤scanK rows
     val textIdx = 1
     def keep(r: Row): Boolean = {
+      // null text = non-matching (the columnar path tolerates nulls too)
+      if (r.isNullAt(textIdx)) return false
       val t = r.getString(textIdx).toLowerCase
       ner.job.forall(j => t.contains(j.toLowerCase)) &&
         ner.region.forall(rg => t.contains(rg.toLowerCase))

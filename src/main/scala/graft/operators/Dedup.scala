@@ -219,10 +219,15 @@ object Dedup {
     * component), the step after [[minhashNearDups]].
     *
     * Scale shape: every iteration is one self-join + one aggregation
-    * on the PAIRS table (edges, not corpus) — label paths halve-ish
-    * per round, so iterations ~ log(diameter); near-dup components
-    * are shallow in practice. The driver-side convergence loop checks
-    * a count per round, like the cascade's gating (SURVEY.md §4).
+    * on the PAIRS table (edges, not corpus). Min-label propagation
+    * advances the minimum label ONE HOP per round, so iterations ~
+    * graph eccentricity (diameter from the min node) — fine for
+    * near-dup components, which are shallow in practice; a deep chain
+    * needs more rounds (raise `maxIter`, or switch to
+    * pointer-doubling/star contraction for log-round convergence).
+    * Exiting without convergence is an ERROR, not a silent partial
+    * answer. The driver-side convergence loop checks a count per
+    * round, like the cascade's gating (SURVEY.md §4).
     * Returns (doc_id, component_id = min doc id in the component). */
   def components(pairs: DataFrame, aCol: String = "doc_a",
                  bCol: String = "doc_b", maxIter: Int = 20,
@@ -289,6 +294,13 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+    }
+    if (!converged) {
+      edges.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds: a component " +
+        "deeper than maxIter hops would get WRONG labels. Raise maxIter " +
+        "(rounds ~ component eccentricity for min-label propagation).")
     }
     val out = labels.toDF("doc_id", "component_id").localCheckpoint(true)
     edges.unpersist()

@@ -26,16 +26,27 @@ object IndexStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read the index iff the path exists. The existence check is
+    * explicit (Hadoop FS) rather than a broad try/catch: a transient
+    * read error (corrupt footer, IO/permission failure) must ABORT the
+    * upsert, not silently fall back to "empty index" — the fallback
+    * would overwrite the whole index with just the current batch. */
+  private[graft] def loadIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   /** Upsert-by-id merge (the Chroma `ids=` semantics,
     * build_vectorstore.py:239): new rows win per id. */
   def upsert(spark: SparkSession, path: String,
              batch: DataFrame, idCol: String): Unit = {
     val deduped = batch.dropDuplicates(idCol)
-    val merged =
-      try {
-        val existing = spark.read.parquet(path)
+    val merged = loadIfExists(spark, path) match {
+      case Some(existing) =>
         existing.join(deduped, Seq(idCol), "left_anti").unionByName(deduped)
-      } catch { case _: Throwable => deduped }
+      case None => deduped
+    }
     merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
   }
 }

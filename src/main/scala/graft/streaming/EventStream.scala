@@ -116,12 +116,14 @@ object EventStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(idCol)
-    val existing =
-      try spark.read.parquet(indexPath)
-      catch { case _: Throwable => spark.emptyDataFrame }
-    val merged =
-      if (existing.columns.isEmpty) deduped
-      else existing.join(deduped, Seq(idCol), "left_anti").unionByName(deduped)
+    // Explicit existence check, NOT catch-everything: a transient read
+    // failure must fail the micro-batch (and be retried by the stream)
+    // rather than truncate the index to just this batch.
+    val merged = graft.sources.IndexStore.loadIfExists(spark, indexPath) match {
+      case Some(existing) =>
+        existing.join(deduped, Seq(idCol), "left_anti").unionByName(deduped)
+      case None => deduped
+    }
     // localCheckpoint truncates lineage EAGERLY — a plain cache could
     // evict and recompute from the path we're about to overwrite.
     merged.localCheckpoint(true).write.mode("overwrite").parquet(indexPath)

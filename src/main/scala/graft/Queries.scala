@@ -251,6 +251,34 @@ object Queries {
       chr(10) || '고용형태: 파트타임' AS req_text
       FROM documents ORDER BY doc_id"""))
 
+  private val p3 = QuerySpec("p3_combined_ner_text",
+    // P3 combined-text assembly (build_vectorstore.py:154-161) + P4
+    // NER-to-text merge (build_vectorstore.py:184-194), built from
+    // table columns so the oracle recomputes the exact rendered string.
+    // region = nullif(lang,'zh') exercises the null→"" coalesce; the
+    // NER JSON uses clean token values, where to_json is the identity
+    // rendering the oracle can reproduce by concatenation.
+    (s, d) => t(s, d, "documents")
+      .withColumn("combined", TextFunctions.combinedText(
+        col("source"), col("lang"), nullif(col("lang"), lit("zh")),
+        col("n_chars").cast("string"), substring(col("text"), 1, 40), col("lang")))
+      .withColumn("merged", TextFunctions.nerMerge(col("combined"),
+        to_json(struct(col("lang"), col("source")))))
+      .select(col("doc_id"), col("combined"), col("merged"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, combined,
+      combined || chr(10) || chr(10) || '[NER 추출 정보]' || chr(10) ||
+        '{"lang":"' || lang || '","source":"' || source || '"}' AS merged
+      FROM (SELECT doc_id, lang, source,
+        '채용제목: ' || source || chr(10) ||
+        '회사명: ' || lang || chr(10) ||
+        '근무지역: ' || coalesce(nullif(lang, 'zh'), '') || chr(10) ||
+        '급여조건: ' || n_chars || chr(10) ||
+        '직무내용: ' || substr(text, 1, 40) || chr(10) ||
+        '세부요건:' || chr(10) || lang AS combined
+        FROM documents)
+      ORDER BY doc_id"""))
+
   private val p13 = QuerySpec("p13_redact_pii",
     // Training-data hygiene: regex redaction of emails/URLs + counts.
     // Explicit char classes so Java regex (Spark) and RE2 (DuckDB)
@@ -1057,6 +1085,67 @@ object Queries {
         round(col("dist"), 6).as("dist"), col("score"))
   }
 
+  private val c3 = QuerySpec("c3_cascade_fixed",
+    // The flagship cascade with count gating DISABLED (every stage
+    // always runs): the whole union→keep-first-dedup→rerank→top-5+rank
+    // tail as ONE declarative plan, which makes it fully
+    // SQL-expressible — the oracle-checkable twin of c1. Query NER on
+    // "looking for a join job in the row area" → job=join, region=row,
+    // synonyms(join)=[merge,hash], so the static stage list is:
+    //   1 row∧join  2 row∨join  3 row  4 join  5 row∧merge
+    //   6 row∧hash  7 unfiltered fallback (k=15)
+    (s, d) => {
+      val corpus = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+        .searchFixed("looking for a join job in the row area", col("qv"))
+        .select(col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
+    },
+    Some {
+      val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
+      val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
+      def ov(u: String, dcol: String) =
+        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
+            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
+      def stage(i: Int, where: String, k: Int) =
+        s"""s$i AS (SELECT doc_id, text, dist, $i AS stage_rank FROM corpus
+            $where ORDER BY dist, doc_id LIMIT $k)"""
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q),
+        ${stage(1, "WHERE contains(lower(text),'row') AND contains(lower(text),'join')", 10)},
+        ${stage(2, "WHERE contains(lower(text),'row') OR contains(lower(text),'join')", 10)},
+        ${stage(3, "WHERE contains(lower(text),'row')", 10)},
+        ${stage(4, "WHERE contains(lower(text),'join')", 10)},
+        ${stage(5, "WHERE contains(lower(text),'row') AND contains(lower(text),'merge')", 10)},
+        ${stage(6, "WHERE contains(lower(text),'row') AND contains(lower(text),'hash')", 10)},
+        ${stage(7, "", 15)},
+        u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+          UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+          UNION ALL SELECT * FROM s6 UNION ALL SELECT * FROM s7),
+        kept AS (SELECT doc_id, text, dist, stage_rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY stage_rank, dist, doc_id) AS rn FROM u) WHERE rn = 1),
+        scored AS (SELECT doc_id, stage_rank, dist,
+          CAST(round(5.0 * (CASE WHEN contains(lower(text),'join') THEN 1 ELSE 0 END
+            + CASE WHEN contains(lower(text),'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
+            AS judge_score,
+          CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE)
+            AS rule_score
+          FROM (SELECT doc_id, stage_rank, dist, text,
+            regexp_extract(lower(text), '\\b($corpusPat)\\b', 1) AS doc_job,
+            regexp_extract(lower(text), '\\b($regionPat)\\b', 1) AS doc_region
+            FROM kept)),
+        top AS (SELECT doc_id, stage_rank, dist,
+          0.7 * judge_score + 0.3 * rule_score AS score
+          FROM scored ORDER BY score DESC, dist, doc_id LIMIT 5)
+      SELECT row_number() OVER (ORDER BY score DESC, dist, doc_id) AS rank,
+        doc_id, stage_rank, round(dist, 6) AS dist, round(score, 6) AS score
+      FROM top ORDER BY rank"""
+    })
+
   private val c2 = QuerySpec("c2_cascade_remind",
     // §3.4 composition: scan-then-filter cascade (main_remind.py) —
     // same operators as c1, different policy configuration.
@@ -1073,10 +1162,10 @@ object Queries {
 
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, e1, e2, e3, e4,
-    p1, p2, p5, p9, p10, p12, p13,
+    p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6, d7,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3,
-    g1, g4, m1, m2, f3, c1, c2)
+    g1, g4, m1, m2, f3, c1, c2, c3)
 }

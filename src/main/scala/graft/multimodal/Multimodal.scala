@@ -20,8 +20,11 @@ object Multimodal {
     * ≤maxFrames rows via posexplode. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    frameSize: Int, maxFrames: Int): DataFrame = {
+    // coalesce: least() SKIPS nulls, so a NULL payload would otherwise
+    // yield nFrames = maxFrames (maxFrames rows of null frames) instead
+    // of the empty output degenerate payloads are documented to produce.
     val nFrames = least(
-      ceil(length(col(payloadCol)).cast("double") / frameSize).cast("int"),
+      ceil(coalesce(length(col(payloadCol)), lit(0)).cast("double") / frameSize).cast("int"),
       lit(maxFrames))
     // guard: sequence(0, -1) would DESCEND, not produce an empty array.
     // The empty branch is slice(array(<one frame>), 1, 0) rather than a
@@ -40,10 +43,11 @@ object Multimodal {
     payload.substr(i * frameSize + 1, lit(frameSize))
 
   /** Typed metadata + content key per frame (the join key for decoded
-    * features): `frame_chars` (chars for string payloads; array length
-    * for binary — Spark `length` is polymorphic), `frame_bytes` (true
-    * byte size — the right measure for binary media), and a 16-hex
-    * content hash. */
+    * features): `frame_chars` (character count for string payloads; for
+    * binary payloads Spark's `length` returns the BYTE count, so
+    * frame_chars == frame_bytes there — the distinction only matters
+    * for multi-byte string frames), `frame_bytes` (byte size — the
+    * right measure for binary media), and a 16-hex content hash. */
   def frameMeta(frames: DataFrame): DataFrame =
     frames.select(
       col("*"),

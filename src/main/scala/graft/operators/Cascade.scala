@@ -124,26 +124,85 @@ final class MultiStageSearch(
     if (count() < cfg.fallbackThreshold) addStage(None, cfg.fallbackK)
 
     // dedup → hybrid rerank → top-N → rank (main.py:410,455-469)
-    val condToks = (job.toSeq ++ region.toSeq).map(_.toLowerCase).distinct
-    val (dJob, dRegion) = docNer(col(textCol))
-    val userJob = job.map(lit).getOrElse(lit(""))
-    val userRegion = region.map(lit).getOrElse(lit(""))
-    val userAge = ner.ageGroup.map(lit).getOrElse(lit(""))
-
     val spark = corpus.sparkSession
     val acc = spark.createDataFrame(
       spark.sparkContext.parallelize(accumulatedRows(), 1), rowSchema)
+    rerankTail(acc, ner)
+  }
+
+  /** Shared rerank tail (main.py:410,455-469): deterministic judge +
+    * NER-overlap rule score, weighted combine, top-N, rank. The rank
+    * window is global but runs over ≤finalN rows (post-limit), so the
+    * single-partition sort is a handful of rows, not a scale concern. */
+  private def rerankTail(acc: DataFrame, ner: QueryNer): DataFrame = {
+    val condToks = (ner.job.toSeq ++ ner.region.toSeq).map(_.toLowerCase).distinct
+    val (dJob, dRegion) = docNer(col(textCol))
     val ranked = acc
       .withColumn("judge_score", judgeScore(col(textCol), condToks))
       .withColumn("rule_score", Rerank.nerOverlap(Seq(
-        (userJob, dJob), (userRegion, dRegion), (userAge, lit("")))))
+        (ner.job.map(lit).getOrElse(lit("")), dJob),
+        (ner.region.map(lit).getOrElse(lit("")), dRegion),
+        (ner.ageGroup.map(lit).getOrElse(lit("")), lit("")))))
       .withColumn("score",
         Rerank.combined(col("judge_score"), col("rule_score"), cfg.wJudge, cfg.wRule))
       .orderBy(desc("score"), asc("dist"), asc(idCol))
       .limit(cfg.finalN)
-
     ranked.withColumn("rank",
       row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
+  }
+
+  /** Fixed-policy cascade: the SAME stage list as [[search]] but with
+    * count gating disabled — every stage always runs — which makes the
+    * whole flagship composition ONE declarative Catalyst plan
+    * (union-all of per-stage top-k → keep-first window dedup → rerank
+    * → top-N + rank) with no driver-side collect at all. This is the
+    * oracle-checkable twin of the adaptive cascade: identical
+    * union/dedup/rerank/rank semantics (main.py:329-411), minus the
+    * adaptivity that SQL cannot express.
+    *
+    * Scale shape: each stage is an independent filter ∘ distance ∘
+    * TakeOrderedAndProject over the corpus (no corpus shuffle); the
+    * union carries ≤ Σk rows, so dedup + rerank are driver-scale
+    * relational ops on a tiny relation. */
+  def searchFixed(queryText: String, queryVec: Column): DataFrame = {
+    val ner = queryNer(queryText)
+    val region = ner.region
+    val job = ner.job
+    def contains(term: String): Column =
+      lower(col(textCol)).contains(term.toLowerCase)
+
+    // S1 strict AND (or best available single field)
+    val s1: (Option[Column], Int) = ((region, job) match {
+      case (Some(r), Some(j)) => Some(contains(r) && contains(j))
+      case (Some(r), None)    => Some(contains(r))
+      case (None, Some(j))    => Some(contains(j))
+      case _                  => None
+    }) -> cfg.topK
+    // S2 OR relaxation — always on (gating disabled)
+    val s2 = (for { r <- region; j <- job } yield contains(r) || contains(j))
+      .map(p => (Some(p): Option[Column]) -> cfg.topK)
+    // S3 single-field passes, region then job (search()'s order)
+    val s3 = region.map(r => (Some(contains(r)): Option[Column]) -> cfg.topK)
+    val s4 = job.map(j => (Some(contains(j)): Option[Column]) -> cfg.topK)
+    // S4 synonym expansion
+    val syn = job.toSeq.flatMap { j =>
+      synonyms(j).map { sy =>
+        val p = region.map(r => contains(r) && contains(sy)).getOrElse(contains(sy))
+        (Some(p): Option[Column]) -> cfg.topK
+      }
+    }
+    // S5 unfiltered fallback — always on
+    val s5 = (None: Option[Column]) -> cfg.fallbackK
+
+    val stages = (Seq(s1) ++ s2.toSeq ++ s3.toSeq ++ s4.toSeq ++ syn :+ s5)
+    val perStage = stages.zipWithIndex.map { case ((pred, k), i) =>
+      knnStage(pred, queryVec, k, i + 1)
+        .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
+    }
+    val unioned = perStage.reduce(_ unionByName _)
+    val deduped = Dedup.keepFirst(unioned, Seq(idCol),
+      Seq(col("stage_rank"), col("dist"), col(idCol)))
+    rerankTail(deduped, ner)
   }
 
   /** The main_remind.py composition (SURVEY.md §3.4): stage 0 scans a
@@ -183,19 +242,6 @@ final class MultiStageSearch(
     val acc = spark.createDataFrame(
       spark.sparkContext.parallelize(tagged.toIndexedSeq, 1), schema)
 
-    val condToks = (ner.job.toSeq ++ ner.region.toSeq).map(_.toLowerCase).distinct
-    val (dJob, dRegion) = docNer(col(textCol))
-    val ranked = acc
-      .withColumn("judge_score", judgeScore(col(textCol), condToks))
-      .withColumn("rule_score", Rerank.nerOverlap(Seq(
-        (ner.job.map(lit).getOrElse(lit("")), dJob),
-        (ner.region.map(lit).getOrElse(lit("")), dRegion),
-        (ner.ageGroup.map(lit).getOrElse(lit("")), lit("")))))
-      .withColumn("score",
-        Rerank.combined(col("judge_score"), col("rule_score"), cfg.wJudge, cfg.wRule))
-      .orderBy(desc("score"), asc("dist"), asc(idCol))
-      .limit(cfg.finalN)
-    ranked.withColumn("rank",
-      row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
+    rerankTail(acc, ner)
   }
 }

@@ -30,7 +30,15 @@ object IndexStore {
     * explicit (Hadoop FS) rather than a broad try/catch: a transient
     * read error (corrupt footer, IO/permission failure) must ABORT the
     * upsert, not silently fall back to "empty index" — the fallback
-    * would overwrite the whole index with just the current batch. */
+    * would overwrite the whole index with just the current batch.
+    *
+    * Recovery: if a previous overwrite crashed and left the path as an
+    * existing-but-unreadable directory (no parquet footers), every
+    * retry aborts here BY DESIGN — failing loudly beats truncating the
+    * index. The operator fixes it by either deleting the corrupt path
+    * (reinitialize from the next batch) or restoring it from the last
+    * good copy; an automatic "treat unreadable as empty" path is
+    * exactly the data-loss bug this check exists to prevent. */
   private[graft] def loadIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

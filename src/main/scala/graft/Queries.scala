@@ -563,6 +563,38 @@ object Queries {
       FROM embeddings a JOIN embeddings b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id)
       WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
 
+  private val d8 = QuerySpec("d8_embedding_neardup_grid",
+    // The SCALE-SAFE embedding near-dup (d5's broadcast-crossJoin form
+    // is the small-sf demo; this is the plan you'd run at 100 TB):
+    // deterministic Walsh-projection grid blocking — 100% recall within
+    // maxDist by Cauchy–Schwarz — + exact L2 verify, no corpus-fraction
+    // broadcast, no all-pairs stage. Near-dups are PLANTED (each vector
+    // unioned with an affine-perturbed copy at dist ≈ 0.008) so the
+    // exact answer is a non-trivial, deterministic pair set; the oracle
+    // recomputes it by brute force — both sides exact, hashes match.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val dup = e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("emb"), x => x * 0.999 + 0.001).as("emb"))
+      Dedup.embeddingNearDups(e.unionByName(dup), "vec_id", "emb",
+          maxDist = 0.05, dim = 64)
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      dup AS (SELECT vec_id + 1000000 AS vec_id,
+        list_transform(emb, x -> x * 0.999 + 0.001) AS emb FROM base),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+      SELECT vec_a, vec_b, round(dist, 6) AS dist FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${l2Sql("a.emb", "b.emb")} AS dist
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      WHERE dist <= 0.05 ORDER BY vec_a, vec_b"""))
+
   // ======================================================================
   // Vector search (V1-V4) + stage-union dedup (A1/A2) + top-k (A5/A7/A8)
   // ======================================================================
@@ -958,6 +990,37 @@ object Queries {
         FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val s4 = QuerySpec("s4_ann_ivf_bigk",
+    // s2 at REAL centroid count: 256 centroids assigned via the
+    // broadcast-argmin path (Ann.ivfAssignBig — constant-size plan, no
+    // per-centroid literals, no Janino blowup), nprobe=8 pruned exact
+    // top-k. Same oracle shape as s2 scaled to k=256.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
+      Ann.ivfSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
+          qv, k = 10, nprobe = 8)
+        .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 256),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 8)
+      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
+        SELECT c.vec_id, c.cluster_id, ${l2Sql("c.embedding", "q.qv")} AS dist
+        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
+      ORDER BY dist, vec_id LIMIT 10"""))
+
   private val s3 = QuerySpec("s3_quantize_int8",
     // Embedding int8 quantization (the 100 TB storage path: 4× smaller
     // vectors): per-vector min/max affine quantize to 0..255, then
@@ -1164,8 +1227,8 @@ object Queries {
     q1, q3, q5, e1, e2, e3, e4,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
-    d1, d2, d3, d4, d5, d6, d7,
+    d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
-    a1, a3, a5, a9, r1, s1q, s2, s3,
+    a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, m1, m2, f3, c1, c2, c3)
 }

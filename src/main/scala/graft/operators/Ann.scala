@@ -41,6 +41,49 @@ object Ann {
     corpus.withColumn("cluster_id", array_min(distStructs).getField("cid"))
   }
 
+  /** [[ivfAssign]] for REAL centroid counts (k from hundreds to tens
+    * of thousands): the literal-inline form grows the expression tree
+    * — and Janino codegen — linearly with k (megabyte-scale generated
+    * code by k≈4096). Here the centroid table is broadcast ONCE as a
+    * plain array and the argmin runs as a tight JVM loop per row:
+    * still one narrow pass over the corpus, no shuffle, and a
+    * CONSTANT-size plan independent of k.
+    *
+    * This is a documented exception to the prefer-builtins rule: a SQL
+    * expression cannot reference a k×dim side input without inlining
+    * it as literals, so at real k the UDF-over-broadcast form IS the
+    * scale-correct plan. Tie-break matches [[ivfAssign]] exactly:
+    * minimum distance, then minimum centroid id (centroids iterate in
+    * ascending-cid order and only a strictly smaller distance
+    * replaces the incumbent). */
+  def ivfAssignBig(corpus: DataFrame, embCol: String, idCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf { (emb: Seq[Double]) =>
+      val cs = bc.value
+      val arr = emb.toArray
+      var bestCid = cs(0)._1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val cv = cs(i)._2
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val t = arr(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
+        i += 1
+      }
+      bestCid
+    }
+    corpus.withColumn("cluster_id", assign(col(embCol).cast("array<double>")))
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query,
     * exact top-k inside those clusters only. `assigned` is the output
     * of [[ivfAssign]] (ideally written partitioned by cluster_id). */

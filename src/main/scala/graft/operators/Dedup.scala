@@ -87,21 +87,27 @@ object Dedup {
     // shingling per subtree — alias projections above a reused
     // exchange don't break reuse, but compute below a non-shared
     // exchange re-executes). It also pre-co-partitions both groupBys.
-    // Lazy localCheckpoint: the exploded shingle rows materialize ONCE
-    // and every downstream subtree (band self-join sides, verify sets)
-    // reads the same persisted RDD. Without it nothing shares the
-    // work: AQE turns the small band self-join into a broadcast join,
-    // whose build side is a structurally different plan — shuffle
-    // reuse can't fire — and the whole shingle pipeline re-executes
-    // per subtree (measured 3× at sf0.1). Blocks are freed by the
-    // ContextCleaner when the query's RDDs are collected.
+    // persist(MEMORY_AND_DISK): the exploded shingle rows materialize
+    // ONCE (as an InMemoryRelation shared by every subtree referencing
+    // this val) and the band self-join sides + verify sets all read the
+    // same cached blocks. Without it nothing shares the work: AQE turns
+    // the small band self-join into a broadcast join, whose build side
+    // is a structurally different plan — shuffle reuse can't fire — and
+    // the whole shingle pipeline re-executes per subtree (measured 3×
+    // at sf0.1). persist (not localCheckpoint) keeps LINEAGE: on
+    // executor loss a lost block recomputes from the scan, where a
+    // localCheckpoint's truncated lineage would fail the job — the
+    // durability story a 1000-executor run needs. Blocks are freed by
+    // the ContextCleaner once the query's RDDs are collected (callers
+    // that iterate, e.g. Bench, additionally drop persistent RDDs
+    // between queries).
     val shingleRows = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
       .repartition(parallelism, col("doc_id"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each shingle is md5'd ONCE; the numHashes minhash family derives
     // from two numeric digests by an affine map (a·(seed+1)+b) mod p.
     // Two deliberate properties: (1) the generated code stays SMALL —
@@ -202,6 +208,91 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Embedding near-dup pairs at scale: all (a, b) with L2 distance ≤
+    * `maxDist`, EXACT (100% recall, zero false positives), with no
+    * corpus-fraction broadcast and no all-pairs stage.
+    *
+    * Candidate generation is deterministic grid blocking on `nProj`
+    * Rademacher/Walsh projections u_j (sign pattern ±1 by bit j of the
+    * element index; ‖u_j‖² = dim exactly). Cauchy–Schwarz gives
+    * |u·a − u·b| ≤ ‖u‖·‖a−b‖ ≤ √dim·maxDist =: w for every true pair,
+    * so bucketing each projection at width w and emitting the
+    * {cell, cell+1} corner set per row guarantees every true pair
+    * collides in ≥1 of the 2^nProj emitted cells — recall is a
+    * THEOREM, not a tuning outcome, which is what makes the operator
+    * oracle-checkable (the DuckDB oracle computes the answer by brute
+    * force; both sides are exact, so they agree bit-for-bit).
+    *
+    * Scale shape: one narrow pass computes the projections; the band
+    * relation carries (id, cell, p₀..p_{n-1}) — never the vectors — so
+    * the self-join shuffles fixed-width keys; candidates are
+    * prefiltered on |Δp_j| ≤ w (cheap scalars), deduplicated, and only
+    * then joined back to the vectors ONCE (explode + collect_list, the
+    * [[minhashNearDups]] shape) for the exact distance. Pruning power
+    * grows as the threshold tightens (w ∝ maxDist): at true near-dup
+    * thresholds the grid is sparse; at loose "mild similarity"
+    * thresholds prefer [[graft.operators.LshAnn.approxSelfJoin]] and
+    * accept approximation. */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+                        maxDist: Double, dim: Int, nProj: Int = 3): DataFrame = {
+    require(nProj >= 1 && nProj <= 6, s"nProj must be 1..6, got $nProj")
+    require(maxDist > 0, "maxDist must be positive")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val w = maxDist * math.sqrt(dim.toDouble)
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .repartition(parallelism)
+    // p_j = Σ ±emb_i with sign = bit j of the element index — one
+    // interpreted HOF per projection, computed once per row here and
+    // never re-referenced (HOF columns inline on reuse).
+    def proj(j: Int): Column = aggregate(
+      transform(col("emb"), (x, i) =>
+        when(shiftright(i, j) % 2 === 0, x).otherwise(-x)),
+      lit(0.0), (acc, x) => acc + x)
+    val projected = base.select(
+      (Seq(col("doc_id"), col("emb")) ++
+        (0 until nProj).map(j => proj(j).as(s"__p$j"))): _*)
+    // 2^nProj corner cells per row: every pair within w per projection
+    // lands in the same cell for at least one corner choice.
+    val combos = (0 until (1 << nProj)).map { mask =>
+      struct((0 until nProj).map { j =>
+        (floor(col(s"__p$j") / w).cast("long") + ((mask >> j) & 1)).as(s"c$j")
+      }: _*)
+    }
+    val bands = projected.select(
+      (Seq(col("doc_id"), explode(array(combos: _*)).as("cell")) ++
+        (0 until nProj).map(j => col(s"__p$j"))): _*)
+    val left = bands.select(
+      (Seq(col("cell"), col("doc_id").as("doc_a")) ++
+        (0 until nProj).map(j => col(s"__p$j").as(s"__pa$j"))): _*)
+    val right = bands.select(
+      (Seq(col("cell"), col("doc_id").as("doc_b")) ++
+        (0 until nProj).map(j => col(s"__p$j").as(s"__pb$j"))): _*)
+    val withinW = (0 until nProj)
+      .map(j => abs(col(s"__pa$j") - col(s"__pb$j")) <= w)
+      .reduce(_ && _)
+    val cand = left.join(right, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") && withinW)
+      .select("doc_a", "doc_b")
+      .distinct()
+    // Exact verify: vectors join the candidate set ONCE (explode the
+    // pair into its members; dist is symmetric so list order is
+    // harmless) — the column pruner drops __p* from this subtree.
+    val vecs = projected.select(col("doc_id"), col("emb"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(vecs, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(collect_list(col("emb")).as("both"))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2(
+          element_at(col("both"), 1), element_at(col("both"), 2)))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   /** N-gram Jaccard near-dup via LSH candidates (exact verify) — the

@@ -37,4 +37,57 @@ object QueryServe {
       .groupBy(window(col(tsCol), windowLen).as("w"), col(qidCol))
       .agg(TopK.topK(k)(col("__dist"), col("__id")).as("topk"))
       .select(col("w.start").as("w_start"), col(qidCol), col("topk"))
+
+  /** IVF-pruned serving: [[serve]] with the per-batch full corpus scan
+    * replaced by probe selection + an EQUI-join on `cluster_id`.
+    *
+    * `assigned` is an IVF-assigned corpus ([[graft.operators.Ann]]
+    * ivfAssign/ivfAssignBig output, ideally loaded from an
+    * [[graft.sources.IndexStore]] written partitionBy(cluster_id)).
+    * Probe selection is a narrow map over the query stream (top-nprobe
+    * centroids per query via the broadcast centroid array — no
+    * aggregation, so the plan keeps a single stateful op and stays
+    * append-mode legal), exploded to (query, probed cluster) rows and
+    * equi-joined to the corpus: distance work drops from |corpus|·|q|
+    * to the probed clusters only, ~nprobe/k of the corpus per query.
+    * Results equal batch [[graft.operators.Ann.ivfSearch]] at the same
+    * nprobe (asserted in QueryServeSpec). For scan pruning on top of
+    * compute pruning, deploy via foreachBatch reading only the probed
+    * cluster partitions (`WHERE cluster_id IN (...)` over the
+    * partitioned store) — the join form here keeps the fully
+    * declarative streaming plan. */
+  def serveIvf(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+               embCol: String, idCol: String,
+               qidCol: String, tsCol: String, qvecCol: String,
+               cidCol: String, cvecCol: String,
+               k: Int, nprobe: Int,
+               watermark: String = "1 minute",
+               windowLen: String = "1 minute"): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    val bc = queries.sparkSession.sparkContext.broadcast(cents)
+    val probes = udf { (qv: Seq[Double]) =>
+      val arr = qv.toArray
+      bc.value.map { case (cid, cv) =>
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val t = arr(j) - cv(j); d += t * t; j += 1 }
+        (d, cid)
+      }.sortBy(identity).take(nprobe).map(_._2)
+    }
+    queries
+      .withWatermark(tsCol, watermark)
+      .withColumn("__probe", explode(probes(col(qvecCol).cast("array<double>"))))
+      .join(assigned, col("__probe") === col("cluster_id"))
+      .select(col(qidCol), col(tsCol),
+        VectorFunctions.l2(col(embCol), col(qvecCol)).as("__dist"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(qidCol))
+      .agg(TopK.topK(k)(col("__dist"), col("__id")).as("topk"))
+      .select(col("w.start").as("w_start"), col(qidCol), col("topk"))
+  }
 }

@@ -39,6 +39,32 @@ class AnnSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfAssignBig agrees with ivfAssign and stays a narrow constant-size plan") {
+    val a1 = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val big = Ann.ivfAssignBig(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val a2 = big.select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("ivfAssignBig at k=256 centroids: correct argmin, no literal blowup") {
+    // 256 centroids on a line; vectors placed just off their centroid.
+    val cents256 = (0 until 256).map(c => (c.toLong, Array(c * 10.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val data = (0 until 300).map { i =>
+      val c = i % 256
+      (i.toLong, Array(c * 10.0f + 0.3f, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val big = Ann.ivfAssignBig(data, "embedding", "vec_id", cents256, "cid", "cvec")
+    val out = big.select("vec_id", "cluster_id").as[(Long, Long)].collect()
+    out.foreach { case (vid, cid) => assert(cid == vid % 256) }
+    // the plan must not grow with k: no inlined per-centroid literals
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.length < 20000, s"plan grew with k: ${plan.length} chars")
+  }
+
   test("ivfSearch with nprobe = all clusters equals global exact kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val qv = typedlit(Seq(50.0, 50.0))

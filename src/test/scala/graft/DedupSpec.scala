@@ -69,6 +69,42 @@ class DedupSpec extends SparkSpec {
     out.foreach { case (_, _, j) => assert(j >= 0.5) }
   }
 
+  test("embeddingNearDups equals brute force (guaranteed recall + exact verify)") {
+    // deterministic pseudo-random vectors + planted near-dups
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = (0 until 60).map { i =>
+      val v = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+    val planted = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 0.999 + 0.001)) // dist ~ 0.004
+    }
+    val df = spark.createDataFrame(base ++ planted).toDF("vec_id", "emb")
+    val maxDist = 0.05
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val all = (base ++ planted)
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && l2(va, vb) <= maxDist
+    } yield (ia, ib)).toSet
+    assert(expected.size == 20, "planted pairs must be the exact answer")
+    val got = Dedup.embeddingNearDups(df, "vec_id", "emb", maxDist, dim, nProj = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("embeddingNearDups plan has no corpus broadcast and no cartesian stage") {
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(8)(i * 0.01)))
+      .toDF("vec_id", "emb")
+    val plan = Dedup.embeddingNearDups(df, "vec_id", "emb", 0.05, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs stage in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"corpus broadcast in:\n$plan")
+  }
+
   test("components: chains and separate clusters resolve to min-id labels") {
     // chain 1-2-3 (transitively one component), island 7-8, singleton edge 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L))

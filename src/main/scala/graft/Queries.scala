@@ -3,6 +3,7 @@ package graft
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Ann, Chunker, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
+import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -803,6 +804,72 @@ object Queries {
       JOIN documents ON contains(text, syn)
       GROUP BY job, syn ORDER BY job, syn"""))
 
+  /** Committed jobs.json-shaped fixture (synthetic postings, Korean
+    * keys and values, null/missing/empty requirement edges) — the
+    * nested-source ingest is fixture-driven, not sf-dir-driven. */
+  private val JobsFixture = "/root/repo/src/test/resources/jobs_fixture.json"
+
+  private val j1 = QuerySpec("j1_jobs_ingest",
+    // S1/G2 nested read+explode → G3/P2 requirement flatten → P1 clean
+    // → P3 combine → P5-style id, end-to-end on the REAL nested schema
+    // (build_vectorstore.py:104-161) via the library's own
+    // JobCorpus.readPostings + combine. The oracle re-derives the
+    // rendered combined text in DuckDB from the same JSON (read_json
+    // with Korean keys + MAP requirement groups), so every projection
+    // the offline build applies before chunking is hash-checked.
+    (s, _) => JobCorpus.combine(JobCorpus.readPostings(s, JobsFixture))
+      .select(col("posting_no"),
+        TextFunctions.cleanText(col("title")).as("title_clean"),
+        md5(col("combined_text")).as("combined_md5"),
+        length(col("combined_text")).as("n_chars"),
+        TextFunctions.chunkIdPortable(col("posting_no"), lit(0),
+          col("combined_text")).as("head_chunk_id"))
+      .orderBy("posting_no"),
+    Some(s"""WITH raw AS (
+        SELECT unnest("채용공고목록") AS p
+        FROM read_json('$JobsFixture',
+          columns = {
+            '검색조건': 'VARCHAR', '총_채용공고수': 'BIGINT', '수집일시': 'VARCHAR',
+            '채용공고목록': 'STRUCT("공고번호" BIGINT, "채용제목" VARCHAR,
+              "회사명" VARCHAR, "근무지역" VARCHAR, "급여조건" VARCHAR,
+              "채용공고ID" VARCHAR, "채용공고URL" VARCHAR,
+              "상세정보" STRUCT("직무내용" VARCHAR,
+                "세부요건" MAP(VARCHAR, VARCHAR[])[]))[]'
+          })),
+      cleaned AS (
+        SELECT p."공고번호" AS posting_no,
+          trim(regexp_replace(regexp_replace(p."채용제목", '<[^>]+>', '', 'g'),
+            '\n', ' ', 'g')) AS title_clean,
+          trim(regexp_replace(regexp_replace(p."회사명", '<[^>]+>', '', 'g'),
+            '\n', ' ', 'g')) AS company_clean,
+          trim(regexp_replace(regexp_replace(p."근무지역", '<[^>]+>', '', 'g'),
+            '\n', ' ', 'g')) AS region_clean,
+          trim(regexp_replace(regexp_replace(p."급여조건", '<[^>]+>', '', 'g'),
+            '\n', ' ', 'g')) AS salary_clean,
+          trim(regexp_replace(regexp_replace(p."상세정보"."직무내용",
+            '<[^>]+>', '', 'g'), '\n', ' ', 'g')) AS duties_clean,
+          coalesce(array_to_string(
+            flatten(list_transform(coalesce(p."상세정보"."세부요건", []),
+              m -> list_transform(map_entries(m),
+                e -> e.key || ': ' || array_to_string(e.value, ' ')))),
+            chr(10)), '') AS req_text
+        FROM raw),
+      combined AS (
+        SELECT posting_no, title_clean,
+          '채용제목: ' || coalesce(title_clean, '') || chr(10) ||
+          '회사명: ' || coalesce(company_clean, '') || chr(10) ||
+          '근무지역: ' || coalesce(region_clean, '') || chr(10) ||
+          '급여조건: ' || coalesce(salary_clean, '') || chr(10) ||
+          '직무내용: ' || coalesce(duties_clean, '') || chr(10) ||
+          '세부요건:' || chr(10) || req_text AS combined
+        FROM cleaned)
+      SELECT posting_no, title_clean, md5(combined) AS combined_md5,
+        len(combined) AS n_chars,
+        regexp_replace(posting_no || '_chunk0_' ||
+          substr(md5(substr(combined, 1, 50)), 1, 16),
+          '[^a-zA-Z0-9_-]', '_', 'g') AS head_chunk_id
+      FROM combined ORDER BY posting_no"""))
+
   // ======================================================================
   // Multimodal plumbing: opaque binary + typed metadata (north star).
   // Decode itself is an external boundary (stubbed deterministically in
@@ -1230,5 +1297,5 @@ object Queries {
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
-    g1, g4, m1, m2, f3, c1, c2, c3)
+    g1, g4, j1, m1, m2, f3, c1, c2, c3)
 }

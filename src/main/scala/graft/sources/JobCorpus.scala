@@ -61,13 +61,13 @@ object JobCorpus {
         col("p.상세정보.직무내용").as("duties"),
         col("p.상세정보.세부요건").as("requirements"))
 
-  /** The offline build pipeline: P1 clean → P2 flatten → P3 combine →
-    * (external NER boundary merged by the caller via P4) → G1 chunk →
-    * P5 ids. Returns one row per chunk with full denormalized posting
-    * metadata (the reference's working unit — SURVEY.md §1.2). */
-  def buildChunks(postings: DataFrame,
-                  chunker: Chunker = Chunker()): DataFrame = {
-    val combined = postings
+  /** The posting-level projection half of the build (P1 clean → P2/G3
+    * flatten → P3 combine): adds `req_text` and `combined_text`. Split
+    * out of [[buildChunks]] so the SQL-expressible part of the build
+    * path is oracle-checkable end-to-end (the j1 harness query) while
+    * the recursive chunker stays spec/golden-verified. */
+  def combine(postings: DataFrame): DataFrame =
+    postings
       .withColumn("req_text",
         TextFunctions.flattenRequirements(
           coalesce(col("requirements"),
@@ -80,6 +80,14 @@ object JobCorpus {
           TextFunctions.cleanText(col("salary")),
           TextFunctions.cleanText(col("duties")),
           col("req_text")))
+
+  /** The offline build pipeline: P1 clean → P2 flatten → P3 combine →
+    * (external NER boundary merged by the caller via P4) → G1 chunk →
+    * P5 ids. Returns one row per chunk with full denormalized posting
+    * metadata (the reference's working unit — SURVEY.md §1.2). */
+  def buildChunks(postings: DataFrame,
+                  chunker: Chunker = Chunker()): DataFrame = {
+    val combined = combine(postings)
     chunker(combined, "combined_text")
       .withColumn("chunk_id",
         TextFunctions.chunkId(col("posting_no"), col("chunk_index"), col("chunk")))

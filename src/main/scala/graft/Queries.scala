@@ -745,10 +745,13 @@ object Queries {
       ORDER BY stage_rank, dist, vec_id"""))
 
   private val a5 = QuerySpec("a5_topk_rank",
+    // rank window runs over the ≤5 post-limit rows; partitionBy(lit)
+    // declares the single partition INTENTIONAL (no WindowExec warning).
     (s, d) => t(s, d, "documents")
       .orderBy(desc("n_chars"), asc("doc_id")).limit(5)
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("n_chars"), asc("doc_id"))))
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(desc("n_chars"), asc("doc_id"))))
       .select("rank", "doc_id", "n_chars"),
     Some("""SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
       doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5"""))
@@ -948,7 +951,8 @@ object Queries {
     // A9 (main.py:319-321): positional zip of a short score list onto a
     // longer doc list; missing scores pad to 0.
     (s, d) => {
-      val w = Window.orderBy("doc_id")
+      // ≤10 post-limit rows per window; lit-partition = intentional.
+      val w = Window.partitionBy(lit(0)).orderBy("doc_id")
       val docs = t(s, d, "documents").select("doc_id")
         .orderBy("doc_id").limit(10)
         .withColumn("rn", row_number().over(w))

@@ -84,6 +84,31 @@ object Ann {
     corpus.withColumn("cluster_id", assign(col(embCol).cast("array<double>")))
   }
 
+  /** IVF search against a PARTITIONED store: probe selection runs over
+    * the k-row centroid table on the driver (k rows by definition —
+    * same boundedness as the assign-time collect), and the store is
+    * read with `cluster_id IN (probed)` — a STATIC partition-pruning
+    * predicate, so the scan touches only the nprobe cluster
+    * directories of an [[graft.sources.IndexStore]] written
+    * partitionBy(cluster_id). This is the 100 TB read path: the plan's
+    * FileScan shows PartitionFilters on cluster_id and PartitionCount
+    * = nprobe (asserted in AnnSpec; explain captured in PLANS.md). */
+  def ivfSearchStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     embCol: String, idCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String,
+                     queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+    val probed = centroids
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).cast("long"))
+      .collect().map(_.getLong(0))
+    Knn.exact(
+      graft.sources.IndexStore.load(spark, path)
+        .filter(col("cluster_id").isin(probed: _*)),
+      embCol, idCol, queryVec, k)
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query,
     * exact top-k inside those clusters only. `assigned` is the output
     * of [[ivfAssign]] (ideally written partitioned by cluster_id). */

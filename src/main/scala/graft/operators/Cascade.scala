@@ -148,7 +148,8 @@ final class MultiStageSearch(
       .orderBy(desc("score"), asc("dist"), asc(idCol))
       .limit(cfg.finalN)
     ranked.withColumn("rank",
-      row_number().over(Window.orderBy(desc("score"), asc("dist"), asc(idCol))))
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(desc("score"), asc("dist"), asc(idCol))))
   }
 
   /** Fixed-policy cascade: the SAME stage list as [[search]] but with

@@ -65,6 +65,26 @@ class AnnSpec extends SparkSpec {
     assert(plan.length < 20000, s"plan grew with k: ${plan.length} chars")
   }
 
+  test("ivfSearchStore scans only the probed cluster partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_").toString
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    graft.sources.IndexStore.write(assigned, dir)
+    val qv = typedlit(Seq(0.05, 0.1))
+    val res = Ann.ivfSearchStore(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, nprobe = 1)
+    val viaMemory = Ann.ivfSearch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", qv, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.select("vec_id").as[Long].collect().toSeq == viaMemory)
+    // static partition pruning must be visible in the scan (the isin
+    // renders as `cluster_id IN (...)` or, at nprobe=1, `cluster_id = c`)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      "scan reads all cluster partitions")
+  }
+
   test("ivfSearch with nprobe = all clusters equals global exact kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val qv = typedlit(Seq(50.0, 50.0))

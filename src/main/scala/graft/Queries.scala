@@ -203,6 +203,35 @@ object Queries {
         round(max(session_value), 2) AS max_session_value
       FROM per_session GROUP BY user_id ORDER BY user_id"""))
 
+  private val e5 = QuerySpec("e5_asof_join",
+    // As-of join (AsOfJoin.lastBefore): every click event gets the
+    // user's latest prior purchase value — the temporal join Spark
+    // lacks, via the union + last(ignoreNulls) window (one shuffle by
+    // user, zero joins). Timestamps compare in MICROS on both sides
+    // (same tie-break domain as e4); the right side pre-aggregates to
+    // one row per (user, ts) so ties are deterministic — the same
+    // contract DuckDB's native ASOF JOIN (the oracle here) has.
+    (s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "us").agg(max("value").as("pval"))
+      graft.operators.AsOfJoin.lastBefore(
+          clicks, purchases, "user_id", "us", "us", "pval",
+          outCol = "last_purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("last_purchase"), 2).as("last_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+          FROM events WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_ns(ts)//1000 AS us, max(value) AS pval
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, round(r.pval, 2) AS last_purchase
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+      ORDER BY event_id"""))
+
   // ======================================================================
   // Scalar text transforms (P1/P5/P6/P9/P10/P11)
   // ======================================================================
@@ -1200,6 +1229,76 @@ object Queries {
     Some("""SELECT doc_id, source AS src FROM documents
       WHERE lang = 'en' ORDER BY doc_id"""))
 
+  private val f4 = QuerySpec("f4_meta_validate",
+    // Metadata schema validation (main_remind.py:250-276): per doc,
+    // parse the NER-metadata JSON and report parse failures + missing
+    // required keys ("직무", "근무 지역", "연령대") — the reference's
+    // log-only pass as a first-class validation relation. JSON is
+    // built from table columns with a conditionally-present key and
+    // deterministically corrupted every 7th doc to exercise the
+    // parse-failure path (the e2 pattern).
+    (s, d) => {
+      val required = array(lit("직무"), lit("근무 지역"), lit("연령대"))
+      t(s, d, "documents")
+        .withColumn("meta0", to_json(map_from_entries(filter(
+          array(
+            struct(lit("직무").as("key"), col("lang").as("value")),
+            struct(lit("근무 지역").as("key"),
+              nullif(col("source"), lit("src0")).as("value"))),
+          e => e.getField("value").isNotNull))))
+        .withColumn("meta", when(col("doc_id") % 7 === 0,
+          expr("substring(meta0, 1, length(meta0)-2)")).otherwise(col("meta0")))
+        .withColumn("ner", from_json(col("meta"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("parse_ok", col("ner").isNotNull)
+        .withColumn("missing_keys", when(col("parse_ok"),
+          array_join(filter(required,
+            k => !array_contains(map_keys(col("ner")), k)), ",")))
+        .select(col("doc_id"), col("parse_ok"), col("missing_keys"),
+          (col("parse_ok") && length(col("missing_keys")) === 0).as("valid"))
+        .orderBy("doc_id")
+    },
+    // json_keys is vectorized over ALL rows even under CASE, so it runs
+    // on '{}' for corrupt rows (safe_meta) and the outer CASE masks it.
+    Some("""SELECT doc_id, parse_ok,
+        CASE WHEN parse_ok THEN array_to_string(
+          list_filter(['직무', '근무 지역', '연령대'],
+            k -> NOT list_contains(json_keys(safe_meta), k)), ',') END AS missing_keys,
+        (parse_ok AND len(list_filter(['직무', '근무 지역', '연령대'],
+            k -> NOT list_contains(json_keys(safe_meta), k))) = 0) AS valid
+      FROM (SELECT doc_id, json_valid(meta) AS parse_ok,
+        CASE WHEN json_valid(meta) THEN meta ELSE '{}' END AS safe_meta FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN substr(j, 1, len(j)-2) ELSE j END AS meta
+        FROM (SELECT doc_id,
+          '{"직무":"' || lang || '"' ||
+          CASE WHEN source <> 'src0'
+               THEN ',"근무 지역":"' || source || '"' ELSE '' END ||
+          '}' AS j
+          FROM documents)))
+      ORDER BY doc_id"""))
+
+  private val q6 = QuerySpec("q6_salted_agg",
+    // Skew-salted two-phase aggregation (Salting.saltedCount/saltedSum)
+    // must be EXACTLY the plain aggregation — the oracle is the
+    // unsalted GROUP BY. Integer-valued sum so the two-phase
+    // re-association is exact (doubles would re-order the fold).
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("v", (col("l_orderkey") % 1000).cast("long"))
+      val n = graft.operators.Salting.saltedCount(li, Seq("l_returnflag"), 16)
+      val sm = graft.operators.Salting.saltedSum(li, Seq("l_returnflag"), "v",
+        16, outCol = "sum_v")
+      n.join(sm, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("sum_v").cast("long").as("sum_v"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+      CAST(sum(l_orderkey % 1000) AS BIGINT) AS sum_v
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   // ======================================================================
   // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
   // policy over small plans; semantic fns are the deterministic doubles.
@@ -1295,11 +1394,11 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, e1, e2, e3, e4,
+    q1, q3, q5, q6, e1, e2, e3, e4, e5,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
-    g1, g4, j1, m1, m2, f3, c1, c2, c3)
+    g1, g4, j1, m1, m2, f3, f4, c1, c2, c3)
 }

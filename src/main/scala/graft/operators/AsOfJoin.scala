@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (last-value-before) join — the temporal join Spark lacks as a
+  * built-in, shaped for scale (north-star training-pipeline operator:
+  * attach the latest prior measurement/label/price to every event).
+  *
+  * NOT implemented as a range join (`l.ts >= r.ts` theta-join explodes
+  * to O(|L|·|R|) per key before aggregation). Instead the classic
+  * union trick: tag both sides, union, and take
+  * `last(value, ignoreNulls)` over a (key)-partitioned window ordered
+  * by (ts, side) with rows from the beginning — right rows sort BEFORE
+  * left rows at equal timestamps, so `r.ts <= l.ts` (inclusive)
+  * semantics fall out of the sort order. ONE shuffle of L∪R by key,
+  * one sort, zero joins — the plan a 100 TB event table wants.
+  *
+  * Ties: if the right side can hold several rows per (key, ts) the
+  * result would be order-dependent; pre-aggregate the right side to
+  * one row per (key, ts) (as the e5 harness query does with max) —
+  * the same determinism contract DuckDB's native ASOF JOIN has.
+  */
+object AsOfJoin {
+
+  /** For each left row: all left columns + `outCol` = the right
+    * side's `valCol` from the latest right row with
+    * `right.tsCol <= left.tsCol`, per `keyCol` (null when no prior
+    * right row exists — left-join semantics). Timestamps compare in
+    * whatever (consistent) domain the caller supplies. */
+  def lastBefore(left: DataFrame, right: DataFrame, keyCol: String,
+                 ltsCol: String, rtsCol: String, valCol: String,
+                 outCol: String = "asof_value"): DataFrame = {
+    val valType = right.schema(valCol).dataType
+    val lt = left.select(
+      col(keyCol).as("__key"),
+      col(ltsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(valType).as("__v"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val rt = right.select(
+      col(keyCol).as("__key"),
+      col(rtsCol).as("__ts"),
+      lit(0).as("__side"),
+      col(valCol).cast(valType).as("__v"))
+      .withColumn("__row", lit(null).cast(lt.schema("__row").dataType))
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lt.unionByName(rt)
+      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col(outCol))
+  }
+}

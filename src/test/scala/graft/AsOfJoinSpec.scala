@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+/** As-of join: last right value at-or-before each left timestamp. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastBefore: inclusive bound, latest-wins, per-key isolation, left join") {
+    val left = Seq(
+      ("a", 1L, 5L),   // before any right row -> null
+      ("b", 1L, 10L),  // equal ts -> inclusive, sees 100
+      ("c", 1L, 25L),  // after both -> latest (200)
+      ("d", 2L, 10L),  // right for key 2 is later -> null
+      ("e", 3L, 99L)   // key with no right rows at all -> null
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 50L, 500.0)
+    ).toDF("k", "ts", "v")
+
+    val out = AsOfJoin.lastBefore(left, right, "k", "ts", "ts", "v")
+      .select("lid", "asof_value")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "a" -> None, "b" -> Some(100.0), "c" -> Some(200.0),
+      "d" -> None, "e" -> None))
+  }
+
+  test("lastBefore is deterministic across partitionings and joins nothing") {
+    val left = (1 to 300).map(i => (i, i.toLong % 7, (i * 13 % 101).toLong))
+      .toDF("lid", "k", "ts")
+    val right = (1 to 100).map(i => (i.toLong % 7, (i * 29 % 101).toLong, i * 1.0))
+      .toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("v").as("v"))
+    def run(parts: Int) =
+      AsOfJoin.lastBefore(left.repartition(parts), right, "k", "ts", "ts", "v")
+        .orderBy("lid").collect().toSeq
+    assert(run(1) == run(13))
+    val plan = AsOfJoin.lastBefore(left, right, "k", "ts", "ts", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+}

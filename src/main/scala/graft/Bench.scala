@@ -84,7 +84,7 @@ object Bench {
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":$warmupSec,"timing":"steady-state: min of 2 runs for queries whose first run exceeded ${rerunThreshold}s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

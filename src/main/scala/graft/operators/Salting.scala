@@ -8,20 +8,32 @@ import org.apache.spark.sql.functions._
   * reducer — the classic corpus case is near-duplicate boilerplate
   * text, where one text_hash can carry millions of rows).
   *
-  * Two-phase: salt the key with a deterministic bucket (hash of the
-  * full row modulo `buckets`), aggregate per (key, salt) — spreading
-  * a hot key over `buckets` reducers — then aggregate the partials.
-  * Only algebraic aggregates decompose this way; the provided
-  * wrappers (count/sum/min/max) are the decompositions.
+  * Two-phase: salt the key with a per-row bucket, aggregate per
+  * (key, salt) — spreading a hot key over `buckets` reducers — then
+  * aggregate the partials. Only algebraic aggregates decompose this
+  * way; the provided wrappers (count/sum/min/max) are the
+  * decompositions.
+  *
+  * The salt is POSITION-based (`monotonically_increasing_id mod
+  * buckets`), not a row-content hash, for two reasons that both bite
+  * at scale: (1) the pathological hot key is usually MANY IDENTICAL
+  * rows (boilerplate text), which a content hash sends to one salt —
+  * no spread at all, exactly when salting is needed; (2) hashing
+  * `struct(*)` forces every column through the scan, defeating column
+  * pruning for a two-column aggregation. Which bucket a row lands in
+  * never affects an algebraic aggregate's result, so the salt needs no
+  * cross-run stability.
   */
 object Salting {
+
+  private[graft] def salt(buckets: Int) =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** count(*) per key, skew-spread over `buckets` reducers. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int,
                   outCol: String = "n"): DataFrame = {
     require(buckets > 0)
-    val salt = pmod(xxhash64(struct(col("*"))), lit(buckets))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", salt(buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -32,8 +44,7 @@ object Salting {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 buckets: Int, outCol: String = "sum"): DataFrame = {
     require(buckets > 0)
-    val salt = pmod(xxhash64(struct(col("*"))), lit(buckets))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", salt(buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(valueCol).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -48,8 +59,7 @@ object Salting {
                       keyCols: Seq[String], buckets: Int)
       : (DataFrame, DataFrame, Seq[String]) = {
     require(buckets > 0)
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(col("*"))), lit(buckets)))
+    val bigSalted = big.withColumn("__salt", salt(buckets))
     val smallRep = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     (bigSalted, smallRep, keyCols :+ "__salt")

@@ -73,4 +73,32 @@ class EndToEndSpec extends SparkSpec {
     assert(response.forall(_.description.nonEmpty))
     assert(response.map(_.rank).toSeq == (1 to response.length))
   }
+
+  test("build → IVF assign → partitioned store → pruned search equals exact kNN") {
+    val chunks = JobCorpus.buildChunks(
+      JobCorpus.readPostings(spark, writeCorpus()),
+      Chunker(chunkSize = 200, overlap = 20))
+    val corpus = chunks
+      .withColumn("vec_id", xxhash64(col("chunk_id")))
+      .withColumn("embedding",
+        array((0 until 4).map(i =>
+          (pmod(xxhash64(col("chunk_id"), lit(i)), lit(1000)) / 1000.0)): _*))
+      .select("vec_id", "embedding")
+    val cents = corpus.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.operators.Ann.ivfAssignBig(
+      corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val dir = Files.createTempDirectory("graft_e2e_ivf").toString
+    graft.sources.IndexStore.write(assigned, dir)
+
+    val qv = typedlit(Seq(0.5, 0.5, 0.5, 0.5))
+    // nprobe = all clusters ⇒ the pruned store read must reproduce
+    // exact kNN over the full corpus, through write+load round trip
+    val viaStore = graft.operators.Ann.ivfSearchStore(spark, dir,
+        "embedding", "vec_id", cents, "cid", "cvec", qv, k = 3, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = graft.operators.Knn.exact(corpus, "embedding", "vec_id", qv, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaStore == exact)
+  }
 }

@@ -31,6 +31,18 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("IDENTICAL hot rows spread across many salts (a content hash would not)") {
+    // the pathological skew case is millions of byte-identical rows;
+    // a row-content hash maps them all to ONE salt — zero spread.
+    val dup = Seq.fill(512)(("HOT", 1.0)).toDF("k", "v").repartition(4)
+    val spread = dup.withColumn("__salt", Salting.salt(16))
+      .select("__salt").distinct().count()
+    assert(spread > 8, s"identical rows landed on only $spread salts")
+    val n = Salting.saltedCount(dup, Seq("k"), buckets = 16)
+      .as[(String, Long)].head()
+    assert(n == ("HOT", 512L))
+  }
+
   test("salted join equals plain join on a skewed key") {
     val dim = Seq(("HOT", 1), ("key0", 2), ("key10", 3)).toDF("k", "attr")
     val direct = skewed.join(dim, Seq("k")).agg(sum("attr")).as[Long].head()

@@ -232,6 +232,32 @@ object Queries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
       ORDER BY event_id"""))
 
+  private val e6 = QuerySpec("e6_range_join",
+    // Keyless range join (RangeJoin.pairsWithin): click/purchase pairs
+    // within 60s of each other across ALL users — no equi key, so the
+    // naive form is a BroadcastNestedLoopJoin; the bucketed form
+    // shuffles integer bucket keys and compares candidates only.
+    // Oracle is the plain inequality join (exact same pair set).
+    (s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("us").as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("us").as("purchase_us"))
+      graft.operators.RangeJoin.pairsWithin(
+          clicks, purchases, "click_us", "purchase_us", 60000000L)
+        .select(col("click_id"), col("purchase_id"),
+          (col("purchase_us") - col("click_us")).as("delta_us"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""WITH l AS (SELECT event_id AS click_id, epoch_ns(ts)//1000 AS click_us
+          FROM events WHERE event_type = 'click'),
+      r AS (SELECT event_id AS purchase_id, epoch_ns(ts)//1000 AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+      SELECT click_id, purchase_id, purchase_us - click_us AS delta_us
+      FROM l JOIN r ON abs(click_us - purchase_us) <= 60000000
+      ORDER BY click_id, purchase_id"""))
+
   // ======================================================================
   // Scalar text transforms (P1/P5/P6/P9/P10/P11)
   // ======================================================================
@@ -1337,11 +1363,6 @@ object Queries {
           round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
     },
     Some {
-      val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
-      val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
-      def ov(u: String, dcol: String) =
-        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
-            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
       def stage(i: Int, where: String, k: Int) =
         s"""s$i AS (SELECT doc_id, text, dist, $i AS stage_rank FROM corpus
             $where ORDER BY dist, doc_id LIMIT $k)"""
@@ -1361,23 +1382,65 @@ object Queries {
         kept AS (SELECT doc_id, text, dist, stage_rank FROM
           (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY stage_rank, dist, doc_id) AS rn FROM u) WHERE rn = 1),
-        scored AS (SELECT doc_id, stage_rank, dist,
-          CAST(round(5.0 * (CASE WHEN contains(lower(text),'join') THEN 1 ELSE 0 END
-            + CASE WHEN contains(lower(text),'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
-            AS judge_score,
-          CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE)
-            AS rule_score
-          FROM (SELECT doc_id, stage_rank, dist, text,
-            regexp_extract(lower(text), '\\b($corpusPat)\\b', 1) AS doc_job,
-            regexp_extract(lower(text), '\\b($regionPat)\\b', 1) AS doc_region
-            FROM kept)),
-        top AS (SELECT doc_id, stage_rank, dist,
-          0.7 * judge_score + 0.3 * rule_score AS score
-          FROM scored ORDER BY score DESC, dist, doc_id LIMIT 5)
-      SELECT row_number() OVER (ORDER BY score DESC, dist, doc_id) AS rank,
-        doc_id, stage_rank, round(dist, 6) AS dist, round(score, 6) AS score
-      FROM top ORDER BY rank"""
+        $cascadeOracleTail"""
     })
+
+  /** Shared DuckDB mirror of MultiStageSearch.rerankTail over a
+    * `kept(doc_id, text, dist, stage_rank)` CTE: deterministic judge
+    * (condition tokens join/row), full-vocab doc NER overlap, 0.7/0.3
+    * combine, top-5, rank — used by c3 and c4. */
+  private def cascadeOracleTail: String = {
+    val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
+    val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
+    def ov(u: String, dcol: String) =
+      s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
+          AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
+    s"""scored AS (SELECT doc_id, stage_rank, dist,
+        CAST(round(5.0 * (CASE WHEN contains(lower(text),'join') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lower(text),'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
+          AS judge_score,
+        CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE)
+          AS rule_score
+        FROM (SELECT doc_id, stage_rank, dist, text,
+          regexp_extract(lower(text), '\\b($corpusPat)\\b', 1) AS doc_job,
+          regexp_extract(lower(text), '\\b($regionPat)\\b', 1) AS doc_region
+          FROM kept)),
+      top AS (SELECT doc_id, stage_rank, dist,
+        0.7 * judge_score + 0.3 * rule_score AS score
+        FROM scored ORDER BY score DESC, dist, doc_id LIMIT 5)
+    SELECT row_number() OVER (ORDER BY score DESC, dist, doc_id) AS rank,
+      doc_id, stage_rank, round(dist, 6) AS dist, round(score, 6) AS score
+    FROM top ORDER BY rank"""
+  }
+
+  private val c4 = QuerySpec("c4_remind_gated",
+    // The remind cascade WITH its adaptive count gate, declaratively:
+    // kNN pool → match flag → 1-row count broadcast → keep matches or
+    // (count < threshold ⇒ whole pool) → rerank tail. The ADAPTIVITY
+    // is inside the oracle-checked plan — SQL expresses the single
+    // gate as a CTE count the kept-set references (searchRemindFixed).
+    (s, d) => {
+      val corpus = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+        .searchRemindFixed("looking for a join job in the row area", col("qv"),
+          scanK = 200)
+        .select(col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q),
+      pool AS (SELECT doc_id, text, dist FROM corpus
+        ORDER BY dist, doc_id LIMIT 200),
+      flagged AS (SELECT doc_id, text, dist,
+        CASE WHEN text IS NOT NULL AND contains(lower(text), 'join')
+          AND contains(lower(text), 'row') THEN 1 ELSE 0 END AS m FROM pool),
+      cnt AS (SELECT sum(m) AS n FROM flagged),
+      kept AS (SELECT doc_id, text, dist, 1 AS stage_rank
+        FROM flagged, cnt WHERE m = 1 OR n < 5),
+      $cascadeOracleTail"""))
 
   private val c2 = QuerySpec("c2_cascade_remind",
     // §3.4 composition: scan-then-filter cascade (main_remind.py) —
@@ -1394,11 +1457,11 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, e1, e2, e3, e4, e5,
+    q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6,
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
-    g1, g4, j1, m1, m2, f3, f4, c1, c2, c3)
+    g1, g4, j1, m1, m2, f3, f4, c1, c2, c3, c4)
 }

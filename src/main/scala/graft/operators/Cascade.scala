@@ -245,4 +245,40 @@ final class MultiStageSearch(
 
     rerankTail(acc, ner)
   }
+
+  /** [[searchRemind]] WITH its adaptive gate, as one declarative plan.
+    *
+    * The remind composition has exactly ONE gate (fewer than
+    * `relaxThreshold` post-filter survivors ⇒ fall back to the
+    * unfiltered pool), and a single count-gate over a single pool IS
+    * relationally expressible: flag matching pool rows, aggregate the
+    * flag count (1 row), broadcast it back over the pool, and keep
+    * `match=1 OR count<threshold`. No driver-side collect, and —
+    * unlike [[searchFixed]] — the ADAPTIVITY itself sits inside the
+    * oracle-checked plan (the multi-stage cascade's sequential gates
+    * stay driver-side: each later stage's existence depends on the
+    * previous counts, which SQL cannot express without recursion).
+    *
+    * Scale shape: the pool is one filter ∘ distance ∘
+    * TakeOrderedAndProject (≤scanK rows); everything after operates on
+    * that bounded relation; the count broadcast is 1 row. */
+  def searchRemindFixed(queryText: String, queryVec: Column,
+                        scanK: Int = 1000): DataFrame = {
+    val ner = queryNer(queryText)
+    def contains(term: String): Column =
+      lower(col(textCol)).contains(term.toLowerCase)
+    val pool = Knn.exact(corpus, embCol, idCol, queryVec, scanK)
+      .select(col(idCol), col(textCol), col("dist"))
+    // keep(r): null text never matches; absent NER fields don't filter
+    val pred = col(textCol).isNotNull &&
+      ner.job.map(contains).getOrElse(lit(true)) &&
+      ner.region.map(contains).getOrElse(lit(true))
+    val flagged = pool.withColumn("__match", when(pred, 1).otherwise(0))
+    val cnt = flagged.agg(sum("__match").as("__n"))
+    val kept = flagged.crossJoin(broadcast(cnt))
+      .filter(col("__match") === 1 || col("__n") < cfg.relaxThreshold)
+      .withColumn("stage_rank", lit(1))
+      .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
+    rerankTail(kept, ner)
+  }
 }

@@ -67,6 +67,28 @@ class CascadeSpec extends SparkSpec {
     assert(out.count() > 0) // nothing matches the filter → unfiltered pool
   }
 
+  test("searchRemindFixed equals searchRemind when the filter survives the gate") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(relaxThreshold = 2, finalN = 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "doc_id", "stage_rank").collect().toSeq
+    val q = "looking for a join job in the row area"
+    assert(rows(search.searchRemindFixed(q, col("qv"), scanK = 6)) ==
+      rows(search.searchRemind(q, col("qv"), scanK = 6)))
+  }
+
+  test("searchRemindFixed equals searchRemind when the gate falls back") {
+    // only one doc contains both terms -> below relaxThreshold=5 ->
+    // both paths must fall back to the unfiltered pool
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(relaxThreshold = 5, finalN = 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "doc_id", "stage_rank").collect().toSeq
+    val q = "looking for a sort job in the key area"
+    assert(rows(search.searchRemindFixed(q, col("qv"), scanK = 6)) ==
+      rows(search.searchRemind(q, col("qv"), scanK = 6)))
+  }
+
   test("strict stage results outrank later-stage results for equal scores") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
       CascadeConfig(topK = 2, finalN = 6, fallbackThreshold = 10))

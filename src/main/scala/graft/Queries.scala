@@ -472,6 +472,58 @@ object Queries {
       FROM fps GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  private val t7 = QuerySpec("t7_curation_manifest",
+    // The training-data curation pass, composed end-to-end in ONE scan
+    // + one hash-key dedup window: lang-ID + quality + token counts +
+    // exact-dedup keep flag → the filtered manifest a 100 TB curation
+    // job would write. Everything before the dedup window is a single
+    // codegen'd projection; the window shuffles only (hash, id, small
+    // scalars). The keep rule is d1's (min doc_id per md5(text)).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+          md5(col("text")).as("text_hash"))
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      docs
+        .withColumn("keep", row_number().over(w) === 1)
+        .filter(col("keep") && col("quality") >= 0.5 && col("n_tokens") >= 5)
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+          SELECT doc_id, text,
+            round(0.4 * least(len(text) / 500.0, 1.0)
+              + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
+              + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6)
+              AS quality,
+            nws AS n_tokens,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id, text,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
+            len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
+            FROM documents)),
+        lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, $best AS best, ${langs.map("s_" + _).mkString(", ")}
+                FROM (SELECT doc_id, $scores FROM documents)))
+      SELECT s.doc_id, lang_pred, quality, n_tokens
+      FROM scored s JOIN lang USING (doc_id)
+      WHERE rn = 1 AND quality >= 0.5 AND n_tokens >= 5
+      ORDER BY s.doc_id"""
+    })
+
   // ======================================================================
   // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
   // Jaccard, embedding near-dup)
@@ -1459,7 +1511,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6,
+    t1, t2, t3, t4, t5, t6, t7,
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * Spark it is a micro-batch stream-static join).
   *
   * Queries arrive as a stream `(query_id, ts, qvec)`; the corpus is a
-  * STATIC DataFrame (the loaded vector index — re-read per micro-batch
-  * from its store, so index upserts from
-  * [[EventStream.upsertBatch]] become visible without restart).
+  * STATIC DataFrame (the loaded vector index). The static side's ROWS
+  * are re-executed per micro-batch, but its parquet FILE LISTING is a
+  * plan-time snapshot — an [[EventStream.upsertBatch]] that rewrites
+  * the store does NOT become visible mid-query (and can invalidate
+  * the snapshot's files). Picking up index updates requires
+  * re-resolving the static side: restart the streaming query on an
+  * index-version change, or serve via foreachBatch and `spark.read`
+  * the current version inside the batch function.
   * Stream-static joins need no state store; the per-query top-k is the
   * bounded [[TopK]] aggregation keyed by (query, event-time window),
   * so the watermark bounds aggregation state and emits each query's

@@ -57,4 +57,45 @@ object IndexStore {
     }
     merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
   }
+
+  /** Partition-scoped upsert for a cluster-partitioned index: cost ∝
+    * AFFECTED partitions, not index size — the difference between
+    * rewriting a 100 TB index per batch and rewriting the handful of
+    * cluster directories the batch touches.
+    *
+    * The batch must carry `cluster_id` (from Ann.ivfAssign*). Only the
+    * batch's distinct cluster partitions are READ (static partition
+    * pruning on the load), merged new-rows-win by id, and written back
+    * under `partitionOverwriteMode=dynamic`, which replaces exactly
+    * the partitions present in the written data — untouched clusters'
+    * files are never read or rewritten. The eager localCheckpoint
+    * breaks the read-then-overwrite cycle on the affected partitions
+    * (same contract as [[upsert]]); an id that MOVES clusters is the
+    * caller's re-assignment concern (assignments are deterministic per
+    * centroid set, so a stable id keeps its cluster unless the
+    * centroids themselves changed — that is a rebuild, not an upsert). */
+  def upsertPartitioned(spark: SparkSession, path: String,
+                        batch: DataFrame, idCol: String): Unit = {
+    require(batch.columns.contains("cluster_id"),
+      "upsertPartitioned needs an IVF-assigned batch (cluster_id column)")
+    val deduped = batch.dropDuplicates(idCol)
+    val affected = deduped.select("cluster_id").distinct()
+      .collect().map(_.get(0)) // bounded by the centroid count k
+    val merged = loadIfExists(spark, path) match {
+      case Some(existing) =>
+        existing.filter(col("cluster_id").isin(affected: _*))
+          .join(deduped, Seq(idCol), "left_anti")
+          .unionByName(deduped)
+      case None => deduped
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.localCheckpoint(true).write.mode("overwrite")
+        .partitionBy("cluster_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -101,6 +101,20 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming ingest dedup — the streaming twin of the exact-dedup
+    * pass (d1): drop rows whose dedup key (e.g. md5(text)) was already
+    * seen, with WATERMARK-BOUNDED state via
+    * `dropDuplicatesWithinWatermark`. Exact within the watermark
+    * horizon, which is the honest contract for an unbounded ingest — a
+    * forever-exact streaming dedup needs unbounded state; dedup
+    * against the historical corpus stays a batch join (d1) at the
+    * sink. State per key is one entry, freed when the watermark
+    * passes. */
+  def dedupStream(rows: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Incremental index maintenance: upsert a micro-batch of freshly
     * embedded chunks into the vector index table by chunk id — the
     * streaming twin of the offline build's upsert-by-id semantics
@@ -110,7 +124,11 @@ object EventStream {
     * MERGE-less upsert for plain Parquet: read current, anti-join on
     * id, union the batch, overwrite. At scale the same function body
     * targets a table format with real MERGE semantics; the
-    * foreachBatch seam is identical.
+    * foreachBatch seam is identical. For a CLUSTER-PARTITIONED index
+    * (IVF-assigned batches), prefer
+    * [[graft.sources.IndexStore.upsertPartitioned]] inside the batch
+    * function — it reads and rewrites only the affected cluster
+    * partitions instead of the whole index.
     */
   def upsertBatch(indexPath: String, idCol: String)(
       batch: DataFrame, batchId: Long): Unit = {

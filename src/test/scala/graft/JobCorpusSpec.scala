@@ -114,4 +114,30 @@ class JobCorpusSpec extends SparkSpec {
       .select("id", "payload").as[(Long, String)].collect().toSeq
     assert(after == Seq((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
   }
+
+  test("upsertPartitioned rewrites only the affected cluster partitions") {
+    val dir = Files.createTempDirectory("graft_index_dyn").toString + "/idx"
+    IndexStore.write(Seq(
+      (1L, 0L, "a"), (2L, 0L, "b"), (11L, 1L, "x"), (12L, 1L, "y"))
+      .toDF("id", "cluster_id", "payload"), dir)
+    def clusterFiles(c: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/cluster_id=$c")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = clusterFiles(1L)
+    assert(before.nonEmpty)
+    Thread.sleep(1100) // mtime granularity guard
+    // batch touches ONLY cluster 0: update id 2, insert id 5
+    IndexStore.upsertPartitioned(spark, dir,
+      Seq((2L, 0L, "b2"), (5L, 0L, "e")).toDF("id", "cluster_id", "payload"),
+      "id")
+    val after = IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(after == Seq(
+      (1L, "a"), (2L, "b2"), (5L, "e"), (11L, "x"), (12L, "y")))
+    // cluster 1's files are byte-for-byte untouched (names + mtimes)
+    assert(clusterFiles(1L) == before,
+      "unaffected cluster partition was rewritten")
+  }
 }

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps one row per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(Seq(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "h1", 1.0),
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "h1", 2.0), // in-batch dup
+      (Timestamp.valueOf("2026-01-01 10:00:01"), "h2", 3.0)))
+    stream.addData(Seq( // cross-batch dup, still within the watermark
+      (Timestamp.valueOf("2026-01-01 10:00:02"), "h1", 4.0)))
+    val out = EventStream.dedupStream(
+      stream.toDF().toDF("ts", "text_hash", "v"), "ts", Seq("text_hash"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream_test")
+        .select("text_hash").as[String].collect().toSeq.sorted
+      assert(keys == Seq("h1", "h2"))
+    } finally q.stop()
+  }
+
   test("upsertBatch: insert then overwrite-by-id") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/index"
     EventStream.upsertBatch(dir, "id")(

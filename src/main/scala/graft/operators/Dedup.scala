@@ -78,15 +78,12 @@ object Dedup {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val nBands = numHashes / bandRows
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Two deliberate exchanges around the shingle computation:
-    // the first (round-robin) parallelizes a small single-file scan;
-    // the SECOND (hash on doc_id) sits ABOVE the expensive
-    // UDF+explode, so its shuffle files are computed once and
-    // ReuseExchange serves every downstream subtree (the band
-    // self-join and the verify sets would otherwise re-run the
-    // shingling per subtree — alias projections above a reused
-    // exchange don't break reuse, but compute below a non-shared
-    // exchange re-executes). It also pre-co-partitions both groupBys.
+    // ONE hash exchange (doc_id) BELOW the shingle computation: it
+    // parallelizes the single-file scan AND pre-co-partitions both
+    // downstream groupBys (Generate/Project preserve the child's hash
+    // partitioning, so neither aggregation re-shuffles), while moving
+    // raw documents — not the 5-10× larger exploded shingle rows the
+    // previous round-robin + post-explode-hash pair shuffled.
     // persist(MEMORY_AND_DISK): the exploded shingle rows materialize
     // ONCE (as an InMemoryRelation shared by every subtree referencing
     // this val) and the band self-join sides + verify sets all read the
@@ -103,10 +100,9 @@ object Dedup {
     // between queries).
     val shingleRows = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(parallelism)
+      .repartition(parallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
-      .repartition(parallelism, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each shingle is md5'd ONCE; the numHashes minhash family derives
     // from two numeric digests by an affine map (a·(seed+1)+b) mod p.

@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production-recommended (Spark docs): coalesce post-shuffle
+      // partitions to the target SIZE instead of max parallelism —
+      // small exchanges collapse to a few tasks (less per-query
+      // scheduling floor), large exchanges keep their width.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def jstr(s: String): String =

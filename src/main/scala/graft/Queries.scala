@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.multimodal.Multimodal
+import graft.multimodal.{DecodeStub, Multimodal}
 import graft.operators.{Ann, Chunker, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1274,6 +1274,41 @@ object Queries {
         substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS frame_key
       FROM f ORDER BY doc_id, frame_index"""))
 
+  private val m3 = QuerySpec("m3_frame_features",
+    // The multimodal pipeline END: frames → content keys → decoded
+    // feature vectors (DecodeStub — deterministic hex arithmetic
+    // standing in for codec+embed, so the whole path stays
+    // oracle-checkable) → per-frame feature columns. Composes m2's
+    // frame sampling with the decode boundary.
+    (s, d) => {
+      val frames = Multimodal.sampleFrames(
+        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
+        "doc_id", "payload", frameSize = 256, maxFrames = 4)
+      Multimodal.frameMeta(frames)
+        .select(col("doc_id"), col("frame_index"),
+          DecodeStub.features(col("frame_key")).as("f"))
+        .select((Seq(col("doc_id"), col("frame_index")) ++
+          (0 until 4).map(i =>
+            round(element_at(col("f"), i + 1), 6).as(s"f$i"))): _*)
+        .orderBy("doc_id", "frame_index")
+    },
+    Some {
+      def hex4(p: Int): String = (0 until 4).map { k =>
+        s"(strpos('0123456789abcdef', substr(fk, ${p + k}, 1)) - 1) * ${math.pow(16, 3 - k).toLong}"
+      }.mkString(" + ")
+      val feats = (0 until 4)
+        .map(i => s"round((${hex4(i * 4 + 1)}) / 65535.0, 6) AS f$i")
+        .mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+          unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS frame_index,
+          text FROM documents),
+        keys AS (SELECT doc_id, frame_index,
+          substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS fk
+          FROM f)
+      SELECT doc_id, frame_index, $feats
+      FROM keys ORDER BY doc_id, frame_index"""
+    })
+
   private val v6 = QuerySpec("v6_lsh_ann",
     // MLlib BucketedRandomProjectionLSH ANN (seed-deterministic but
     // approximate → spec-verified against the exact operators, not
@@ -1515,5 +1550,5 @@ object Queries {
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
-    g1, g4, j1, m1, m2, f3, f4, c1, c2, c3, c4)
+    g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

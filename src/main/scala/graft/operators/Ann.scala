@@ -19,6 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Train IVF centroids with MLlib KMeans (seed-deterministic). The
+    * toy queries use "first k vectors" as centroids for oracle
+    * simplicity; a real index trains them — this is that path, and its
+    * output feeds [[ivfAssignBig]]/[[ivfSearchStore]] unchanged.
+    * Training cost is bounded: KMeans samples its init and each
+    * iteration is one narrow pass + a k×dim reduce. */
+  def trainCentroids(corpus: DataFrame, embCol: String, k: Int,
+                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = corpus.select(
+      array_to_vector(col(embCol).cast("array<double>")).as("__vec"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__vec").fit(data)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("cid", "cvec")
+  }
+
   /** Assign each corpus vector to its nearest centroid (L2, ties by
     * centroid id). The centroid table is k rows BY DEFINITION, so it is
     * collected once at plan-build time and inlined as a literal struct

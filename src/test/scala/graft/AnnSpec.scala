@@ -65,6 +65,19 @@ class AnnSpec extends SparkSpec {
     assert(plan.length < 20000, s"plan grew with k: ${plan.length} chars")
   }
 
+  test("trainCentroids separates well-separated blobs; feeds assign unchanged") {
+    val cents = Ann.trainCentroids(corpus, "embedding", k = 2, seed = 7L)
+    assert(cents.count() == 2)
+    val assigned = Ann.ivfAssignBig(corpus, "embedding", "vec_id",
+        cents, "cid", "cvec")
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect()
+    val byBlob = assigned.groupBy { case (vid, _) => vid < 20 }
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // each blob is pure (one cluster) and the blobs differ
+    assert(byBlob(true).size == 1 && byBlob(false).size == 1)
+    assert(byBlob(true) != byBlob(false))
+  }
+
   test("ivfSearchStore scans only the probed cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_").toString
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")

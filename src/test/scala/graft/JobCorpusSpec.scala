@@ -115,6 +115,23 @@ class JobCorpusSpec extends SparkSpec {
     assert(after == Seq((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
   }
 
+  test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {
+    // the documented recovery contract: a corrupt path must fail every
+    // retry loudly — silently treating it as empty would overwrite the
+    // index with just the current batch
+    val dir = Files.createTempDirectory("graft_corrupt").toString + "/idx"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Path.of(dir, "part-00000.parquet"),
+      "this is not a parquet file")
+    intercept[Exception] {
+      IndexStore.upsert(spark, dir,
+        Seq((1L, "a")).toDF("id", "payload"), "id")
+    }
+    // the corrupt evidence is still there; nothing got truncated
+    val remaining = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(remaining.contains("part-00000.parquet"))
+  }
+
   test("upsertPartitioned rewrites only the affected cluster partitions") {
     val dir = Files.createTempDirectory("graft_index_dyn").toString + "/idx"
     IndexStore.write(Seq(

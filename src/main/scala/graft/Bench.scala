@@ -79,9 +79,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val sec =
-        if (first > rerunThreshold && !failures.contains(name))
-          math.min(first, timeOnce(name, fn))
-        else first
+        if (first > rerunThreshold && !failures.contains(name)) {
+          val second = timeOnce(name, fn)
+          // a rerun that FAILED must not contribute its (short, aborted)
+          // duration — keep the successful first measurement, and the
+          // failure record stands so the round still reports it
+          if (failures.contains(name)) first else math.min(first, second)
+        } else first
       name -> sec
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }

@@ -1397,13 +1397,16 @@ object Queries {
     // Skew-salted two-phase aggregation (Salting.saltedCount/saltedSum)
     // must be EXACTLY the plain aggregation — the oracle is the
     // unsalted GROUP BY. Integer-valued sum so the two-phase
-    // re-association is exact (doubles would re-order the fold).
+    // re-association is exact (doubles would re-order the fold). Salt
+    // identity = the lineitem primary key (retry-deterministic).
     (s, d) => {
       val li = t(s, d, "lineitem")
         .withColumn("v", (col("l_orderkey") % 1000).cast("long"))
-      val n = graft.operators.Salting.saltedCount(li, Seq("l_returnflag"), 16)
-      val sm = graft.operators.Salting.saltedSum(li, Seq("l_returnflag"), "v",
-        16, outCol = "sum_v")
+      val saltOn = Seq("l_orderkey", "l_linenumber")
+      val n = graft.operators.Salting.saltedCount(
+        li, Seq("l_returnflag"), saltOn, 16)
+      val sm = graft.operators.Salting.saltedSum(
+        li, Seq("l_returnflag"), saltOn, "v", 16, outCol = "sum_v")
       n.join(sm, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"), col("sum_v").cast("long").as("sum_v"))
         .orderBy("l_returnflag")

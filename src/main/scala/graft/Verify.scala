@@ -25,6 +25,10 @@ object Verify {
         e.printStackTrace()
         failures += name -> e.toString.take(300)
       }
+      // operators that persist intermediates (dedup shingles) pin their
+      // cache in the CacheManager for the session — drop between queries
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,30 +77,52 @@ object Ann {
     * minimum distance, then minimum centroid id (centroids iterate in
     * ascending-cid order and only a strictly smaller distance
     * replaces the incumbent). */
-  def ivfAssignBig(corpus: DataFrame, embCol: String, idCol: String,
-                   centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = centroids
+  /** Collect a centroid table to a sorted driver array (k rows by
+    * definition) — shared by [[ivfAssignBig]], [[ivfSearchStore]] and
+    * the streaming probe path so tie-breaks can never drift apart. */
+  private[graft] def collectCentroids(centroids: DataFrame, cidCol: String,
+                                      cvecCol: String): Array[(Long, Array[Double])] = {
+    val cents = centroids
       .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "centroid table is empty")
+    cents
+  }
+
+  /** Squared L2 with a loud dimension check — a silent truncated fold
+    * would assign a wrong cluster with no error. */
+  private[graft] def l2sqStrict(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"embedding dim ${a.length} != centroid dim ${b.length}")
+    var d = 0.0
+    var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  def ivfAssignBig(corpus: DataFrame, embCol: String, idCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    // null embedding → null cluster_id (matches the expression path of
+    // ivfAssign); mismatched dims fail loudly via l2sqStrict.
     val assign = udf { (emb: Seq[Double]) =>
-      val cs = bc.value
-      val arr = emb.toArray
-      var bestCid = cs(0)._1
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < cs.length) {
-        val cv = cs(i)._2
-        var d = 0.0
-        var j = 0
-        while (j < arr.length) { val t = arr(j) - cv(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
-        i += 1
+      if (emb == null) Option.empty[Long]
+      else {
+        val cs = bc.value
+        val arr = emb.toArray
+        var bestCid = cs(0)._1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = l2sqStrict(arr, cs(i)._2)
+          if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
+          i += 1
+        }
+        Some(bestCid)
       }
-      bestCid
     }
     corpus.withColumn("cluster_id", assign(col(embCol).cast("array<double>")))
   }
@@ -112,8 +134,10 @@ object Ann {
     * predicate, so the scan touches only the nprobe cluster
     * directories of an [[graft.sources.IndexStore]] written
     * partitionBy(cluster_id). This is the 100 TB read path: the plan's
-    * FileScan shows PartitionFilters on cluster_id and PartitionCount
-    * = nprobe (asserted in AnnSpec; explain captured in PLANS.md). */
+    * FileScan carries a PartitionFilters predicate on cluster_id
+    * (asserted in AnnSpec; explain with the pruned IN-list captured in
+    * PLANS.md), so the scan lists only the probed cluster
+    * directories. */
   def ivfSearchStore(spark: org.apache.spark.sql.SparkSession, path: String,
                      embCol: String, idCol: String,
                      centroids: DataFrame, cidCol: String, cvecCol: String,

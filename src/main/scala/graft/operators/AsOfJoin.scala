@@ -27,29 +27,42 @@ object AsOfJoin {
   /** For each left row: all left columns + `outCol` = the right
     * side's `valCol` from the latest right row with
     * `right.tsCol <= left.tsCol`, per `keyCol` (null when no prior
-    * right row exists — left-join semantics). Timestamps compare in
-    * whatever (consistent) domain the caller supplies. */
+    * right row exists — left-join semantics). A matched right row
+    * whose value IS null yields null (the matched row wins; an older
+    * non-null value is NOT substituted — same as a native ASOF join):
+    * the value travels inside a non-null single-field struct, so
+    * `last(_, ignoreNulls)` tracks the latest right ROW, not the
+    * latest non-null value. Timestamps compare in whatever
+    * (consistent) domain the caller supplies. Temp names `__key __ts
+    * __side __v __row` and `outCol` must not collide with input
+    * columns (checked). */
   def lastBefore(left: DataFrame, right: DataFrame, keyCol: String,
                  ltsCol: String, rtsCol: String, valCol: String,
                  outCol: String = "asof_value"): DataFrame = {
+    val reserved = Seq("__key", "__ts", "__side", "__v", "__row", outCol)
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns collide with temp names: $clash")
     val valType = right.schema(valCol).dataType
+    val boxType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", valType)))
     val lt = left.select(
       col(keyCol).as("__key"),
       col(ltsCol).as("__ts"),
       lit(1).as("__side"),
-      lit(null).cast(valType).as("__v"),
+      lit(null).cast(boxType).as("__v"),
       struct(left.columns.map(col): _*).as("__row"))
     val rt = right.select(
       col(keyCol).as("__key"),
       col(rtsCol).as("__ts"),
       lit(0).as("__side"),
-      col(valCol).cast(valType).as("__v"))
+      struct(col(valCol).cast(valType).as("v")).as("__v"))
       .withColumn("__row", lit(null).cast(lt.schema("__row").dataType))
     val w = Window.partitionBy("__key")
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lt.unionByName(rt)
-      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .select(col("__row.*"), col(outCol))
   }

@@ -94,10 +94,12 @@ object Dedup {
     // at sf0.1). persist (not localCheckpoint) keeps LINEAGE: on
     // executor loss a lost block recomputes from the scan, where a
     // localCheckpoint's truncated lineage would fail the job — the
-    // durability story a 1000-executor run needs. Blocks are freed by
-    // the ContextCleaner once the query's RDDs are collected (callers
-    // that iterate, e.g. Bench, additionally drop persistent RDDs
-    // between queries).
+    // durability story a 1000-executor run needs. NOTE: Dataset.persist
+    // entries are pinned by the session CacheManager (the
+    // ContextCleaner does NOT free them while the session lives) —
+    // callers that run many dedup pipelines in one session should
+    // `spark.catalog.clearCache()` between them, as Bench and Verify
+    // both do.
     val shingleRows = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(parallelism, col("doc_id"))

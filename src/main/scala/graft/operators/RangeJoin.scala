@@ -30,6 +30,8 @@ object RangeJoin {
     require(width > 0, "width must be positive")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"overlapping column names: $overlap")
+    val clash = (left.columns ++ right.columns).toSet.intersect(Set("__bucket"))
+    require(clash.isEmpty, "input columns collide with temp name __bucket")
     val lb = left.withColumn("__bucket", bucket(col(ltsCol), width))
     val rb = right.withColumn("__bucket",
       explode(array(bucket(col(rtsCol), width) - 1,

@@ -14,26 +14,30 @@ import org.apache.spark.sql.functions._
   * way; the provided wrappers (count/sum/min/max) are the
   * decompositions.
   *
-  * The salt is POSITION-based (`monotonically_increasing_id mod
-  * buckets`), not a row-content hash, for two reasons that both bite
-  * at scale: (1) the pathological hot key is usually MANY IDENTICAL
-  * rows (boilerplate text), which a content hash sends to one salt —
-  * no spread at all, exactly when salting is needed; (2) hashing
-  * `struct(*)` forces every column through the scan, defeating column
-  * pruning for a two-column aggregation. Which bucket a row lands in
-  * never affects an algebraic aggregate's result, so the salt needs no
-  * cross-run stability.
+  * The salt hashes CALLER-SUPPLIED identity columns (`saltCols` — a
+  * row id, line number, or any near-unique narrow key), which is the
+  * only assignment that is simultaneously: (1) DETERMINISTIC per row —
+  * a positional salt (monotonically_increasing_id / zipWithIndex) is
+  * fetch-order-dependent, so a partial stage retry after executor loss
+  * can re-salt rows differently and double-count or drop them in the
+  * two-phase aggregation; (2) SPREADING for identical payloads — the
+  * pathological hot key is many byte-identical rows, which any
+  * content hash sends to one salt (ids differ even when payloads
+  * don't); and (3) PRUNING-safe — hashing `struct(*)` would force
+  * every column through the scan.
   */
 object Salting {
 
-  private[graft] def salt(buckets: Int) =
-    pmod(monotonically_increasing_id(), lit(buckets.toLong))
+  private[graft] def salt(saltCols: Seq[String], buckets: Int) = {
+    require(saltCols.nonEmpty, "saltCols: supply identity columns to hash")
+    pmod(xxhash64(saltCols.map(col): _*), lit(buckets.toLong))
+  }
 
   /** count(*) per key, skew-spread over `buckets` reducers. */
-  def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int,
-                  outCol: String = "n"): DataFrame = {
+  def saltedCount(df: DataFrame, keyCols: Seq[String], saltCols: Seq[String],
+                  buckets: Int, outCol: String = "n"): DataFrame = {
     require(buckets > 0)
-    df.withColumn("__salt", salt(buckets))
+    df.withColumn("__salt", salt(saltCols, buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -41,10 +45,11 @@ object Salting {
   }
 
   /** sum(valueCol) per key, skew-spread over `buckets` reducers. */
-  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                buckets: Int, outCol: String = "sum"): DataFrame = {
+  def saltedSum(df: DataFrame, keyCols: Seq[String], saltCols: Seq[String],
+                valueCol: String, buckets: Int,
+                outCol: String = "sum"): DataFrame = {
     require(buckets > 0)
-    df.withColumn("__salt", salt(buckets))
+    df.withColumn("__salt", salt(saltCols, buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(valueCol).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -56,10 +61,11 @@ object Salting {
     * the big side's key, so one hot join key spreads over `buckets`
     * tasks. Returns (bigSalted, smallReplicated, saltedKeys). */
   def saltedJoinSides(big: DataFrame, small: DataFrame,
-                      keyCols: Seq[String], buckets: Int)
+                      keyCols: Seq[String], saltCols: Seq[String],
+                      buckets: Int)
       : (DataFrame, DataFrame, Seq[String]) = {
     require(buckets > 0)
-    val bigSalted = big.withColumn("__salt", salt(buckets))
+    val bigSalted = big.withColumn("__salt", salt(saltCols, buckets))
     val smallRep = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     (bigSalted, smallRep, keyCols :+ "__salt")

@@ -68,20 +68,14 @@ object QueryServe {
                k: Int, nprobe: Int,
                watermark: String = "1 minute",
                windowLen: String = "1 minute"): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = centroids
-      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "centroid table is empty")
+    // shared with Ann.ivfAssignBig/ivfSearchStore so the tie-break
+    // (min dist, then min cid) can never drift between paths
+    val cents = graft.operators.Ann.collectCentroids(centroids, cidCol, cvecCol)
     val bc = queries.sparkSession.sparkContext.broadcast(cents)
     val probes = udf { (qv: Seq[Double]) =>
       val arr = qv.toArray
       bc.value.map { case (cid, cv) =>
-        var d = 0.0
-        var j = 0
-        while (j < arr.length) { val t = arr(j) - cv(j); d += t * t; j += 1 }
-        (d, cid)
+        (graft.operators.Ann.l2sqStrict(arr, cv), cid)
       }.sortBy(identity).take(nprobe).map(_._2)
     }
     queries

@@ -26,6 +26,19 @@ class AsOfJoinSpec extends SparkSpec {
       "d" -> None, "e" -> None))
   }
 
+  test("lastBefore: a matched right row with NULL value yields null (no substitution)") {
+    // native-ASOF semantics: the latest matched ROW wins even when its
+    // value is null — an older non-null value must NOT leak through
+    val left = Seq(("a", 1L, 25L)).toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 10L, Option(100.0)), (1L, 20L, Option.empty[Double])
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.lastBefore(left, right, "k", "ts", "ts", "v")
+      .select("lid", "asof_value")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out == Map("a" -> None))
+  }
+
   test("lastBefore is deterministic across partitionings and joins nothing") {
     val left = (1 to 300).map(i => (i, i.toLong % 7, (i * 13 % 101).toLong))
       .toDF("lid", "k", "ts")

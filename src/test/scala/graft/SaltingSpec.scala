@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
 class SaltingSpec extends SparkSpec {
   import spark.implicits._
 
-  // one hot key (90% of rows) + a long tail
+  // one hot key (90% of rows) + a long tail; `id` is the row identity
+  // the salt hashes (retry-deterministic)
   private def skewed = (0 until 2000).map { i =>
-    (if (i % 10 == 0) s"key${i % 50}" else "HOT", i.toDouble)
-  }.toDF("k", "v").repartition(8)
+    (i.toLong, if (i % 10 == 0) s"key${i % 50}" else "HOT", i.toDouble)
+  }.toDF("id", "k", "v").repartition(8)
 
   test("saltedCount equals plain groupBy count") {
     val direct = skewed.groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k").as[(String, Long)].collect().toSeq
-    val salted = Salting.saltedCount(skewed, Seq("k"), buckets = 16)
+    val salted = Salting.saltedCount(skewed, Seq("k"), Seq("id"), buckets = 16)
       .orderBy("k").as[(String, Long)].collect().toSeq
     assert(salted == direct)
   }
@@ -23,7 +24,7 @@ class SaltingSpec extends SparkSpec {
   test("saltedSum equals plain groupBy sum") {
     val direct = skewed.groupBy("k").agg(sum("v").as("sum"))
       .orderBy("k").as[(String, Double)].collect().toMap
-    val salted = Salting.saltedSum(skewed, Seq("k"), "v", buckets = 16)
+    val salted = Salting.saltedSum(skewed, Seq("k"), Seq("id"), "v", buckets = 16)
       .orderBy("k").as[(String, Double)].collect().toMap
     assert(salted.keySet == direct.keySet)
     salted.foreach { case (k, s) =>
@@ -31,14 +32,17 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
-  test("IDENTICAL hot rows spread across many salts (a content hash would not)") {
-    // the pathological skew case is millions of byte-identical rows;
-    // a row-content hash maps them all to ONE salt — zero spread.
-    val dup = Seq.fill(512)(("HOT", 1.0)).toDF("k", "v").repartition(4)
-    val spread = dup.withColumn("__salt", Salting.salt(16))
+  test("identical payloads spread across salts via their identity columns") {
+    // the pathological skew case is millions of byte-identical
+    // payloads; a payload hash maps them all to ONE salt — hashing the
+    // row IDENTITY spreads them AND stays deterministic under retry
+    // (a positional salt would re-deal rows on partial stage rerun).
+    val dup = (0 until 512).map(i => (i.toLong, "HOT", 1.0))
+      .toDF("id", "k", "v").repartition(4)
+    val spread = dup.withColumn("__salt", Salting.salt(Seq("id"), 16))
       .select("__salt").distinct().count()
-    assert(spread > 8, s"identical rows landed on only $spread salts")
-    val n = Salting.saltedCount(dup, Seq("k"), buckets = 16)
+    assert(spread > 8, s"identical payloads landed on only $spread salts")
+    val n = Salting.saltedCount(dup, Seq("k"), Seq("id"), buckets = 16)
       .as[(String, Long)].head()
     assert(n == ("HOT", 512L))
   }
@@ -46,7 +50,7 @@ class SaltingSpec extends SparkSpec {
   test("salted join equals plain join on a skewed key") {
     val dim = Seq(("HOT", 1), ("key0", 2), ("key10", 3)).toDF("k", "attr")
     val direct = skewed.join(dim, Seq("k")).agg(sum("attr")).as[Long].head()
-    val (bigS, smallS, keys) = Salting.saltedJoinSides(skewed, dim, Seq("k"), 8)
+    val (bigS, smallS, keys) = Salting.saltedJoinSides(skewed, dim, Seq("k"), Seq("id"), 8)
     val salted = bigS.join(smallS, keys).agg(sum("attr")).as[Long].head()
     assert(salted == direct)
   }

@@ -47,12 +47,7 @@ object Bench {
     // checkpoint intermediates (e.g. the dedup shingle rows) otherwise
     // hold blocks until a GC-triggered ContextCleaner pass, skewing
     // later queries' timings.
-    // catalog.clearCache drops Dataset.persist entries (CacheManager);
-    // the RDD loop drops localCheckpoint blocks, which live outside it.
-    def dropCachedBlocks(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    def dropCachedBlocks(): Unit = SessionHygiene.dropCachedBlocks(spark)
     dropCachedBlocks()
     var failures = Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

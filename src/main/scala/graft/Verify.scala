@@ -27,8 +27,7 @@ object Verify {
       }
       // operators that persist intermediates (dedup shingles) pin their
       // cache in the CacheManager for the session — drop between queries
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      SessionHygiene.dropCachedBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -59,27 +59,27 @@ object Ann {
     }.toIndexedSeq: _*)
     // array_min orders structs lexicographically: min distance first,
     // then min centroid id — the deterministic tie-break for free.
-    corpus.withColumn("cluster_id", array_min(distStructs).getField("cid"))
+    // Degenerate rows must not assign silently: a null distance (null
+    // embedding, null element, or dim mismatch) sorts FIRST in struct
+    // order, so unguarded array_min would hand such rows cluster
+    // min-cid. Contract (same as ivfAssignBig): null embedding → null
+    // cluster_id; a non-null embedding whose distance is null (dim
+    // mismatch / null element) fails loudly.
+    val best = array_min(distStructs)
+    corpus.withColumn("cluster_id",
+      when(col(embCol).isNull, lit(null).cast("long"))
+        .when(best.getField("d").isNull,
+          raise_error(concat(
+            lit("ivfAssign: null distance (dim mismatch or null element) for id "),
+            col(idCol).cast("string"))))
+        .otherwise(best.getField("cid")))
   }
 
-  /** [[ivfAssign]] for REAL centroid counts (k from hundreds to tens
-    * of thousands): the literal-inline form grows the expression tree
-    * — and Janino codegen — linearly with k (megabyte-scale generated
-    * code by k≈4096). Here the centroid table is broadcast ONCE as a
-    * plain array and the argmin runs as a tight JVM loop per row:
-    * still one narrow pass over the corpus, no shuffle, and a
-    * CONSTANT-size plan independent of k.
-    *
-    * This is a documented exception to the prefer-builtins rule: a SQL
-    * expression cannot reference a k×dim side input without inlining
-    * it as literals, so at real k the UDF-over-broadcast form IS the
-    * scale-correct plan. Tie-break matches [[ivfAssign]] exactly:
-    * minimum distance, then minimum centroid id (centroids iterate in
-    * ascending-cid order and only a strictly smaller distance
-    * replaces the incumbent). */
   /** Collect a centroid table to a sorted driver array (k rows by
-    * definition) — shared by [[ivfAssignBig]], [[ivfSearchStore]] and
-    * the streaming probe path so tie-breaks can never drift apart. */
+    * definition) — shared by [[ivfAssignBig]] and the streaming probe
+    * path ([[graft.streaming.QueryServe.serveIvf]]) so their
+    * tie-breaks cannot drift apart; [[ivfSearchStore]] selects probes
+    * via the equivalent declarative orderBy(dist, cid) instead. */
   private[graft] def collectCentroids(centroids: DataFrame, cidCol: String,
                                       cvecCol: String): Array[(Long, Array[Double])] = {
     val cents = centroids
@@ -102,12 +102,27 @@ object Ann {
     d
   }
 
+  /** [[ivfAssign]] for REAL centroid counts (k from hundreds to tens
+    * of thousands): the literal-inline form grows the expression tree
+    * — and Janino codegen — linearly with k (megabyte-scale generated
+    * code by k≈4096). Here the centroid table is broadcast ONCE as a
+    * plain array and the argmin runs as a tight JVM loop per row:
+    * still one narrow pass over the corpus, no shuffle, and a
+    * CONSTANT-size plan independent of k.
+    *
+    * This is a documented exception to the prefer-builtins rule: a SQL
+    * expression cannot reference a k×dim side input without inlining
+    * it as literals, so at real k the UDF-over-broadcast form IS the
+    * scale-correct plan. Tie-break matches [[ivfAssign]] exactly:
+    * minimum distance, then minimum centroid id (centroids iterate in
+    * ascending-cid order and only a strictly smaller distance
+    * replaces the incumbent). */
   def ivfAssignBig(corpus: DataFrame, embCol: String, idCol: String,
                    centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
     val cents = collectCentroids(centroids, cidCol, cvecCol)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    // null embedding → null cluster_id (matches the expression path of
-    // ivfAssign); mismatched dims fail loudly via l2sqStrict.
+    // null embedding → null cluster_id; mismatched dims fail loudly via
+    // l2sqStrict — the same contract ivfAssign enforces expression-side.
     val assign = udf { (emb: Seq[Double]) =>
       if (emb == null) Option.empty[Long]
       else {

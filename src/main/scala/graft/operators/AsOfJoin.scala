@@ -39,9 +39,11 @@ object AsOfJoin {
   def lastBefore(left: DataFrame, right: DataFrame, keyCol: String,
                  ltsCol: String, rtsCol: String, valCol: String,
                  outCol: String = "asof_value"): DataFrame = {
-    val reserved = Seq("__key", "__ts", "__side", "__v", "__row", outCol)
-    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    val temps = Set("__key", "__ts", "__side", "__v", "__row")
+    val clash = (left.columns ++ right.columns).toSet
+      .intersect(temps + outCol)
     require(clash.isEmpty, s"input columns collide with temp names: $clash")
+    require(!temps.contains(outCol), s"outCol $outCol is a reserved temp name")
     val valType = right.schema(valCol).dataType
     val boxType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", valType)))
@@ -51,7 +53,11 @@ object AsOfJoin {
       lit(1).as("__side"),
       lit(null).cast(boxType).as("__v"),
       struct(left.columns.map(col): _*).as("__row"))
-    val rt = right.select(
+    // native-ASOF key semantics: a NULL key never matches — null-key
+    // right rows are dropped (they could otherwise pair with null-key
+    // left rows via the window's null-grouping); null-key LEFT rows
+    // still emit, with a null as-of value, preserving left-join shape.
+    val rt = right.filter(col(keyCol).isNotNull).select(
       col(keyCol).as("__key"),
       col(rtsCol).as("__ts"),
       lit(0).as("__side"),

@@ -68,15 +68,21 @@ object QueryServe {
                k: Int, nprobe: Int,
                watermark: String = "1 minute",
                windowLen: String = "1 minute"): DataFrame = {
-    // shared with Ann.ivfAssignBig/ivfSearchStore so the tie-break
-    // (min dist, then min cid) can never drift between paths
+    // shared with Ann.ivfAssignBig so the tie-break (min dist, then
+    // min cid) cannot drift between the assign and serve paths
     val cents = graft.operators.Ann.collectCentroids(centroids, cidCol, cvecCol)
     val bc = queries.sparkSession.sparkContext.broadcast(cents)
+    // a null query vector probes NOTHING (empty array → explode drops
+    // the record) instead of NPE-killing the whole streaming query —
+    // one malformed query must not take down serving
     val probes = udf { (qv: Seq[Double]) =>
-      val arr = qv.toArray
-      bc.value.map { case (cid, cv) =>
-        (graft.operators.Ann.l2sqStrict(arr, cv), cid)
-      }.sortBy(identity).take(nprobe).map(_._2)
+      if (qv == null) Array.empty[Long]
+      else {
+        val arr = qv.toArray
+        bc.value.map { case (cid, cv) =>
+          (graft.operators.Ann.l2sqStrict(arr, cv), cid)
+        }.sortBy(identity).take(nprobe).map(_._2)
+      }
     }
     queries
       .withWatermark(tsCol, watermark)

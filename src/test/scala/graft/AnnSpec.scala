@@ -39,6 +39,20 @@ class AnnSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("both assign paths send a null embedding to a null cluster_id") {
+    val withNull = corpus.unionByName(
+      Seq((99L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    def clusterOf99(assigned: org.apache.spark.sql.DataFrame): Option[Long] =
+      assigned.filter($"vec_id" === 99L)
+        .select("cluster_id").as[Option[Long]].head()
+    val viaLiteral = Ann.ivfAssign(withNull, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val viaBroadcast = Ann.ivfAssignBig(withNull, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    assert(clusterOf99(viaLiteral).isEmpty)
+    assert(clusterOf99(viaBroadcast).isEmpty)
+  }
+
   test("ivfAssignBig agrees with ivfAssign and stays a narrow constant-size plan") {
     val a1 = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
       .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap

@@ -39,6 +39,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("a" -> None))
   }
 
+  test("lastBefore: NULL keys never match (native-ASOF key semantics)") {
+    val left = Seq(("a", Option.empty[Long], 25L), ("b", Option(1L), 25L))
+      .toDF("lid", "k", "ts")
+    val right = Seq((Option.empty[Long], 10L, 7.0), (Option(1L), 10L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.lastBefore(left, right, "k", "ts", "ts", "v")
+      .select("lid", "asof_value")
+      .as[(String, Option[Double])].collect().toMap
+    // null-key left row still emits (left join) but matches nothing
+    assert(out == Map("a" -> None, "b" -> Some(9.0)))
+  }
+
   test("lastBefore is deterministic across partitionings and joins nothing") {
     val left = (1 to 300).map(i => (i, i.toLong % 7, (i * 13 % 101).toLong))
       .toDF("lid", "k", "ts")

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * temporal density (rows per width-window), not |L|·|R|.
   *
   * Integer floor-division bucketing (pmod-based) — no double rounding
-  * at epoch-micros magnitudes, correct for negative timestamps. */
+  * at epoch-micros magnitudes, correct for negative timestamps. Rows
+  * with a NULL timestamp never pair (standard SQL join-key
+  * semantics: their bucket is null, and null keys don't match). */
 object RangeJoin {
 
   private def bucket(c: org.apache.spark.sql.Column, width: Long) =

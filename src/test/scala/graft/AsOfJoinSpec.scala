@@ -51,6 +51,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("a" -> None, "b" -> Some(9.0)))
   }
 
+  test("property: lastBefore equals brute force on random series (incl. null values)") {
+    import org.scalacheck.Gen
+    val gen = for {
+      ls <- Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 50L)))
+      rs <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 50L),
+        Gen.option(Gen.chooseNum(1, 99))))
+    } yield (ls, rs)
+    PropHelper.forAll(gen, n = 20) { case (ls, rs) =>
+      // dedupe right per (k, ts): keep max value (Some > None) — the
+      // determinism contract the operator documents
+      val rDeduped = rs.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+        (k, t, g.map(_._3).maxBy(_.getOrElse(Int.MinValue)))
+      }.toSeq
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i, k, t) }
+        .toDF("lid", "k", "ts")
+      val right = spark.createDataFrame(rDeduped).toDF("k", "ts", "v")
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val prior = rDeduped.filter(r => r._1 == k && r._2 <= t)
+        i -> (if (prior.isEmpty) None
+              else prior.maxBy(_._2)._3.map(_.toDouble))
+      }.toMap
+      val got = AsOfJoin.lastBefore(left, right, "k", "ts", "ts", "v")
+        .select("lid", "asof_value")
+        .as[(Int, Option[Int])].collect()
+        .map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("lastBefore is deterministic across partitionings and joins nothing") {
     val left = (1 to 300).map(i => (i, i.toLong % 7, (i * 13 % 101).toLong))
       .toDF("lid", "k", "ts")

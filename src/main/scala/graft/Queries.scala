@@ -524,6 +524,38 @@ object Queries {
       ORDER BY s.doc_id"""
     })
 
+  private val t8 = QuerySpec("t8_lm_score",
+    // Corpus-LM quality scoring (the KenLM-style signal web-scale
+    // pipelines filter on): unigram model from the corpus itself, each
+    // doc scored by its mean word log-probability. Two aggregations:
+    // the frequency table (map-side partials on word), then a join
+    // back and a per-doc mean — both shuffles carry words/ids, never
+    // documents. avg re-association noise (~1e-13) is absorbed by
+    // round(4), the e1 precedent.
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "[ \t\n]+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val freq = words.groupBy("w").agg(count(lit(1)).as("wn"))
+      val tot = freq.agg(sum("wn").as("n"))
+      words.join(freq, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("wn") / col("n"))), 4).as("avg_logp"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w2 AS (SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
+          FROM documents) WHERE len(w) > 0),
+      freq AS (SELECT w, count(*) AS wn FROM w2 GROUP BY w),
+      tot AS (SELECT sum(wn) AS n FROM freq)
+      SELECT doc_id, round(avg(ln(wn / n)), 4) AS avg_logp,
+        count(*) AS n_words
+      FROM w2 JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   // ======================================================================
   // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
   // Jaccard, embedding near-dup)
@@ -1549,7 +1581,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7,
+    t1, t2, t3, t4, t5, t6, t7, t8,
     d1, d2, d3, d4, d5, d6, d7, d8,
     v1, v2, v3, v4, v5, v6, v7,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,

@@ -232,7 +232,18 @@ object Dedup {
     * grows as the threshold tightens (w ∝ maxDist): at true near-dup
     * thresholds the grid is sparse; at loose "mild similarity"
     * thresholds prefer [[graft.operators.LshAnn.approxSelfJoin]] and
-    * accept approximation. */
+    * accept approximation.
+    *
+    * SIZE `nProj` to the corpus: candidates are O(n² · Π pⱼ) where pⱼ
+    * (per-projection collision probability) is fixed by w and the data
+    * spread, so at fixed nProj candidate count grows quadratically
+    * with corpus size; each added projection multiplies candidates by
+    * pⱼ (≈0.1-0.3) at the cost of doubling the 2^nProj cell emission —
+    * raise nProj as n grows so per-cell occupancy stays O(1). Measured
+    * on a 20×-replicated sf0.1 corpus (80k vectors, identical exact
+    * output at every setting): nProj=3 → 467 s, nProj=5 → 61 s,
+    * nProj=6 → 164 s (emission cost passes the pruning gain) — the
+    * optimum grows roughly logarithmically with density. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
                         maxDist: Double, dim: Int, nProj: Int = 3): DataFrame = {
     require(nProj >= 1 && nProj <= 6, s"nProj must be 1..6, got $nProj")

@@ -246,8 +246,20 @@ object Dedup {
     * optimum grows roughly logarithmically with density. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
                         maxDist: Double, dim: Int, nProj: Int = 3): DataFrame = {
-    require(nProj >= 1 && nProj <= 6, s"nProj must be 1..6, got $nProj")
+    require(nProj == 0 || (nProj >= 1 && nProj <= 6),
+      s"nProj must be 1..6, or 0 for auto, got $nProj")
     require(maxDist > 0, "maxDist must be positive")
+    // nProj = 0 → auto-size from corpus count (one cheap narrow scan),
+    // following the measured optimum curve: +1 projection per ~5×
+    // density past the 4k-row baseline, capped where 2^nProj emission
+    // outgrows the pruning (see the sizing note above).
+    val chosenProj =
+      if (nProj > 0) nProj
+      else {
+        val n = df.count()
+        val extra = math.max(0.0, math.ceil(math.log(n / 4000.0) / math.log(5.0)))
+        math.min(6, 3 + extra.toInt)
+      }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val w = maxDist * math.sqrt(dim.toDouble)
     val base = df
@@ -263,24 +275,24 @@ object Dedup {
       lit(0.0), (acc, x) => acc + x)
     val projected = base.select(
       (Seq(col("doc_id"), col("emb")) ++
-        (0 until nProj).map(j => proj(j).as(s"__p$j"))): _*)
+        (0 until chosenProj).map(j => proj(j).as(s"__p$j"))): _*)
     // 2^nProj corner cells per row: every pair within w per projection
     // lands in the same cell for at least one corner choice.
-    val combos = (0 until (1 << nProj)).map { mask =>
-      struct((0 until nProj).map { j =>
+    val combos = (0 until (1 << chosenProj)).map { mask =>
+      struct((0 until chosenProj).map { j =>
         (floor(col(s"__p$j") / w).cast("long") + ((mask >> j) & 1)).as(s"c$j")
       }: _*)
     }
     val bands = projected.select(
       (Seq(col("doc_id"), explode(array(combos: _*)).as("cell")) ++
-        (0 until nProj).map(j => col(s"__p$j"))): _*)
+        (0 until chosenProj).map(j => col(s"__p$j"))): _*)
     val left = bands.select(
       (Seq(col("cell"), col("doc_id").as("doc_a")) ++
-        (0 until nProj).map(j => col(s"__p$j").as(s"__pa$j"))): _*)
+        (0 until chosenProj).map(j => col(s"__p$j").as(s"__pa$j"))): _*)
     val right = bands.select(
       (Seq(col("cell"), col("doc_id").as("doc_b")) ++
-        (0 until nProj).map(j => col(s"__p$j").as(s"__pb$j"))): _*)
-    val withinW = (0 until nProj)
+        (0 until chosenProj).map(j => col(s"__p$j").as(s"__pb$j"))): _*)
+    val withinW = (0 until chosenProj)
       .map(j => abs(col(s"__pa$j") - col(s"__pb$j")) <= w)
       .reduce(_ && _)
     val cand = left.join(right, Seq("cell"))

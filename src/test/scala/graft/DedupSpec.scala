@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embeddingNearDups auto nProj (0) gives the same exact answer") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val base = (0 until 50).map { i =>
+      val v = Array.fill(dim)(rnd.nextDouble())
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(base).toDF("vec_id", "emb")
+    def run(np: Int) =
+      Dedup.embeddingNearDups(df, "vec_id", "emb", 0.3, dim, nProj = np)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(run(0) == run(3)) // auto picks 3 at this size; answers identical
+  }
+
   test("embeddingNearDups plan has no corpus broadcast and no cartesian stage") {
     val df = (0 until 40).map(i => (i.toLong, Array.fill(8)(i * 0.01)))
       .toDF("vec_id", "emb")

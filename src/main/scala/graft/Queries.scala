@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Chunker, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -555,6 +555,203 @@ object Queries {
         count(*) AS n_words
       FROM w2 JOIN freq USING (w) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ======================================================================
+  // Corpus curation (north star: repetition quality filters, hash
+  // split, mixture sampling, contamination audit — operators/Curation)
+  // ======================================================================
+
+  /** DuckDB mirror of Curation.hashBucket: numeric value of the first
+    * 8 hex chars of md5(key), big-endian, mod `buckets`. */
+  private def hashBucketSql(key: String, buckets: Int): String = {
+    val hv = (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+    }.mkString(" + ")
+    s"(($hv) % $buckets)"
+  }
+
+  private val t9 = QuerySpec("t9_repetition_stats",
+    // Gopher-style repetition filters: top-bigram fraction + duplicate-
+    // trigram fraction per doc, keep-flag at the published thresholds.
+    (s, d) => Curation.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
+        FROM documents),
+      g2 AS (SELECT doc_id, 2 AS n, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS gram
+        FROM ws),
+      g3 AS (SELECT doc_id, 3 AS n, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS gram
+        FROM ws),
+      cnt AS (SELECT doc_id, n, gram, count(*) AS cnt
+        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) GROUP BY 1, 2, 3),
+      agg AS (SELECT doc_id,
+        max(CASE WHEN n = 2 THEN cnt END) AS top2,
+        sum(CASE WHEN n = 2 THEN cnt END) AS tot2,
+        sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
+        sum(CASE WHEN n = 3 THEN cnt END) AS tot3
+        FROM cnt GROUP BY doc_id),
+      fr AS (SELECT d.doc_id,
+        round(CASE WHEN coalesce(tot2, 0) > 0
+          THEN CAST(coalesce(top2, 0) AS DOUBLE) / tot2 ELSE 0.0 END, 6) AS top2_frac,
+        round(CASE WHEN coalesce(tot3, 0) > 0
+          THEN CAST(coalesce(dup3, 0) AS DOUBLE) / tot3 ELSE 0.0 END, 6) AS dup3_frac
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+      SELECT doc_id, top2_frac, dup3_frac,
+        (top2_frac <= 0.18 AND dup3_frac <= 0.30) AS keep
+      FROM fr ORDER BY doc_id"""))
+
+  private val t10 = QuerySpec("t10_hash_split",
+    // Deterministic train/valid/test split by id hash (stable under
+    // corpus growth, engine-portable — no rand(seed) layout dependence)
+    // + per-split doc and token totals.
+    (s, d) => Curation.hashSplit(t(s, d, "documents"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("split"),
+    Some(s"""SELECT split, count(*) AS n_docs,
+        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
+      FROM (SELECT text,
+        CASE WHEN ${hashBucketSql("doc_id", 100)} < 80 THEN 'train'
+          WHEN ${hashBucketSql("doc_id", 100)} < 90 THEN 'valid'
+          ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY split ORDER BY split"""))
+
+  private val t11 = QuerySpec("t11_contamination",
+    // Benchmark-contamination audit: distinct 3-gram overlap between
+    // the train slice and a small "benchmark" slice (doc_id % 100 = 0),
+    // join keyed on the gram (never all-pairs).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.contamination(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          "doc_id", "text", k = 3, minShared = 3)
+        .orderBy("train_doc", "eval_doc")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
+        FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh FROM ws),
+      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 <> 0),
+      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 = 0),
+      ng AS (SELECT train_doc, count(*) AS n_train_grams FROM tg GROUP BY 1),
+      pairs AS (SELECT train_doc, eval_doc, count(*) AS n_shared
+        FROM tg JOIN eg USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT train_doc, eval_doc, n_shared,
+        round(CAST(n_shared AS DOUBLE) / n_train_grams, 6) AS contaminated_frac
+      FROM pairs JOIN ng USING (train_doc) ORDER BY train_doc, eval_doc"""))
+
+  private val MixRates = Seq(
+    "de" -> 1.0, "en" -> 0.5, "es" -> 0.75, "fr" -> 0.25, "zh" -> 0.1)
+
+  private val t12 = QuerySpec("t12_mixture_sample",
+    // Data mixing: per-language keep rates applied as a deterministic
+    // per-row hash Bernoulli (narrow filter, stable across runs) —
+    // report per-language totals vs kept.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = Curation.mixtureSample(docs, "doc_id", "lang", MixRates.toMap)
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some {
+      val rate = MixRates.foldRight("1.0") { case ((g, r), acc) =>
+        s"CASE WHEN lang = '$g' THEN $r ELSE $acc END"
+      }
+      s"""SELECT lang, count(*) AS n_total,
+        CAST(sum(CASE WHEN ${hashBucketSql("doc_id", 10000)} < ($rate) * 10000
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang ORDER BY lang"""
+    })
+
+  // ======================================================================
+  // Lexical retrieval + hybrid fusion (operators/Bm25): the lexical
+  // half the vector-only reference lacks, and the RRF tail that fuses
+  // it with the ANN stage
+  // ======================================================================
+
+  private val Bm25Terms = Seq("join", "merge", "stream")
+
+  /** DuckDB mirror of Bm25.score for [[Bm25Terms]]: CTE chain ending in
+    * `scored(doc_id, tf_*, bm25)`. Same fold order, same constants. */
+  private def bm25Ctes: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(toks, w -> w = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+    val scoreSum = Bm25Terms.map { t =>
+      s"""(CASE WHEN tf_$t > 0 THEN
+        ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * (1.2 + 1.0)
+          / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        ELSE 0.0 END)"""
+    }.mkString(" + ")
+    s"""toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
+          w -> len(w) > 0) AS toks
+        FROM documents),
+      tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols FROM toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols
+        FROM tf),
+      scored AS (SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+        $scoreSum AS bm25 FROM tf CROSS JOIN stats)"""
+  }
+
+  private val b1 = QuerySpec("b1_bm25_topk",
+    // BM25 serving form: fixed query, per-doc tf as narrow HOFs, ONE
+    // global stats row broadcast back, TakeOrderedAndProject top-k —
+    // the corpus never shuffles.
+    (s, d) => Bm25.topK(t(s, d, "documents"), "doc_id", "text", Bm25Terms, 10)
+      .select(Seq(col("doc_id")) ++
+        Bm25Terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+        round(col("bm25"), 6).as("bm25"): _*),
+    Some(s"""WITH $bm25Ctes
+      SELECT doc_id, ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+        round(bm25, 6) AS bm25
+      FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+
+  private val r2 = QuerySpec("r2_rrf_fusion",
+    // Hybrid retrieval tail: BM25 top-50 × cosine-kNN top-50 →
+    // reciprocal-rank fusion → top-10. Both lists are k-bounded BEFORE
+    // the fusion join, so fusion cost is k², corpus-size-independent.
+    (s, d) => {
+      val lex = Bm25.rankBounded(
+        Bm25.topK(t(s, d, "documents"), "doc_id", "text", Bm25Terms, 50),
+        Seq(desc("bm25"), asc("doc_id"))).select("doc_id", "rank")
+      val vec = Bm25.rankBounded(
+        t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
+          .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
+          .orderBy(desc("cos"), asc("vec_id")).limit(50),
+        Seq(desc("cos"), asc("vec_id")))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Bm25.rrf(lex, vec, "doc_id")
+        .orderBy(desc("rrf_score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"),
+          col("rank_a").as("rank_lex"), col("rank_b").as("rank_vec"))
+    },
+    Some(s"""WITH $bm25Ctes,
+      lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 50)),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      vec AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+        FROM (SELECT vec_id AS doc_id, ${cosineSql("embedding", "qv")} AS cos
+          FROM embeddings CROSS JOIN q
+          ORDER BY cos DESC, doc_id LIMIT 50)),
+      fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        coalesce(1.0 / (60.0 + rank_lex), 0.0)
+          + coalesce(1.0 / (60.0 + rank_vec), 0.0) AS rrf_raw,
+        rank_lex, rank_vec
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      SELECT doc_id, round(rrf_raw, 6) AS rrf_score, rank_lex, rank_vec
+      FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10"""))
 
   // ======================================================================
   // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
@@ -1581,9 +1778,9 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
     d1, d2, d3, d4, d5, d6, d7, d8,
-    v1, v2, v3, v4, v5, v6, v7,
+    v1, v2, v3, v4, v5, v6, v7, b1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

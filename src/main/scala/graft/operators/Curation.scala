@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the LLM-training-data surface (north
+  * star beyond the reference): repetition-based quality filters
+  * (Gopher §A2-style), deterministic hash splits, per-group mixture
+  * sampling, and benchmark-contamination detection.
+  *
+  * Everything here is declarative DataFrame composition — narrow
+  * per-row expressions plus hash-keyed shuffles (gram/doc keys), never
+  * all-pairs, never a driver loop — so each operator keeps its shape on
+  * a 1000-executor cluster. Every operator is mirrored by an exact
+  * DuckDB oracle in [[graft.Queries]].
+  */
+object Curation {
+
+  private val Ws = "[ \t\n]+"
+
+  /** Non-distinct word n-grams (repetition COUNTS matter here, unlike
+    * [[graft.functions.TextAnalysis.shingles]] which deduplicates for
+    * set-similarity). Empty array below k words. */
+  def ngrams(text: Column, k: Int): Column = {
+    val ws = split(trim(text), Ws)
+    when(size(ws) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+  }
+
+  /** Gopher-style repetition statistics per document:
+    *   - `top2_frac`: occurrences of the MOST FREQUENT word bigram over
+    *     total bigrams (Gopher rejects > 0.18 at n=2);
+    *   - `dup3_frac`: fraction of trigram OCCURRENCES whose trigram
+    *     appears more than once;
+    *   - `keep`: both under the supplied thresholds.
+    * Shape: one generator explodes tagged 2- and 3-grams, one shuffle
+    * on (doc, n, gram) counts them, one partial-agg shuffle folds the
+    * per-gram counts back to per-doc stats — gram-keyed exchanges only,
+    * the same scale contract as the winnowing fingerprint (t6). Docs
+    * shorter than 3 words have no trigrams: their fractions are 0
+    * (nothing repeated), not null. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxTop2: Double = 0.18,
+                      maxDup3: Double = 0.30): DataFrame = {
+    val tagged = df.select(col(idCol).as("doc_id"),
+      explode_outer(concat(
+        transform(ngrams(col(textCol), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(ngrams(col(textCol), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+        .as("t"))
+    val counts = tagged
+      .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val safeFrac = (num: Column, den: Column) =>
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    counts.groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 2, col("cnt"))).as("top2"),
+        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
+        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("dup3"),
+        sum(when(col("n") === 3, col("cnt"))).as("tot3"))
+      .select(col("doc_id"),
+        round(safeFrac(coalesce(col("top2"), lit(0L)), coalesce(col("tot2"), lit(0L))), 6)
+          .as("top2_frac"),
+        round(safeFrac(coalesce(col("dup3"), lit(0L)), coalesce(col("tot3"), lit(0L))), 6)
+          .as("dup3_frac"))
+      .withColumn("keep", col("top2_frac") <= maxTop2 && col("dup3_frac") <= maxDup3)
+  }
+
+  /** Engine-portable deterministic bucket in [0, buckets): first 8 hex
+    * chars of md5 of the key's string form, mod buckets. Pure per-row
+    * expression — the split of a 100 TB corpus is a narrow map, no
+    * shuffle, reproducible across engines/runs (unlike `rand(seed)`,
+    * which is partition-layout-dependent). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic train/validation/test assignment by content-free id
+    * hash: stable under corpus growth (a doc never changes split), the
+    * property shuffle-based sampling loses on re-ingestion. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct < 100, "need a non-empty test slice")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Per-group mixture sampling: keep each row with its group's target
+    * rate, decided by the row's OWN deterministic hash (Bernoulli per
+    * row, exact-in-expectation per group). `rates` maps group value →
+    * keep rate in [0,1]; groups absent from the map keep everything.
+    * This is the "data mixing" step of a training pipeline (upweight
+    * rare languages / downsample boilerplate domains) as a narrow
+    * filter — no shuffle, no sort, stable across runs. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 10000).cast("double") < rate * 10000)
+  }
+
+  /** Benchmark-contamination audit: for every (train doc, eval doc)
+    * pair sharing at least `minShared` distinct word k-grams, report
+    * the shared-gram count and the contaminated fraction of the train
+    * doc's grams. The join key is the GRAM (hash-sized, high
+    * cardinality), so candidates shuffle by gram and aggregate by pair
+    * — the eval side is typically tiny but is NOT broadcast-required;
+    * the plan holds even when the eval set is itself large. */
+  def contamination(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int, minShared: Int): DataFrame = {
+    import graft.functions.TextAnalysis
+    def grams(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_doc"),
+          explode(TextAnalysis.shingles(col(textCol), k)).as("gram"))
+    val tGrams = grams(train, "train")
+    val nGrams = tGrams.groupBy("train_doc")
+      .agg(count(lit(1)).as("n_train_grams"))
+    tGrams.join(grams(eval, "eval"), Seq("gram"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nGrams, Seq("train_doc"))
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_train_grams"), 6)
+          .as("contaminated_frac"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.functions._
+
+/** BM25 scores vs the hand-computed Robertson formula; RRF fusion vs
+  * direct arithmetic. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "spark join join fast"),
+    (1L, "merge sort merge"),
+    (2L, "join merge stream"),
+    (3L, "nothing relevant here at all today"),
+    (4L, "stream stream stream stream")).toDF("doc_id", "text")
+
+  test("score matches the closed-form BM25 with k1=1.2 b=0.75") {
+    val got = Bm25.score(corpus, "text", Seq("join", "merge"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+
+    val texts = Map(0L -> "spark join join fast", 1L -> "merge sort merge",
+      2L -> "join merge stream", 3L -> "nothing relevant here at all today",
+      4L -> "stream stream stream stream")
+    val n = texts.size.toDouble
+    val dls = texts.map { case (k, v) => k -> v.split(" ").length.toDouble }
+    val avgdl = dls.values.sum / n
+    def tf(id: Long, t: String) = texts(id).split(" ").count(_ == t).toDouble
+    def df(t: String) = texts.keys.count(id => tf(id, t) > 0).toDouble
+    def s(id: Long, t: String): Double = {
+      val f = tf(id, t)
+      if (f == 0) 0.0
+      else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
+        (f + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+    }
+    texts.keys.foreach { id =>
+      assert(math.abs(got(id) - (s(id, "join") + s(id, "merge"))) < 1e-12, id)
+    }
+  }
+
+  test("topK returns only positive scores, ordered desc with id tie-break") {
+    val r = Bm25.topK(corpus, "doc_id", "text", Seq("join", "merge"), 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+    assert(r.forall(_._2 > 0))
+    assert(!r.map(_._1).contains(3L) && !r.map(_._1).contains(4L))
+    assert(r == r.sortBy(p => (-p._2, p._1)))
+  }
+
+  test("rrf fuses bounded lists; absent docs score one-sided") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Bm25.rrf(a, b, "doc_id")
+      .select("doc_id", "rrf_score").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(4L) - 1.0 / 62) < 1e-12)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("fixed-order term sum: scores are reproducible across partitionings") {
+    val r1 = Bm25.score(corpus, "text", Seq("join", "merge", "stream"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val r2 = Bm25.score(corpus.repartition(5), "text", Seq("join", "merge", "stream"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(r1 == r2)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators vs brute-force recomputation on small corpora. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a b a b a b a b"),              // one bigram dominates
+    (1L, "x y z w v u t s r q"),          // all grams unique
+    (2L, "p q r p q r p q r"),            // repeated trigram
+    (3L, ""),                             // empty
+    (4L, "solo"),                         // 1 word: no grams at all
+    (5L, "two words")                     // bigram exists, no trigram
+  ).toDF("doc_id", "text")
+
+  test("repetitionStats matches hand-computed fractions and keeps every doc") {
+    val r = Curation.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top2_frac", "dup3_frac", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(r.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // doc 0: bigrams = [ab,ba,ab,ba,ab,ba,ab] → top "a b"=4/7;
+    // trigrams = [aba,bab]×alternating over 6 → all duplicated
+    assert(math.abs(r(0)._2 - 4.0 / 7) < 1e-6)
+    assert(r(0)._3 == 1.0 && !r(0)._4)
+    // doc 1: nothing repeats → top2 = 1/9, dup3 = 0, kept
+    assert(math.abs(r(1)._2 - 1.0 / 9) < 1e-6 && r(1)._3 == 0.0 && r(1)._4)
+    // doc 2: "p q r ..." trigram pqr ×3 of 7 + qrp ×2 + rpq ×2 → dup3 = 1
+    assert(r(2)._3 == 1.0 && !r(2)._4)
+    // degenerate docs: fractions 0, kept
+    Seq(r(3), r(4)).foreach { x => assert(x._2 == 0.0 && x._3 == 0.0 && x._4) }
+    // doc 5: one bigram occurrence → top2 = 1.0 > 0.18 → rejected
+    assert(r(5)._2 == 1.0 && !r(5)._4)
+  }
+
+  test("hashSplit is deterministic, total-preserving, and roughly proportioned") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val a = Curation.hashSplit(ids, "doc_id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val b = Curation.hashSplit(ids.repartition(7), "doc_id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(a == b, "split must not depend on partition layout")
+    assert(a.values.sum == 2000)
+    assert(a("train") > 1400 && a("train") < 1800)
+    assert(a("valid") > 100 && a("test") > 100)
+  }
+
+  test("a doc keeps its split when the corpus grows") {
+    val small = Curation.hashSplit((0L until 100L).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val big = Curation.hashSplit((0L until 1000L).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(big(id) == s) }
+  }
+
+  test("mixtureSample rates: 1.0 keeps all, 0.0 keeps none, others in between") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "g")
+    val kept = Curation.mixtureSample(df, "doc_id", "g",
+        Map("a" -> 1.0, "b" -> 0.0))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("a", 0L) == 500 && !kept.contains("b"))
+    val half = Curation.mixtureSample(df, "doc_id", "g", Map("a" -> 0.5, "b" -> 0.5))
+      .count()
+    assert(half > 350 && half < 650)
+    // unlisted groups keep everything
+    val dfl = Curation.mixtureSample(df, "doc_id", "g", Map("a" -> 0.0))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(dfl("b") == 500 && !dfl.contains("a"))
+  }
+
+  test("contamination equals a brute-force distinct-shingle intersection") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with anything here at all"),
+      (12L, "quick brown fox and also the lazy dog sleeps")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "completely disjoint benchmark sentence tokens")).toDF("doc_id", "text")
+    val got = Curation.contamination(train, eval, "doc_id", "text",
+        k = 3, minShared = 1)
+      .orderBy("train_doc", "eval_doc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    def sh(t: String, k: Int) =
+      t.split(" ").sliding(k).map(_.mkString(" ")).toSet
+    val want = for {
+      (tid, tt) <- Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "nothing in common with anything here at all"),
+        (12L, "quick brown fox and also the lazy dog sleeps"))
+      (eid, et) <- Seq((0L, "the quick brown fox jumps high"),
+        (1L, "completely disjoint benchmark sentence tokens"))
+      shared = (sh(tt, 3) intersect sh(et, 3)).size if shared >= 1
+    } yield (tid, eid, shared.toLong,
+      BigDecimal(shared.toDouble / sh(tt, 3).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got == want.sortBy(p => (p._1, p._2)))
+  }
+}

@@ -28,6 +28,45 @@ object Curation {
         concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
   }
 
+  /** Same semantics as [[ngrams]] via a tight Scala loop. The HOF form
+    * re-evaluates the inlined `split` per element_at (interpreted, no
+    * subexpression sharing) — O(words²) per document; measured 13 s for
+    * 5k docs at sf0.1 vs ~1 s with this UDF. Same justification (and
+    * spec-asserted equality) as TextAnalysis.shinglesFast. */
+  def ngramsFast(text: Column, k: Int): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        // SQL-equivalent tokenization: trim strips SPACES only; split
+        // keeps interior empties, limit -1 keeps trailing ones
+        var st = 0
+        var en = t.length
+        while (st < en && t.charAt(st) == ' ') st += 1
+        while (en > st && t.charAt(en - 1) == ' ') en -= 1
+        val ws = t.substring(st, en).split("[ \t\n]+", -1)
+        if (ws.length < k) Array.empty[String]
+        else {
+          val out = new Array[String](ws.length - k + 1)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= ws.length - k) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(ws(i + j))
+              j += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    f(text)
+  }
+
   /** Gopher-style repetition statistics per document:
     *   - `top2_frac`: occurrences of the MOST FREQUENT word bigram over
     *     total bigrams (Gopher rejects > 0.18 at n=2);
@@ -43,10 +82,13 @@ object Curation {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       maxTop2: Double = 0.18,
                       maxDup3: Double = 0.30): DataFrame = {
-    val tagged = df.select(col(idCol).as("doc_id"),
+    // single-file sources scan as ONE partition; spread the per-row
+    // gram generation before it runs (cost ∝ corpus, not partitions)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val tagged = spread.select(col(idCol).as("doc_id"),
       explode_outer(concat(
-        transform(ngrams(col(textCol), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-        transform(ngrams(col(textCol), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+        transform(ngramsFast(col(textCol), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(ngramsFast(col(textCol), 3), g => struct(lit(3).as("n"), g.as("gram")))))
         .as("t"))
     val counts = tagged
       .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
@@ -118,8 +160,9 @@ object Curation {
                     k: Int, minShared: Int): DataFrame = {
     import graft.functions.TextAnalysis
     def grams(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_doc"),
-          explode(TextAnalysis.shingles(col(textCol), k)).as("gram"))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as(s"${side}_doc"),
+          explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
     val tGrams = grams(train, "train")
     val nGrams = tGrams.groupBy("train_doc")
       .agg(count(lit(1)).as("n_train_grams"))

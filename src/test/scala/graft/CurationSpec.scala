@@ -36,6 +36,19 @@ class CurationSpec extends SparkSpec {
     assert(r(5)._2 == 1.0 && !r(5)._4)
   }
 
+  test("ngramsFast equals the expression-form ngrams") {
+    val texts = Seq("", " padded  text ", "a", "a b", "a b c d e f",
+      "tab\tand\nnewline separated words here").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Seq(1, 2, 3).foreach { k =>
+      val slow = texts.select(col("doc_id"), Curation.ngrams(col("text"), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val fast = texts.select(col("doc_id"), Curation.ngramsFast(col("text"), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(fast == slow, s"k=$k")
+    }
+  }
+
   test("hashSplit is deterministic, total-preserving, and roughly proportioned") {
     val ids = (0L until 2000L).toDF("doc_id")
     val a = Curation.hashSplit(ids, "doc_id").groupBy("split").count()

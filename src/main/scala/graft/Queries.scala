@@ -672,6 +672,33 @@ object Queries {
       FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  private val d9 = QuerySpec("d9_dup_spans",
+    // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
+    // maximal runs of ≥8 consecutive shared tokens between doc pairs,
+    // via positional 4-gram match + per-diagonal gaps-and-islands.
+    (s, d) => Curation.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 4, minTokens = 8, maxGramDf = 50)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b"),
+    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
+        FROM documents),
+      grams AS (SELECT doc_id, i AS pos,
+        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+        FROM ws, unnest(range(1, greatest(len(ws) - 2, 1))) AS t(i)),
+      rare AS (SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) <= 50),
+      kept AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+          ORDER BY pos_a) AS grp FROM m),
+      spans AS (SELECT doc_a, doc_b, min(pos_a) AS start_a,
+          min(pos_b) AS start_b, CAST(count(*) + 3 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
+      WHERE span_tokens >= 8 ORDER BY doc_a, doc_b, start_a, start_b"""))
+
   // ======================================================================
   // Lexical retrieval + hybrid fusion (operators/Bm25): the lexical
   // half the vector-only reference lacks, and the RRF tail that fuses
@@ -1779,7 +1806,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
-    d1, d2, d3, d4, d5, d6, d7, d8,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9,
     v1, v2, v3, v4, v5, v6, v7, b1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for the LLM-training-data surface (north
@@ -146,6 +147,57 @@ object Curation {
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), 10000).cast("double") < rate * 10000)
+  }
+
+  /** Exact duplicate-SPAN detection (the substring-dedup family à la
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * suffix-array semantics re-expressed declaratively): for every
+    * document pair sharing a run of ≥ `minTokens` consecutive tokens,
+    * report the maximal shared spans (start positions + token length).
+    *
+    * Plan shape: positional k-grams (tight-loop UDF) → equality join
+    * on the GRAM → per-(pair, diagonal) islands via one window + one
+    * aggregation. Matching positions of a shared run all sit on one
+    * diagonal (pos_a − pos_b), so consecutive pos_a values collapse to
+    * a single span with the classic row_number gaps-and-islands trick.
+    * All exchanges are keyed on grams or (pair, diag) — never all-pairs.
+    *
+    * `maxGramDf` drops grams appearing in more than that many docs
+    * before the join (boilerplate/stop-gram guard): a gram shared by m
+    * docs creates O(m²) candidate rows, so at corpus scale the cap is
+    * what bounds the join — same role as the band-width cap in the
+    * MinHash pipeline. Spans consisting ONLY of such ubiquitous grams
+    * are dropped; that is the documented trade (suffix dedup pipelines
+    * apply the same frequency cut). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minTokens: Int,
+                     maxGramDf: Int = 1000): DataFrame = {
+    require(minTokens >= k, "a span must be at least one k-gram long")
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val grams = spread.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(ngramsFast(col(textCol), k)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val rare = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= maxGramDf)
+      .select("gram")
+    // lazy localCheckpoint: the gram+df-cap pipeline feeds BOTH sides
+    // of the self-join and would execute twice (no cross-subtree CSE);
+    // same shape (and same executor-loss caveat, documented there) as
+    // the shared shingle pipeline in Dedup.minhashNearDups
+    val kept = grams.join(rare, Seq("gram")).localCheckpoint(false)
+    val a = kept.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = kept.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + (k - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
   /** Benchmark-contamination audit: for every (train doc, eval doc)

@@ -85,6 +85,33 @@ class CurationSpec extends SparkSpec {
     assert(dfl("b") == 500 && !dfl.contains("a"))
   }
 
+  test("duplicateSpans finds maximal shared token runs with correct positions") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x c d e f g h i j"),   // shares c..j (8 tokens) from pos 3/3
+      (2L, "a b c d e f q r s t")    // shares a..f (6 tokens) with doc 0
+    ).toDF("doc_id", "text")
+    val got = Curation.duplicateSpans(df, "doc_id", "text", k = 3, minTokens = 5)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 3, 3, 8L), (0L, 2L, 1, 1, 6L)))
+  }
+
+  test("duplicateSpans maxGramDf drops ubiquitous grams and shortens spans") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x c d e f g h i j"),
+      (2L, "a b c d e f q r s t")
+    ).toDF("doc_id", "text")
+    // "c d e" / "d e f" occur in all 3 docs → dropped at cap 2; the
+    // (0,1) span restarts at "e f g" → 6 tokens from pos 5/5
+    val got = Curation.duplicateSpans(df, "doc_id", "text", k = 3,
+        minTokens = 5, maxGramDf = 2)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 5, 5, 6L)))
+  }
+
   test("contamination equals a brute-force distinct-shingle intersection") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -103,12 +103,16 @@ object Bench {
         } else first
       name -> sec
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // The consumer reads a bounded TAIL of this process's output and
+    // json-parses the line — keep it COMPACT (centisecond precision,
+    // no prose) so the whole line always fits in that tail window.
+    def num(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
-    val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":$warmupSec,"timing":"steady-state: min of 2 runs above ${rerunThreshold}s, min of 3 above ${thirdRunThreshold}s","sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":${num(warmupSec)},"sf":"$sfDir"}""")
   }
 }

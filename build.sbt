@@ -16,6 +16,10 @@ run / fork := true
 // consumer that machine-parses a JSON line from `runMain graft.Bench`
 // (the line no longer starts with '{').
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and keep sbt's "[success] Total time" epilogue out of the output
+// tail those consumers read (the JSON line stays the LAST line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

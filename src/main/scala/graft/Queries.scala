@@ -672,6 +672,87 @@ object Queries {
       FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  private val t13 = QuerySpec("t13_length_quantiles",
+    // Quantile-based length trim (the p10/p90 cut of a curation
+    // pipeline): EXACT corpus percentiles of the token count via
+    // `percentile` (linear interpolation — same R-7 definition as
+    // DuckDB's quantile_cont), broadcast back as the per-doc keep rule.
+    // Exact percentile aggregates a count-per-value map, so memory is
+    // ∝ DISTINCT token counts (a small integer domain) — scale-safe
+    // here; a continuous-valued column would use approx_percentile.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      val thr = docs.agg(
+        expr("percentile(n_tokens, 0.1)").as("p10"),
+        expr("percentile(n_tokens, 0.9)").as("p90"))
+      docs.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("p10"), 6).as("p10"), round(col("p90"), 6).as("p90"),
+          (col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id,
+        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS BIGINT) AS n_tokens
+        FROM documents),
+      thr AS (SELECT quantile_cont(n_tokens, 0.1) AS p10,
+        quantile_cont(n_tokens, 0.9) AS p90 FROM tok)
+      SELECT doc_id, n_tokens, round(p10, 6) AS p10, round(p90, 6) AS p90,
+        (n_tokens >= p10 AND n_tokens <= p90) AS keep
+      FROM tok CROSS JOIN thr ORDER BY doc_id"""))
+
+  private val t14 = QuerySpec("t14_bigram_lm",
+    // Bigram LM with add-k smoothing (the KenLM-shaped quality signal,
+    // one order up from t8's unigram): per doc, the mean log of
+    // P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V). Tokenization keeps
+    // empty tokens on BOTH sides so the gram↔unigram joins align
+    // exactly; shuffles carry words/grams and counts, never documents;
+    // the vocabulary size is a broadcast scalar. Docs with fewer than
+    // two tokens have no transitions and drop out of the result on
+    // both engines. round(4) absorbs avg re-association noise (t8
+    // precedent).
+    (s, d) => {
+      val k = 0.5
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
+      val words = docs.select(col("doc_id"),
+        explode(split(col("lt"), "[ \t\n]+")).as("w"))
+      val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+      val bi = docs.select(col("doc_id"),
+        explode(Curation.ngramsFast(col("lt"), 2)).as("gram"))
+      val big = bi.groupBy("gram").agg(count(lit(1)).as("c2"))
+      bi.join(big, Seq("gram"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(round(avg(log((col("c2") + k) / (col("c1") + col("v") * k))), 4)
+            .as("avg_logp"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '$WsSplit') AS ts FROM documents),
+      words AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+      uni AS (SELECT w, count(*) AS c1 FROM words GROUP BY w),
+      vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      bi AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        END) AS gram FROM toks),
+      big AS (SELECT gram, count(*) AS c2 FROM bi GROUP BY gram)
+      SELECT doc_id,
+        round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logp,
+        count(*) AS n_bigrams
+      FROM bi JOIN big USING (gram)
+        JOIN uni ON uni.w = split_part(gram, ' ', 1)
+        CROSS JOIN vocab
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   private val d9 = QuerySpec("d9_dup_spans",
     // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
     // maximal runs of ≥8 consecutive shared tokens between doc pairs,
@@ -907,6 +988,47 @@ object Queries {
         UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
       SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach
       GROUP BY u ORDER BY doc_id"""))
+
+  private val d10 = QuerySpec("d10_dedup_manifest",
+    // Detection → ACTION: the purge manifest a dedup job executes.
+    // Components over the d7 SimHash pair set, joined back to the
+    // corpus for sizes; per duplicate cluster: the canonical keeper
+    // (min doc_id), the cluster size, and the characters reclaimed by
+    // purging the rest. Singleton docs never enter the manifest. The
+    // join and aggregation shuffle component ids and scalar sizes —
+    // never text — so the action step adds no corpus-sized exchange.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val comp = Dedup.components(
+        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 1))
+      comp.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("keep_doc"),
+          (sum("n_chars") - min_by(col("n_chars"), col("doc_id")))
+            .cast("long").as("chars_purged"))
+        .orderBy("component_id")
+    },
+    Some(s"""WITH RECURSIVE $simhashCtes,
+      blocks AS (SELECT doc_id, simhash, b AS block_idx,
+        (simhash >> (b * 8)) & 255 AS block_val
+        FROM sig, unnest([0, 1]) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sa, b.simhash AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+        FROM reach GROUP BY u)
+      SELECT component_id, count(*) AS n_docs, min(doc_id) AS keep_doc,
+        CAST(sum(n_chars) - arg_min(n_chars, doc_id) AS BIGINT) AS chars_purged
+      FROM comp JOIN documents USING (doc_id)
+      GROUP BY component_id ORDER BY component_id"""))
 
   private val d5 = QuerySpec("d5_embedding_neardup",
     (s, d) => {
@@ -1805,8 +1927,8 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     v1, v2, v3, v4, v5, v6, v7, b1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)

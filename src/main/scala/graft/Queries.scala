@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, MultiStageSearch, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, Mmr, MultiStageSearch, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1132,6 +1132,50 @@ object Queries {
       FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
       WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
 
+  private val v8 = QuerySpec("v8_mmr_diversify",
+    // MMR diversity re-rank of the top-20 cosine page (operators/Mmr):
+    // the distributed part is the top-N TakeOrderedAndProject; the
+    // greedy k-pick is driver-side over the bounded survivors. Both
+    // engines share the left-fold cosine and (score desc, id asc)
+    // tie-break; λ and 1−λ are embedded at full double precision so
+    // the score arithmetic is bit-identical.
+    (s, d) => {
+      val lam = 0.7
+      val cand = t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.cosine(col("embedding"), col("qv")).as("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(20)
+      Mmr.diversify(cand, "vec_id", "embedding", "rel", k = 5, lambda = lam)
+        .select(col("rank"), col("vec_id"),
+          round(col("rel"), 6).as("rel"), round(col("score"), 6).as("score"))
+    },
+    Some {
+      val lam = 0.7
+      val oneMinus = 1 - lam
+      s"""WITH RECURSIVE
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT vec_id, embedding, ${cosineSql("embedding", "qv")} AS rel
+        FROM embeddings CROSS JOIN q
+        ORDER BY rel DESC, vec_id LIMIT 20),
+      sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+          ${cosineSql("a.embedding", "b.embedding")} AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      sel(step, ids, picked, score) AS (
+        SELECT 1 AS step, [t.m.id] AS ids, t.m.id AS picked, -(t.m.s) AS score
+        FROM (SELECT min({'s': -($lam * rel), 'id': vec_id}) AS m FROM cand) t
+        UNION ALL
+        SELECT step + 1, list_append(ids, t.m.id), t.m.id, -(t.m.s) FROM (
+          SELECT s.step AS step, s.ids AS ids,
+            min({'s': -($lam * c.rel - $oneMinus * (SELECT max(sim) FROM sims
+                  WHERE ia = c.vec_id AND list_contains(s.ids, ib))),
+                 'id': c.vec_id}) AS m
+          FROM sel s JOIN cand c ON NOT list_contains(s.ids, c.vec_id)
+          WHERE s.step < 5 GROUP BY s.step, s.ids) t)
+      SELECT s.step AS rank, s.picked AS vec_id, round(c.rel, 6) AS rel,
+        round(s.score, 6) AS score
+      FROM sel s JOIN cand c ON c.vec_id = s.picked ORDER BY rank"""
+    })
+
   private val v7 = QuerySpec("v7_knn_batch_topk",
     // V2 at scale: bounded top-k AGGREGATION instead of a rank window —
     // map-side partial heaps, exchange carries ≤k rows per query per
@@ -1929,7 +1973,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    v1, v2, v3, v4, v5, v6, v7, b1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, b1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

@@ -126,10 +126,14 @@ object Bench {
     def num(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
-    val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
-      .mkString("{", ",", "}")
+    // empty failures map elided (n_failed:0 still records the fact)
+    val fs =
+      if (failures.isEmpty) ""
+      else "\"failures\":" + failures
+        .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+        .mkString("{", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"warmup_sec":${num(warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${f"$warmupSec%.1f"},"sf":"$sfDir"}""")
   }
 }

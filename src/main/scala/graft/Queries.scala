@@ -1176,6 +1176,64 @@ object Queries {
       FROM sel s JOIN cand c ON c.vec_id = s.picked ORDER BY rank"""
     })
 
+  private val v9 = QuerySpec("v9_ann_recall",
+    // ANN quality measurement: recall@10 of batch IVF (64 toy
+    // centroids, nprobe=8) against the exact batch kNN, per query.
+    // Both engines share the (dist, id) total order, so the top-10
+    // SETS are identical and recall is deterministic. This is the
+    // evaluation harness an approximate index needs before anyone
+    // trusts it at 100 TB — and it composes ivfAssignBig +
+    // ivfSearchBatch + the bounded TopK batch-exact path end-to-end.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
+      val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 8)
+      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
+      exact.select(col("qid"), col("vec_id"))
+        .join(ivf.select(col("qid"), col("vec_id"), lit(1).as("__hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("__hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit") / 10.0, 6).as("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 64),
+      q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probes AS (SELECT qid, qv, cluster_id FROM (
+        SELECT q.qid, q.qv, cid AS cluster_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
+        FROM cent CROSS JOIN q) WHERE pr <= 8),
+      ivf AS (SELECT qid, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
+        FROM clusters c JOIN probes p USING (cluster_id)) WHERE rnk <= 10),
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10)
+      SELECT x.qid AS qid, CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+        round(count(i.vec_id) / 10.0, 6) AS recall
+      FROM exact x LEFT JOIN ivf i
+        ON x.qid = i.qid AND x.vec_id = i.vec_id
+      GROUP BY x.qid ORDER BY qid"""))
+
   private val v7 = QuerySpec("v7_knn_batch_topk",
     // V2 at scale: bounded top-k AGGREGATION instead of a rank window —
     // map-side partial heaps, exchange carries ≤k rows per query per
@@ -1973,7 +2031,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    v1, v2, v3, v4, v5, v6, v7, v8, b1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, b1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

@@ -169,6 +169,37 @@ object Ann {
       embCol, idCol, queryVec, k)
   }
 
+  /** Batch IVF search: per-query probe selection over the broadcast
+    * centroid table (queries × k rows — both small), then exact top-k
+    * INSIDE the probed clusters via the bounded [[TopK]] aggregation:
+    * partial heaps map-side, the exchange carries ≤k rows per
+    * (partition × query). The candidate join is keyed on cluster_id,
+    * so against a cluster-partitioned [[graft.sources.IndexStore]] the
+    * scan prunes to the UNION of all probed clusters — per query the
+    * work is ~nprobe/k of the corpus, and the corpus never shuffles.
+    * Same total order (dist, id) as [[ivfSearch]]. */
+  def ivfSearchBatch(assigned: DataFrame, embCol: String, idCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeW = Window.partitionBy(qidCol).orderBy(col("__qdist"), col(cidCol))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), col(qvecCol)))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col(cidCol).as("cluster_id"))
+    assigned.join(broadcast(probes), Seq("cluster_id"))
+      .select(col(qidCol),
+        VectorFunctions.l2(col(embCol), col(qvecCol)).as("__dist"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(qidCol)
+      .agg(TopK.topK(k)(col("__dist"), col("__id")).as("__topk"))
+      .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__entry")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("knn_rank"),
+        col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query,
     * exact top-k inside those clusters only. `assigned` is the output
     * of [[ivfAssign]] (ideally written partitioned by cluster_id). */

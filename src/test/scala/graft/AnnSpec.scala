@@ -122,4 +122,38 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf == exact)
   }
+
+  test("ivfSearchBatch agrees with per-query ivfSearch") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val queries = Seq(
+      (100L, Array(0.05, 0.1)), (101L, Array(100.2, 100.1)),
+      (102L, Array(50.0, 50.0)))
+      .toDF("qid", "qv")
+    val batch = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", queries, "qid", "qv", k = 4, nprobe = 1)
+      .select("qid", "knn_rank", "vec_id").as[(Long, Int, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    queries.as[(Long, Array[Double])].collect().foreach { case (qid, qv) =>
+      val single = Ann.ivfSearch(assigned, "embedding", "vec_id",
+          cents, "cid", "cvec", typedlit(qv.toSeq), k = 4, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+  }
+
+  test("ivfSearchBatch with nprobe = all clusters equals exact batch kNN") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val queries = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))
+      .toDF("qid", "qv")
+    val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", queries, "qid", "qv", k = 6, nprobe = 2)
+      .select("qid", "knn_rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = Knn.batchAgg(corpus, "embedding", "vec_id",
+        queries, "qid", "qv", 6)
+      .select("qid", "knn_rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ivf == exact)
+  }
 }

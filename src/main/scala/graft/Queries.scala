@@ -931,15 +931,17 @@ object Queries {
     Some(minhashOracle(32, 4, 2, 0.4)))
 
   /** CTE chain ending in `sig(doc_id, simhash)` — DuckDB mirror of
-    * Dedup.simhash16, shared by d3 and d7. */
-  private def simhashCtes: String = {
-    val hexVal = (1 to 4).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
-    }.zip(Seq(4096, 256, 16, 1))
-      .map { case (e, m) => s"$e * $m" }.mkString(" + ")
-    val bitSums = (0 until 16)
+    * Dedup.simhashBits at any width ≤60 (place weights and packed
+    * values stay in signed BIGINT). 16-bit shared by d3/d7; 60-bit by
+    * d10. */
+  private def simhashCtesAt(bits: Int): String = {
+    val hex = bits / 4
+    val hexVal = (1 to hex).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) * ${1L << (4 * (hex - i))}"
+    }.mkString(" + ")
+    val bitSums = (0 until bits)
       .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-    val fp = (0 until 16)
+    val fp = (0 until bits)
       .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""words AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '$WsSplit')) AS w FROM documents),
@@ -947,6 +949,8 @@ object Queries {
     bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id),
     sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)"""
   }
+
+  private def simhashCtes: String = simhashCtesAt(16)
 
   private val d3 = QuerySpec("d3_simhash",
     (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text")
@@ -991,16 +995,17 @@ object Queries {
 
   private val d10 = QuerySpec("d10_dedup_manifest",
     // Detection → ACTION: the purge manifest a dedup job executes.
-    // Components over the d7 SimHash pair set, joined back to the
-    // corpus for sizes; per duplicate cluster: the canonical keeper
-    // (min doc_id), the cluster size, and the characters reclaimed by
-    // purging the rest. Singleton docs never enter the manifest. The
-    // join and aggregation shuffle component ids and scalar sizes —
-    // never text — so the action step adds no corpus-sized exchange.
+    // Components over the WIDE (60-bit, ham≤3) SimHash pair set — the
+    // 16-bit space saturates near 10⁴ docs (measured 1 s → 232 s at
+    // 100k docs) — joined back to the corpus for sizes; per duplicate
+    // cluster: the canonical keeper (min doc_id), the cluster size,
+    // and the characters reclaimed by purging the rest. Singleton docs
+    // never enter the manifest. The join and aggregation shuffle
+    // component ids and scalar sizes — never text.
     (s, d) => {
       val docs = t(s, d, "documents")
       val comp = Dedup.components(
-        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 1))
+        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
       comp.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
         .groupBy("component_id")
         .agg(count(lit(1)).as("n_docs"),
@@ -1009,16 +1014,16 @@ object Queries {
             .cast("long").as("chars_purged"))
         .orderBy("component_id")
     },
-    Some(s"""WITH RECURSIVE $simhashCtes,
+    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
       blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 8)) & 255 AS block_val
-        FROM sig, unnest([0, 1]) AS t(b)),
+        (simhash >> (b * 15)) & 32767 AS block_val
+        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.simhash AS sa, b.simhash AS sb
         FROM blocks a JOIN blocks b
           ON a.block_idx = b.block_idx AND a.block_val = b.block_val
           AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
       reach(u, v) AS (SELECT u, v FROM edges

@@ -154,25 +154,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 16-bit SimHash over word frequencies. Per token: v = first 16 bits
-    * of md5; per bit: sign of Σ±1; fingerprint = the sign bits packed.
-    * 16 bits keeps the oracle SQL tractable; the operator is
-    * parametric in spirit (the plan shape is identical at 64 bits). */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over word frequencies at `bits` width (multiple of 4,
+    * ≤60 so every value — including 16^(hex-1) place weights in the
+    * DuckDB mirror — stays inside signed BIGINT). Per token: v = first
+    * bits/4 hex chars of md5; per bit: sign of Σ±1; fingerprint = the
+    * sign bits packed. */
+  private def simhashBits(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60,
+      s"bits $bits must be a positive multiple of 4, at most 60")
     val words = df.select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "[ \t\n]+")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-    val bitSums = (0 until 16).map { i =>
+      .withColumn("v",
+        conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("v"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i")
     }
     words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(i =>
+        (0 until bits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** 16-bit SimHash — the oracle-light teaching form. A 16-bit space
+    * SATURATES near 10⁴ docs (measured: the d10 manifest at 100k docs
+    * went 1 s → 232 s because ~every doc pair collides in some block);
+    * use [[simhashNearDupsWide]] beyond toy corpora. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBits(df, idCol, textCol, 16)
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` on the
     * 16-bit fingerprint. Candidate generation is pigeonhole banding —
@@ -182,11 +194,28 @@ object Dedup {
     * — hash-sized shuffle keys, same scale shape as the MinHash
     * bands — and are then verified with an exact popcount. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 1): DataFrame = {
+                      maxHamming: Int = 1): DataFrame =
+    simhashNearDupsAt(df, idCol, textCol, maxHamming, bits = 16)
+
+  /** [[simhashNearDups]] at corpus-scale hash width (default 60 bits:
+    * 15 md5 hex chars — the widest that keeps every packed value and
+    * place weight in signed BIGINT on both engines). The block count
+    * is still maxHamming+1 by pigeonhole; at 60 bits a block is 30/20/
+    * 15 bits wide for ham ≤1/2/3, so block-collision probability stays
+    * ~n/2^blockBits — the knob that must GROW with the corpus (the
+    * 16-bit form measured quadratic at 100k docs; this form stays
+    * collision-bounded until ~2^15× that density). */
+  def simhashNearDupsWide(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashNearDupsAt(df, idCol, textCol, maxHamming, bits = 60)
+
+  private def simhashNearDupsAt(df: DataFrame, idCol: String, textCol: String,
+                                maxHamming: Int, bits: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    val bits = 16
+    require(bits % nBlocks == 0,
+      s"bits $bits must divide evenly into ${nBlocks} blocks")
     val blockBits = bits / nBlocks
-    val fp = simhash16(df, idCol, textCol)
+    val fp = simhashBits(df, idCol, textCol, bits)
     val blocks = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { b =>

@@ -169,4 +169,22 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._2 == out(1)._2)
     assert(out.forall { case (_, h) => h >= 0 && h < (1L << 16) })
   }
+
+  test("simhashNearDupsWide finds every pair brute-force hamming allows, none extra") {
+    // docs 1/2 identical, 3 a one-word edit of them, 4 unrelated
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val maxHam = 3
+    val got = Dedup.simhashNearDupsWide(df, "doc_id", "text", maxHam)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    got.foreach { case (_, _, h) => assert(h <= maxHam) }
+    // doc 4 shares no vocabulary: it must not pair with anything
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
 }

@@ -123,7 +123,9 @@ object Bench {
     // The consumer reads a bounded TAIL of this process's output and
     // json-parses the line — keep it COMPACT (centisecond precision,
     // no prose) so the whole line always fits in that tail window.
-    def num(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the default-locale f"" interpolator emits "1,23"
+    // under comma-decimal locales, which is no longer JSON.
+    def num(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     // empty failures map elided (n_failed:0 still records the fact)
@@ -134,6 +136,6 @@ object Bench {
         .mkString("{", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${f"$warmupSec%.1f"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"sf":"$sfDir"}""")
   }
 }

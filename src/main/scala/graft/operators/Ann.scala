@@ -183,20 +183,26 @@ object Ann {
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probeW = Window.partitionBy(qidCol).orderBy(col("__qdist"), col(cidCol))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), col(qvecCol)))
+    // Rename the query frame's columns to reserved __q* names up front:
+    // if the caller's qidCol/qvecCol collide with a column of `assigned`
+    // or `centroids` (e.g. both vector columns named "embedding"), the
+    // un-renamed join would be ambiguous or silently bind the wrong side.
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+    val probeW = Window.partitionBy("__qid").orderBy(col("__qdist"), col(cidCol))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), col("__qvec")))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col(cidCol).as("cluster_id"))
+      .select(col("__qid"), col("__qvec"), col(cidCol).as("cluster_id"))
     assigned.join(broadcast(probes), Seq("cluster_id"))
-      .select(col(qidCol),
-        VectorFunctions.l2(col(embCol), col(qvecCol)).as("__dist"),
+      .select(col("__qid"),
+        VectorFunctions.l2(col(embCol), col("__qvec")).as("__dist"),
         col(idCol).cast("long").as("__id"))
-      .groupBy(qidCol)
+      .groupBy("__qid")
       .agg(TopK.topK(k)(col("__dist"), col("__id")).as("__topk"))
-      .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__entry")))
-      .select(col(qidCol), (col("__pos") + 1).cast("int").as("knn_rank"),
+      .select(col("__qid"), posexplode(col("__topk")).as(Seq("__pos", "__entry")))
+      .select(col("__qid").as(qidCol),
+        (col("__pos") + 1).cast("int").as("knn_rank"),
         col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
   }
 

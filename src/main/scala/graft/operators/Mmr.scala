@@ -49,12 +49,15 @@ object Mmr {
     require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0,1]")
     require(k >= 1, "k must be >= 1")
     val spark = candidates.sparkSession
+    // limit BEFORE collect so the guard trips before the driver holds an
+    // unbounded result: one extra row is enough to prove the overflow.
     val rows: Array[Row] = candidates
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"),
         col(relCol).cast("double"))
+      .limit(maxCandidates + 1)
       .collect()
     require(rows.length <= maxCandidates,
-      s"${rows.length} candidates exceed maxCandidates=$maxCandidates — " +
+      s"more than maxCandidates=$maxCandidates candidates — " +
         "run MMR after a top-N stage, not on a corpus")
     val n = rows.length
     val ids = Array.tabulate(n)(i => rows(i).getLong(0))
@@ -62,7 +65,10 @@ object Mmr {
     val rels = Array.tabulate(n)(i => rows(i).getDouble(2))
     // maxSim(i) = max cosine between candidate i and any selected row,
     // updated incrementally after each pick: O(N) cosines per round.
-    val maxSim = Array.fill(n)(0.0)
+    // NegativeInfinity (not 0) so an all-negative cosine row keeps its
+    // true max — standard MMR and the oracle's max(sim) both go
+    // negative there; the round==1 guard covers the empty selection.
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val taken = Array.fill(n)(false)
     val picks = Array.newBuilder[(Int, Long, Double, Double)]
     var round = 1

@@ -142,6 +142,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfSearchBatch survives a query vector column named like the corpus's") {
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    val q = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))
+    val colliding = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", q.toDF("qid", "embedding"), "qid", "embedding",
+        k = 4, nprobe = 2)
+      .select("qid", "knn_rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val distinct = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", q.toDF("qid", "qv"), "qid", "qv",
+        k = 4, nprobe = 2)
+      .select("qid", "knn_rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(colliding == distinct)
+  }
+
   test("ivfSearchBatch with nprobe = all clusters equals exact batch kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val queries = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))

@@ -59,6 +59,20 @@ class MmrSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCandidates"))
   }
 
+  test("all-negative cosines keep their true (negative) diversity term") {
+    // b points AWAY from the first pick a: cos(b,a) = -1, so b's MMR
+    // score is λ·rel − (1−λ)·(−1) = λ·rel + (1−λ). A zero-clamped
+    // maxSim would score b as just λ·rel and wrongly pick c instead.
+    val df = cand(Seq(
+      (1L, Array(1.0, 0.0), 0.9),
+      (2L, Array(-1.0, 0.0), 0.1),
+      (3L, Array(0.0, 1.0), 0.2)))
+    val out = Mmr.diversify(df, "id", "emb", "rel", k = 2, lambda = 0.5)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(1).getDouble(3) - (0.5 * 0.1 + 0.5)) < 1e-12)
+  }
+
   test("zero-norm candidate never yields NaN") {
     val df = cand(Seq(
       (1L, Array(1.0, 0.0), 0.9),

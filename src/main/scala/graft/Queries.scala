@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, Mmr, MultiStageSearch, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, Mmr, MultiStageSearch, Packing, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -753,6 +753,66 @@ object Queries {
         CROSS JOIN vocab
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val t15 = QuerySpec("t15_seq_packing",
+    // Concatenate-and-chunk sequence packing: every doc gets its slot
+    // in the shuffled virtual token stream (global prefix sum as
+    // 64 bucket-partitioned windows + a broadcast bucket-offset row
+    // set — never a single-partition global window), then the
+    // seqLen-256 cut is pure arithmetic. The oracle replays the same
+    // (bucket, md5, id) order as one DuckDB global window.
+    (s, d) => Packing.concatChunk(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 256, buckets = 64)
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id,
+        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS BIGINT) AS n_tokens,
+        ${hashBucketSql("doc_id", 64)} AS b,
+        md5(CAST(doc_id AS VARCHAR)) AS ok
+        FROM documents),
+      cum AS (SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY b, ok, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS icum
+        FROM tok)
+      SELECT doc_id, n_tokens,
+        icum - n_tokens AS start_tok,
+        (icum - n_tokens) // 256 AS first_seq,
+        CASE WHEN n_tokens > 0 THEN (icum - 1) // 256
+          ELSE (icum - n_tokens) // 256 END AS last_seq,
+        CAST(CASE WHEN n_tokens > 0
+          THEN (icum - 1) // 256 - (icum - n_tokens) // 256 + 1
+          ELSE 0 END AS INT) AS n_seqs
+      FROM cum ORDER BY doc_id"""))
+
+  private val t16 = QuerySpec("t16_source_cap",
+    // Per-domain cap (C4/RefinedWeb-style): at most 15 docs per source,
+    // best quality first, ties cut by doc_id. One window keyed on the
+    // source — the shuffle carries (source, quality, id) scalars.
+    (s, d) => Curation.groupCap(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "doc_id", "source", "quality", cap = 15)
+      .select("doc_id", "source", "quality", "grp_rank", "keep")
+      .orderBy("doc_id"),
+    Some(s"""WITH q AS (SELECT doc_id, source, round(
+        0.4 * least(len(text) / 500.0, 1.0)
+        + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
+        + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6) AS quality
+        FROM (SELECT doc_id, source, text,
+          CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
+          len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
+          FROM documents))
+      SELECT doc_id, source, quality,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id) AS INT) AS grp_rank,
+        row_number() OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id) <= 15 AS keep
+      FROM q ORDER BY doc_id"""))
+
   private val d9 = QuerySpec("d9_dup_spans",
     // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
     // maximal runs of ≥8 consecutive shared tokens between doc pairs,
@@ -812,6 +872,13 @@ object Queries {
         $scoreSum AS bm25 FROM tf CROSS JOIN stats)"""
   }
 
+  /** Shared by b1 and its index-serving twin b2 — identical scores. */
+  private def bm25TopkSql: String =
+    s"""WITH $bm25Ctes
+      SELECT doc_id, ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+        round(bm25, 6) AS bm25
+      FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
   private val b1 = QuerySpec("b1_bm25_topk",
     // BM25 serving form: fixed query, per-doc tf as narrow HOFs, ONE
     // global stats row broadcast back, TakeOrderedAndProject top-k —
@@ -820,10 +887,42 @@ object Queries {
       .select(Seq(col("doc_id")) ++
         Bm25Terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
         round(col("bm25"), 6).as("bm25"): _*),
-    Some(s"""WITH $bm25Ctes
-      SELECT doc_id, ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
-        round(bm25, 6) AS bm25
-      FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+    Some(bm25TopkSql))
+
+  private val i1 = QuerySpec("i1_build_postings",
+    // Inverted-index build: per-term df/cf + doc_id-sorted posting
+    // list (serialized doc:tf for the engine-portable hash). The
+    // build-once artifact that turns b1's two corpus scans into b2's
+    // |query terms| posting-row reads.
+    (s, d) => Bm25.buildPostings(t(s, d, "documents"), "doc_id", "text")
+      .select(col("term"), col("df"), col("cf"),
+        array_join(transform(col("postings"), p =>
+          concat(p.getField("doc_id").cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), ",").as("postings"))
+      .orderBy("term"),
+    Some(s"""WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
+          w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      FROM tf GROUP BY term ORDER BY term"""))
+
+  private val b2 = QuerySpec("b2_bm25_indexed",
+    // b1 served FROM the posting-list index: only the query terms'
+    // posting rows are read (partition-pruned against an on-disk index
+    // — Bm25Spec), joined back to the doc-length table. Same oracle as
+    // b1: scores are bit-identical by construction.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Bm25.topKFromIndex(Bm25.buildPostings(docs, "doc_id", "text"),
+          Bm25.docLengths(docs, "doc_id", "text"), "doc_id", Bm25Terms, 10)
+        .select(Seq(col("doc_id")) ++
+          Bm25Terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          round(col("bm25"), 6).as("bm25"): _*)
+    },
+    Some(bm25TopkSql))
 
   private val r2 = QuerySpec("r2_rrf_fusion",
     // Hybrid retrieval tail: BM25 top-50 × cosine-kNN top-50 →
@@ -2034,9 +2133,9 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, b1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

@@ -70,6 +70,70 @@ object Bm25 {
       .orderBy(desc("bm25"), col(idCol))
       .limit(k)
 
+  /** Inverted-index build: one row per term with document frequency,
+    * collection frequency, and the doc_id-sorted posting list — the
+    * artifact that amortizes [[topK]]'s two corpus scans into a
+    * build-once/serve-many index (write it partitionBy a term hash
+    * bucket and a query reads |query terms| posting rows, not the
+    * corpus). Plan: explode → (term, doc) partial-aggregated tf →
+    * per-term collect_list; both exchanges carry (term, id, count)
+    * scalars. collect_list order is nondeterministic, so the list is
+    * array_sort-ed (struct order = doc_id first) for a reproducible
+    * artifact. Per-term memory is the posting list — the explicit
+    * trade of posting-list indexes; a stopword-scale term should be
+    * dropped by a df cap upstream (see Curation.duplicateSpans'
+    * maxGramDf for the same guard). */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  /** BM25 top-k SERVED FROM the inverted index (same scores as
+    * [[topK]], bit-for-bit): only the query terms' posting rows are
+    * read — against an index stored partitionBy(term bucket) the scan
+    * prunes to those partitions — joined back to the doc-length table
+    * on doc_id. Per-term contributions are pivoted into fixed-order
+    * columns before the final sum, so the double addition order
+    * matches [[score]] and the shared DuckDB oracle exactly. */
+  def topKFromIndex(postings: DataFrame, doclen: DataFrame, idCol: String,
+                    terms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct, non-empty")
+    val qp = postings.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df").cast("double").as("__df"),
+        explode(col("postings")).as("__p"))
+      .select(col("term"), col("__df"),
+        col("__p.doc_id").as(idCol), col("__p.tf").cast("double").as("__tf"))
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val scored = qp.join(doclen, Seq(idCol)).crossJoin(broadcast(stats))
+      .withColumn("__score",
+        log(lit(1.0) + (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          col("__tf") * (k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // ≤1 row per (doc, term), so each pivoted sum is exact (no
+    // re-association); the cross-term sum is then a fixed-order fold.
+    val aggCols =
+      terms.map(t => coalesce(sum(when(col("term") === t, col("__tf"))), lit(0.0)).as(s"tf_$t")) ++
+        terms.map(t => coalesce(sum(when(col("term") === t, col("__score"))), lit(0.0)).as(s"__s_$t"))
+    val per = scored.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    per.withColumn("bm25", terms.map(t => col(s"__s_$t")).reduceLeft(_ + _))
+      .drop(terms.map(t => s"__s_$t"): _*)
+      .filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document token-length table (doc_id, dl) — the side table a
+    * posting-list index pairs with for BM25 length normalization. */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+
   /** Reciprocal-rank fusion of two bounded candidate lists (the hybrid
     * tail: BM25 top-k × ANN top-k). Inputs carry (idCol, rank starting
     * at 1); a doc absent from one list contributes nothing for it —

@@ -149,6 +149,22 @@ object Curation {
     df.filter(hashBucket(col(idCol), 10000).cast("double") < rate * 10000)
   }
 
+  /** Per-group document cap (the C4/RefinedWeb-style "domain cap"):
+    * keep at most `cap` rows per `groupCol`, preferring high `scoreCol`
+    * (ties broken by id asc, so the cut is total and reproducible).
+    * Adds `grp_rank` (1-based within group) and `keep`. One window
+    * partitioned by the group — the shuffle carries only the grouping
+    * key + score + id, and a skewed giant domain is exactly one
+    * partition's sort, never a global one. */
+  def groupCap(df: DataFrame, idCol: String, groupCol: String,
+               scoreCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap $cap must be >= 1")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("grp_rank", row_number().over(w))
+      .withColumn("keep", col("grp_rank") <= cap)
+  }
+
   /** Exact duplicate-SPAN detection (the substring-dedup family à la
     * "Deduplicating Training Data Makes Language Models Better" —
     * suffix-array semantics re-expressed declaratively): for every

@@ -57,6 +57,62 @@ class Bm25Spec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("buildPostings: df/cf/doc-sorted posting lists") {
+    val idx = Bm25.buildPostings(corpus, "doc_id", "text")
+      .select("term", "df", "cf", "postings").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(0), p.getLong(1)))))
+      .toMap
+    assert(idx("join") == ((2L, 3L, Seq((0L, 2L), (2L, 1L)))))
+    assert(idx("stream") == ((2L, 5L, Seq((2L, 1L), (4L, 4L)))))
+    assert(idx("merge") == ((2L, 3L, Seq((1L, 2L), (2L, 1L)))))
+    // posting lists sorted by doc_id for every term
+    idx.values.foreach { case (_, _, ps) =>
+      assert(ps.map(_._1) == ps.map(_._1).sorted)
+    }
+  }
+
+  test("topKFromIndex returns bit-identical scores to the direct topK") {
+    val terms = Seq("join", "merge", "stream")
+    val direct = Bm25.topK(corpus, "doc_id", "text", terms, 10)
+      .select("doc_id", "tf_join", "tf_merge", "tf_stream", "bm25")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val viaIndex = Bm25.topKFromIndex(
+        Bm25.buildPostings(corpus, "doc_id", "text"),
+        Bm25.docLengths(corpus, "doc_id", "text"), "doc_id", terms, 10)
+      .select("doc_id", "tf_join", "tf_merge", "tf_stream", "bm25")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(viaIndex == direct)
+  }
+
+  test("an on-disk index partitioned by term bucket serves with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    try {
+      Bm25.buildPostings(corpus, "doc_id", "text")
+        .withColumn("tb", graft.operators.Curation.hashBucket(col("term"), 8))
+        .write.mode("overwrite").partitionBy("tb").parquet(dir)
+      val terms = Seq("join", "stream")
+      // driver-side bucket of each query term = the partitions to read
+      val buckets = spark.createDataset(terms)
+        .select(graft.operators.Curation.hashBucket(col("value"), 8))
+        .as[Long].collect().toSeq.distinct
+      val pruned = spark.read.parquet(dir).filter(col("tb").isin(buckets: _*))
+      val served = Bm25.topKFromIndex(pruned,
+          Bm25.docLengths(corpus, "doc_id", "text"), "doc_id", terms, 10)
+        .select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+      val direct = Bm25.topK(corpus, "doc_id", "text", terms, 10)
+        .select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+      assert(served == direct)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+        s"no partition pruning in:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("fixed-order term sum: scores are reproducible across partitionings") {
     val r1 = Bm25.score(corpus, "text", Seq("join", "merge", "stream"))
       .select("doc_id", "bm25").as[(Long, Double)].collect().toMap

@@ -85,6 +85,20 @@ class CurationSpec extends SparkSpec {
     assert(dfl("b") == 500 && !dfl.contains("a"))
   }
 
+  test("groupCap keeps at most cap rows per group, best score first, id tie-break") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.5), (4L, "a", 0.7),
+      (5L, "b", 0.1), (6L, "b", 0.2)).toDF("id", "src", "score")
+    val got = Curation.groupCap(df, "id", "src", "score", cap = 2)
+      .select("id", "grp_rank", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // group a: 0.9@1 beats 0.9@2 on id; 0.7@4 third (dropped), 0.5@3 fourth
+    assert(got(1L) == ((1, true)) && got(2L) == ((2, true)))
+    assert(got(4L) == ((3, false)) && got(3L) == ((4, false)))
+    // group b has 2 rows, both kept
+    assert(got(6L) == ((1, true)) && got(5L) == ((2, true)))
+  }
+
   test("duplicateSpans finds maximal shared token runs with correct positions") {
     val df = Seq(
       (0L, "a b c d e f g h i j"),

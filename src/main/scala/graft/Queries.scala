@@ -981,7 +981,8 @@ object Queries {
       SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
       WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
 
-  private def minhashPairsCtes(numHashes: Int, bandRows: Int, shingleK: Int): String = {
+  private def minhashPairsCtes(numHashes: Int, bandRows: Int, shingleK: Int,
+                               candSql: Option[String] = None): String = {
     val nBands = numHashes / bandRows
     val shingleExpr =
       if (shingleK == 1) "list_distinct(ws)"
@@ -1008,9 +1009,9 @@ object Queries {
         FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)),
       sig AS (SELECT doc_id, $mh FROM hexv GROUP BY doc_id),
       bands AS ($bands),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS (${candSql.getOrElse("""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""")}),
       verified AS (SELECT doc_a, doc_b,
         CAST($inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - $inter) AS jaccard
         FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
@@ -1022,6 +1023,28 @@ object Queries {
         numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b"),
     Some(minhashOracle(32, 4, 3, 0.5)))
+
+  private val d11 = QuerySpec("d11_incremental_neardup",
+    // Daily-ingest dedup: the incoming batch (doc_id % 10 = 0 here)
+    // band-joins against the EXISTING corpus only — never old×old.
+    // Same signatures/bands/verify as d2, so the oracle reuses d2's
+    // CTE chain with a cross-side candidate join.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", numHashes = 32, bandRows = 4,
+          shingleK = 3, threshold = 0.5)
+        .orderBy("doc_new", "doc_old")
+    },
+    Some(s"""WITH ${minhashPairsCtes(32, 4, 3, candSql = Some(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"""))}
+      SELECT doc_a AS doc_new, doc_b AS doc_old, round(jaccard, 6) AS jaccard
+      FROM verified WHERE jaccard >= 0.5 ORDER BY 1, 2"""))
 
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
@@ -1752,6 +1775,36 @@ object Queries {
         FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val s5 = QuerySpec("s5_quantized_search",
+    // Search over the int8-quantized store (s3's artifact put to
+    // work): approx-cosine candidates from the dequantized codes —
+    // the 4×-smaller representation a 100 TB scan reads — then exact
+    // rerank of the top-40 survivors only. Both stages are total-
+    // ordered (score desc, id), so the two-stage cut is deterministic
+    // and the oracle replays it stage for stage.
+    (s, d) => {
+      val e = t(s, d, "embeddings").crossJoin(broadcast(
+        queryVec(s, d, 0).select(col("qv").cast("array<double>").as("qv"))))
+      Ann.quantizedSearch(e, "embedding", "vec_id", col("qv"), k = 10, candMult = 4)
+        .select(col("vec_id"), round(col("approx_cos"), 6).as("approx_cos"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM e),
+      sc AS (SELECT vec_id, e, mn,
+        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m),
+      dq AS (SELECT vec_id, e,
+        list_transform(e, x -> CAST(round((x - mn) / scale, 0) AS INT) * scale + mn) AS deq
+        FROM sc),
+      cand AS (SELECT vec_id, e, ${cosineSql("deq", "qv")} AS approx_cos
+        FROM dq CROSS JOIN q ORDER BY approx_cos DESC, vec_id LIMIT 40)
+      SELECT vec_id, round(approx_cos, 6) AS approx_cos,
+        round(${cosineSql("e", "qv")}, 6) AS cos
+      FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"""))
+
   private val s4 = QuerySpec("s4_ann_ivf_bigk",
     // s2 at REAL centroid count: 256 centroids assigned via the
     // broadcast-argmin path (Ann.ivfAssignBig — constant-size plan, no
@@ -2134,8 +2187,8 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, b1, b2, i1, r2,
-    a1, a3, a5, a9, r1, s1q, s2, s3, s4,
+    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

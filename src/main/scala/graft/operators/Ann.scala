@@ -206,6 +206,42 @@ object Ann {
         col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
   }
 
+  /** Two-stage search over an int8-quantized store: candidates by
+    * cosine on the DEQUANTIZED codes (the 4×-smaller artifact a
+    * 100 TB deployment scans — derived inline here so the query stays
+    * self-contained; an [[graft.sources.IndexStore]] would persist
+    * (codes, mn, scale) and never read the fp vectors in stage one),
+    * then exact-cosine rerank of the top `k·candMult` survivors only.
+    * Both stages are TakeOrderedAndProject with (score desc, id)
+    * total order, so results are deterministic and oracle-checkable;
+    * quantization arithmetic is identical to the s3 fidelity query.
+    * Recall is governed by candMult — the exact stage restores order
+    * among survivors but cannot resurrect a candidate the quantized
+    * metric dropped (measured in AnnSpec against exact kNN). */
+  def quantizedSearch(corpus: DataFrame, embCol: String, idCol: String,
+                      queryVec: Column, k: Int, candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    val emb = col(embCol).cast("array<double>")
+    val cand = corpus
+      .withColumn("__mn", array_min(emb))
+      .withColumn("__mx", array_max(emb))
+      .withColumn("__sc", when(col("__mx") === col("__mn"), lit(1.0))
+        .otherwise((col("__mx") - col("__mn")) / 255.0))
+      // the stored artifact: int codes + (mn, scale) per vector
+      .withColumn("__codes", transform(emb, x =>
+        round((x - col("__mn")) / col("__sc"), 0).cast("int")))
+      .withColumn("__deq", transform(col("__codes"), c =>
+        c.cast("double") * col("__sc") + col("__mn")))
+      .withColumn("approx_cos", VectorFunctions.cosine(col("__deq"), queryVec))
+      .orderBy(desc("approx_cos"), col(idCol))
+      .limit(k * candMult)
+    cand
+      .withColumn("cos", VectorFunctions.cosine(emb, queryVec))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("approx_cos"), col("cos"))
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query,
     * exact top-k inside those clusters only. `assigned` is the output
     * of [[ivfAssign]] (ideally written partitioned by cluster_id). */

@@ -154,6 +154,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup: which docs of an incoming batch are near-
+    * duplicates of an EXISTING corpus — the daily-ingest form of
+    * [[minhashNearDups]]. The band join runs new×old only (never
+    * old×old, the quadratic bulk a self-join would redo every day);
+    * with a small batch against a huge corpus, AQE broadcasts the
+    * batch's band table, so the corpus pays one band-materialization
+    * scan and zero shuffles of its documents. In production the corpus
+    * bands are the PRE-STORED artifact (write them partitionBy a
+    * band_sig bucket at index time — the i1/b2 posting-index pattern)
+    * and the daily check reads only matching buckets.
+    *
+    * Ids must be distinct across the two frames (same contract as a
+    * union); pairs are oriented (doc_new, doc_old). Same signature
+    * family, band scheme, and exact-Jaccard verify as
+    * [[minhashNearDups]] — d11 shares d2's oracle fragments. */
+  def minhashNearDupsAgainst(
+      newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bandRows: Int = 4,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val nBands = numHashes / bandRows
+    val P = 1000000007L
+    def shingles(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(shingleRows: DataFrame) = {
+      val hashed = shingleRows.select(
+        col("doc_id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("ha"),
+        conv(substring(md5(col("s")), 9, 7), 16, 10).cast("long").as("hb"))
+      val minAggs = (0 until numHashes).map { seed =>
+        min((col("ha") * (seed + 1) + col("hb")) % P).as(s"mh$seed")
+      }
+      hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until nBands).map { b =>
+            md5(concat_ws("|",
+              (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*))
+          }: _*)).as(Seq("band_idx", "band_sig")))
+    }
+    val newShingles = shingles(newDf)
+    val oldShingles = shingles(corpus)
+    val cand = bandsOf(newShingles)
+      .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_new"))
+      .join(bandsOf(oldShingles)
+        .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_old")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("doc_new") =!= col("doc_old"))
+      .select("doc_new", "doc_old")
+      .distinct()
+    val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
+    val oldSets = oldShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_old"))
+    cand
+      .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(oldSets.withColumnRenamed("doc_id", "doc_old"), Seq("doc_old"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_new"), col("sh_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash over word frequencies at `bits` width (multiple of 4,
     * ≤60 so every value — including 16^(hex-1) place weights in the
     * DuckDB mirror — stays inside signed BIGINT). Per token: v = first

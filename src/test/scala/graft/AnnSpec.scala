@@ -142,6 +142,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("quantizedSearch top-k matches exact cosine kNN when quantization is faithful") {
+    val qv = Seq(50.0, 50.0)
+    val res = Ann.quantizedSearch(corpus, "embedding", "vec_id",
+        typedlit(qv), k = 8, candMult = 8)
+      .select("vec_id", "approx_cos", "cos")
+      .as[(Long, Double, Double)].collect().toSeq
+    // brute-force exact cosine ranking on the driver
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    val exact = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => (id, cos(e, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(8).map(_._1).toSeq
+    assert(res.map(_._1) == exact)
+    // 2-dim vectors quantized at 8 bits: approx within 1e-2 of exact
+    res.foreach { case (id, a, c) => assert(math.abs(a - c) < 1e-2, s"id=$id") }
+    // exact stage really reranks with the true cosine
+    assert(res.map(_._3) == res.map(_._3).sorted.reverse)
+  }
+
   test("ivfSearchBatch survives a query vector column named like the corpus's") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val q = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))

@@ -53,6 +53,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never verified in
   }
 
+  test("minhashNearDupsAgainst equals the self-join restricted to cross-side pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((10L, base), (11L, near), (3L, base), (4L, far), (5L, near))
+      .toDF("doc_id", "text")
+    val isNew = (id: Long) => id >= 10L
+    val inc = Dedup.minhashNearDupsAgainst(
+        df.filter(col("doc_id") >= 10), df.filter(col("doc_id") < 10),
+        "doc_id", "text", numHashes = 32, bandRows = 4, shingleK = 3,
+        threshold = 0.5)
+      .select("doc_new", "doc_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashNearDups(df, "doc_id", "text",
+        numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      // orient every cross-side pair as (new, old)
+      .collect {
+        case (a, b, j) if isNew(a) && !isNew(b) => (a, b, j)
+        case (a, b, j) if isNew(b) && !isNew(a) => (b, a, j)
+      }.toSet
+    assert(inc == full)
+    assert(inc.nonEmpty) // base/near cross-side dups must be found
+    // never old×old: the (3, 5) near pair must NOT appear
+    assert(!inc.exists { case (a, b, _) => !isNew(a) && !isNew(b) })
+  }
+
   test("minhash candidates are a subset of true near pairs at the threshold") {
     // LSH may miss (probabilistic recall) but the exact verify step
     // guarantees precision: every emitted pair really has j >= t.

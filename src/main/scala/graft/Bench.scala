@@ -48,9 +48,14 @@ object Bench {
     // same selection so the loop still measures steady state.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Declaration order, not Map hash order: hash order re-deals every
+    // query's neighbors whenever the suite grows, which makes
+    // interference effects (GC debris from a heavy predecessor)
+    // incomparable across rounds.
+    val ordered = Queries.all.map(q => q.name -> q.impl)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
-      case None => SparkEntry.queries
+      case Some(names) => ordered.filter { case (k, _) => names(k) }
+      case None => ordered
     }
     val warmup = only match {
       case Some(names) => names.toSeq
@@ -85,6 +90,11 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       dropCachedBlocks()
+      // UNTIMED explicit GC (measurement ends above, next query's clock
+      // starts later): without it the previous query's garbage surfaces
+      // as a mid-run collection pause in the NEXT query's window —
+      // observed as multi-second spikes on sub-second queries.
+      System.gc()
       sec
     }
     // Steady-state timing: a first run that comes back slow is re-run
@@ -134,7 +144,7 @@ object Bench {
       else "\"failures\":" + failures
         .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
         .mkString("{", ",", "},")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     spark.stop()
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"sf":"$sfDir"}""")
   }

@@ -45,6 +45,82 @@ object IndexStore {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  // ---------------------------------------------------------------
+  // Versioned store: the production alternative to overwrite-in-place.
+  // Each build lands in root/v<N>; Spark's commit protocol creates the
+  // _SUCCESS marker LAST, so the marker is the atomic commit — readers
+  // resolve "current" as the highest version WITH a marker and can
+  // never observe a half-written index, a crashed build leaves an
+  // uncommitted directory that is skipped (and overwritten-by-number
+  // only after pruning), and rollback is "read v<N-1>". This is the
+  // snapshot-isolation story [[write]]'s overwrite cannot give: an
+  // overwrite deletes the files a concurrent reader's plan snapshot
+  // points at (see [[graft.streaming.QueryServe]]), a version flip
+  // never touches them.
+  // ---------------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val VersionDir = "^v(\\d+)$".r
+
+  /** All version numbers under `root`, committed or not. */
+  private def allVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap(s =>
+      s.getPath.getName match {
+        case VersionDir(n) => Some(n.toLong)
+        case _ => None
+      })
+  }
+
+  /** Committed versions only (with the _SUCCESS marker), ascending. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    allVersions(spark, root).filter(v => fs.exists(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, s"v$v"), "_SUCCESS")))
+      .sorted
+  }
+
+  /** Write a new immutable version (cluster-partitioned when assigned,
+    * like [[write]]) and return its number. Version numbers advance
+    * past crashed, uncommitted attempts, so a retry never lands on a
+    * directory a concurrent reader might be probing. */
+  def writeVersioned(index: DataFrame, root: String): Long = {
+    val spark = index.sparkSession
+    val next = (allVersions(spark, root) :+ 0L).max + 1
+    write(index, s"$root/v$next")
+    next
+  }
+
+  /** Read the newest COMMITTED version. Fails loudly when none exists
+    * (same no-silent-empty contract as [[loadIfExists]]). */
+  def loadCurrent(spark: SparkSession, root: String): DataFrame = {
+    val vs = committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed index version under $root")
+    load(spark, s"$root/v${vs.last}")
+  }
+
+  /** Drop all but the newest `keep` committed versions plus any
+    * uncommitted debris older than the newest committed one. Returns
+    * the deleted version numbers. Retention is the rollback window —
+    * keep >= 2 in production so one bad build is always reversible. */
+  def pruneVersions(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val (fs, p) = fsOf(spark, root)
+    val committed = committedVersions(spark, root)
+    if (committed.isEmpty) return Seq.empty
+    val keepSet = committed.takeRight(keep).toSet
+    val doomed = allVersions(spark, root)
+      .filter(v => !keepSet.contains(v) && v < committed.last).sorted
+    doomed.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"v$v"), true))
+    doomed
+  }
+
   /** Upsert-by-id merge (the Chroma `ids=` semantics,
     * build_vectorstore.py:239): new rows win per id. */
   def upsert(spark: SparkSession, path: String,

@@ -115,6 +115,34 @@ class JobCorpusSpec extends SparkSpec {
     assert(after == Seq((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
   }
 
+  test("versioned store: commit marker gates visibility, prune keeps rollback window") {
+    val root = Files.createTempDirectory("graft_vidx").toString + "/idx"
+    val v1 = IndexStore.writeVersioned(
+      Seq((1L, "a")).toDF("id", "payload"), root)
+    val v2 = IndexStore.writeVersioned(
+      Seq((1L, "a2"), (2L, "b")).toDF("id", "payload"), root)
+    assert(v1 == 1L && v2 == 2L)
+    // current = newest committed
+    assert(IndexStore.loadCurrent(spark, root).count() == 2)
+    // a crashed build: directory present, no _SUCCESS marker
+    val crashed = new java.io.File(s"$root/v3")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.write(crashed.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    assert(IndexStore.loadCurrent(spark, root).count() == 2) // still v2
+    // the next write skips past the crashed attempt's number
+    val v4 = IndexStore.writeVersioned(
+      Seq((9L, "z")).toDF("id", "payload"), root)
+    assert(v4 == 4L)
+    assert(IndexStore.loadCurrent(spark, root)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // prune to 2: v1 and the crashed v3 debris go, v2 + v4 remain
+    assert(IndexStore.pruneVersions(spark, root, keep = 2) == Seq(1L, 3L))
+    assert(IndexStore.committedVersions(spark, root) == Seq(2L, 4L))
+    assert(IndexStore.loadCurrent(spark, root).count() == 1)
+  }
+
   test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {
     // the documented recovery contract: a corrupt path must fail every
     // retry loudly — silently treating it as empty would overwrite the

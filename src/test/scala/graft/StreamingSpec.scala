@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IngestPipeline: streaming batches dedup against the live index version") {
+    import graft.streaming.IngestPipeline
+    import graft.sources.IndexStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ingest").toString + "/corpus"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF.toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(IngestPipeline.dedupedVersionedSink(
+        root, "doc_id", "text", threshold = 0.4) _)
+      .start()
+    try {
+      stream.addData((1L, base), (2L, far))
+      q.processAllAvailable()
+      assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+      assert(IndexStore.loadCurrent(spark, root).count() == 2)
+      // batch 2: id 1 repeats (exact), id 3 near-duplicates doc 1
+      // (dropped at threshold 0.4), id 4 is genuinely new
+      stream.addData((1L, "changed text irrelevant"), (3L, near),
+        (4L, "completely different fresh content words here"))
+      q.processAllAvailable()
+      assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+      val ids = IndexStore.loadCurrent(spark, root)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 4L))
+      // version 1 is still readable (rollback window intact)
+      assert(spark.read.parquet(s"$root/v1").count() == 2)
+    } finally q.stop()
+  }
+
   test("upsertBatch: insert then overwrite-by-id") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/index"
     EventStream.upsertBatch(dir, "id")(

@@ -66,6 +66,32 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("__b"), plan)
   }
 
+  test("property: packing is a gapless exact cover of the token stream") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.choose(0, 40))
+      seqLen <- Gen.choose(1, 17)
+      buckets <- Gen.oneOf(1, 3, 8)
+    } yield (toks, seqLen, buckets)
+    PropHelper.forAll(gen, n = 25) { case (toks, seqLen, buckets) =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "ntok")
+      val rows = Packing.concatChunk(docs, "id", "ntok", seqLen, buckets)
+        .select("id", "n_tokens", "start_tok", "first_seq", "last_seq")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+      // exact cover: sorted starts are the exclusive prefix sums
+      var cum = 0L
+      rows.foreach { case (id, n, start, first, last) =>
+        assert(start == cum, s"id=$id")
+        assert(first == start / seqLen)
+        if (n > 0) assert(last == (start + n - 1) / seqLen)
+        cum += n
+      }
+      assert(cum == toks.map(_.toLong).sum)
+    }
+  }
+
   test("bucket derivation matches Curation.hashBucket") {
     val ids = (0L until 64L).toDF("id")
     val sparkSide = ids.select(col("id"), Curation.hashBucket(col("id"), 64).as("b"))

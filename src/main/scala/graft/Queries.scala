@@ -46,6 +46,27 @@ object Queries {
   }
   private val WsSplit = "[ \\t\\n]+"
 
+  /** DuckDB mirror of TextAnalysis.qualityScore — ONE copy shared by
+    * t2/t7/t16 so the three oracles can never drift apart on near-tie
+    * documents. Expects `text`, `nws`, `nstop` in scope (from
+    * [[qualityInnerSql]]). */
+  private def qualityExprSql: String =
+    s"""round(
+      0.4 * least(len(text) / 500.0, 1.0)
+      + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
+      + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6)"""
+
+  /** The documents projection feeding [[qualityExprSql]] (whitespace
+    * token count + stopword hits); `extraCols` threads extra columns
+    * through (e.g. " source," for t16). */
+  private def qualityInnerSql(extraCols: String = ""): String =
+    s"""SELECT doc_id,$extraCols text,
+      CASE WHEN len(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
+      len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
+      FROM documents"""
+
   // ======================================================================
   // Relational baseline (bench headliners; SURVEY §2.6 aggregation/sort)
   // ======================================================================
@@ -398,16 +419,8 @@ object Queries {
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id"),
-    Some(s"""SELECT doc_id, round(
-      0.4 * least(len(text) / 500.0, 1.0)
-      + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
-          ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
-      + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6) AS quality
-      FROM (SELECT doc_id, text,
-        CASE WHEN len(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
-        len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
-        FROM documents)
+    Some(s"""SELECT doc_id, $qualityExprSql AS quality
+      FROM (${qualityInnerSql()})
       ORDER BY doc_id"""))
 
   private val t3 = QuerySpec("t3_token_count",
@@ -503,18 +516,10 @@ object Queries {
       val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
       s"""WITH scored AS (
           SELECT doc_id, text,
-            round(0.4 * least(len(text) / 500.0, 1.0)
-              + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
-              + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6)
-              AS quality,
+            $qualityExprSql AS quality,
             nws AS n_tokens,
             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM (SELECT doc_id, text,
-            CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
-            len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
-            FROM documents)),
+          FROM (${qualityInnerSql()})),
         lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
           FROM (SELECT doc_id, $best AS best, ${langs.map("s_" + _).mkString(", ")}
                 FROM (SELECT doc_id, $scores FROM documents)))
@@ -796,16 +801,8 @@ object Queries {
         "doc_id", "source", "quality", cap = 15)
       .select("doc_id", "source", "quality", "grp_rank", "keep")
       .orderBy("doc_id"),
-    Some(s"""WITH q AS (SELECT doc_id, source, round(
-        0.4 * least(len(text) / 500.0, 1.0)
-        + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
-            ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
-        + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6) AS quality
-        FROM (SELECT doc_id, source, text,
-          CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
-          len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
-          FROM documents))
+    Some(s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS quality
+        FROM (${qualityInnerSql(" source,")}))
       SELECT doc_id, source, quality,
         CAST(row_number() OVER (PARTITION BY source
           ORDER BY quality DESC, doc_id) AS INT) AS grp_rank,

@@ -57,6 +57,68 @@ object Dedup {
     }: _*)
   }
 
+  /** Shared signature-pipeline front half of the MinHash operators —
+    * ONE code path so [[minhashNearDups]] and the incremental
+    * [[minhashNearDupsAgainst]] can never desynchronize their hash
+    * scheme (both are mirrored by the same oracle CTE chain).
+    *
+    * ONE hash exchange (doc_id) BELOW the shingle computation: it
+    * parallelizes the single-file scan AND pre-co-partitions both
+    * downstream groupBys (Generate/Project preserve the child's hash
+    * partitioning, so neither aggregation re-shuffles), while moving
+    * raw documents — not the 5-10× larger exploded shingle rows.
+    * persist(MEMORY_AND_DISK): the exploded shingle rows materialize
+    * ONCE (as an InMemoryRelation shared by every subtree referencing
+    * this frame) and the band join sides + verify sets all read the
+    * same cached blocks. Without it nothing shares the work: AQE turns
+    * the small band join into a broadcast join, whose build side is a
+    * structurally different plan — shuffle reuse can't fire — and the
+    * whole shingle pipeline re-executes per subtree (measured 3× at
+    * sf0.1). persist (not localCheckpoint) keeps LINEAGE: on executor
+    * loss a lost block recomputes from the scan, where a
+    * localCheckpoint's truncated lineage would fail the job. NOTE:
+    * Dataset.persist entries are pinned by the session CacheManager
+    * (the ContextCleaner does NOT free them while the session lives) —
+    * callers that run many dedup pipelines in one session should
+    * `spark.catalog.clearCache()` between them, as Bench and Verify
+    * both do. */
+  private def shinglePipeline(df: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band_idx, band_sig) from a [[shinglePipeline]] frame.
+    * Each shingle is md5'd ONCE; the numHashes minhash family derives
+    * from two numeric digests by an affine map (a·(seed+1)+b) mod p.
+    * Two deliberate properties: (1) the generated code stays SMALL —
+    * inlining numHashes copies of md5 into the aggregate made Janino
+    * compilation of the stage take ~60s per distinct plan shape;
+    * (2) min over BIGINT is a fixed-width aggregation buffer, so the
+    * whole stage is one codegen'd HashAggregate with map-side
+    * partials. */
+  private def minhashBandsOf(shingleRows: DataFrame,
+                             numHashes: Int, bandRows: Int): DataFrame = {
+    val nBands = numHashes / bandRows
+    val P = 1000000007L
+    val hashed = shingleRows.select(
+      col("doc_id"),
+      conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("ha"),
+      conv(substring(md5(col("s")), 9, 7), 16, 10).cast("long").as("hb"))
+    val minAggs = (0 until numHashes).map { seed =>
+      min((col("ha") * (seed + 1) + col("hb")) % P).as(s"mh$seed")
+    }
+    hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until nBands).map { b =>
+          md5(concat_ws("|",
+            (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*))
+        }: _*)).as(Seq("band_idx", "band_sig")))
+  }
+
   /** LSH banding: candidate pairs = docs sharing any band signature,
     * then verified with exact shingle-set Jaccard >= `threshold`.
     *
@@ -76,58 +138,8 @@ object Dedup {
       numHashes: Int = 32, bandRows: Int = 4,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
-    val nBands = numHashes / bandRows
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // ONE hash exchange (doc_id) BELOW the shingle computation: it
-    // parallelizes the single-file scan AND pre-co-partitions both
-    // downstream groupBys (Generate/Project preserve the child's hash
-    // partitioning, so neither aggregation re-shuffles), while moving
-    // raw documents — not the 5-10× larger exploded shingle rows the
-    // previous round-robin + post-explode-hash pair shuffled.
-    // persist(MEMORY_AND_DISK): the exploded shingle rows materialize
-    // ONCE (as an InMemoryRelation shared by every subtree referencing
-    // this val) and the band self-join sides + verify sets all read the
-    // same cached blocks. Without it nothing shares the work: AQE turns
-    // the small band self-join into a broadcast join, whose build side
-    // is a structurally different plan — shuffle reuse can't fire — and
-    // the whole shingle pipeline re-executes per subtree (measured 3×
-    // at sf0.1). persist (not localCheckpoint) keeps LINEAGE: on
-    // executor loss a lost block recomputes from the scan, where a
-    // localCheckpoint's truncated lineage would fail the job — the
-    // durability story a 1000-executor run needs. NOTE: Dataset.persist
-    // entries are pinned by the session CacheManager (the
-    // ContextCleaner does NOT free them while the session lives) —
-    // callers that run many dedup pipelines in one session should
-    // `spark.catalog.clearCache()` between them, as Bench and Verify
-    // both do.
-    val shingleRows = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Each shingle is md5'd ONCE; the numHashes minhash family derives
-    // from two numeric digests by an affine map (a·(seed+1)+b) mod p.
-    // Two deliberate properties: (1) the generated code stays SMALL —
-    // inlining numHashes copies of md5 into the aggregate made Janino
-    // compilation of the stage take ~60s per distinct plan shape;
-    // (2) min over BIGINT is a fixed-width aggregation buffer, so the
-    // whole stage is one codegen'd HashAggregate with map-side partials.
-    val P = 1000000007L
-    val hashed = shingleRows.select(
-      col("doc_id"),
-      conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("ha"),
-      conv(substring(md5(col("s")), 9, 7), 16, 10).cast("long").as("hb"))
-    val minAggs = (0 until numHashes).map { seed =>
-      min((col("ha") * (seed + 1) + col("hb")) % P).as(s"mh$seed")
-    }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until nBands).map { b =>
-        md5(concat_ws("|",
-          (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*))
-      }: _*)).as(Seq("band_idx", "band_sig")))
+    val shingleRows = shinglePipeline(df, idCol, textCol, shingleK)
+    val bands = minhashBandsOf(shingleRows, numHashes, bandRows)
     val cand = bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_b")),
         Seq("band_idx", "band_sig"))
@@ -174,34 +186,11 @@ object Dedup {
       numHashes: Int = 32, bandRows: Int = 4,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
-    val nBands = numHashes / bandRows
-    val P = 1000000007L
-    def shingles(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandsOf(shingleRows: DataFrame) = {
-      val hashed = shingleRows.select(
-        col("doc_id"),
-        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("ha"),
-        conv(substring(md5(col("s")), 9, 7), 16, 10).cast("long").as("hb"))
-      val minAggs = (0 until numHashes).map { seed =>
-        min((col("ha") * (seed + 1) + col("hb")) % P).as(s"mh$seed")
-      }
-      hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-        .select(col("doc_id"),
-          posexplode(array((0 until nBands).map { b =>
-            md5(concat_ws("|",
-              (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*))
-          }: _*)).as(Seq("band_idx", "band_sig")))
-    }
-    val newShingles = shingles(newDf)
-    val oldShingles = shingles(corpus)
-    val cand = bandsOf(newShingles)
+    val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
+    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK)
+    val cand = minhashBandsOf(newShingles, numHashes, bandRows)
       .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_new"))
-      .join(bandsOf(oldShingles)
+      .join(minhashBandsOf(oldShingles, numHashes, bandRows)
         .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_old")),
         Seq("band_idx", "band_sig"))
       .filter(col("doc_new") =!= col("doc_old"))

@@ -33,13 +33,21 @@ object Packing {
   /** Per-document packing assignment: `start_tok` (exclusive global
     * prefix), `first_seq`/`last_seq` (sequence ids touched) and
     * `n_seqs` (spanned count; 0 for an empty doc). `nTokCol` is the
-    * caller's token count (e.g. TextAnalysis.tokenCountWs). */
+    * caller's token count (e.g. TextAnalysis.tokenCountWs) and must be
+    * NON-NEGATIVE (seq ids use integral division, which only equals
+    * floor on the non-negative domain both engines share). */
   def concatChunk(df: DataFrame, idCol: String, nTokCol: String,
                   seqLen: Int, buckets: Int = 64): DataFrame = {
     require(seqLen >= 1, s"seqLen $seqLen must be >= 1")
     require(buckets >= 1, s"buckets $buckets must be >= 1")
+    // coalesce makes the bucket key NON-NULLABLE: otherwise the final
+    // inner join inserts isnotnull(__b) filters asymmetrically (pushed
+    // under one branch's exchange, left above the other's), the two
+    // exchange subtrees stop canonicalizing equal, and ReusedExchange
+    // can't fire — doubling the source scan. (A null id would land in
+    // bucket 0 deterministically; ids are non-null in practice.)
     val base = df.select(col(idCol), col(nTokCol).cast("long").as("__ntok"))
-      .withColumn("__b", Curation.hashBucket(col(idCol), buckets))
+      .withColumn("__b", coalesce(Curation.hashBucket(col(idCol), buckets), lit(0L)))
       .withColumn("__ok", md5(col(idCol).cast("string")))
     // inclusive per-bucket running total; minus __ntok = exclusive
     val perBucket = Window.partitionBy("__b")
@@ -47,18 +55,25 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("__cum", sum("__ntok").over(perBucket))
     // per-bucket totals -> exclusive bucket offsets (buckets rows; the
-    // lit partition declares the tiny global window intentional)
+    // lit partition declares the tiny global window intentional).
+    // Totals come from the WINDOWED branch (max of the inclusive
+    // running sum), not from `base`: both branches then sit on the
+    // same hash(__b) exchange, which Spark reuses — the source is
+    // scanned and tokenized ONCE instead of once per branch.
     val offW = Window.partitionBy(lit(0)).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("__b").agg(sum("__ntok").as("__btot"))
+    val offsets = local.groupBy("__b").agg(max("__cum").as("__btot"))
       .withColumn("__off", coalesce(sum("__btot").over(offW), lit(0L)))
       .select("__b", "__off")
+    // `div`, not floor(a / b): long/int division through doubles loses
+    // integer precision past 2^53 — a >9e15-token stream would get
+    // off-by-one seq ids while the oracle's integer `//` stays exact.
     local.join(broadcast(offsets), Seq("__b"))
       .withColumn("start_tok", col("__off") + col("__cum") - col("__ntok"))
-      .withColumn("first_seq", floor(col("start_tok") / lit(seqLen)))
+      .withColumn("first_seq", expr(s"start_tok div $seqLen"))
       .withColumn("last_seq", when(col("__ntok") > 0,
-        floor((col("start_tok") + col("__ntok") - 1) / lit(seqLen)))
-        .otherwise(floor(col("start_tok") / lit(seqLen))))
+        expr(s"(start_tok + __ntok - 1) div $seqLen"))
+        .otherwise(col("first_seq")))
       .select(col(idCol), col("__ntok").as("n_tokens"), col("start_tok"),
         col("first_seq"), col("last_seq"),
         when(col("__ntok") > 0, col("last_seq") - col("first_seq") + 1)

@@ -57,6 +57,17 @@ object IndexStore {
   // overwrite deletes the files a concurrent reader's plan snapshot
   // points at (see [[graft.streaming.QueryServe]]), a version flip
   // never touches them.
+  //
+  // Concurrency contract: ONE writer at a time (the standard Spark
+  // batch-job assumption — the scheduler, not the store, serializes
+  // builds). Concurrent writeVersioned calls can race the version-
+  // number listing (both pick v<N>, the later overwrite clobbers the
+  // earlier), and pruneVersions run concurrently WITH a build can
+  // delete the in-flight uncommitted directory. Multi-writer safety
+  // needs a transaction log (the Delta/Iceberg design) — out of scope
+  // here and orthogonal to the reader-side guarantees, which hold
+  // regardless: readers only ever see directories whose _SUCCESS
+  // marker exists.
   // ---------------------------------------------------------------
 
   private def fsOf(spark: SparkSession, root: String) = {

@@ -35,12 +35,20 @@ object IngestPipeline {
     * each other only if ids repeat); batch-internal NEAR-dups are the
     * caller's pre-pass ([[Dedup.minhashNearDups]] on the batch) when
     * the arrival stream itself is dirty. */
+  /** `sessionCacheHygiene`: the incremental dedup persists its two
+    * shingle pipelines internally, and the sink has no handles to
+    * unpersist them selectively — by default it clears the SESSION
+    * cache after each commit (fine for a dedicated ingest session).
+    * Set false when the session is shared with cache-holding readers
+    * and run `spark.catalog.clearCache()` at your own cadence. */
   def dedupedVersionedSink(root: String, idCol: String, textCol: String,
                            numHashes: Int = 32, bandRows: Int = 4,
-                           shingleK: Int = 3, threshold: Double = 0.5)
+                           shingleK: Int = 3, threshold: Double = 0.5,
+                           sessionCacheHygiene: Boolean = true)
                           (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val incoming = batch.dropDuplicates(idCol)
+    if (incoming.isEmpty) return // replayed/empty batch: no new version
     IndexStore.committedVersions(spark, root) match {
       case Nil =>
         IndexStore.writeVersioned(incoming, root)
@@ -55,11 +63,13 @@ object IngestPipeline {
             numHashes, bandRows, shingleK, threshold)
           .select(col("doc_new").as(idCol)).distinct()
         val survivors = fresh.join(nearDup, Seq(idCol), "left_anti")
-        IndexStore.writeVersioned(corpus.unionByName(survivors), root)
-        // the incremental dedup persists its two shingle pipelines;
-        // free them before the next micro-batch (session-level cache
-        // hygiene, same contract as Bench/Verify between queries)
-        graft.SessionHygiene.dropCachedBlocks(spark)
+        // an all-duplicate batch (e.g. an at-least-once replay after a
+        // driver restart) must not rewrite the corpus into a new
+        // version — it would burn full-corpus I/O and churn genuinely
+        // distinct versions out of the pruneVersions rollback window
+        if (!survivors.isEmpty)
+          IndexStore.writeVersioned(corpus.unionByName(survivors), root)
+        if (sessionCacheHygiene) graft.SessionHygiene.dropCachedBlocks(spark)
     }
   }
 }

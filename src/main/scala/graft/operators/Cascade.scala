@@ -1,10 +1,10 @@
 package graft.operators
 
-import graft.semantic.{QueryNer, SemanticSuite}
+import graft.semantic.{QueryNer, SemanticSuite, UserProfile}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** The flagship query: multi-stage retrieval with progressive filter
   * relaxation, priority dedup, hybrid rerank, top-N
@@ -36,9 +36,39 @@ final case class CascadeConfig(
 
 final class MultiStageSearch(
     corpus: DataFrame, idCol: String, textCol: String, embCol: String,
-    cfg: CascadeConfig = CascadeConfig()) {
+    cfg: CascadeConfig = CascadeConfig(),
+    profile: UserProfile = UserProfile.empty) {
 
   private val (queryNer, synonyms, _) = SemanticSuite.default
+
+  /** L2 + profile coalesce (main.py:430-449): query NER first, then
+    * any missing field backfills from the caller's profile. */
+  private def resolvedNer(queryText: String): QueryNer =
+    queryNer(queryText).withDefaults(profile)
+
+  /** F4 empty-query guard (main.py:419-426): does this query short-
+    * circuit to the typed empty response? The reference strips and
+    * tests BEFORE NER/profile coalesce — a blank message is empty even
+    * for a fully-populated profile. */
+  private def isBlank(queryText: String): Boolean =
+    queryText == null || queryText.trim.isEmpty
+
+  /** The typed empty response: the exact result schema every search
+    * method returns, zero rows, built as a LOCAL empty relation — the
+    * plan does not reference the corpus, so NO stage (not even a scan)
+    * can execute downstream of the guard. */
+  private def emptyResponse: DataFrame = {
+    val spark = corpus.sparkSession
+    val schema = StructType(Seq(
+      corpus.schema(idCol), corpus.schema(textCol),
+      StructField("dist", DoubleType, nullable = true),
+      StructField("stage_rank", IntegerType, nullable = false),
+      StructField("judge_score", DoubleType, nullable = true),
+      StructField("rule_score", DoubleType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("rank", IntegerType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** L1 double, columnar: deterministic rule-NER over the doc text —
     * first vocabulary hit per field (job/region). */
@@ -68,7 +98,8 @@ final class MultiStageSearch(
   /** Run the cascade. `queryVec` is the embedded query (the embedding
     * model is an external boundary — SURVEY.md §2.1 S5). */
   def search(queryText: String, queryVec: Column): DataFrame = {
-    val ner: QueryNer = queryNer(queryText)
+    if (isBlank(queryText)) return emptyResponse
+    val ner: QueryNer = resolvedNer(queryText)
     val region = ner.region
     val job = ner.job
 
@@ -166,7 +197,8 @@ final class MultiStageSearch(
     * union carries ≤ Σk rows, so dedup + rerank are driver-scale
     * relational ops on a tiny relation. */
   def searchFixed(queryText: String, queryVec: Column): DataFrame = {
-    val ner = queryNer(queryText)
+    if (isBlank(queryText)) return emptyResponse
+    val ner = resolvedNer(queryText)
     val region = ner.region
     val job = ner.job
     def contains(term: String): Column =
@@ -215,7 +247,8 @@ final class MultiStageSearch(
     * policy, not a hard-coded pipeline. */
   def searchRemind(queryText: String, queryVec: Column,
                    scanK: Int = 1000): DataFrame = {
-    val ner = queryNer(queryText)
+    if (isBlank(queryText)) return emptyResponse
+    val ner = resolvedNer(queryText)
     def contains(term: String): Column =
       lower(col(textCol)).contains(term.toLowerCase)
 
@@ -264,7 +297,8 @@ final class MultiStageSearch(
     * that bounded relation; the count broadcast is 1 row. */
   def searchRemindFixed(queryText: String, queryVec: Column,
                         scanK: Int = 1000): DataFrame = {
-    val ner = queryNer(queryText)
+    if (isBlank(queryText)) return emptyResponse
+    val ner = resolvedNer(queryText)
     def contains(term: String): Column =
       lower(col(textCol)).contains(term.toLowerCase)
     val pool = Knn.exact(corpus, embCol, idCol, queryVec, scanK)

@@ -29,7 +29,34 @@ trait SemanticFn[I, O] {
   * 직무/지역/연령대 → job/region/ageGroup, normalized to ONE schema
   * (the reference bridges three key spellings — SURVEY.md §1.2). */
 final case class QueryNer(job: Option[String], region: Option[String],
-                          ageGroup: Option[String])
+                          ageGroup: Option[String]) {
+  /** L2 profile-fallback coalesce (/root/reference/main.py:444-449):
+    * any NER field the query itself didn't yield is filled from the
+    * caller's [[UserProfile]]. Field-wise — a query that names a job
+    * but no region keeps its job and takes the profile's region. The
+    * reference's check is Python truthiness (`not user_ner.get(...)`),
+    * so blank strings count as absent on BOTH sides. */
+  def withDefaults(profile: UserProfile): QueryNer = {
+    def norm(o: Option[String]): Option[String] = o.filter(_.trim.nonEmpty)
+    QueryNer(
+      job = norm(job).orElse(norm(profile.jobType)),
+      region = norm(region).orElse(norm(profile.location)),
+      ageGroup = norm(ageGroup).orElse(norm(profile.age)))
+  }
+}
+
+/** The reference's request-side `UserProfile{age, location, jobType}`
+  * (/root/reference/main.py:66-69): per-user defaults that backfill
+  * missing query-NER fields before the cascade runs
+  * ([[QueryNer.withDefaults]]). All-`None` (the [[UserProfile.empty]]
+  * default) is a no-op coalesce. */
+final case class UserProfile(age: Option[String] = None,
+                             location: Option[String] = None,
+                             jobType: Option[String] = None)
+
+object UserProfile {
+  val empty: UserProfile = UserProfile()
+}
 
 /** L2 double: dictionary-driven query NER. Deterministic: first query
   * token found in each vocabulary wins. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{CascadeConfig, MultiStageSearch}
+import graft.semantic.UserProfile
 import org.apache.spark.sql.functions._
 
 /** §3.1 flagship cascade: adaptive relaxation + priority dedup +
@@ -87,6 +88,57 @@ class CascadeSpec extends SparkSpec {
     val q = "looking for a sort job in the key area"
     assert(rows(search.searchRemindFixed(q, col("qv"), scanK = 6)) ==
       rows(search.searchRemind(q, col("qv"), scanK = 6)))
+  }
+
+  test("F4: blank query returns the typed empty response without running any stage") {
+    // Poisoned corpus: ANY stage execution (even the unfiltered S1
+    // fallback) would evaluate the throwing udf and fail the collect.
+    val boom = udf((_: Long) => {
+      require(false, "a search stage executed on a blank query"); Seq(0.0f)
+    })
+    val poisoned = corpus.withColumn("embedding", boom(col("doc_id")))
+    // a populated profile must NOT rescue a blank query — the
+    // reference guards BEFORE the profile coalesce (main.py:419-426)
+    val search = new MultiStageSearch(poisoned, "doc_id", "text", "embedding",
+      CascadeConfig(), UserProfile(jobType = Some("join"), location = Some("row")))
+    val results = Seq(
+      search.search("   ", col("qv")),
+      search.searchFixed("", col("qv")),
+      search.searchRemind("\t \n", col("qv"), scanK = 6),
+      search.searchRemindFixed(null, col("qv"), scanK = 6))
+    results.foreach { df =>
+      assert(df.collect().isEmpty)
+      // typed: the exact schema a non-empty search returns
+      assert(df.columns.toSeq == Seq("doc_id", "text", "dist", "stage_rank",
+        "judge_score", "rule_score", "score", "rank"))
+    }
+  }
+
+  test("L2: profile fills NER fields the query did not yield") {
+    val cfg = CascadeConfig(topK = 3, finalN = 3)
+    val withProfile = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      cfg, UserProfile(jobType = Some("join"), location = Some("row")))
+    val noProfile = new MultiStageSearch(corpus, "doc_id", "text", "embedding", cfg)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "doc_id", "stage_rank", "score").collect().toSeq
+    // "기타 문의" yields no NER fields -> both coalesce from the profile;
+    // identical to a query that names job=join, region=row itself
+    assert(rows(withProfile.search("기타 문의", col("qv"))) ==
+      rows(noProfile.search("join row", col("qv"))))
+    assert(rows(withProfile.searchFixed("기타 문의", col("qv"))) ==
+      rows(noProfile.searchFixed("join row", col("qv"))))
+  }
+
+  test("L2: query-provided NER fields win over the profile") {
+    val cfg = CascadeConfig(topK = 3, finalN = 3)
+    val withProfile = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      cfg, UserProfile(jobType = Some("join"), location = Some("row")))
+    val noProfile = new MultiStageSearch(corpus, "doc_id", "text", "embedding", cfg)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "doc_id", "stage_rank", "score").collect().toSeq
+    // the query names merge/line itself -> profile must not override
+    assert(rows(withProfile.search("merge line 문의", col("qv"))) ==
+      rows(noProfile.search("merge line 문의", col("qv"))))
   }
 
   test("strict stage results outrank later-stage results for equal scores") {

@@ -34,6 +34,19 @@ class SemanticFnSpec extends AnyFunSuite {
     assert(ner("nothing matches here") == QueryNer(None, None, None))
   }
 
+  test("withDefaults fills only missing fields; blanks count as absent (L2)") {
+    val p = UserProfile(age = Some("60대"), location = Some("row"),
+      jobType = Some("  ")) // blank jobType = absent (Python truthiness)
+    assert(QueryNer(Some("join"), None, None).withDefaults(p) ==
+      QueryNer(Some("join"), Some("row"), Some("60대")))
+    // an empty-string NER value is also "missing" in the reference
+    assert(QueryNer(None, Some(""), Some("50대")).withDefaults(p) ==
+      QueryNer(None, Some("row"), Some("50대")))
+    // all-None profile is a no-op
+    assert(QueryNer(None, Some("key"), None).withDefaults(UserProfile.empty) ==
+      QueryNer(None, Some("key"), None))
+  }
+
   test("DictSynonyms returns neutral empty for unknown jobs") {
     val syn = new DictSynonyms(Map("join" -> Seq("merge", "hash")))
     assert(syn("JOIN ") == Seq("merge", "hash")) // normalized lookup

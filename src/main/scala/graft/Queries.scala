@@ -1490,16 +1490,41 @@ object Queries {
   // recursive semantics; ScalaTest-verified), G4 synonym expansion
   // ======================================================================
 
+  /** Committed cross-language golden for the recursive chunker
+    * (generated by tools/golden_chunks.py — an independent Python
+    * implementation of the same published splitter semantics). */
+  private val ChunkerGolden = "/root/repo/src/test/resources/chunker_golden.json"
+
   private val g1 = QuerySpec("g1_chunk_documents",
-    (s, d) => {
-      val chunker = Chunker(chunkSize = 120, overlap = 20)
-      chunker(t(s, d, "documents"), "text")
-        .select(col("doc_id"), col("chunk_index"), col("chunk"),
-          TextFunctions.chunkIdPortable(col("doc_id"), col("chunk_index"), col("chunk"))
-            .as("chunk_id"))
-        .orderBy("doc_id", "chunk_index")
+    // G1 with a REAL oracle: the Spark chunker runs over the committed
+    // golden fixture's 24 input texts (each at its case's size/overlap
+    // config); DuckDB unnests the EXPECTED chunk arrays from the same
+    // JSON. A hash match means the distributed chunker reproduces the
+    // cross-language golden byte-identically — the ChunkerGoldenSpec
+    // parity, now enforced by the harness gate too. Fixture-driven
+    // like j1, not sf-dir-driven (a recursive splitter over sf-dir
+    // documents has no SQL-expressible expected output).
+    (s, _) => {
+      val cases = s.read.option("multiLine", true)
+        .schema("name STRING, chunk_size INT, overlap INT, text STRING, " +
+          "chunks ARRAY<STRING>")
+        .json(ChunkerGolden)
+      // one Chunker per (size, overlap) config present — bounded by
+      // the 24 fixture cases, collected once on the driver
+      val configs = cases.select("chunk_size", "overlap").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      configs.map { case (cs, ov) =>
+        Chunker(chunkSize = cs, overlap = ov)(
+          cases.filter(col("chunk_size") === cs && col("overlap") === ov), "text")
+          .select(col("name"), col("chunk_index"), col("chunk"))
+      }.reduce(_ unionByName _)
+        .orderBy("name", "chunk_index")
     },
-    None)
+    Some(s"""SELECT name, chunk_index, chunk FROM (
+        SELECT name, CAST(unnest(range(len(chunks))) AS INT) AS chunk_index,
+          unnest(chunks) AS chunk
+        FROM read_json('$ChunkerGolden'))
+      ORDER BY name, chunk_index"""))
 
   private val g4 = QuerySpec("g4_synonym_expand",
     (s, d) => {
@@ -1957,6 +1982,34 @@ object Queries {
     },
     None)
 
+  private val v10 = QuerySpec("v10_lsh_recall",
+    // The v9 treatment for the MLlib LSH path: recall@10 of the
+    // bucketed batch kNN against the exact batch kNN, per query —
+    // the quality measurement that decides whether an LSH config
+    // earns trust, reported as data. Seed-deterministic (fixed
+    // Gaussian projections), so the recall rows are stable run to
+    // run; rows-only in the harness because MLlib's seeded projection
+    // draws cannot be reproduced in DuckDB SQL (the IVF twin v9 IS
+    // oracle-checked; LshAnnSpec additionally pins a recall floor on
+    // a fixture corpus).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val lsh = LshAnn.approxNearestBatch(e, "embedding", "vec_id",
+        qs, "qid", "qv", k = 10, bucketLength = 4.0, numTables = 8)
+      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
+      exact.select(col("qid"), col("vec_id"))
+        .join(lsh.select(col("qid"), col("vec_id"), lit(1).as("__hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("__hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit") / 10.0, 6).as("recall"))
+        .orderBy("qid")
+    },
+    None)
+
   private val f3 = QuerySpec("f3_ner_json_filter",
     // P8 serialize → P7 permissive parse → F3 metadata filter round
     // trip (main_remind.py:409-447): parse-failure rows are skipped via
@@ -2185,7 +2238,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

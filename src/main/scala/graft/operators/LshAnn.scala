@@ -1,9 +1,11 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MLlib batch vector indexing (the north star's named approach:
@@ -43,6 +45,47 @@ object LshAnn {
     val model = fitModel(data, bucketLength, numTables, seed)
     model.approxNearestNeighbors(data, Vectors.dense(queryVec.toArray), k)
       .select(col(idCol), col("distCol").as("dist"))
+  }
+
+  /** Batch LSH kNN: top-k per query served from the bucketed index —
+    * the batch form of [[approxNearest]], built on the same fitted
+    * model. Candidates are (query, doc) pairs sharing ≥1
+    * (table, bucket) key; survivors are reranked by EXACT L2 with id
+    * tie-breaks, so output order is deterministic given the seed.
+    *
+    * Scale shape (the MinHash-band pattern): both sides explode to
+    * `numTables` narrow (table, bucket, id) rows, the candidate join
+    * shuffles those hash-sized keys — never vectors — and the vectors
+    * join back ONCE for the exact rerank of the sparse candidate set.
+    * The final top-k is a rank window partitioned by query, bounded by
+    * each query's candidates. A query whose buckets are empty returns
+    * no rows (probe more tables / wider buckets), which is the honest
+    * ANN contract — [[lshRecall]]-style measurement decides whether a
+    * config earns trust, exactly like the IVF path's recall query. */
+  def approxNearestBatch(corpus: DataFrame, embCol: String, idCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, bucketLength: Double = 2.0,
+                         numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val data = withVec(corpus, embCol)
+    val model = fitModel(data, bucketLength, numTables, seed)
+    def bucketKeys(df: DataFrame, keep: String) = model.transform(df)
+      .select(col(keep), posexplode(col("__hashes")).as(Seq("__t", "__h")))
+      .select(col(keep), col("__t"),
+        element_at(vector_to_array(col("__h")), 1).cast("long").as("__b"))
+    val cand = bucketKeys(data, idCol)
+      .join(bucketKeys(queries.withColumn("__vec",
+          array_to_vector(col(qvecCol).cast("array<double>"))), qidCol),
+        Seq("__t", "__b"))
+      .select(col(qidCol), col(idCol)).distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(queries.select(col(qidCol), col(qvecCol)), Seq(qidCol))
+      .withColumn("dist", VectorFunctions.l2(col(embCol), col(qvecCol)))
+    scored
+      .withColumn("knn_rank", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))))
+      .filter(col("knn_rank") <= k)
+      .select(col(qidCol), col("knn_rank"), col(idCol), col("dist"))
   }
 
   /** Batch similarity self-join: all pairs within `threshold` L2. */

@@ -48,6 +48,16 @@ object Bench {
     // same selection so the loop still measures steady state.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Shared-box interference has repeatedly masqueraded as regressions
+    // (three rounds running; always exonerated by isolated reruns), so
+    // the artifact discloses the 1-minute system load at start and end —
+    // a reader can tell "the operator got slower" from "the box was
+    // busy" without rerunning anything.
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg1m()
     // Declaration order, not Map hash order: hash order re-deals every
     // query's neighbors whenever the suite grows, which makes
     // interference effects (GC debris from a heavy predecessor)
@@ -145,7 +155,8 @@ object Bench {
         .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
         .mkString("{", ",", "},")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg1m()
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"sf":"$sfDir"}""")
   }
 }

@@ -1043,6 +1043,42 @@ object Queries {
       SELECT doc_a AS doc_new, doc_b AS doc_old, round(jaccard, 6) AS jaccard
       FROM verified WHERE jaccard >= 0.5 ORDER BY 1, 2"""))
 
+  /** d12's pre-stored corpus band table — built ONCE per sf dir (a
+    * TrieMap keyed on the dir), because the band index is the
+    * INDEX-TIME artifact of the incremental-dedup design: repeated
+    * bench/verify runs then measure QUERY-time cost, the cost a daily
+    * batch actually pays against an index that already exists. A lost
+    * race builds the index twice into separate temp dirs — wasteful,
+    * never wrong (both are complete). */
+  private val bandIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bandIndexFor(s: SparkSession, d: String): String =
+    bandIndexPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_band_idx_").toString + "/bands"
+      Dedup.writeBandIndex(
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", p,
+        numHashes = 32, bandRows = 4, shingleK = 3, nBuckets = 16)
+      p
+    })
+
+  private val d12 = QuerySpec("d12_incremental_banded",
+    // d11 served from the pre-stored band index: the corpus side reads
+    // ONLY the batch's band buckets (static partition pruning on
+    // band_bucket) and re-shingles only CANDIDATE corpus docs, instead
+    // of re-shingling the whole corpus per batch. Identical pairs by
+    // construction (same hash scheme, read from the index's own
+    // metadata) — the oracle IS d11's.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0),
+          bandIndexFor(s, d),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_new", "doc_old")
+    },
+    d11.oracle)
+
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         shingleK = 2, threshold = 0.4)
@@ -2237,7 +2273,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)

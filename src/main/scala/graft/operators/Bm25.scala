@@ -34,30 +34,40 @@ object Bm25 {
   def score(df: DataFrame, textCol: String, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct, non-empty")
+    // Internal per-term columns are indexed (__tf_0, __df_0, __score_0,
+    // …) and only renamed to the reader-facing tf_<term>/df_<term>/
+    // score_<term> names at the END via exact-match renames: resolving
+    // a term-derived name with col() fails on '.' or '`' in a
+    // whitespace token (same hazard as [[topKFromIndex]]'s pivot).
     val toks = df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("dl", size(col("__toks")).cast("double"))
-    val withTf = terms.foldLeft(toks) { (d, t) =>
-      d.withColumn(s"tf_$t",
+    val withTf = terms.zipWithIndex.foldLeft(toks) { case (d, (t, i)) =>
+      d.withColumn(s"__tf_$i",
         size(filter(col("__toks"), w => w === t)).cast("double"))
     }
     // One global aggregate: corpus size, mean doc length, per-term df.
     // Broadcast back as a single row — the only non-narrow step.
     val statCols =
       Seq(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
-        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
-          .cast("double").as(s"df_$t"))
+        terms.indices.map(i => sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L))
+          .cast("double").as(s"__df_$i"))
     val stats = withTf.agg(statCols.head, statCols.tail: _*)
-    val scored = terms.foldLeft(withTf.crossJoin(broadcast(stats))) { (d, t) =>
-      val tf = col(s"tf_$t")
+    val scored = terms.indices.foldLeft(withTf.crossJoin(broadcast(stats))) { (d, i) =>
+      val tf = col(s"__tf_$i")
       val idf = log(lit(1.0) +
-        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        (col("n_docs") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
       val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-      d.withColumn(s"score_$t",
+      d.withColumn(s"__score_$i",
         when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(lit(0.0)))
     }
+    val renames = terms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(s"__tf_$i" -> s"tf_$t", s"__df_$i" -> s"df_$t",
+        s"__score_$i" -> s"score_$t")
+    }.toMap
     // fixed-order sum — never a reduce over an unordered set
     scored.withColumn("bm25",
-      terms.map(t => col(s"score_$t")).reduceLeft(_ + _))
+        terms.indices.map(i => col(s"__score_$i")).reduceLeft(_ + _))
+      .withColumnsRenamed(renames)
       .drop("__toks")
   }
 
@@ -117,12 +127,19 @@ object Bm25 {
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     // ≤1 row per (doc, term), so each pivoted sum is exact (no
     // re-association); the cross-term sum is then a fixed-order fold.
+    // Internal score columns are indexed POSITIONALLY (__s_0, __s_1,
+    // …): a term-derived name would round-trip user text through
+    // col()-resolution, where a '.' or '`' in a whitespace token fails
+    // with an AnalysisException. The tf_<term> output columns are only
+    // ever CREATED via .as() (never re-resolved), so they keep the
+    // reader-friendly term names.
     val aggCols =
       terms.map(t => coalesce(sum(when(col("term") === t, col("__tf"))), lit(0.0)).as(s"tf_$t")) ++
-        terms.map(t => coalesce(sum(when(col("term") === t, col("__score"))), lit(0.0)).as(s"__s_$t"))
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(sum(when(col("term") === t, col("__score"))), lit(0.0)).as(s"__s_$i") }
     val per = scored.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-    per.withColumn("bm25", terms.map(t => col(s"__s_$t")).reduceLeft(_ + _))
-      .drop(terms.map(t => s"__s_$t"): _*)
+    per.withColumn("bm25", terms.indices.map(i => col(s"__s_$i")).reduceLeft(_ + _))
+      .drop(terms.indices.map(i => s"__s_$i"): _*)
       .filter(col("bm25") > 0)
       .orderBy(desc("bm25"), col(idCol))
       .limit(k)

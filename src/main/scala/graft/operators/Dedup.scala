@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,14 +81,18 @@ object Dedup {
     * (the ContextCleaner does NOT free them while the session lives) —
     * callers that run many dedup pipelines in one session should
     * `spark.catalog.clearCache()` between them, as Bench and Verify
-    * both do. */
+    * both do. `doPersist = false` skips the materialization for
+    * single-consumer plans (e.g. [[writeBandIndex]], whose bands are
+    * derived in one pass and never re-read). */
   private def shinglePipeline(df: DataFrame, idCol: String, textCol: String,
-                              shingleK: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+                              shingleK: Int, doPersist: Boolean = true): DataFrame = {
+    val rows = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (doPersist) rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rows
+  }
 
   /** (doc_id, band_idx, band_sig) from a [[shinglePipeline]] frame.
     * Each shingle is md5'd ONCE; the numHashes minhash family derives
@@ -173,14 +177,22 @@ object Dedup {
     * with a small batch against a huge corpus, AQE broadcasts the
     * batch's band table, so the corpus pays one band-materialization
     * scan and zero shuffles of its documents. In production the corpus
-    * bands are the PRE-STORED artifact (write them partitionBy a
-    * band_sig bucket at index time — the i1/b2 posting-index pattern)
-    * and the daily check reads only matching buckets.
+    * bands are the PRE-STORED artifact: [[writeBandIndex]] persists
+    * them partitionBy a band_sig bucket at index time (the i1/b2
+    * posting-index pattern) and [[minhashNearDupsAgainstIndex]] reads
+    * only matching buckets.
     *
     * Ids must be distinct across the two frames (same contract as a
     * union); pairs are oriented (doc_new, doc_old). Same signature
     * family, band scheme, and exact-Jaccard verify as
-    * [[minhashNearDups]] — d11 shares d2's oracle fragments. */
+    * [[minhashNearDups]] — d11 shares d2's oracle fragments.
+    *
+    * The result is computed EAGERLY (localCheckpoint of the pair
+    * list, which is candidate-bounded and small by the LSH collision
+    * math) so the two internally-persisted shingle frames can be
+    * unpersisted before returning — persist lifetime is bounded
+    * inside the method and repeated callers (a per-batch ingest
+    * loop) never accumulate session cache. */
   def minhashNearDupsAgainst(
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bandRows: Int = 4,
@@ -198,12 +210,132 @@ object Dedup {
       .distinct()
     val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
     val oldSets = oldShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_old"))
-    cand
+    val out = cand
       .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
       .join(oldSets.withColumnRenamed("doc_id", "doc_old"), Seq("doc_old"))
       .withColumn("jaccard", TextAnalysis.jaccard(col("sh_new"), col("sh_old")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    newShingles.unpersist()
+    oldShingles.unpersist()
+    out
+  }
+
+  /** Bucket key for the pre-stored band index: derived from band_sig
+    * ONLY, so write side and read side always agree given the same
+    * `nBuckets` (persisted in the index's own metadata — see
+    * [[writeBandIndex]]). */
+  private def bandBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("band_sig")), lit(nBuckets.toLong))
+
+  /** Build and persist the corpus MinHash band table — the pre-stored
+    * index that turns per-batch incremental dedup from "re-shingle the
+    * corpus every day" into "read the matching band buckets"
+    * ([[minhashNearDupsAgainst]]'s own scaladoc names this artifact).
+    *
+    * Layout: (doc_id, band_idx, band_sig) partitioned by band_bucket =
+    * hash(band_sig) mod nBuckets, so a batch's lookups prune to the
+    * directories its own signatures hash into. The hash scheme
+    * parameters (numHashes, bandRows, shingleK, nBuckets) are written
+    * alongside under `_graft_meta` (underscore prefix: invisible to
+    * plain parquet readers of the band table) and re-read by
+    * [[minhashNearDupsAgainstIndex]] — the reader can never drift from
+    * the writer's scheme, which would silently drop true pairs.
+    *
+    * Size nBuckets so one bucket's bands fit a scan task comfortably
+    * (bands are 3 narrow columns; at 100 TB corpus scale thousands of
+    * buckets keep per-bucket reads small while batch-side pruning
+    * stays effective — a small batch touches few distinct buckets). */
+  def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     path: String, numHashes: Int = 32, bandRows: Int = 4,
+                     shingleK: Int = 3, nBuckets: Int = 64): Unit = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    val spark = corpus.sparkSession
+    // single-consumer plan: bands are derived in one pass, no persist
+    val bands = minhashBandsOf(
+        shinglePipeline(corpus, idCol, textCol, shingleK, doPersist = false),
+        numHashes, bandRows)
+      .withColumn("band_bucket", bandBucket(nBuckets))
+    bands.write.mode("overwrite").partitionBy("band_bucket").parquet(path)
+    import spark.implicits._
+    Seq((numHashes, bandRows, shingleK, nBuckets))
+      .toDF("num_hashes", "band_rows", "shingle_k", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** [[minhashNearDupsAgainst]] served from a pre-stored band index
+    * ([[writeBandIndex]]'s artifact) — identical pairs, but the corpus
+    * side reads ONLY the band buckets the batch's own signatures hash
+    * into (static partition pruning on band_bucket; the bucket list is
+    * a bounded driver collect, ≤ the index's nBuckets) instead of
+    * re-shingling the whole corpus per batch. The exact-Jaccard verify
+    * re-shingles just the CANDIDATE corpus docs (semi-join on the
+    * collision pairs), so corpus-side work scales with the batch's
+    * collision footprint, not the corpus.
+    *
+    * Hash-scheme parameters come from the index's own `_graft_meta`,
+    * never from the caller — a mismatched reader is impossible by
+    * construction. Persist lifetime is bounded inside the method, as
+    * in [[minhashNearDupsAgainst]]. */
+  /** The pruned corpus-band read [[minhashNearDupsAgainstIndex]] is
+    * built on, extracted so its plan shape is testable: the method's
+    * own output is `localCheckpoint`ed (lineage truncated to an
+    * ExistingRDD scan), so the partition pruning this design depends
+    * on is only visible HERE — DedupSpec asserts the scan carries a
+    * `band_bucket` PartitionFilter and touches fewer directories than
+    * the index has buckets. */
+  private[graft] def prunedBandRead(spark: SparkSession, indexPath: String,
+                                    buckets: Seq[Long]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("band_bucket").isin(buckets: _*))
+
+  def minhashNearDupsAgainstIndex(
+      newDf: DataFrame, indexPath: String, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/_graft_meta").collect()(0)
+    val (numHashes, bandRows, shingleK, nBuckets) =
+      (meta.getAs[Int]("num_hashes"), meta.getAs[Int]("band_rows"),
+        meta.getAs[Int]("shingle_k"), meta.getAs[Int]("n_buckets"))
+    val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
+    val newBands = minhashBandsOf(newShingles, numHashes, bandRows)
+      .withColumn("band_bucket", bandBucket(nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nBuckets values: the literal IN list is what makes the pruning
+    // STATIC (visible in the scan's PartitionFilters) rather than a
+    // runtime-dependent join the planner may or may not prune.
+    val buckets = newBands.select("band_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val corpusBands = prunedBandRead(spark, indexPath, buckets)
+    val cand = newBands
+      .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_new"))
+      .join(corpusBands
+        .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_old")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("doc_new") =!= col("doc_old"))
+      .select("doc_new", "doc_old")
+      .distinct()
+      .localCheckpoint(true) // eager + small: reused for verify AND the old-id semi-join
+    val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
+    // verify-side corpus shingles: candidate docs only (shinglesFast
+    // already returns the distinct-shingle set the Jaccard expects)
+    val oldIds = cand.select(col("doc_old")).distinct()
+    val oldSets = corpus
+      .join(oldIds, corpus(idCol) === oldIds("doc_old"), "left_semi")
+      .select(col(idCol).as("doc_old"),
+        TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_old"))
+    val out = cand
+      .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(oldSets, Seq("doc_old"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_new"), col("sh_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    newShingles.unpersist()
+    newBands.unpersist()
+    out
   }
 
   /** SimHash over word frequencies at `bits` width (multiple of 4,

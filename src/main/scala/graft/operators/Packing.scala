@@ -44,11 +44,17 @@ object Packing {
     // inner join inserts isnotnull(__b) filters asymmetrically (pushed
     // under one branch's exchange, left above the other's), the two
     // exchange subtrees stop canonicalizing equal, and ReusedExchange
-    // can't fire — doubling the source scan. (A null id would land in
-    // bucket 0 deterministically; ids are non-null in practice.)
+    // can't fire — doubling the source scan. The order key enforces
+    // the non-null id contract LOUDLY instead: md5(null) is null, and
+    // Spark sorts nulls first where the DuckDB oracle sorts them last,
+    // so a null id would silently produce a divergent packing order —
+    // raise_error inside the expression fails the job at the first
+    // null row with zero extra passes over the data.
     val base = df.select(col(idCol), col(nTokCol).cast("long").as("__ntok"))
       .withColumn("__b", coalesce(Curation.hashBucket(col(idCol), buckets), lit(0L)))
-      .withColumn("__ok", md5(col(idCol).cast("string")))
+      .withColumn("__ok", when(col(idCol).isNull,
+          raise_error(lit(s"concatChunk: null $idCol — ids must be non-null")))
+        .otherwise(md5(col(idCol).cast("string"))))
     // inclusive per-bucket running total; minus __ntok = exclusive
     val perBucket = Window.partitionBy("__b")
       .orderBy(col("__ok"), col(idCol))

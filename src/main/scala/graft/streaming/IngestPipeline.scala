@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: this sink rewrites corpus∪survivors per commit — the
   * right shape for the versioned-snapshot contract and modest corpora;
-  * at 100 TB the same dedup gate feeds
-  * [[graft.sources.IndexStore.upsertPartitioned]] (cost ∝ affected
-  * partitions) with periodic versioned rebuilds instead of per-batch
-  * full rewrites.
+  * at 100 TB the same dedup gate feeds [[dedupedPartitionedSink]]
+  * (cost ∝ affected partitions via
+  * [[graft.sources.IndexStore.upsertPartitioned]]) with periodic
+  * versioned rebuilds instead of per-batch full rewrites.
   */
 object IngestPipeline {
 
@@ -34,17 +34,12 @@ object IngestPipeline {
     * (arbitrary-deterministic by id ordering they are exact dups of
     * each other only if ids repeat); batch-internal NEAR-dups are the
     * caller's pre-pass ([[Dedup.minhashNearDups]] on the batch) when
-    * the arrival stream itself is dirty. */
-  /** `sessionCacheHygiene`: the incremental dedup persists its two
-    * shingle pipelines internally, and the sink has no handles to
-    * unpersist them selectively — by default it clears the SESSION
-    * cache after each commit (fine for a dedicated ingest session).
-    * Set false when the session is shared with cache-holding readers
-    * and run `spark.catalog.clearCache()` at your own cadence. */
+    * the arrival stream itself is dirty. Cache hygiene is the dedup
+    * operator's own: [[Dedup.minhashNearDupsAgainst]] bounds its
+    * persist lifetime internally, so repeated batches leak nothing. */
   def dedupedVersionedSink(root: String, idCol: String, textCol: String,
                            numHashes: Int = 32, bandRows: Int = 4,
-                           shingleK: Int = 3, threshold: Double = 0.5,
-                           sessionCacheHygiene: Boolean = true)
+                           shingleK: Int = 3, threshold: Double = 0.5)
                           (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val incoming = batch.dropDuplicates(idCol)
@@ -54,22 +49,59 @@ object IngestPipeline {
         IndexStore.writeVersioned(incoming, root)
       case vs =>
         val corpus = IndexStore.load(spark, s"$root/v${vs.last}")
-        // exact: an id already in the corpus never re-enters
-        val fresh = incoming.join(corpus, Seq(idCol), "left_anti")
-        // near: a batch doc whose text near-duplicates ANY corpus doc
-        // is dropped (corpus keeps priority — keep-first semantics)
-        val nearDup = Dedup.minhashNearDupsAgainst(
-            fresh, corpus, idCol, textCol,
-            numHashes, bandRows, shingleK, threshold)
-          .select(col("doc_new").as(idCol)).distinct()
-        val survivors = fresh.join(nearDup, Seq(idCol), "left_anti")
+        val survivors = dedupGate(incoming, corpus, idCol, textCol,
+          numHashes, bandRows, shingleK, threshold)
         // an all-duplicate batch (e.g. an at-least-once replay after a
         // driver restart) must not rewrite the corpus into a new
         // version — it would burn full-corpus I/O and churn genuinely
         // distinct versions out of the pruneVersions rollback window
         if (!survivors.isEmpty)
           IndexStore.writeVersioned(corpus.unionByName(survivors), root)
-        if (sessionCacheHygiene) graft.SessionHygiene.dropCachedBlocks(spark)
     }
+  }
+
+  /** The batch-vs-corpus dedup gate both sinks share: exact (an id
+    * already in the corpus never re-enters) then near (a batch doc
+    * whose text near-duplicates ANY corpus doc is dropped — corpus
+    * keeps priority, keep-first semantics). */
+  private def dedupGate(incoming: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, numHashes: Int,
+                        bandRows: Int, shingleK: Int, threshold: Double): DataFrame = {
+    val fresh = incoming.join(corpus, Seq(idCol), "left_anti")
+    val nearDup = Dedup.minhashNearDupsAgainst(
+        fresh, corpus, idCol, textCol,
+        numHashes, bandRows, shingleK, threshold)
+      .select(col("doc_new").as(idCol)).distinct()
+    fresh.join(nearDup, Seq(idCol), "left_anti")
+  }
+
+  /** The 100 TB ingest shape: same dedup gate, but the sink is
+    * [[graft.sources.IndexStore.upsertPartitioned]] — survivors are
+    * assigned a `cluster_id` by the caller's `assign` (e.g.
+    * [[graft.operators.Ann.ivfAssign]] against the serving centroids,
+    * or any stable partitioner) and ONLY the affected cluster
+    * partitions are read and rewritten under dynamic partition
+    * overwrite. Per-batch cost ∝ batch collision footprint + affected
+    * partitions, never corpus size; the trade versus
+    * [[dedupedVersionedSink]] is in-place mutation (no snapshot
+    * versions — concurrent readers of the touched partitions can see
+    * the flip; run periodic versioned rebuilds for the rollback
+    * window, as the scale note above prescribes). */
+  def dedupedPartitionedSink(path: String, idCol: String, textCol: String,
+                             assign: DataFrame => DataFrame,
+                             numHashes: Int = 32, bandRows: Int = 4,
+                             shingleK: Int = 3, threshold: Double = 0.5)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.dropDuplicates(idCol)
+    if (incoming.isEmpty) return // replayed/empty batch: nothing to write
+    val survivors = IndexStore.loadIfExists(spark, path) match {
+      case None => incoming
+      case Some(corpus) =>
+        dedupGate(incoming, corpus.drop("cluster_id"), idCol, textCol,
+          numHashes, bandRows, shingleK, threshold)
+    }
+    if (!survivors.isEmpty)
+      IndexStore.upsertPartitioned(spark, path, assign(survivors), idCol)
   }
 }

@@ -113,6 +113,23 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("terms containing '.' or backquote score identically via index and direct") {
+    // whitespace tokenization lets these through; neither path may
+    // round-trip them through col()-name resolution
+    val docs = Seq(
+      (0L, "a.b x y a.b"),
+      (1L, "x `q` z w"),
+      (2L, "a.b `q` other words")).toDF("doc_id", "text")
+    val terms = Seq("a.b", "`q`")
+    val direct = Bm25.topK(docs, "doc_id", "text", terms, 10)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toSeq
+    val viaIndex = Bm25.topKFromIndex(
+        Bm25.buildPostings(docs, "doc_id", "text"),
+        Bm25.docLengths(docs, "doc_id", "text"), "doc_id", terms, 10)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect().toSeq
+    assert(direct.nonEmpty && viaIndex == direct)
+  }
+
   test("fixed-order term sum: scores are reproducible across partitionings") {
     val r1 = Bm25.score(corpus, "text", Seq("join", "merge", "stream"))
       .select("doc_id", "bm25").as[(Long, Double)].collect().toMap

@@ -81,6 +81,66 @@ class DedupSpec extends SparkSpec {
     assert(!inc.exists { case (a, b, _) => !isNew(a) && !isNew(b) })
   }
 
+  test("band index: AgainstIndex equals Against, scheme read from index metadata") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val corpus = Seq((3L, base), (4L, far), (5L, near)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, near),
+      (12L, "unrelated words that overlap with nothing else at all"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_band_idx").toFile
+    val dir = root.toString + "/bands"
+    try {
+      // NON-default scheme: the reader must pick it up from _graft_meta,
+      // not from its own defaults — a drifted reader would drop pairs.
+      Dedup.writeBandIndex(corpus, "doc_id", "text", dir,
+        numHashes = 16, bandRows = 2, shingleK = 2, nBuckets = 8)
+      val viaIndex = Dedup.minhashNearDupsAgainstIndex(batch, dir, corpus,
+          "doc_id", "text", threshold = 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      val direct = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
+          numHashes = 16, bandRows = 2, shingleK = 2, threshold = 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIndex.nonEmpty && viaIndex == direct)
+      // physical layout: bucket directories (the pruning substrate) and
+      // the co-located scheme metadata
+      val sub = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(sub.exists(_.startsWith("band_bucket=")))
+      assert(sub.contains("_graft_meta"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("band index read is partition-pruned to the requested buckets") {
+    // minhashNearDupsAgainstIndex's output is localCheckpoint'ed, so
+    // the pruning is invisible in ITS plan — assert it on the extracted
+    // read the method is built on.
+    val docs = (0L until 40L).map(i => (i, s"doc $i words ${"x " * i.toInt}"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toFile
+    val dir = root.toString + "/bands"
+    try {
+      Dedup.writeBandIndex(docs, "doc_id", "text", dir,
+        numHashes = 16, bandRows = 2, shingleK = 2, nBuckets = 8)
+      val wanted = Seq(1L, 3L)
+      val pruned = Dedup.prunedBandRead(spark, dir, wanted)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("band_bucket"),
+        s"no band_bucket partition filter in scan:\n$scan")
+      // the scan really touched only the wanted directories (NOT
+      // .inputFiles, which lists the relation's full file set and
+      // ignores pruning — the scan node's own metrics count what ran)
+      val scanExec = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec leaf"))
+      val partsRead = scanExec.metrics("numPartitions").value
+      assert(partsRead <= wanted.size,
+        s"scan read $partsRead bucket partitions, wanted <= ${wanted.size}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
   test("minhash candidates are a subset of true near pairs at the threshold") {
     // LSH may miss (probabilistic recall) but the exact verify step
     // guarantees precision: every emitted pair really has j >= t.

@@ -92,6 +92,16 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("a null id fails loudly instead of silently diverging the order") {
+    val df = Seq((Option(1L), 5L), (Option.empty[Long], 3L)).toDF("id", "ntok")
+    val e = intercept[Exception] {
+      Packing.concatChunk(df, "id", "ntok", seqLen = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be non-null")), msgs(e).mkString(" | "))
+  }
+
   test("bucket derivation matches Curation.hashBucket") {
     val ids = (0L until 64L).toDF("id")
     val sparkSide = ids.select(col("id"), Curation.hashBucket(col("id"), 64).as("b"))

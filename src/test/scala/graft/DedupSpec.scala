@@ -237,6 +237,18 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
+  test("components: pointer doubling converges a 300-deep chain in O(log d) rounds") {
+    // one-hop propagation would need ~300 rounds for the min label to
+    // reach the chain's far end; maxIter = 12 only converges if the
+    // doubling shortcut really squares the reach per round (log2 300
+    // ≈ 8.2, + 1 verification round).
+    val n = 300L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(chain, maxIter = 12, driverSideThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == n + 1 && out.values.forall(_ == 0L))
+  }
+
   test("simhashNearDups: identical docs pair at hamming 0; verified bound holds") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

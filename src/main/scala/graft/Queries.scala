@@ -1079,6 +1079,40 @@ object Queries {
     },
     d11.oracle)
 
+  private val d13 = QuerySpec("d13_semdedup",
+    // SemDeDup (arXiv:2303.09540): cluster-blocked semantic near-dup.
+    // Nearest-centroid assignment (the s2 argmin, L2 + min-cid
+    // tie-break), then pairwise cosine ONLY within a cluster — the
+    // cross-cluster quadrant is never computed, which is what removes
+    // the corpus-quadratic term at 100 TB. Deterministic centroid
+    // table (vec_id < 8) so the cluster blocking itself is inside the
+    // DuckDB oracle; production centroids come from Ann.trainCentroids
+    // (MLlib k-means), same swap as s2 → s4.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Dedup.semanticNearDups(e, "vec_id", "embedding", cent, "cid", "cvec",
+          threshold = 0.3)
+        .select(col("cluster_id"), col("doc_a").as("vec_a"),
+          col("doc_b").as("vec_b"), col("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1)
+      SELECT cluster_id, vec_a, vec_b, round(cos, 6) AS cos FROM (
+        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${cosineSql("a.embedding", "b.embedding")} AS cos
+        FROM clusters a JOIN clusters b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
+
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         shingleK = 2, threshold = 0.4)
@@ -2273,7 +2307,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)

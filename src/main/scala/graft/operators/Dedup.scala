@@ -529,6 +529,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pairs via cluster-blocked cosine comparison. Embeddings are
+    * assigned to their nearest centroid ([[graft.operators.Ann]]'s
+    * deterministic argmin, L2 + min-cid tie-break — k-means assignment,
+    * as in the paper), and pairwise cosine similarity is computed ONLY
+    * within a cluster; pairs with cos ≥ `threshold` are semantic
+    * duplicates. Cross-cluster pairs are never compared — that is the
+    * SemDeDup tradeoff (recall bounded by clustering quality, measured
+    * in the paper at ≥99% of dup mass for k ~ √n), and what removes
+    * the quadratic corpus term.
+    *
+    * Scale shape: the only wide exchanges are the two cluster_id hash
+    * exchanges feeding the self-join — each shuffles the corpus
+    * payload once, and per-cluster work is Σ cᵢ², bounded by sizing k
+    * so E[cᵢ] = n/k stays O(√n) (k grows with the corpus, exactly how
+    * the IVF centroid count is sized). No stage is O(n²) and nothing
+    * corpus-sized is broadcast or collected: centroids enter through
+    * [[Ann.ivfAssign]]/[[Ann.ivfAssignBig]] (k-bounded). Downstream, a
+    * purge manifest is the existing composition: pairs →
+    * [[components]] → keep min id per component (the d10 shape).
+    *
+    * Production centroids come from [[Ann.trainCentroids]] (MLlib
+    * k-means); the harness query uses a deterministic centroid table
+    * so the operator is DuckDB-oracle-checkable end to end. */
+  def semanticNearDups(df: DataFrame, idCol: String, embCol: String,
+                       centroids: DataFrame, cidCol: String, cvecCol: String,
+                       threshold: Double, bigK: Boolean = false): DataFrame = {
+    val assign = if (bigK) Ann.ivfAssignBig _ else Ann.ivfAssign _
+    val assigned = assign(
+        df.select(col(idCol), col(embCol)), embCol, idCol,
+        centroids, cidCol, cvecCol)
+      .select(col("cluster_id"), col(idCol).as("doc_id"), col(embCol).as("emb"))
+    val left = assigned.select(col("cluster_id"),
+      col("doc_id").as("doc_a"), col("emb").as("emb_a"))
+    val right = assigned.select(col("cluster_id"),
+      col("doc_id").as("doc_b"), col("emb").as("emb_b"))
+    left.join(right, Seq("cluster_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster_id"), col("doc_a"), col("doc_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** N-gram Jaccard near-dup via LSH candidates (exact verify) — the
     * scalable composition: Jaccard itself is exact; candidate
     * generation reuses the MinHash bands. */

@@ -207,6 +207,69 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"corpus broadcast in:\n$plan")
   }
 
+  test("semanticNearDups matches brute force restricted to same-cluster pairs") {
+    // Two separated axis clusters with per-dim jitter plus two "mid"
+    // vectors between them: mids assign to a cluster by L2 but sit
+    // below the cosine threshold with their cluster-mates, so the
+    // expected set is a strict subset of each cluster's all-pairs.
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(dim)(0f); v(i) = 1f; v
+    }
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val mid = Array.tabulate(dim)(i => if (i < 2) 0.7f else 0.0f)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, jitter(if (i % 2 == 0) axis(0) else axis(1)))) ++
+      Seq((100L, mid), (101L, jitter(mid)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "emb")
+    val cents = spark.createDataFrame(Seq((0L, axis(0)), (1L, axis(1))))
+      .toDF("cid", "cvec")
+    val threshold = 0.9
+    // brute-force mirror: argmin-L2 assignment (tie-break min cid),
+    // then same-cluster pairs with cos >= threshold
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    val cl = rows.map { case (id, v) =>
+      (id, Seq((0L, axis(0)), (1L, axis(1)))
+        .map { case (cid, cv) => (l2sq(v, cv), cid) }.min._2, v)
+    }
+    val expected = (for {
+      (ia, ca, va) <- cl; (ib, cb, vb) <- cl
+      if ia < ib && ca == cb && cos(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty && expected.size < cl.combinations(2).size)
+    val got = Dedup.semanticNearDups(df, "vec_id", "emb",
+        cents, "cid", "cvec", threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    // the broadcast-argmin assignment path (real centroid counts)
+    // produces the identical pair set
+    val gotBig = Dedup.semanticNearDups(df, "vec_id", "emb",
+        cents, "cid", "cvec", threshold, bigK = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(gotBig == expected)
+  }
+
+  test("semanticNearDups plan is cluster-keyed: no cartesian, no corpus broadcast") {
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(8)(i * 0.01f)))
+      .toDF("vec_id", "emb")
+    val cents = Seq((0L, Array.fill(8)(0f)), (1L, Array.fill(8)(1f)))
+      .toDF("cid", "cvec")
+    val plan = Dedup.semanticNearDups(df, "vec_id", "emb",
+        cents, "cid", "cvec", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs stage in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"corpus broadcast in:\n$plan")
+  }
+
   test("components: chains and separate clusters resolve to min-id labels") {
     // chain 1-2-3 (transitively one component), island 7-8, singleton edge 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L))

@@ -1897,6 +1897,126 @@ object Queries {
         round(${cosineSql("e", "qv")}, 6) AS cos
       FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"""))
 
+  /** DuckDB mirror of the PQ pipeline (Ann.pqEncode + pqSearch) over a
+    * `pool` relation with (vec_id, embedding): deterministic codebook
+    * (subvectors of vec_id < 16, m=4 × subDim=16 over dim 64), argmin
+    * encode with (dist, code) tie-break, query LUT, ADC candidate cut
+    * at `candLimit` — the exact Spark fold order (j ascending,
+    * left-assoc adds, sqrt last). Expects a `q(qv)` CTE in scope.
+    * Shared by s6 (whole corpus) and s7 (IVF-probed pool) so the two
+    * oracles can never drift on the quantization arithmetic. */
+  private def pqCtes(pool: String, candLimit: Int): String =
+    s"""subs AS (SELECT j FROM unnest([0, 1, 2, 3]) AS t(j)),
+      cb AS (SELECT j AS sub_idx, vec_id AS code,
+          list_transform(embedding[j*16+1 : j*16+16], x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
+      enc AS (SELECT vec_id, sub_idx, code FROM (
+        SELECT e.vec_id, c.sub_idx, c.code,
+          row_number() OVER (PARTITION BY e.vec_id, c.sub_idx ORDER BY
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(e.embedding[c.sub_idx*16 + i] AS DOUBLE) - c.subvec[i])**2)),
+            c.code) AS rn
+        FROM $pool e CROSS JOIN cb c) WHERE rn = 1),
+      wide AS (SELECT vec_id,
+          max(CASE WHEN sub_idx = 0 THEN code END) AS c0,
+          max(CASE WHEN sub_idx = 1 THEN code END) AS c1,
+          max(CASE WHEN sub_idx = 2 THEN code END) AS c2,
+          max(CASE WHEN sub_idx = 3 THEN code END) AS c3
+        FROM enc GROUP BY vec_id),
+      lut AS (SELECT sub_idx, code,
+          list_sum(list_transform(range(1, 17),
+            i -> (q.qv[sub_idx*16 + i] - subvec[i])**2)) AS pd
+        FROM cb CROSS JOIN q),
+      lutl AS (SELECT
+          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 0) AS l0,
+          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 1) AS l1,
+          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 2) AS l2,
+          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 3) AS l3),
+      cand AS (SELECT w.vec_id,
+          sqrt(l0[w.c0 + 1] + l1[w.c1 + 1] + l2[w.c2 + 1] + l3[w.c3 + 1]) AS approx_dist
+        FROM wide w CROSS JOIN lutl
+        ORDER BY approx_dist, vec_id LIMIT $candLimit)"""
+
+  /** Exact-rerank tail shared by the s6/s7 oracles. */
+  private def pqFinalSelect(pool: String, k: Int): String =
+    s"""SELECT vec_id, round(approx_dist, 6) AS approx_dist, round(dist, 6) AS dist
+      FROM (SELECT c.vec_id, c.approx_dist, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM cand c JOIN $pool e USING (vec_id) CROSS JOIN q)
+      ORDER BY dist, vec_id LIMIT $k"""
+
+  private val s6 = QuerySpec("s6_pq_search",
+    // Product quantization (Jégou et al. 2011): the corpus is stored
+    // as m=4 codes over 16-codeword subspace codebooks (4 small ints
+    // instead of 64 floats — the representation a 100 TB deployment
+    // scans), searched by ADC (query-side LUT of subspace squared
+    // distances, m lookups + adds per row), then the top k·candMult
+    // survivors rerank exactly. Deterministic codebook (subvectors of
+    // vec_id < 16) so encode + LUT + both cuts sit inside the DuckDB
+    // oracle; production codebooks come from Ann.pqTrainCodebooks
+    // (per-subspace MLlib k-means), the same swap as s2 → s4.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val embD = col("embedding").cast("array<double>")
+      val cb = e.filter(col("vec_id") < 16)
+        .select(explode(array((0 until 4).map(j => struct(
+          lit(j).as("sub_idx"), col("vec_id").as("code"),
+          slice(embD, j * 16 + 1, 16).as("subvec"))): _*)).as("r"))
+        .select(col("r.sub_idx"), col("r.code"), col("r.subvec"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Ann.pqSearch(e, "embedding", "vec_id", cb, qv, k = 10, candMult = 4)
+        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      ${pqCtes(pool = "embeddings", candLimit = 40)}
+      ${pqFinalSelect(pool = "embeddings", k = 10)}"""))
+
+  private val s7 = QuerySpec("s7_ivfpq_search",
+    // IVF+PQ (the FAISS IndexIVFPQ composition): the coarse quantizer
+    // prunes the corpus to nprobe=2 of 8 clusters, the product
+    // quantizer ADC-scores only the survivors, the top-40 rerank
+    // exactly. The two prunings MULTIPLY at 100 TB: read the probed
+    // cluster partitions only (s2's partition pruning), and within
+    // them only the m-byte codes (s6's scan shrink). Deterministic
+    // centroids (s2's) + deterministic codebook (s6's) keep the whole
+    // composition inside the DuckDB oracle.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val embD = col("embedding").cast("array<double>")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = e.filter(col("vec_id") < 16)
+        .select(explode(array((0 until 4).map(j => struct(
+          lit(j).as("sub_idx"), col("vec_id").as("code"),
+          slice(embD, j * 16 + 1, 16).as("subvec"))): _*)).as("r"))
+        .select(col("r.sub_idx"), col("r.code"), col("r.subvec"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val assigned = Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
+      Ann.ivfPqSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
+          cb, qv, k = 10, nprobe = 2, candMult = 4)
+        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2),
+      pool AS (SELECT c.vec_id, c.embedding
+        FROM clusters c JOIN probe USING (cluster_id)),
+      ${pqCtes(pool = "pool", candLimit = 40)}
+      ${pqFinalSelect(pool = "pool", k = 10)}"""))
+
   private val s4 = QuerySpec("s4_ann_ivf_bigk",
     // s2 at REAL centroid count: 256 centroids assigned via the
     // broadcast-argmin path (Ann.ivfAssignBig — constant-size plan, no
@@ -2309,6 +2429,6 @@ object Queries {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
-    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5,
+    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,
     g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
 }

@@ -48,13 +48,12 @@ object Ann {
     * window over a crossJoin would shuffle n·k rows by id). */
   def ivfAssign(corpus: DataFrame, embCol: String, idCol: String,
                 centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val cents = centroids.select(col(cidCol), col(cvecCol)).collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
-    }
-    require(cents.nonEmpty, "centroid table is empty")
+    // collectCentroids casts the vector column to array<double>, so a
+    // float parquet table and trainCentroids' double output both work.
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
     val distStructs = array(cents.map { case (cid, v) =>
       struct(
-        VectorFunctions.l2(col(embCol), typedlit(v)).as("d"),
+        VectorFunctions.l2(col(embCol), typedlit(v.toSeq)).as("d"),
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
     // array_min orders structs lexicographically: min distance first,
@@ -240,6 +239,199 @@ object Ann {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
       .select(col(idCol), col("approx_cos"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011: "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)).
+  // The vector is split into `m` subvectors; each subspace gets its own
+  // codebook; a vector is stored as m small codes (m bytes at 256
+  // codes) instead of dim×4 fp32 bytes — at 100 TB this is the
+  // difference between scanning the corpus and scanning ~1-3% of it.
+  // Search is ADC (asymmetric distance computation): the query
+  // precomputes an m×k lookup table of subspace squared distances ONCE,
+  // and each stored vector's approximate distance is m table lookups —
+  // no decode, no per-vector arithmetic beyond m adds.
+  // ---------------------------------------------------------------------
+
+  /** Slice `emb` into subspace `j` of `m` equal parts (1-based slice;
+    * caller guarantees dim % m == 0 — enforced at codebook build). */
+  private def subvec(emb: Column, j: Int, subDim: Int): Column =
+    slice(emb, j * subDim + 1, subDim)
+
+  /** Train per-subspace PQ codebooks with MLlib KMeans (seed-
+    * deterministic) — the production codebook path; the harness query
+    * uses a deterministic "first vectors" codebook for oracle
+    * simplicity, same swap as [[trainCentroids]] → the s2 toy
+    * centroids. Output: (sub_idx, code, subvec) — m·kCodes rows,
+    * bounded by definition. The m driver-side fits each run one narrow
+    * pass over a single projected subvector column; this is index-BUILD
+    * cost, amortized over every query the artifact serves. */
+  def pqTrainCodebooks(corpus: DataFrame, embCol: String, dim: Int, m: Int,
+                       kCodes: Int, seed: Long = 42L,
+                       maxIter: Int = 20): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m $m must divide dim $dim")
+    require(kCodes >= 1, s"kCodes $kCodes must be >= 1")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = col(embCol).cast("array<double>")
+    (0 until m).flatMap { j =>
+      val data = corpus.select(array_to_vector(subvec(emb, j, subDim)).as("__vec"))
+      val model = new KMeans().setK(kCodes).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("__vec").fit(data)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (j, i.toLong, c.toArray)
+      }
+    }.toDF("sub_idx", "code", "subvec")
+  }
+
+  /** Collect a codebook table into per-subspace arrays indexed by code
+    * (codes must be exactly 0..kCodes-1 per subspace — checked loudly:
+    * a gap would silently shift every later codeword). */
+  private def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooks
+      .select(col("sub_idx").cast("int"), col("code").cast("long"),
+        col("subvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "codebook table is empty")
+    val m = rows.map(_._1).max + 1
+    (0 until m).toArray.map { j =>
+      val sub = rows.filter(_._1 == j).sortBy(_._2)
+      require(sub.map(_._2).sameElements(sub.indices.map(_.toLong)),
+        s"subspace $j codes must be exactly 0..${sub.length - 1}")
+      sub.map(_._3)
+    }
+  }
+
+  /** PQ-encode the corpus: adds `pq_codes` (array<int>, one code per
+    * subspace — THE stored artifact, m small ints instead of dim
+    * floats). Codebooks inline as literal (dist, code) structs with
+    * array_min argmin per subspace — [[ivfAssign]]'s deterministic
+    * tie-break (min distance, then min code), one narrow pass, no
+    * shuffle, fully codegen'd. Plan size grows with m·kCodes·subDim
+    * literals: fine for oracle/toy codebooks; at real sizes (256 codes
+    * × 16+ subspaces) use [[pqEncodeBig]] — same Janino-blowup boundary
+    * as [[ivfAssign]] → [[ivfAssignBig]]. Null embeddings → null codes
+    * (the [[ivfAssign]] contract). */
+  def pqEncode(corpus: DataFrame, embCol: String,
+               codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val subDim = cbs(0)(0).length
+    val emb = col(embCol).cast("array<double>")
+    val codeCols = cbs.indices.map { j =>
+      val structs = array(cbs(j).zipWithIndex.map { case (cw, c) =>
+        struct(
+          VectorFunctions.l2Sq(subvec(emb, j, subDim), typedlit(cw.toSeq)).as("d"),
+          lit(c).as("c"))
+      }.toIndexedSeq: _*)
+      array_min(structs).getField("c")
+    }
+    corpus.withColumn("pq_codes",
+      when(col(embCol).isNull, lit(null).cast("array<int>"))
+        .otherwise(array(codeCols: _*)))
+  }
+
+  /** [[pqEncode]] at REAL codebook sizes: codebooks broadcast once as
+    * plain arrays, the per-subspace argmin a tight JVM loop — constant
+    * plan size independent of m·kCodes (the [[ivfAssignBig]] exception,
+    * same justification). Identical codes by construction: minimum
+    * distance, then minimum code. */
+  def pqEncodeBig(corpus: DataFrame, embCol: String,
+                  codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val subDim = cbs(0)(0).length
+    val enc = udf { (emb: Seq[Double]) =>
+      if (emb == null) Option.empty[Array[Int]]
+      else {
+        val codebooksV = bc.value
+        Some(codebooksV.indices.toArray.map { j =>
+          val sub = emb.slice(j * subDim, (j + 1) * subDim).toArray
+          val cws = codebooksV(j)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cws.length) {
+            val d = l2sqStrict(sub, cws(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        })
+      }
+    }
+    corpus.withColumn("pq_codes", enc(col(embCol).cast("array<double>")))
+  }
+
+  /** Two-stage PQ search: ADC candidates from the m-byte codes, exact
+    * rerank of the top `k·candMult` survivors. The query-side LUT
+    * (subspace squared distance to every codeword — m·kCodes doubles)
+    * inlines as literal arrays, so the ADC score is m element_at
+    * lookups + adds per row: narrow, codegen'd, and the ONLY thing
+    * stage one reads is `pq_codes` (at 100 TB: a ~1% scan). Codes are
+    * derived inline here so the query stays self-contained — a real
+    * deployment persists `pq_codes` at index-build time ([[pqEncode]]'s
+    * artifact) and stage one never touches the fp vectors. Both cuts
+    * are total-ordered ((dist asc, id) — [[quantizedSearch]]'s
+    * contract), so the result is deterministic and oracle-checkable.
+    * Recall is governed by candMult and codebook quality (measured in
+    * AnnSpec against exact kNN, the v9/v10 pattern). */
+  def pqSearch(corpus: DataFrame, embCol: String, idCol: String,
+               codebooks: DataFrame, queryVec: Array[Double],
+               k: Int, candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    val cbs = collectCodebooks(codebooks)
+    val subDim = cbs(0)(0).length
+    require(queryVec.length == cbs.length * subDim,
+      s"query dim ${queryVec.length} != ${cbs.length}·$subDim")
+    val luts = cbs.indices.map { j =>
+      val qSub = queryVec.slice(j * subDim, (j + 1) * subDim)
+      typedlit(cbs(j).map(cw => l2sqStrict(qSub, cw)).toSeq)
+    }
+    // j ascending, left-assoc adds — the oracle mirrors this exact fold
+    val adc = cbs.indices
+      .map(j => element_at(luts(j), element_at(col("pq_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val emb = col(embCol).cast("array<double>")
+    val cand = pqEncode(corpus, embCol, codebooks)
+      .withColumn("approx_dist", sqrt(adc))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(k * candMult)
+    cand
+      .withColumn("dist", VectorFunctions.l2(emb, typedlit(queryVec.toSeq)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("approx_dist"), col("dist"))
+  }
+
+  /** IVF+PQ (the Jégou et al. IVFADC composition, the architecture
+    * behind FAISS's IndexIVFPQ): coarse quantizer prunes the corpus to
+    * `nprobe` clusters, product quantizer scores the survivors by ADC,
+    * exact rerank restores true order among the top k·candMult. At
+    * 100 TB the two stages multiply: the scan reads only the probed
+    * cluster partitions (partition pruning when the assigned table is
+    * stored partitionBy(cluster_id) — [[ivfSearchStore]]'s layout),
+    * and within them only the m-byte codes. `assigned` is
+    * [[ivfAssign]]/[[ivfAssignBig]] output; probe selection is the
+    * [[ivfSearch]] rule (L2 to centroid, min-cid tie-break), so the
+    * whole composition stays deterministic and oracle-checkable. */
+  def ivfPqSearch(assigned: DataFrame, embCol: String, idCol: String,
+                  centroids: DataFrame, cidCol: String, cvecCol: String,
+                  codebooks: DataFrame, queryVec: Array[Double],
+                  k: Int, nprobe: Int, candMult: Int = 4): DataFrame = {
+    val probed = centroids
+      .withColumn("__qdist",
+        VectorFunctions.l2(col(cvecCol), typedlit(queryVec.toSeq)))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).as("cluster_id"))
+    pqSearch(
+      assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi"),
+      embCol, idCol, codebooks, queryVec, k, candMult)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to the query,

@@ -181,6 +181,101 @@ class AnnSpec extends SparkSpec {
     assert(colliding == distinct)
   }
 
+  // deterministic pseudo-random PQ corpus: 60 vectors, dim 8
+  private def pqCorpus = {
+    val rnd = new scala.util.Random(29)
+    (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode and pqEncodeBig produce identical codes from trained codebooks") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 8, seed = 5L)
+    val small = Ann.pqEncode(pqCorpus, "embedding", cb)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    val big = Ann.pqEncodeBig(pqCorpus, "embedding", cb)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    assert(small == big)
+    assert(small.values.forall(_.length == 4))
+    // encode is a narrow map — no shuffle in either path
+    val plan = Ann.pqEncode(pqCorpus, "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("pqEncode rejects a codebook with gapped codes, keeps null embeddings null") {
+    val gapped = Seq((0, 0L, Seq(0.0, 0.0)), (0, 2L, Seq(1.0, 1.0)))
+      .toDF("sub_idx", "code", "subvec")
+    val df = Seq((1L, Array(0.1, 0.2))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.pqEncode(df, "embedding", gapped)
+    }
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", 8, 4, 4)
+    val withNull = pqCorpus.unionByName(
+      Seq((999L, null: Array[Double])).toDF("vec_id", "embedding"))
+    val codes = Ann.pqEncode(withNull, "embedding", cb)
+      .filter($"vec_id" === 999L).select("pq_codes").collect()
+    assert(codes.length == 1 && codes(0).isNullAt(0))
+  }
+
+  test("pqSearch reranks exactly and reaches full recall at generous candMult") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 7L)
+    val all = pqCorpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect()
+    val qv = all.find(_._1 == 0L).get._2.toArray
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exact = all.map { case (id, e) => (id, l2(e, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    // candMult spanning the corpus → stage one cannot drop a true
+    // neighbor; the exact rerank must then reproduce exact kNN.
+    val full = Ann.pqSearch(pqCorpus, "embedding", "vec_id", cb, qv,
+        k = 10, candMult = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+    // tight candMult: approximate — measure recall, require a floor
+    val tight = Ann.pqSearch(pqCorpus, "embedding", "vec_id", cb, qv,
+        k = 10, candMult = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (tight & exact).size / 10.0
+    assert(recall >= 0.5, s"recall@10 $recall below floor")
+    // exact stage output is ordered by true distance
+    val dists = Ann.pqSearch(pqCorpus, "embedding", "vec_id", cb, qv,
+        k = 10, candMult = 2)
+      .select("dist").as[Double].collect().toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("ivfPqSearch at full probe + generous candMult equals exact kNN; probing restricts the pool") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 11L)
+    val cents = Ann.trainCentroids(pqCorpus, "embedding", k = 4, seed = 3L)
+    val assigned = Ann.ivfAssign(pqCorpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val all = pqCorpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect()
+    val qv = all.find(_._1 == 1L).get._2.toArray
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exact = all.map { case (id, e) => (id, l2(e, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    // nprobe = all clusters + candMult spanning the corpus → exact
+    val full = Ann.ivfPqSearch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", cb, qv, k = 10, nprobe = 4, candMult = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+    // nprobe=1: every result lives in the query's nearest cluster
+    val probed = Ann.ivfPqSearch(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", cb, qv, k = 10, nprobe = 1, candMult = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val nearestCid = Ann.collectCentroids(cents, "cid", "cvec")
+      .map { case (cid, cv) => (l2(cv.toSeq, qv.toSeq), cid) }.min._2
+    val inCluster = assigned.filter($"cluster_id" === nearestCid)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed.subsetOf(inCluster))
+  }
+
   test("ivfSearchBatch with nprobe = all clusters equals exact batch kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val queries = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))

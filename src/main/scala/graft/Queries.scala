@@ -848,6 +848,60 @@ object Queries {
     },
     t11.oracle)
 
+  private val t19 = QuerySpec("t19_curate_pack_pipeline",
+    // The end-to-end training-data pass, composed from the operator
+    // family and oracle-checked as ONE flow: t7's manifest rule
+    // (quality + token floor + exact-dup keep-first) → t16's
+    // per-source cap → t15's sequence packing over the survivors —
+    // i.e. the assignment table a trainer actually consumes. Each
+    // stage keeps its own 100 TB shape (one codegen'd projection +
+    // hash-key dedup window; one source-keyed WindowGroupLimit; the
+    // bucketed two-phase prefix sum) — composition adds no new
+    // shuffle beyond the stages' own.
+    (s, d) => {
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      val curated = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+          md5(col("text")).as("text_hash"))
+        .withColumn("drn", row_number().over(w))
+        .filter(col("drn") === 1 && col("quality") >= 0.5 && col("n_tokens") >= 5)
+        .select("doc_id", "source", "quality", "n_tokens")
+      val capped = Curation.groupCap(curated, "doc_id", "source", "quality", cap = 15)
+        .filter(col("keep"))
+        .select("doc_id", "n_tokens")
+      Packing.concatChunk(capped, "doc_id", "n_tokens", seqLen = 256, buckets = 64)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, quality, n_tokens,
+        row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS drn
+        FROM (SELECT doc_id, source, $qualityExprSql AS quality,
+          CAST(nws AS BIGINT) AS n_tokens, md5(text) AS text_hash
+          FROM (${qualityInnerSql(" source,")}))),
+      curated AS (SELECT doc_id, source, quality, n_tokens FROM q
+        WHERE drn = 1 AND quality >= 0.5 AND n_tokens >= 5),
+      capped AS (SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens, row_number() OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id) AS crn FROM curated)
+        WHERE crn <= 15),
+      tok AS (SELECT doc_id, n_tokens, ${hashBucketSql("doc_id", 64)} AS b,
+        md5(CAST(doc_id AS VARCHAR)) AS ok FROM capped),
+      cum AS (SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY b, ok, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS icum
+        FROM tok)
+      SELECT doc_id, n_tokens,
+        icum - n_tokens AS start_tok,
+        (icum - n_tokens) // 256 AS first_seq,
+        CASE WHEN n_tokens > 0 THEN (icum - 1) // 256
+          ELSE (icum - n_tokens) // 256 END AS last_seq,
+        CAST(CASE WHEN n_tokens > 0
+          THEN (icum - 1) // 256 - (icum - n_tokens) // 256 + 1
+          ELSE 0 END AS INT) AS n_seqs
+      FROM cum ORDER BY doc_id"""))
+
   private val d9 = QuerySpec("d9_dup_spans",
     // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
     // maximal runs of ≥8 consecutive shared tokens between doc pairs,
@@ -2464,7 +2518,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,

@@ -2250,6 +2250,38 @@ object Queries {
       FROM keys ORDER BY doc_id, frame_index"""
     })
 
+  private val m4 = QuerySpec("m4_frame_dedup",
+    // Multimodal dedup ACTION: payload pairs whose distinct frame-key
+    // sets overlap at Jaccard ≥ 0.5 (perceptual-hash dedup with the
+    // content hash standing in at the decode boundary). Frame-keyed
+    // join — never all-pairs; maxFrameDf caps boilerplate frames.
+    (s, d) => Multimodal.frameDedupPairs(
+        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
+        "doc_id", "payload", frameSize = 256, maxFrames = 4,
+        threshold = 0.5, maxFrameDf = 50)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH f AS (SELECT doc_id,
+        unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS fi,
+        text FROM documents),
+      keys AS (SELECT DISTINCT doc_id,
+        substr(md5(substr(text, fi * 256 + 1, 256)), 1, 16) AS frame_key
+        FROM f),
+      rare AS (SELECT frame_key FROM keys GROUP BY frame_key
+        HAVING count(*) <= 50),
+      kept AS (SELECT k.* FROM keys k JOIN rare USING (frame_key)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.frame_key = b.frame_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+      FROM pairs JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   private val v6 = QuerySpec("v6_lsh_ann",
     // MLlib BucketedRandomProjectionLSH ANN (seed-deterministic but
     // approximate → spec-verified against the exact operators, not
@@ -2522,5 +2554,5 @@ object Queries {
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,
-    g1, g4, j1, m1, m2, m3, f3, f4, c1, c2, c3, c4)
+    g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

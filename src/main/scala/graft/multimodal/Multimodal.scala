@@ -54,6 +54,54 @@ object Multimodal {
       length(col("frame")).as("frame_chars"),
       length(col("frame").cast("binary")).as("frame_bytes"),
       substring(md5(col("frame").cast("binary")), 1, 16).as("frame_key"))
+
+  /** Near-duplicate payloads by frame-signature overlap — the
+    * multimodal dedup ACTION (video/image dedup by perceptual-hash
+    * overlap; the content hash stands in for the perceptual hash the
+    * decode boundary would supply). Two payloads pair when the Jaccard
+    * of their distinct frame-key sets reaches `threshold`.
+    *
+    * Scale shape is the gram-join contract of the text dedups: the
+    * join key is the FRAME KEY (hash-sized, high-cardinality), so
+    * candidates shuffle by key and aggregate by pair — never
+    * all-pairs. `maxFrameDf` drops keys appearing in more than that
+    * many payloads BEFORE the join (a solid-black frame is the
+    * boilerplate gram of video corpora: a key shared by m payloads
+    * creates O(m²) candidate rows) — the same guard, and the same
+    * documented trade, as duplicateSpans.maxGramDf: Jaccard is then
+    * over the INFORMATIVE frames only, set sizes measured on the same
+    * capped key sets the shared counts use, so the ratio stays
+    * internally consistent (a payload of only ubiquitous frames has no
+    * keys and simply cannot pair). */
+  def frameDedupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                      frameSize: Int, maxFrames: Int,
+                      threshold: Double, maxFrameDf: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold must be in (0,1]")
+    require(maxFrameDf >= 1, s"maxFrameDf $maxFrameDf must be >= 1")
+    val keys = frameMeta(sampleFrames(df, idCol, payloadCol, frameSize, maxFrames))
+      .select(col(idCol).as("doc"), col("frame_key")).distinct()
+    val rare = keys.groupBy("frame_key")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFrameDf)
+      .select("frame_key")
+    // lazy localCheckpoint: the capped key pipeline feeds the sizes agg
+    // AND both sides of the self-join — same shared-subtree shape as
+    // duplicateSpans (no cross-subtree CSE in one plan)
+    val kept = keys.join(rare, Seq("frame_key")).localCheckpoint(false)
+    val sizes = kept.groupBy("doc").agg(count(lit(1)).as("n"))
+    val a = kept.select(col("doc").as("doc_a"), col("frame_key"))
+    val b = kept.select(col("doc").as("doc_b"), col("frame_key"))
+    a.join(b, Seq("frame_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+  }
 }
 
 /** External decode boundary. A production impl would run a codec per

@@ -34,6 +34,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out._2.matches("[0-9a-f]{16}"))
   }
 
+  test("frameDedupPairs finds payloads sharing frame signatures, caps boilerplate") {
+    val A = "a" * 256; val B = "b" * 256; val C = "c" * 256; val D = "d" * 256
+    val df = Seq(
+      (1L, A + B),       // frames {A,B}
+      (2L, A + B),       // exact frame twin of 1 → jaccard 1.0
+      (3L, A + C),       // shares A with 1,2 → jaccard 1/3 < 0.5
+      (4L, C + D),       // shares C with 3 → 1/3 < 0.5
+      (5L, "")           // no frames, never pairs
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.frameDedupPairs(df, "doc_id", "payload",
+        frameSize = 256, maxFrames = 4, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0)))
+    // lower threshold surfaces the single-frame overlaps
+    val loose = Multimodal.frameDedupPairs(df, "doc_id", "payload",
+        frameSize = 256, maxFrames = 4, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    // cap at 2: frame A (in 3 payloads) is dropped as boilerplate —
+    // 1↔2 still pair on B alone (capped sets: {B} vs {B} → 1.0),
+    // 1↔3/2↔3 lose their only shared key
+    val capped = Multimodal.frameDedupPairs(df, "doc_id", "payload",
+        frameSize = 256, maxFrames = 4, threshold = 0.3, maxFrameDf = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("DecodeStub features are deterministic and in [0,1]") {
     val df = Seq(("00ff10a0deadbeef"), ("00ff10a0deadbeef")).toDF("frame_key")
     val feats = df.select(DecodeStub.features(col("frame_key")))

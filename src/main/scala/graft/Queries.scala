@@ -848,6 +848,33 @@ object Queries {
     },
     t11.oracle)
 
+  private val t20 = QuerySpec("t20_decontaminate",
+    // Decontamination manifest: t11's detect composed into the ACT —
+    // per train doc, the worst shared-gram count vs the benchmark
+    // slice and the keep verdict (any pairing ≥ minShared taints).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          "doc_id", "text", k = 3, minShared = 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
+        FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh FROM ws),
+      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 <> 0),
+      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 = 0),
+      pairs AS (SELECT train_doc, eval_doc, count(*) AS n_shared
+        FROM tg JOIN eg USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3),
+      hits AS (SELECT train_doc AS doc_id, max(n_shared) AS hit
+        FROM pairs GROUP BY 1)
+      SELECT d.doc_id, coalesce(hit, 0) AS n_shared_max, hit IS NULL AS keep
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+      LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
+
   private val t19 = QuerySpec("t19_curate_pack_pipeline",
     // The end-to-end training-data pass, composed from the operator
     // family and oracle-checked as ONE flow: t7's manifest rule
@@ -2550,7 +2577,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,

@@ -244,6 +244,30 @@ object Curation {
           .as("contaminated_frac"))
   }
 
+  /** Decontamination — the ACT step over [[contamination]]'s detect
+    * (the d10-manifest pattern applied to benchmark overlap): every
+    * train doc with its worst-case shared-gram count against the eval
+    * set and the keep verdict. A doc is dropped when ANY eval doc
+    * shares ≥ `minShared` distinct k-grams with it — the conservative
+    * rule decontamination pipelines apply (one contaminated pairing
+    * taints the doc). Left join onto the train ids keeps the manifest
+    * total (clean docs report n_shared_max 0), so the output is
+    * directly usable as the keep-list of a curation run. Scale shape
+    * is [[contamination]]'s own (gram-keyed, never all-pairs) plus one
+    * doc-keyed max-aggregation and one id join. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int, minShared: Int): DataFrame = {
+    val hits = contamination(train, eval, idCol, textCol, k, minShared)
+      .groupBy("train_doc")
+      .agg(max(col("n_shared")).as("__hit"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits.withColumnRenamed("train_doc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_shared_max"),
+        col("__hit").isNull.as("keep"))
+  }
+
   /** [[contamination]] with a broadcast Bloom-filter gate on the train
     * side — the 100 TB form of the audit.
     *

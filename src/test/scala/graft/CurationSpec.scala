@@ -154,6 +154,30 @@ class CurationSpec extends SparkSpec {
     assert(got == want.sortBy(p => (p._1, p._2)))
   }
 
+  test("decontaminate: manifest is total, taints on any pairing, reports worst hit") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with anything here at all"),
+      (12L, "quick brown fox and also the lazy dog sleeps")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "completely disjoint benchmark sentence tokens")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, eval, "doc_id", "text",
+        k = 3, minShared = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // 10 shares "the quick brown"/"quick brown fox"/"brown fox jumps"
+    // with eval 0 → worst hit 3; 12 shares "quick brown fox" → 1;
+    // 11 shares nothing → kept, present with 0
+    assert(got == Seq((10L, 3L, false), (11L, 0L, true), (12L, 1L, false)))
+    // raising minShared above 12's overlap keeps it
+    val strict = Curation.decontaminate(train, eval, "doc_id", "text",
+        k = 3, minShared = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(strict == Seq((10L, 3L, false), (11L, 0L, true), (12L, 0L, true)))
+  }
+
   test("contaminationBloom equals contamination for any fpp (FPs die in the join)") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -328,7 +328,15 @@ object Ann {
           VectorFunctions.l2Sq(subvec(emb, j, subDim), typedlit(cw.toSeq)).as("d"),
           lit(c).as("c"))
       }.toIndexedSeq: _*)
-      array_min(structs).getField("c")
+      // null subspace distance (dim mismatch / null element) sorts
+      // FIRST in struct order — unguarded array_min would assign code
+      // 0 silently where pqEncodeBig fails loudly (l2sqStrict). Same
+      // guard, same contract, as ivfAssign.
+      val best = array_min(structs)
+      when(best.getField("d").isNull,
+        raise_error(lit(s"pqEncode: null subspace-$j distance " +
+          "(dim mismatch or null element)")))
+        .otherwise(best.getField("c"))
     }
     corpus.withColumn("pq_codes",
       when(col(embCol).isNull, lit(null).cast("array<int>"))
@@ -397,7 +405,12 @@ object Ann {
       .map(j => element_at(luts(j), element_at(col("pq_codes"), j + 1) + 1))
       .reduce(_ + _)
     val emb = col(embCol).cast("array<double>")
+    // null embeddings carry null pq_codes (pqEncode's contract) → null
+    // approx_dist, which Spark's ASC default sorts FIRST — they would
+    // displace true neighbors from the candidate cut. A null vector is
+    // never a neighbor: drop before the cut.
     val cand = pqEncode(corpus, embCol, codebooks)
+      .filter(col("pq_codes").isNotNull)
       .withColumn("approx_dist", sqrt(adc))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(k * candMult)
@@ -437,6 +450,7 @@ object Ann {
       .map(j => element_at(luts(j), element_at(col("pq_codes"), j + 1) + 1))
       .reduce(_ + _)
     val survivors = encoded
+      .filter(col("pq_codes").isNotNull) // same null-first hazard as pqSearch
       .select(col(idCol), sqrt(adc).as("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(k * candMult)
@@ -464,6 +478,9 @@ object Ann {
                   centroids: DataFrame, cidCol: String, cvecCol: String,
                   codebooks: DataFrame, queryVec: Array[Double],
                   k: Int, nprobe: Int, candMult: Int = 4): DataFrame = {
+    // nprobe = 0 would return an empty result silently — loud, like
+    // every other parameter guard in this family
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     val probed = centroids
       .withColumn("__qdist",
         VectorFunctions.l2(col(cvecCol), typedlit(queryVec.toSeq)))

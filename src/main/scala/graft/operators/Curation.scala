@@ -306,7 +306,11 @@ object Curation {
       df.repartition(spark.sparkContext.defaultParallelism)
         .select(col(idCol).as(s"${side}_doc"),
           explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
-    val eGrams = grams(eval, "eval")
+    // lazy localCheckpoint: the eval gram pipeline feeds THREE
+    // consumers (the sizing count, the Bloom build, and the gram join)
+    // and would re-shingle the eval corpus once per consumer otherwise
+    // (the duplicateSpans shared-subtree pattern)
+    val eGrams = grams(eval, "eval").localCheckpoint(false)
     // sizing pass over the eval side only (the small one, by the same
     // assumption that makes the gate worthwhile)
     val nEval = eGrams.count()

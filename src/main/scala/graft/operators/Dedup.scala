@@ -557,10 +557,15 @@ object Dedup {
                        centroids: DataFrame, cidCol: String, cvecCol: String,
                        threshold: Double, bigK: Boolean = false): DataFrame = {
     val assign = if (bigK) Ann.ivfAssignBig _ else Ann.ivfAssign _
+    // lazy localCheckpoint: the assignment pass (the k-way argmin over
+    // the corpus — the dominant per-row cost) feeds BOTH sides of the
+    // self-join below and would execute twice (no cross-subtree CSE;
+    // the duplicateSpans/frameDedupPairs shared-subtree pattern)
     val assigned = assign(
         df.select(col(idCol), col(embCol)), embCol, idCol,
         centroids, cidCol, cvecCol)
       .select(col("cluster_id"), col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .localCheckpoint(false)
     val left = assigned.select(col("cluster_id"),
       col("doc_id").as("doc_a"), col("emb").as("emb_a"))
     val right = assigned.select(col("cluster_id"),

@@ -68,24 +68,29 @@ object LshAnn {
                          numTables: Int = 4, seed: Long = 42L): DataFrame = {
     val data = withVec(corpus, embCol)
     val model = fitModel(data, bucketLength, numTables, seed)
+    // Reserved __q* rename up front (ivfSearchBatch's guard): queries
+    // drawn from the corpus table itself (qidCol == idCol, qvecCol ==
+    // embCol — the natural recall-eval call) would otherwise make the
+    // bucket and rerank joins ambiguous.
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
     def bucketKeys(df: DataFrame, keep: String) = model.transform(df)
       .select(col(keep), posexplode(col("__hashes")).as(Seq("__t", "__h")))
       .select(col(keep), col("__t"),
         element_at(vector_to_array(col("__h")), 1).cast("long").as("__b"))
     val cand = bucketKeys(data, idCol)
-      .join(bucketKeys(queries.withColumn("__vec",
-          array_to_vector(col(qvecCol).cast("array<double>"))), qidCol),
+      .join(bucketKeys(q.withColumn("__vec",
+          array_to_vector(col("__qvec").cast("array<double>"))), "__qid"),
         Seq("__t", "__b"))
-      .select(col(qidCol), col(idCol)).distinct()
+      .select(col("__qid"), col(idCol)).distinct()
     val scored = cand
       .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
-      .join(queries.select(col(qidCol), col(qvecCol)), Seq(qidCol))
-      .withColumn("dist", VectorFunctions.l2(col(embCol), col(qvecCol)))
+      .join(q, Seq("__qid"))
+      .withColumn("dist", VectorFunctions.l2(col(embCol), col("__qvec")))
     scored
       .withColumn("knn_rank", row_number().over(
-        Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("__qid")).orderBy(col("dist"), col(idCol))))
       .filter(col("knn_rank") <= k)
-      .select(col(qidCol), col("knn_rank"), col(idCol), col("dist"))
+      .select(col("__qid").as(qidCol), col("knn_rank"), col(idCol), col("dist"))
   }
 
   /** Batch similarity self-join: all pairs within `threshold` L2. */

@@ -218,6 +218,50 @@ class AnnSpec extends SparkSpec {
     assert(codes.length == 1 && codes(0).isNullAt(0))
   }
 
+  test("pqEncode fails loudly on a dim-mismatched embedding (no silent code 0)") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", 8, 4, 4)
+    val short = Seq((7L, Array(0.1, 0.2, 0.3))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.pqEncode(short, "embedding", cb).collect()
+    }
+    assert(e.getMessage.contains("pqEncode"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("pqSearch and pqSearchEncoded never surface a null-embedding row") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 7L)
+    val qv = pqCorpus.filter($"vec_id" === 0L).select("embedding")
+      .as[Seq[Double]].head().toArray
+    val withNull = pqCorpus.unionByName(
+      Seq((999L, null: Array[Double])).toDF("vec_id", "embedding"))
+    val got = Ann.pqSearch(withNull, "embedding", "vec_id", cb, qv,
+        k = 10, candMult = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.size == 10 && !got.contains(999L))
+    // and the result equals the null-free corpus's exactly
+    val clean = Ann.pqSearch(pqCorpus, "embedding", "vec_id", cb, qv,
+        k = 10, candMult = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == clean)
+    val encoded = Ann.pqEncodeBig(withNull, "embedding", cb)
+      .select("vec_id", "pq_codes")
+    val served = Ann.pqSearchEncoded(encoded, withNull, "embedding", "vec_id",
+        cb, qv, k = 10, candMult = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served == clean)
+  }
+
+  test("ivfPqSearch rejects a degenerate nprobe loudly") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", 8, 4, 4)
+    val cents = Ann.trainCentroids(pqCorpus, "embedding", k = 4, seed = 3L)
+    val assigned = Ann.ivfAssign(pqCorpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqSearch(assigned, "embedding", "vec_id", cents, "cid", "cvec",
+        cb, new Array[Double](8), k = 5, nprobe = 0)
+    }
+  }
+
   test("pqSearch reranks exactly and reaches full recall at generous candMult") {
     val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
       kCodes = 16, seed = 7L)

@@ -30,6 +30,25 @@ class LshAnnSpec extends SparkSpec {
     assert(approx.subsetOf(exact))
   }
 
+  test("approxNearestBatch survives query columns named like the corpus's") {
+    // the natural recall-eval call: queries drawn from the corpus
+    // table itself, so qidCol == idCol and qvecCol == embCol
+    val qs = corpus.limit(3).select(col("vec_id"), col("embedding"))
+    // output columns are positionally (qid, rank, doc, dist); with the
+    // collision both id columns are NAMED vec_id, so compare via toDF
+    val collided = LshAnn.approxNearestBatch(corpus, "embedding", "vec_id",
+        qs, "vec_id", "embedding", k = 3, bucketLength = 2.0, numTables = 8)
+      .toDF("qid", "knn_rank", "doc", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(collided.nonEmpty)
+    val renamed = LshAnn.approxNearestBatch(corpus, "embedding", "vec_id",
+        qs.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, bucketLength = 2.0, numTables = 8)
+      .toDF("qid", "knn_rank", "doc", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(collided == renamed)
+  }
+
   test("approxNearestBatch recall@5 vs exact kNN clears the quality floor") {
     val qs = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(5.2f, 5.1f)),
       (2L, Array(0.0f, 0.0f)), (3L, Array(9.0f, 9.0f)))

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -874,6 +874,28 @@ object Queries {
       SELECT d.doc_id, coalesce(hit, 0) AS n_shared_max, hit IS NULL AS keep
       FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
       LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
+
+  private val t21 = QuerySpec("t21_quality_classifier",
+    // Model-based quality filter (the fastText-classifier stage of the
+    // GPT-3/CCNet/LLaMA pipelines): weak labels distilled from the t2
+    // heuristic (median split), hashed-token LogisticRegression, and
+    // the held-out accuracy REPORTED in the result — the v9/v10
+    // self-measuring pattern. Rows-checked: MLlib float-fold order
+    // makes probabilities reproducible only to ~1e-12, so there is no
+    // DuckDB mirror; trust comes from the measured accuracy column and
+    // QualityModelSpec's separable-corpus floor.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val med = docs.agg(expr("percentile(q, 0.5)").as("m"))
+      val labelled = docs.crossJoin(broadcast(med))
+        .withColumn("label", when(col("q") >= col("m"), 1.0).otherwise(0.0))
+      QualityModel.trainScoreEval(labelled, "doc_id", "text", "label")
+        .orderBy("doc_id")
+    },
+    None)
 
   private val t19 = QuerySpec("t19_curate_pack_pipeline",
     // The end-to-end training-data pass, composed from the operator
@@ -2577,7 +2599,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier stage of the
+  * canonical LLM data pipeline (the fastText-classifier filter of the
+  * GPT-3 / CCNet / LLaMA pipelines: train a linear model to separate
+  * "reference-quality" text from crawl text, keep documents the model
+  * scores high). The engine's other quality signals (t2 heuristics, t8
+  * / t14 LM scores, t9 repetition) are hand-built; this operator
+  * learns the weights.
+  *
+  * Representation: hashed bag-of-tokens (`HashingTF`, the fastText
+  * analog — fixed `numFeatures` dimensionality, no vocabulary state to
+  * ship) into MLlib `LogisticRegression`.
+  *
+  * 100 TB shape: featurization is a narrow per-row map (whitespace
+  * split + hash — no vocab broadcast, no shuffle); training runs
+  * MLlib's distributed L-BFGS, each iteration one treeAggregate over
+  * (feature, gradient) vectors of fixed `numFeatures` size —
+  * corpus-size-independent reducer state; scoring is again a narrow
+  * map with the model weights broadcast once. Like the other MLlib
+  * boundaries (trainCentroids, LshAnn), the model is
+  * seed-deterministic but float-fold order across partitions makes
+  * scores reproducible only to ~1e-12 — so the harness query is
+  * rows-checked and QUALITY IS MEASURED (held-out accuracy, the v10
+  * pattern) rather than hash-compared. */
+object QualityModel {
+
+  private val Ws = "[ \t\n]+"
+
+  private def featurize(df: DataFrame, textCol: String,
+                        numFeatures: Int): DataFrame = {
+    val tokens = df.withColumn("__tokens",
+      filter(split(trim(col(textCol)), Ws), t => length(t) > 0))
+    new HashingTF()
+      .setInputCol("__tokens").setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+      .transform(tokens)
+      .drop("__tokens")
+  }
+
+  /** Train the quality classifier on labelled docs (`labelCol` ∈
+    * {0.0, 1.0}; weak labels from a heuristic or a reference-corpus
+    * membership both work — the latter is the fastText-filter recipe). */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            numFeatures: Int = 4096, maxIter: Int = 30,
+            regParam: Double = 0.01): LogisticRegressionModel = {
+    require(numFeatures >= 2, s"numFeatures $numFeatures must be >= 2")
+    new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(featurize(docs, textCol, numFeatures))
+  }
+
+  /** Score docs with a trained model: adds `quality_prob` (P(label=1))
+    * and `quality_pred`. Narrow map over the corpus — the model rides
+    * the closure, weights are one `numFeatures` vector. */
+  def score(model: LogisticRegressionModel, docs: DataFrame,
+            textCol: String): DataFrame = {
+    val numFeatures = model.numFeatures
+    model.setFeaturesCol("__features")
+      .setProbabilityCol("__prob")
+      .setPredictionCol("__pred")
+      .transform(featurize(docs, textCol, numFeatures))
+      .withColumn("quality_prob", element_at(vector_to_array(col("__prob")), 2))
+      .withColumn("quality_pred", col("__pred") >= 0.5)
+      .drop("__features", "__prob", "__pred", "__rawPrediction", "rawPrediction")
+  }
+
+  /** Train on a deterministic hash split, score the held-out slice,
+    * and report per-doc verdicts plus the measured accuracy — the
+    * self-measuring form the harness runs (a model op earns trust by
+    * measurement, not by hash-compare; the v9/v10 recall pattern). */
+  def trainScoreEval(docs: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, trainPct: Int = 70,
+                     numFeatures: Int = 4096): DataFrame = {
+    val bucketed = docs.withColumn("__b", Curation.hashBucket(col(idCol), 100))
+    val model = train(bucketed.filter(col("__b") < trainPct), textCol, labelCol,
+      numFeatures)
+    val heldOut = score(model, bucketed.filter(col("__b") >= trainPct), textCol)
+      .withColumn("correct", col("quality_pred") === (col(labelCol) === 1.0))
+      .select(col(idCol), round(col("quality_prob"), 4).as("quality_prob"),
+        col("quality_pred"), col(labelCol).cast("int").as("label"),
+        col("correct"))
+    // accuracy as a broadcast scalar (the t13 threshold pattern) — an
+    // unpartitioned window here would move the whole held-out slice to
+    // one partition
+    val acc = heldOut.agg(
+      round(avg(when(col("correct"), 1.0).otherwise(0.0)), 4)
+        .as("heldout_accuracy"))
+    heldOut.crossJoin(broadcast(acc))
+  }
+}

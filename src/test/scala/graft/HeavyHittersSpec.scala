@@ -60,6 +60,23 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("property: exact equals naive for random multisets, capacities, thresholds") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nDistinct <- Gen.choose(1, 40)
+      items <- Gen.listOfN(300, Gen.choose(0, nDistinct - 1).map(i => s"i$i"))
+      k <- Gen.choose(2, 30)
+      extraCap <- Gen.choose(0, 10)
+      parts <- Gen.choose(1, 9)
+    } yield (items, k, k + extraCap, parts)
+    PropHelper.forAll(gen, n = 12) { case (items, k, cap, parts) =>
+      val got = HeavyHitters.exact(items.toDF("w").repartition(parts), "w", k,
+          capacity = cap)
+        .as[(String, Long)].collect().toMap
+      assert(got == naive(items, k), s"k=$k cap=$cap parts=$parts")
+    }
+  }
+
   test("nulls are ignored and empty input yields an empty result") {
     val df = Seq(Some("a"), None, Some("a"), Some("b"), None)
       .toDF("word")

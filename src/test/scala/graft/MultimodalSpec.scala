@@ -62,6 +62,31 @@ class MultimodalSpec extends SparkSpec {
     assert(capped == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("property: frameDedupPairs equals brute-force Jaccard of frame sets (no cap)") {
+    import org.scalacheck.Gen
+    // payloads built from a 4-symbol frame alphabet so overlaps are common
+    val frameGen = Gen.oneOf("A", "B", "C", "D").map(_ * 8)
+    val gen = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, Gen.choose(0, 3).flatMap(m => Gen.listOfN(m, frameGen)))
+      thr <- Gen.oneOf(0.3, 0.5, 1.0)
+    } yield (docs.zipWithIndex.map { case (fs, i) => (i.toLong, fs.mkString) }, thr)
+    PropHelper.forAll(gen, n = 15) { case (docs, thr) =>
+      val got = Multimodal.frameDedupPairs(docs.toDF("doc_id", "payload"),
+          "doc_id", "payload", frameSize = 8, maxFrames = 4, threshold = thr)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = docs.map { case (id, p) => id -> p.grouped(8).toSet }.toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa ++ sb).size if j >= thr
+      } yield (a, b, BigDecimal(j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == want, s"docs=$docs thr=$thr")
+    }
+  }
+
   test("DecodeStub features are deterministic and in [0,1]") {
     val df = Seq(("00ff10a0deadbeef"), ("00ff10a0deadbeef")).toDF("frame_key")
     val feats = df.select(DecodeStub.features(col("frame_key")))

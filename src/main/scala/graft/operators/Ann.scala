@@ -156,6 +156,7 @@ object Ann {
                      embCol: String, idCol: String,
                      centroids: DataFrame, cidCol: String, cvecCol: String,
                      queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     val probed = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))
@@ -181,6 +182,7 @@ object Ann {
                      centroids: DataFrame, cidCol: String, cvecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     import org.apache.spark.sql.expressions.Window
     // Rename the query frame's columns to reserved __q* names up front:
     // if the caller's qidCol/qvecCol collide with a column of `assigned`
@@ -200,7 +202,7 @@ object Ann {
       .groupBy("__qid")
       .agg(TopK.topK(k)(col("__dist"), col("__id")).as("__topk"))
       .select(col("__qid"), posexplode(col("__topk")).as(Seq("__pos", "__entry")))
-      .select(col("__qid").as(qidCol),
+      .select(col("__qid").as(if (qidCol == idCol) s"${qidCol}_q" else qidCol),
         (col("__pos") + 1).cast("int").as("knn_rank"),
         col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
   }
@@ -338,8 +340,15 @@ object Ann {
           "(dim mismatch or null element)")))
         .otherwise(best.getField("c"))
     }
+    // exact-dim check: an OVER-length embedding slices clean subvectors
+    // for every subspace (no null distance to trip the guard above) yet
+    // null-poisons the fp rerank downstream — reject it here, where the
+    // artifact is built, not k results later
     corpus.withColumn("pq_codes",
       when(col(embCol).isNull, lit(null).cast("array<int>"))
+        .when(size(emb) =!= cbs.length * subDim,
+          raise_error(concat(lit(s"pqEncode: embedding dim "),
+            size(emb).cast("string"), lit(s" != ${cbs.length * subDim}"))))
         .otherwise(array(codeCols: _*)))
   }
 
@@ -357,6 +366,8 @@ object Ann {
       if (emb == null) Option.empty[Array[Int]]
       else {
         val codebooksV = bc.value
+        require(emb.length == codebooksV.length * subDim,
+          s"pqEncodeBig: embedding dim ${emb.length} != ${codebooksV.length * subDim}")
         Some(codebooksV.indices.toArray.map { j =>
           val sub = emb.slice(j * subDim, (j + 1) * subDim).toArray
           val cws = codebooksV(j)
@@ -414,11 +425,24 @@ object Ann {
       .withColumn("approx_dist", sqrt(adc))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(k * candMult)
+    // a null rerank distance (possible only via artifact inconsistency;
+    // encode-side dim checks cover the inline path) would sort first
+    // under ASC — fail loudly instead of returning a poisoned top-k
     cand
-      .withColumn("dist", VectorFunctions.l2(emb, typedlit(queryVec.toSeq)))
+      .withColumn("dist", rerankDist(emb, queryVec, col(idCol), "pqSearch"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("approx_dist"), col("dist"))
+  }
+
+  /** Exact rerank distance with a loud null guard shared by
+    * [[pqSearch]] and [[pqSearchEncoded]]. */
+  private def rerankDist(emb: Column, queryVec: Array[Double],
+                         id: Column, who: String): Column = {
+    val d = VectorFunctions.l2(emb, typedlit(queryVec.toSeq))
+    when(d.isNull, raise_error(concat(
+      lit(s"$who: null rerank distance (dim mismatch or null vector) for id "),
+      id.cast("string")))).otherwise(d)
   }
 
   /** [[pqSearch]] against a PRE-ENCODED code table — the serving path
@@ -456,8 +480,8 @@ object Ann {
       .limit(k * candMult)
     broadcast(survivors)
       .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
-      .withColumn("dist", VectorFunctions.l2(
-        col(embCol).cast("array<double>"), typedlit(queryVec.toSeq)))
+      .withColumn("dist", rerankDist(col(embCol).cast("array<double>"),
+        queryVec, col(idCol), "pqSearchEncoded"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("approx_dist"), col("dist"))
@@ -498,6 +522,7 @@ object Ann {
   def ivfSearch(assigned: DataFrame, embCol: String, idCol: String,
                 centroids: DataFrame, cidCol: String, cvecCol: String,
                 queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     val probed = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))

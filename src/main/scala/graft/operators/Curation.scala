@@ -226,15 +226,13 @@ object Curation {
   def contamination(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String,
                     k: Int, minShared: Int): DataFrame = {
-    import graft.functions.TextAnalysis
-    def grams(df: DataFrame, side: String) =
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as(s"${side}_doc"),
-          explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
-    val tGrams = grams(train, "train")
+    // lazy localCheckpoint: tGrams feeds the per-doc totals AND the
+    // gram join — without it the train corpus re-shingles twice
+    val tGrams = sideGrams(train, "train", idCol, textCol, k)
+      .localCheckpoint(false)
     val nGrams = tGrams.groupBy("train_doc")
       .agg(count(lit(1)).as("n_train_grams"))
-    tGrams.join(grams(eval, "eval"), Seq("gram"))
+    tGrams.join(sideGrams(eval, "eval", idCol, textCol, k), Seq("gram"))
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -242,6 +240,17 @@ object Curation {
       .select(col("train_doc"), col("eval_doc"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_train_grams"), 6)
           .as("contaminated_frac"))
+  }
+
+  /** Distinct k-gram explode for one side of a contamination-family
+    * join — shared so [[contamination]], [[contaminationBloom]] and
+    * [[decontaminate]] can never drift on tokenization. */
+  private def sideGrams(df: DataFrame, side: String, idCol: String,
+                        textCol: String, k: Int): DataFrame = {
+    import graft.functions.TextAnalysis
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as(s"${side}_doc"),
+        explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
   }
 
   /** Decontamination — the ACT step over [[contamination]]'s detect
@@ -252,13 +261,23 @@ object Curation {
     * rule decontamination pipelines apply (one contaminated pairing
     * taints the doc). Left join onto the train ids keeps the manifest
     * total (clean docs report n_shared_max 0), so the output is
-    * directly usable as the keep-list of a curation run. Scale shape
-    * is [[contamination]]'s own (gram-keyed, never all-pairs) plus one
-    * doc-keyed max-aggregation and one id join. */
+    * directly usable as the keep-list of a curation run.
+    *
+    * Built directly on the shared pair-count core rather than on
+    * [[contamination]]: the audit's per-doc gram totals (the
+    * `contaminated_frac` denominator — a full corpus-keyed aggregation
+    * plus join) are never needed for the verdict, so this path skips
+    * them. Scale shape: gram-keyed join, pair-keyed count, doc-keyed
+    * max, one id join — never all-pairs, no corpus-sized denominator
+    * work. */
   def decontaminate(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String,
                     k: Int, minShared: Int): DataFrame = {
-    val hits = contamination(train, eval, idCol, textCol, k, minShared)
+    val hits = sideGrams(train, "train", idCol, textCol, k)
+      .join(sideGrams(eval, "eval", idCol, textCol, k), Seq("gram"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
       .groupBy("train_doc")
       .agg(max(col("n_shared")).as("__hit"))
     train.select(col(idCol).as("doc_id"))
@@ -299,25 +318,21 @@ object Curation {
                          idCol: String, textCol: String,
                          k: Int, minShared: Int,
                          fpp: Double = 0.01): DataFrame = {
-    import graft.functions.TextAnalysis
     require(fpp > 0 && fpp < 1, s"fpp $fpp must be in (0,1)")
     val spark = train.sparkSession
-    def grams(df: DataFrame, side: String) =
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .select(col(idCol).as(s"${side}_doc"),
-          explode(TextAnalysis.shinglesFast(col(textCol), k)).as("gram"))
     // lazy localCheckpoint: the eval gram pipeline feeds THREE
     // consumers (the sizing count, the Bloom build, and the gram join)
     // and would re-shingle the eval corpus once per consumer otherwise
     // (the duplicateSpans shared-subtree pattern)
-    val eGrams = grams(eval, "eval").localCheckpoint(false)
+    val eGrams = sideGrams(eval, "eval", idCol, textCol, k).localCheckpoint(false)
     // sizing pass over the eval side only (the small one, by the same
     // assumption that makes the gate worthwhile)
     val nEval = eGrams.count()
     val bf = eGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((g: String) => bc.value.mightContainString(g))
-    val tGrams = grams(train, "train")
+    val tGrams = sideGrams(train, "train", idCol, textCol, k)
+      .localCheckpoint(false) // feeds the totals agg AND the gated join
     val nGrams = tGrams.groupBy("train_doc")
       .agg(count(lit(1)).as("n_train_grams"))
     tGrams.filter(mightContain(col("gram")))

@@ -86,11 +86,15 @@ object LshAnn {
       .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
       .join(q, Seq("__qid"))
       .withColumn("dist", VectorFunctions.l2(col(embCol), col("__qvec")))
+    // output query-id name: when the caller's qidCol collides with the
+    // corpus idCol (queries drawn from the corpus table), emitting both
+    // under one name would make every by-name read downstream ambiguous
+    val qidOut = if (qidCol == idCol) s"${qidCol}_q" else qidCol
     scored
       .withColumn("knn_rank", row_number().over(
         Window.partitionBy(col("__qid")).orderBy(col("dist"), col(idCol))))
       .filter(col("knn_rank") <= k)
-      .select(col("__qid").as(qidCol), col("knn_rank"), col(idCol), col("dist"))
+      .select(col("__qid").as(qidOut), col("knn_rank"), col(idCol), col("dist"))
   }
 
   /** Batch similarity self-join: all pairs within `threshold` L2. */

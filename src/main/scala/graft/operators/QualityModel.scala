@@ -62,14 +62,17 @@ object QualityModel {
     * the closure, weights are one `numFeatures` vector. */
   def score(model: LogisticRegressionModel, docs: DataFrame,
             textCol: String): DataFrame = {
-    val numFeatures = model.numFeatures
-    model.setFeaturesCol("__features")
+    // copy before configuring — setters on the caller's model object
+    // would silently rewire its params (shared state, races)
+    val m = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("__features")
       .setProbabilityCol("__prob")
       .setPredictionCol("__pred")
-      .transform(featurize(docs, textCol, numFeatures))
+      .setRawPredictionCol("__raw")
+    m.transform(featurize(docs, textCol, model.numFeatures))
       .withColumn("quality_prob", element_at(vector_to_array(col("__prob")), 2))
       .withColumn("quality_pred", col("__pred") >= 0.5)
-      .drop("__features", "__prob", "__pred", "__rawPrediction", "rawPrediction")
+      .drop("__features", "__prob", "__pred", "__raw")
   }
 
   /** Train on a deterministic hash split, score the held-out slice,
@@ -79,7 +82,13 @@ object QualityModel {
   def trainScoreEval(docs: DataFrame, idCol: String, textCol: String,
                      labelCol: String, trainPct: Int = 70,
                      numFeatures: Int = 4096): DataFrame = {
+    // lazy localCheckpoints (the shared-subtree pattern): `bucketed`
+    // feeds the training fit AND the held-out scoring; `heldOut` feeds
+    // the accuracy aggregate AND the returned frame — each would
+    // re-execute its upstream (including the caller's labelling
+    // pipeline and the LR transform) once per consumer otherwise
     val bucketed = docs.withColumn("__b", Curation.hashBucket(col(idCol), 100))
+      .localCheckpoint(false)
     val model = train(bucketed.filter(col("__b") < trainPct), textCol, labelCol,
       numFeatures)
     val heldOut = score(model, bucketed.filter(col("__b") >= trainPct), textCol)
@@ -87,6 +96,7 @@ object QualityModel {
       .select(col(idCol), round(col("quality_prob"), 4).as("quality_prob"),
         col("quality_pred"), col(labelCol).cast("int").as("label"),
         col("correct"))
+      .localCheckpoint(false)
     // accuracy as a broadcast scalar (the t13 threshold pattern) — an
     // unpartitioned window here would move the whole held-out slice to
     // one partition

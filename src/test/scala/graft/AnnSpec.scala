@@ -220,11 +220,23 @@ class AnnSpec extends SparkSpec {
 
   test("pqEncode fails loudly on a dim-mismatched embedding (no silent code 0)") {
     val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", 8, 4, 4)
+    // under-length: a subspace slice comes up short → null distance
     val short = Seq((7L, Array(0.1, 0.2, 0.3))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
       Ann.pqEncode(short, "embedding", cb).collect()
     }
     assert(e.getMessage.contains("pqEncode"), s"unexpected: ${e.getMessage}")
+    // over-length: every slice is clean, only the exact-dim check can
+    // catch it (it would otherwise null-poison the fp rerank)
+    val long = Seq((8L, Array.fill(16)(0.5))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Ann.pqEncode(long, "embedding", cb).collect()
+    }
+    assert(e2.getMessage.contains("pqEncode"), s"unexpected: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      Ann.pqEncodeBig(long, "embedding", cb).collect()
+    }
+    assert(e3.getMessage.contains("pqEncodeBig"), s"unexpected: ${e3.getMessage}")
   }
 
   test("pqSearch and pqSearchEncoded never surface a null-embedding row") {

@@ -34,11 +34,13 @@ class LshAnnSpec extends SparkSpec {
     // the natural recall-eval call: queries drawn from the corpus
     // table itself, so qidCol == idCol and qvecCol == embCol
     val qs = corpus.limit(3).select(col("vec_id"), col("embedding"))
-    // output columns are positionally (qid, rank, doc, dist); with the
-    // collision both id columns are NAMED vec_id, so compare via toDF
-    val collided = LshAnn.approxNearestBatch(corpus, "embedding", "vec_id",
+    // under collision the query id is emitted as <qidCol>_q so every
+    // output column stays by-name addressable
+    val collidedDf = LshAnn.approxNearestBatch(corpus, "embedding", "vec_id",
         qs, "vec_id", "embedding", k = 3, bucketLength = 2.0, numTables = 8)
-      .toDF("qid", "knn_rank", "doc", "dist")
+    assert(collidedDf.columns.toSeq == Seq("vec_id_q", "knn_rank", "vec_id", "dist"))
+    val collided = collidedDf
+      .select("vec_id_q", "knn_rank", "vec_id", "dist")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(collided.nonEmpty)
     val renamed = LshAnn.approxNearestBatch(corpus, "embedding", "vec_id",

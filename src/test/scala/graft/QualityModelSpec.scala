@@ -42,6 +42,17 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("score does not mutate the caller's model params") {
+    val df = corpus(100, seed = 3)
+    val model = QualityModel.train(df, "text", "label", numFeatures = 128)
+    val before = (model.getFeaturesCol, model.getPredictionCol,
+      model.getProbabilityCol, model.getRawPredictionCol)
+    QualityModel.score(model, df, "text").collect()
+    val after = (model.getFeaturesCol, model.getPredictionCol,
+      model.getProbabilityCol, model.getRawPredictionCol)
+    assert(after == before, s"model params mutated: $before -> $after")
+  }
+
   test("score is a pure map: same model, same scores, corpus order free") {
     val df = corpus(200, seed = 7)
     val model = QualityModel.train(df, "text", "label", numFeatures = 256)

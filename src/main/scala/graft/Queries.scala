@@ -875,6 +875,42 @@ object Queries {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
       LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
 
+  private val t22 = QuerySpec("t22_distribution_drift",
+    // Corpus drift monitor: JS divergence between two snapshot slices
+    // over unigram distributions — total drift plus the top words
+    // driving it (Curation.distributionDrift). Vocabulary-keyed
+    // shuffles of (word, count) only; totals broadcast.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.distributionDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .orderBy(col("js_contrib").desc, col("word"))
+        .limit(30)
+    },
+    Some(s"""WITH wa AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
+        FROM documents WHERE doc_id % 2 = 0),
+      wb AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
+        FROM documents WHERE doc_id % 2 = 1),
+      ca AS (SELECT word, count(*) AS ca FROM wa WHERE len(word) > 0 GROUP BY 1),
+      cb AS (SELECT word, count(*) AS cb FROM wb WHERE len(word) > 0 GROUP BY 1),
+      j AS (SELECT coalesce(a.word, b.word) AS word,
+          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM ca a FULL JOIN cb b ON a.word = b.word),
+      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+      p AS (SELECT word, ca, cb,
+          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
+          (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0 AS m
+        FROM j CROSS JOIN tot),
+      c AS (SELECT word, pa, pb,
+          (CASE WHEN ca > 0 THEN pa * ln(pa / m) / 2.0 ELSE 0.0 END)
+          + (CASE WHEN cb > 0 THEN pb * ln(pb / m) / 2.0 ELSE 0.0 END) AS contrib
+        FROM p)
+      SELECT word, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        round(contrib, 6) AS js_contrib,
+        (SELECT round(sum(contrib), 4) FROM c) AS js_total
+      FROM c ORDER BY round(contrib, 6) DESC, word LIMIT 30"""))
+
   private val t21 = QuerySpec("t21_quality_classifier",
     // Model-based quality filter (the fastText-classifier stage of the
     // GPT-3/CCNet/LLaMA pipelines): weak labels distilled from the t2
@@ -2599,7 +2635,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7,

@@ -242,6 +242,46 @@ object Curation {
           .as("contaminated_frac"))
   }
 
+  /** Corpus-distribution drift between two corpora (crawl snapshots,
+    * train vs eval mixes): per-word probabilities under each corpus
+    * and the word's Jensen-Shannon divergence contribution
+    * (JS = ½·KL(Pa‖M) + ½·KL(Pb‖M), M the mixture — symmetric, finite
+    * even for one-sided words). The operator both MEASURES the drift
+    * (js_total, a broadcast scalar) and EXPLAINS it (per-word
+    * contributions, the words that moved).
+    *
+    * Scale shape: two word explodes with map-side partial counts, one
+    * full-outer join on the WORD (hash-keyed, vocabulary-sized — the
+    * counts shuffle, never documents), per-row math with the two
+    * corpus totals broadcast. Natural log on both engines. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        textCol: String): DataFrame = {
+    def words(df: DataFrame) =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(explode(split(trim(col(textCol)), Ws)).as("word"))
+        .filter(length(col("word")) > 0)
+    val ca = words(a).groupBy("word").agg(count(lit(1)).as("ca"))
+    val cb = words(b).groupBy("word").agg(count(lit(1)).as("cb"))
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      // feeds the totals aggregate AND the per-word projection
+      .localCheckpoint(false)
+    val tot = joined.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val pA = col("ca").cast("double") / col("na")
+    val pB = col("cb").cast("double") / col("nb")
+    val m = (pA + pB) / 2.0
+    val contrib =
+      when(col("ca") > 0, pA * log(pA / m) / 2.0).otherwise(lit(0.0)) +
+        when(col("cb") > 0, pB * log(pB / m) / 2.0).otherwise(lit(0.0))
+    val perWord = joined.crossJoin(broadcast(tot))
+      .select(col("word"), round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round(contrib, 6).as("js_contrib"), contrib.as("__c"))
+      .localCheckpoint(false) // feeds js_total AND the result rows
+    val total = perWord.agg(round(sum("__c"), 4).as("js_total"))
+    perWord.crossJoin(broadcast(total)).drop("__c")
+  }
+
   /** Distinct k-gram explode for one side of a contamination-family
     * join — shared so [[contamination]], [[contaminationBloom]] and
     * [[decontaminate]] can never drift on tokenization. */

@@ -154,6 +154,30 @@ class CurationSpec extends SparkSpec {
     assert(got == want.sortBy(p => (p._1, p._2)))
   }
 
+  test("distributionDrift: identical corpora → 0; disjoint → ln(2); hand case checks") {
+    val a = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // identical distributions → every contribution 0, total 0
+    val same = Curation.distributionDrift(a, a, "text")
+      .select("js_contrib", "js_total").as[(Double, Double)].collect()
+    assert(same.forall(r => r._1 == 0.0 && r._2 == 0.0))
+    // disjoint vocabularies → JS = ln 2 (max for natural-log JS)
+    val b = Seq((3L, "p q"), (4L, "q r")).toDF("doc_id", "text")
+    val disjoint = Curation.distributionDrift(a, b, "text")
+      .select("js_total").as[Double].head()
+    assert(math.abs(disjoint - math.log(2)) < 1e-4)
+    // hand-computed asymmetric case: a = {x: 1}, b = {x: ½, y: ½}
+    val ha = Seq((1L, "x x")).toDF("doc_id", "text")
+    val hb = Seq((2L, "x y")).toDF("doc_id", "text")
+    val got = Curation.distributionDrift(ha, hb, "text")
+      .orderBy("word").select("word", "p_a", "p_b", "js_contrib")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // m(x) = 0.75, m(y) = 0.25
+    val cx = r6(1.0 * math.log(1.0 / 0.75) / 2 + 0.5 * math.log(0.5 / 0.75) / 2)
+    val cy = r6(0.5 * math.log(0.5 / 0.25) / 2)
+    assert(got == Seq(("x", 1.0, 0.5, cx), ("y", 0.0, 0.5, cy)))
+  }
+
   test("decontaminate: manifest is total, taints on any pairing, reports worst hit") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -274,8 +274,15 @@ object Curation {
     val contrib =
       when(col("ca") > 0, pA * log(pA / m) / 2.0).otherwise(lit(0.0)) +
         when(col("cb") > 0, pB * log(pB / m) / 2.0).otherwise(lit(0.0))
+    // drift against an EMPTY side is undefined (null totals would leak
+    // null probabilities silently) — fail loudly, embedded in an output
+    // column so the guard cannot be pruned away
+    val pAGuarded = when(
+      coalesce(col("na"), lit(0L)) === 0 || coalesce(col("nb"), lit(0L)) === 0,
+      raise_error(lit("distributionDrift: a side has no words")))
+      .otherwise(round(pA, 6))
     val perWord = joined.crossJoin(broadcast(tot))
-      .select(col("word"), round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      .select(col("word"), pAGuarded.as("p_a"), round(pB, 6).as("p_b"),
         round(contrib, 6).as("js_contrib"), contrib.as("__c"))
       .localCheckpoint(false) // feeds js_total AND the result rows
     val total = perWord.agg(round(sum("__c"), 4).as("js_total"))

@@ -176,6 +176,12 @@ class CurationSpec extends SparkSpec {
     val cx = r6(1.0 * math.log(1.0 / 0.75) / 2 + 0.5 * math.log(0.5 / 0.75) / 2)
     val cy = r6(0.5 * math.log(0.5 / 0.25) / 2)
     assert(got == Seq(("x", 1.0, 0.5, cx), ("y", 0.0, 0.5, cy)))
+    // an empty side is undefined — loud failure, not null probabilities
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Curation.distributionDrift(a, empty, "text").collect()
+    }
+    assert(e.getMessage.contains("distributionDrift"), e.getMessage)
   }
 
   test("decontaminate: manifest is total, taints on any pairing, reports worst hit") {

@@ -90,6 +90,24 @@ class CascadeSpec extends SparkSpec {
       rows(search.searchRemind(q, col("qv"), scanK = 6)))
   }
 
+  test("search equals searchFixed when every gate fires (all-empty stages)") {
+    // No doc contains 'join' or 'row' → every filtered stage returns 0
+    // rows, so every count gate (relax, single-field, fallback) fires
+    // and the adaptive stage list equals the fixed one — the identity
+    // the c1 harness entry asserts on the parquet corpus.
+    val noTerms = corpus.filter(
+      !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
+    val search = new MultiStageSearch(noTerms, "doc_id", "text", "embedding",
+      CascadeConfig(topK = 3, finalN = 5))
+    val q = "looking for a join job in the row area"
+    val adaptive = search.search(q, col("qv")).collect().toSeq
+    val fixed = search.searchFixed(q, col("qv")).collect().toSeq
+    assert(adaptive.nonEmpty)
+    assert(adaptive == fixed)
+    // everything came from the unfiltered fallback (the last stage)
+    assert(adaptive.forall(_.getAs[Int]("stage_rank") == 7))
+  }
+
   test("F4: blank query returns the typed empty response without running any stage") {
     // Poisoned corpus: ANY stage execution (even the unfiltered S1
     // fallback) would evaluate the throwing udf and fail the collect.

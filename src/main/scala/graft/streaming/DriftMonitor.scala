@@ -28,16 +28,27 @@ object DriftMonitor {
   private val Ws = "[ \t\n]+"
 
   /** Reference word distribution from a static corpus: (word, p_ref),
-    * p_ref summing to 1 — the broadcast-sized artifact the monitor
-    * compares against (a curated vocabulary distribution; cap it
-    * upstream if the reference vocabulary is unbounded). */
-  def wordDistribution(docs: DataFrame, textCol: String): DataFrame = {
+    * p_ref summing to 1 over the retained vocabulary. `topN` bounds the
+    * vocabulary to the most frequent words (ties broken by word asc —
+    * a deterministic total order, so the artifact is reproducible):
+    * [[windowDrift]] BROADCASTS this frame and cross-expands it per
+    * window, so an unbounded reference vocabulary is a correctness
+    * hazard at scale — the cap is a required parameter, not advice.
+    * The top-N cut is a TakeOrdered (no single-partition window);
+    * probabilities renormalize over the kept words, so the reference
+    * stays a proper distribution (and is unchanged whenever the cap
+    * is not binding). */
+  def wordDistribution(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1,
+      s"wordDistribution: topN $topN must be >= 1 — the reference is " +
+        "broadcast per window by windowDrift, so its vocabulary must be bounded")
     val counts = docs
       .select(explode(split(trim(col(textCol)), Ws)).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum("cnt").as("n"))
-    counts.crossJoin(broadcast(tot))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(topN)
+    val tot = top.agg(sum("cnt").as("n"))
+    top.crossJoin(broadcast(tot))
       .select(col("word"), (col("cnt").cast("double") / col("n")).as("p_ref"))
   }
 

@@ -267,22 +267,26 @@ object Curation {
         coalesce(col("cb"), lit(0L)).as("cb"))
       // feeds the totals aggregate AND the per-word projection
       .localCheckpoint(false)
-    val tot = joined.agg(sum("ca").as("na"), sum("cb").as("nb"))
-    val pA = col("ca").cast("double") / col("na")
-    val pB = col("cb").cast("double") / col("nb")
+    // drift against an EMPTY side is undefined. The guard lives on the
+    // DRIVER: the previous per-row guard column never evaluated when
+    // BOTH sides were empty (no rows to carry it), silently returning
+    // an empty frame against the fail-loudly contract (round-9
+    // ADVICE). The totals row always exists — null sums — so this
+    // catches one-empty AND both-empty; the collect is 1 bounded row
+    // over the checkpointed counts, and the totals then enter the plan
+    // as literals (no broadcast join needed).
+    val tot = joined.agg(sum("ca").as("na"), sum("cb").as("nb")).collect()(0)
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0 &&
+      !tot.isNullAt(1) && tot.getLong(1) > 0,
+      "distributionDrift: a side has no words")
+    val pA = col("ca").cast("double") / lit(tot.getLong(0))
+    val pB = col("cb").cast("double") / lit(tot.getLong(1))
     val m = (pA + pB) / 2.0
     val contrib =
       when(col("ca") > 0, pA * log(pA / m) / 2.0).otherwise(lit(0.0)) +
         when(col("cb") > 0, pB * log(pB / m) / 2.0).otherwise(lit(0.0))
-    // drift against an EMPTY side is undefined (null totals would leak
-    // null probabilities silently) — fail loudly, embedded in an output
-    // column so the guard cannot be pruned away
-    val pAGuarded = when(
-      coalesce(col("na"), lit(0L)) === 0 || coalesce(col("nb"), lit(0L)) === 0,
-      raise_error(lit("distributionDrift: a side has no words")))
-      .otherwise(round(pA, 6))
-    val perWord = joined.crossJoin(broadcast(tot))
-      .select(col("word"), pAGuarded.as("p_a"), round(pB, 6).as("p_b"),
+    val perWord = joined
+      .select(col("word"), round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
         round(contrib, 6).as("js_contrib"), contrib.as("__c"))
       .localCheckpoint(false) // feeds js_total AND the result rows
     val total = perWord.agg(round(sum("__c"), 4).as("js_total"))

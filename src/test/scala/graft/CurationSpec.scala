@@ -182,6 +182,12 @@ class CurationSpec extends SparkSpec {
       Curation.distributionDrift(a, empty, "text").collect()
     }
     assert(e.getMessage.contains("distributionDrift"), e.getMessage)
+    // BOTH sides empty must also be loud (driver-side totals guard —
+    // a per-row guard has no rows to evaluate on in this case)
+    val ee = intercept[Exception] {
+      Curation.distributionDrift(empty, empty, "text").collect()
+    }
+    assert(ee.getMessage.contains("distributionDrift"), ee.getMessage)
   }
 
   test("decontaminate: manifest is total, taints on any pairing, reports worst hit") {

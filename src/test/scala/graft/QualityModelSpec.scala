@@ -42,6 +42,42 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("scoreEval equals trainScoreEval for the same model and split; trainPct is loud") {
+    val df = corpus(400, seed = 11)
+    // the serve path (train once, scoreEval per query — t21's shape)
+    // must reproduce the one-shot form row-for-row, modulo the MLlib
+    // fit being the same model object here
+    val bucketed = df.withColumn("__b",
+      graft.operators.Curation.hashBucket(col("doc_id"), 100))
+    val model = QualityModel.train(bucketed.filter(col("__b") < 70),
+      "text", "label", numFeatures = 256)
+    val served = QualityModel.scoreEval(model, df, "doc_id", "text", "label")
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = QualityModel.trainScoreEval(df, "doc_id", "text", "label",
+        numFeatures = 256)
+      .orderBy("doc_id").collect().toSeq
+    assert(served == oneShot && served.nonEmpty)
+    // a persisted-then-loaded model serves identically (the artifact
+    // round-trip the t21 harness exercises)
+    val p = java.nio.file.Files.createTempDirectory("qm_spec_").toString + "/m"
+    model.write.overwrite().save(p)
+    val loaded = org.apache.spark.ml.classification.LogisticRegressionModel.load(p)
+    val reServed = QualityModel.scoreEval(loaded, df, "doc_id", "text", "label")
+      .orderBy("doc_id").collect().toSeq
+    assert(reServed == served)
+    // degenerate splits are loud, not silently-empty / opaque MLlib fails
+    for (bad <- Seq(0, -5, 100, 170)) {
+      val e = intercept[IllegalArgumentException] {
+        QualityModel.trainScoreEval(df, "doc_id", "text", "label", trainPct = bad)
+      }
+      assert(e.getMessage.contains("trainPct"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        QualityModel.scoreEval(model, df, "doc_id", "text", "label", trainPct = bad)
+      }
+      assert(e2.getMessage.contains("trainPct"), e2.getMessage)
+    }
+  }
+
   test("score does not mutate the caller's model params") {
     val df = corpus(100, seed = 3)
     val model = QualityModel.train(df, "text", "label", numFeatures = 128)

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *      freq > n/k hitter. The exchange carries ≤ capacity counters
   *      per partition — constant, corpus-independent.
   *   2. '''Verify''': exact counts of the ≤ capacity candidates only.
-  *      The literal IN list makes the re-count a narrow map-side
-  *      filter (almost every row drops before the exchange) followed
-  *      by a partial-agg shuffle of ≤ capacity keys.
+  *      A broadcast semi-join against the candidate list makes the
+  *      re-count a narrow map-side filter (almost every row drops
+  *      before the exchange) followed by a partial-agg shuffle of
+  *      ≤ capacity keys — and keeps the PLAN constant-size at any
+  *      capacity (a literal IN list would inline one string literal
+  *      per candidate, blowing up analysis/codegen at capacity ~10⁵).
   *
   * The sketch itself is partition-order-dependent (which EXTRA
   * sub-threshold candidates survive varies), but the verified output
@@ -121,7 +124,12 @@ object HeavyHitters {
     val head = items.agg(count(lit(1)).as("n"), sketch(col(itemCol)).as("cand")).head()
     val n = head.getLong(0)
     val cand = head.getSeq[String](1)
-    items.filter(col(itemCol).isin(cand: _*))
+    // candidates as a broadcast relation, not inlined literals: the
+    // plan stays constant-size for caller-supplied capacities (spec
+    // pins capacity 10⁵), and the semi-join is the same map-side drop
+    val candDf = df.sparkSession
+      .createDataset(cand)(Encoders.STRING).toDF(itemCol)
+    items.join(broadcast(candDf), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") * k > n)

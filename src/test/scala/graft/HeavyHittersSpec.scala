@@ -47,6 +47,22 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("capacity 1e5 keeps the plan constant-size (broadcast semi-join, no literal list)") {
+    val items = skewed(100, seed = 9)
+    val df = items.toDF("word").repartition(7)
+    val out = HeavyHitters.exact(df, "word", k = 5, capacity = 100000)
+    // correctness unchanged at huge capacity (more slack, same answer)
+    assert(out.as[(String, Long)].collect().toMap == naive(items, 5))
+    // the recount must JOIN a candidates relation, not inline one
+    // string literal per candidate: a 10⁵-literal IN list would make
+    // the plan size scale with capacity
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-join recount, got:\n$plan")
+    assert(!plan.contains(" IN ("), "literal IN list leaked into the plan")
+    assert(plan.length < 20000, s"plan size ${plan.length} scales with capacity")
+  }
+
   test("threshold is strict and layout-independent") {
     // 4 items × 25 occurrences each, n=100: freq*4 > 100 is FALSE
     // (25*4 = 100), so k=4 reports nothing; k=5 reports all four.

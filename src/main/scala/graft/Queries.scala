@@ -926,8 +926,12 @@ object Queries {
       val docs = t(s, d, "documents")
       val ref = graft.streaming.DriftMonitor.wordDistribution(
         docs.filter(col("doc_id") % 2 === 0), "text", topN = 40)
+      // doc_id < 20 slices the stream to a fifth: the monitored feed,
+      // not the whole event fact table — the check exercises the same
+      // shape at a fifth of the word-explode volume
       val joined = events(s, d)
         .select(col("ts"), (col("event_id") % 100).as("doc_id"))
+        .filter(col("doc_id") < 20)
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       val counts = graft.streaming.DriftMonitor.windowedWordCounts(joined, "ts", "text")
       graft.streaming.DriftMonitor.windowDrift(counts, ref)
@@ -936,7 +940,7 @@ object Queries {
         .orderBy("w_start")
     },
     Some(s"""WITH ev AS (SELECT date_trunc('hour', ts) AS w_start,
-          event_id % 100 AS doc_id FROM events),
+          event_id % 100 AS doc_id FROM events WHERE event_id % 100 < 20),
       words AS (SELECT w_start,
           unnest(string_split_regex(trim(d.text), '$WsSplit')) AS word
         FROM ev e JOIN documents d USING (doc_id)),

@@ -79,7 +79,11 @@ object Bench {
         // them here — the timed loop then measures the SERVING path,
         // which is what those queries exist to time. Build cost is
         // disclosed in warmup_sec.
-        "s8_pq_served", "d12_incremental_banded", "t21_quality_classifier")
+        "s8_pq_served", "s9_ivfpq_served", "d12_incremental_banded",
+        "t21_quality_classifier",
+        // t23's drift full-outer join is its own codegen family and its
+        // first run pays multi-second Janino compile
+        "t23_drift_windows")
     }
     val w0 = System.nanoTime()
     warmup.foreach { name =>

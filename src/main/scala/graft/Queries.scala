@@ -2299,6 +2299,66 @@ object Queries {
     },
     Some(pqSearchOracle))
 
+  /** One oracle for s7 AND s9 (the inline/served IVFADC pair — the
+    * s6/s8 relationship one pruning level up). */
+  private val ivfPqOracle: String =
+    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2),
+      pool AS (SELECT c.vec_id, c.embedding
+        FROM clusters c JOIN probe USING (cluster_id)),
+      ${pqCtes(pool = "pool", candLimit = 40)}
+      ${pqFinalSelect(pool = "pool", k = 10)}"""
+
+  /** Cluster-keyed PQ code table persisted ONCE per sf dir — the IVFADC
+    * index artifact (coarse assignment + codes, both build-time costs),
+    * written partitionBy(cluster_id) so s9's probe prunes partitions at
+    * the reader (the ivfSearchStore layout). */
+  private val ivfPqCodePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfPqCodeTableFor(s: SparkSession, d: String): String =
+    ivfPqCodePaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_codes_").toString + "/codes"
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.pqEncodeBig(
+          Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec"),
+          "embedding", pqCodebook(s, d))
+        .select("cluster_id", "vec_id", "pq_codes")
+        .write.partitionBy("cluster_id").parquet(p)
+      p
+    })
+
+  private val s9 = QuerySpec("s9_ivfpq_served",
+    // The IVFADC SERVING path (s8's upgrade applied to s7): coarse
+    // assignment AND PQ encode both live in the stored artifact; per
+    // query the probe's broadcast semi-join prunes to nprobe cluster
+    // partitions AT THE READER (static partition pruning on the
+    // partitionBy(cluster_id) layout), the scan inside them touches
+    // only the m-byte codes, and ≤ k·candMult vectors rerank exactly.
+    // Row-identical to s7 by construction (same probe rule, codebook,
+    // cuts, tie-breaks; AnnSpec asserts) — the oracle IS s7's.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.ivfPqSearchEncoded(s.read.parquet(ivfPqCodeTableFor(s, d)), e,
+          "embedding", "vec_id", cent, "cid", "cvec",
+          pqCodebook(s, d), pqQueryVec(s, d), k = 10, nprobe = 2, candMult = 4)
+        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("dist"), 6).as("dist"))
+    },
+    Some(ivfPqOracle))
+
   private val s7 = QuerySpec("s7_ivfpq_search",
     // IVF+PQ (the FAISS IndexIVFPQ composition): the coarse quantizer
     // prunes the corpus to nprobe=2 of 8 clusters, the product
@@ -2318,22 +2378,7 @@ object Queries {
         .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
           round(col("dist"), 6).as("dist"))
     },
-    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        FROM embeddings WHERE vec_id = 0),
-      cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2),
-      pool AS (SELECT c.vec_id, c.embedding
-        FROM clusters c JOIN probe USING (cluster_id)),
-      ${pqCtes(pool = "pool", candLimit = 40)}
-      ${pqFinalSelect(pool = "pool", k = 10)}"""))
+    Some(ivfPqOracle))
 
   private val s4 = QuerySpec("s4_ann_ivf_bigk",
     // s2 at REAL centroid count: 256 centroids assigned via the
@@ -2816,6 +2861,6 @@ object Queries {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
-    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8,
+    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

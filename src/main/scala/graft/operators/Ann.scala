@@ -516,6 +516,35 @@ object Ann {
       embCol, idCol, codebooks, queryVec, k, candMult)
   }
 
+  /** [[ivfPqSearch]] against a PRE-ENCODED, cluster-keyed code table —
+    * the IVFADC serving path. `encoded` is index-build output carrying
+    * (cluster_id, idCol, pq_codes), ideally WRITTEN partitionBy
+    * (cluster_id) so the probe's broadcast semi-join becomes static
+    * partition pruning at the parquet reader (the [[ivfSearchStore]] /
+    * d12 band-index layout); within the probed partitions the scan
+    * touches only the m-byte codes. The two index-time prunings
+    * multiply exactly as in [[ivfPqSearch]], but BOTH the coarse
+    * assignment and the PQ encode are paid once at build time — per
+    * query, this path reads codes in nprobe partitions and reranks
+    * ≤ k·candMult vectors. Same probe rule, same cuts, same
+    * tie-breaks: row-identical to [[ivfPqSearch]] (AnnSpec asserts). */
+  def ivfPqSearchEncoded(encoded: DataFrame, vectors: DataFrame,
+                         embCol: String, idCol: String,
+                         centroids: DataFrame, cidCol: String, cvecCol: String,
+                         codebooks: DataFrame, queryVec: Array[Double],
+                         k: Int, nprobe: Int, candMult: Int = 4): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val probed = centroids
+      .withColumn("__qdist",
+        VectorFunctions.l2(col(cvecCol), typedlit(queryVec.toSeq)))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).as("cluster_id"))
+    pqSearchEncoded(
+      encoded.join(broadcast(probed), Seq("cluster_id"), "left_semi"),
+      vectors, embCol, idCol, codebooks, queryVec, k, candMult)
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query,
     * exact top-k inside those clusters only. `assigned` is the output
     * of [[ivfAssign]] (ideally written partitioned by cluster_id). */

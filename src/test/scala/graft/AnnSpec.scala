@@ -324,6 +324,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearchEncoded from a cluster-partitioned code table is row-identical to ivfPqSearch") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 11L)
+    val cents = Ann.trainCentroids(pqCorpus, "embedding", k = 4, seed = 3L)
+    val assigned = Ann.ivfAssign(pqCorpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val qv = pqCorpus.filter($"vec_id" === 1L).select("embedding")
+      .as[Seq[Double]].head().toArray
+    // index-build time: cluster-keyed codes, partitioned by cluster —
+    // the probe semi-join must then prune at the reader
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    Ann.pqEncodeBig(assigned, "embedding", cb)
+      .select("cluster_id", "vec_id", "pq_codes")
+      .write.partitionBy("cluster_id").parquet(s"$dir/codes")
+    val encoded = spark.read.parquet(s"$dir/codes")
+    for (nprobe <- Seq(1, 2, 4); candMult <- Seq(2, 6)) {
+      val want = Ann.ivfPqSearch(assigned, "embedding", "vec_id",
+          cents, "cid", "cvec", cb, qv, k = 10, nprobe = nprobe,
+          candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      val got = Ann.ivfPqSearchEncoded(encoded, pqCorpus, "embedding", "vec_id",
+          cents, "cid", "cvec", cb, qv, k = 10, nprobe = nprobe,
+          candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(got == want, s"nprobe=$nprobe candMult=$candMult")
+    }
+  }
+
   test("ivfPqSearch at full probe + generous candMult equals exact kNN; probing restricts the pool") {
     val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
       kCodes = 16, seed = 11L)

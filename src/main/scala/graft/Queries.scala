@@ -911,6 +911,22 @@ object Queries {
         (SELECT round(sum(contrib), 4) FROM c) AS js_total
       FROM c ORDER BY round(contrib, 6) DESC, word LIMIT 30"""))
 
+  private val t24 = QuerySpec("t24_distinct_audit",
+    // Per-source unique-document census (the pre-dedup sizing pass):
+    // exact count(distinct text) is the oracle-checked answer, and the
+    // HLL++ estimate at rsd=2% rides along as the bound column —
+    // hll_ok=true must hash-match the oracle's literal TRUE, so an
+    // estimator outside ±10% turns the row red. The raw estimate is
+    // engine-specific (Spark HLL++ ≠ DuckDB HLL) and stays out of the
+    // output; the BOUND is the checkable contract. At corpus scale the
+    // exact column is dropped and the fixed-size sketch serves alone.
+    (s, d) => Curation.distinctAudit(
+        t(s, d, "documents"), "source", "text", rsd = 0.02, tol = 0.1)
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_rows,
+        count(DISTINCT text) AS n_distinct, TRUE AS hll_ok
+      FROM documents GROUP BY source ORDER BY source"""))
+
   private val t23 = QuerySpec("t23_drift_windows",
     // The streaming drift monitor's BATCH half, oracle-checked (round-9
     // judge ask #4): windowedWordCounts + windowDrift over a static
@@ -2858,7 +2874,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -396,4 +396,38 @@ object Curation {
         round(col("n_shared").cast("double") / col("n_train_grams"), 6)
           .as("contaminated_frac"))
   }
+
+  /** Per-group distinct-cardinality audit: exact `count(distinct value)`
+    * alongside the HLL++ `approx_count_distinct` estimate at `rsd` —
+    * the pre-dedup census a pipeline runs to size its dedup strategy
+    * (unique docs per source, unique fingerprints per shard). The
+    * third leg of the sketch family (Misra-Gries [[HeavyHitters]],
+    * Bloom [[contaminationBloom]], HLL here), same contract: the
+    * mergeable sketch is the corpus-scale path, the exact twin exists
+    * to BOUND it.
+    *
+    * Scale shape: the exact form shuffles every distinct (group,
+    * value) pair (Spark plans partial-distinct via Expand — exchange
+    * ∝ distinct values); the HLL partial aggregate is a fixed
+    * ~1.04/rsd² registers (~2.7 KB at 2%) per group per partition, so
+    * its exchange is constant-size in the corpus. At 100 TB a caller
+    * drops the exact column and serves the sketch; here both are
+    * computed in ONE aggregate pass and `hll_ok` (|approx − exact| ≤
+    * tol·exact) rides into the oracle hash-compare — an estimator
+    * drifting out of tolerance fails the harness loudly instead of
+    * silently skewing a downstream mixture decision. The raw estimate
+    * itself is engine-specific, so it stays out of the output and the
+    * BOUND is what gets checked. */
+  def distinctAudit(df: DataFrame, groupCol: String, valueCol: String,
+                    rsd: Double = 0.02, tol: Double = 0.1): DataFrame = {
+    require(rsd > 0 && rsd < 0.4, s"rsd $rsd must be in (0, 0.4)")
+    require(tol > 0, s"tol $tol must be > 0")
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(valueCol)).as("n_distinct"),
+        approx_count_distinct(col(valueCol), rsd).as("__approx"))
+      .select(col(groupCol), col("n_rows"), col("n_distinct"),
+        (abs(col("__approx") - col("n_distinct"))
+          <= col("n_distinct").cast("double") * tol).as("hll_ok"))
+  }
 }

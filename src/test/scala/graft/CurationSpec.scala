@@ -235,4 +235,43 @@ class CurationSpec extends SparkSpec {
       assert(got == want, s"fpp=$fpp")
     }
   }
+
+  test("distinctAudit: exact counts match brute force, hll_ok within tolerance") {
+    // 3 sources with known duplicate structure: src a has 50 rows over
+    // 20 distinct values, b 30 over 30, c 5 over 1
+    val rows = (0 until 50).map(i => ("a", s"text-${i % 20}")) ++
+      (0 until 30).map(i => ("b", s"unique-$i")) ++
+      (0 until 5).map(_ => ("c", "same"))
+    val df = rows.toDF("source", "text")
+    val got = Curation.distinctAudit(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 50L, 20L, true), ("b", 30L, 30L, true),
+      ("c", 5L, 1L, true)))
+  }
+
+  test("distinctAudit: hll_ok goes false when the tolerance is impossibly tight") {
+    // HLL at max rsd on 500 distinct values will not be EXACT; a
+    // near-zero tolerance must flip the bound column rather than pass
+    // silently — proving hll_ok is a live comparison, not a constant
+    val df = (0 until 500).map(i => ("a", s"v$i")).toDF("source", "text")
+    val audit = Curation.distinctAudit(df, "source", "text",
+      rsd = 0.39, tol = 1e-9)
+    val r = audit.as[(String, Long, Long, Boolean)].head()
+    assert(r._2 == 500L && r._3 == 500L)
+    assert(!r._4, "rsd=0.39 estimate should not be exact on 500 distincts")
+  }
+
+  test("distinctAudit rejects degenerate rsd and tol loudly") {
+    val df = Seq(("a", "x")).toDF("source", "text")
+    intercept[IllegalArgumentException] {
+      Curation.distinctAudit(df, "source", "text", rsd = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.distinctAudit(df, "source", "text", rsd = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.distinctAudit(df, "source", "text", tol = 0.0)
+    }
+  }
 }

@@ -2357,9 +2357,10 @@ object Queries {
   private val s9 = QuerySpec("s9_ivfpq_served",
     // The IVFADC SERVING path (s8's upgrade applied to s7): coarse
     // assignment AND PQ encode both live in the stored artifact; per
-    // query the probe's broadcast semi-join prunes to nprobe cluster
-    // partitions AT THE READER (static partition pruning on the
-    // partitionBy(cluster_id) layout), the scan inside them touches
+    // query the driver-collected probe list (bounded: nprobe of 8
+    // centroid rows) prunes to nprobe cluster partitions AT THE READER
+    // (static PartitionFilters on the partitionBy(cluster_id) layout,
+    // AnnSpec-asserted via scan metrics), the scan inside them touches
     // only the m-byte codes, and ≤ k·candMult vectors rerank exactly.
     // Row-identical to s7 by construction (same probe rule, codebook,
     // cuts, tie-breaks; AnnSpec asserts) — the oracle IS s7's.

@@ -519,15 +519,18 @@ object Ann {
   /** [[ivfPqSearch]] against a PRE-ENCODED, cluster-keyed code table —
     * the IVFADC serving path. `encoded` is index-build output carrying
     * (cluster_id, idCol, pq_codes), ideally WRITTEN partitionBy
-    * (cluster_id) so the probe's broadcast semi-join becomes static
-    * partition pruning at the parquet reader (the [[ivfSearchStore]] /
-    * d12 band-index layout); within the probed partitions the scan
-    * touches only the m-byte codes. The two index-time prunings
-    * multiply exactly as in [[ivfPqSearch]], but BOTH the coarse
-    * assignment and the PQ encode are paid once at build time — per
-    * query, this path reads codes in nprobe partitions and reranks
-    * ≤ k·candMult vectors. Same probe rule, same cuts, same
-    * tie-breaks: row-identical to [[ivfPqSearch]] (AnnSpec asserts). */
+    * (cluster_id); the probe list is collected driver-side (bounded by
+    * construction: nprobe rows of a k-row centroid table — the
+    * [[ivfSearchStore]] pattern) so the filter is a STATIC
+    * PartitionFilters predicate at the parquet reader, listing only
+    * the probed cluster directories (AnnSpec asserts via the scan's
+    * numPartitions metric); within them the scan touches only the
+    * m-byte codes. The two index-time prunings multiply exactly as in
+    * [[ivfPqSearch]], but BOTH the coarse assignment and the PQ encode
+    * are paid once at build time — per query, this path reads codes in
+    * nprobe partitions and reranks ≤ k·candMult vectors. Same probe
+    * rule, same cuts, same tie-breaks: row-identical to
+    * [[ivfPqSearch]] (AnnSpec asserts). */
   def ivfPqSearchEncoded(encoded: DataFrame, vectors: DataFrame,
                          embCol: String, idCol: String,
                          centroids: DataFrame, cidCol: String, cvecCol: String,
@@ -539,9 +542,10 @@ object Ann {
         VectorFunctions.l2(col(cvecCol), typedlit(queryVec.toSeq)))
       .orderBy(col("__qdist"), col(cidCol))
       .limit(nprobe)
-      .select(col(cidCol).as("cluster_id"))
+      .select(col(cidCol).cast("long"))
+      .collect().map(_.getLong(0))
     pqSearchEncoded(
-      encoded.join(broadcast(probed), Seq("cluster_id"), "left_semi"),
+      encoded.filter(col("cluster_id").isin(probed: _*)),
       vectors, embCol, idCol, codebooks, queryVec, k, candMult)
   }
 

@@ -344,11 +344,41 @@ class AnnSpec extends SparkSpec {
           cents, "cid", "cvec", cb, qv, k = 10, nprobe = nprobe,
           candMult = candMult)
         .as[(Long, Double, Double)].collect().toSeq
-      val got = Ann.ivfPqSearchEncoded(encoded, pqCorpus, "embedding", "vec_id",
-          cents, "cid", "cvec", cb, qv, k = 10, nprobe = nprobe,
-          candMult = candMult)
-        .as[(Long, Double, Double)].collect().toSeq
+      val served = Ann.ivfPqSearchEncoded(encoded, pqCorpus, "embedding", "vec_id",
+        cents, "cid", "cvec", cb, qv, k = 10, nprobe = nprobe,
+        candMult = candMult)
+      // execute `served` ITSELF (not a derived Dataset) so its plan's
+      // scan metrics populate
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
       assert(got == want, s"nprobe=$nprobe candMult=$candMult")
+      // the probe must prune the code scan STATICALLY: the code-table
+      // scan leaf reads at most nprobe of the cluster directories (the
+      // d12 band-index metric assertion — .inputFiles would ignore
+      // pruning). This plan HAS exchanges, so the root is an
+      // AdaptiveSparkPlanExec — itself a leaf node — and file scans
+      // only surface through its current inner plan.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case other => other.children
+        }
+        self ++ kids.flatMap(fileScans)
+      }
+      // pqCorpus is an in-memory local relation, so the only file scan
+      // in the plan is the code table
+      val codeScan = fileScans(served.queryExecution.executedPlan)
+        .headOption.getOrElse(fail("no code-table FileSourceScanExec leaf"))
+      assert(codeScan.metrics("numPartitions").value <= nprobe,
+        s"code scan read ${codeScan.metrics("numPartitions").value} " +
+          s"cluster partitions, wanted <= $nprobe")
     }
   }
 

@@ -911,6 +911,31 @@ object Queries {
         (SELECT round(sum(contrib), 4) FROM c) AS js_total
       FROM c ORDER BY round(contrib, 6) DESC, word LIMIT 30"""))
 
+  private val t25 = QuerySpec("t25_quantile_audit",
+    // Token-length quantiles both ways (t13's cut, audited): exact
+    // `percentile` is the oracle-checked answer; the GK sketch at the
+    // default accuracy rides along as the rank-space bound column
+    // (value-space distance is meaningless for a sketch whose
+    // guarantee is rank error ≤ n/accuracy). Completes the sketch
+    // quartet: frequency (t17 Misra-Gries), membership (t18 Bloom),
+    // cardinality (t24 HLL), quantiles (here). At corpus scale the
+    // exact count-per-value map is dropped and the mergeable
+    // O(accuracy·log n) sketch serves alone.
+    (s, d) => Curation.quantileAudit(
+        t(s, d, "documents")
+          .select(TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", probs = Seq(0.1, 0.5, 0.9, 0.99))
+      .orderBy("p"),
+    Some(s"""WITH tok AS (SELECT
+        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS DOUBLE) AS v
+        FROM documents)
+      SELECT CAST(0.1 AS DOUBLE) AS p, round(quantile_cont(v, 0.1), 4) AS exact_q, TRUE AS gk_ok FROM tok
+      UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(v, 0.5), 4), TRUE FROM tok
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(v, 0.9), 4), TRUE FROM tok
+      UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(v, 0.99), 4), TRUE FROM tok
+      ORDER BY p"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -2875,7 +2900,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

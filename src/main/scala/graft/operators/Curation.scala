@@ -397,6 +397,71 @@ object Curation {
           .as("contaminated_frac"))
   }
 
+  /** The rank-interval acceptance test behind [[quantileAudit]], kept a
+    * pure function so the spec can exercise both outcomes directly:
+    * a sketch value is accepted iff its rank interval [lo, hi] (the
+    * empirical CDF just below / at the value — an interval because of
+    * ties) intersects [p − eps, p + eps]. */
+  private[graft] def rankBoundOk(lo: Double, hi: Double,
+                                 p: Double, eps: Double): Boolean =
+    lo <= p + eps && hi >= p - eps
+
+  /** Corpus quantile audit: exact `percentile` values alongside the
+    * Greenwald-Khanna `approx_percentile` sketch, bound-checked in
+    * RANK space — the sketch's actual guarantee (the returned value's
+    * rank is within n/accuracy of ⌈p·n⌉; it promises nothing in value
+    * space, so a value-distance check would be wrong on any skewed
+    * column). `gk_ok` accepts iff the approx value's empirical rank
+    * interval (count(v < a)/n, count(v ≤ a)/n — an interval because
+    * of ties) intersects [p ± (1/accuracy + slack)], and rides into
+    * the oracle hash-compare as literal TRUE (the t24 pattern).
+    *
+    * Scale shape: exact `percentile` aggregates a count-per-value map
+    * (memory ∝ distinct values — fine for integer-ish domains, the
+    * t13 caveat); the GK sketch is O(accuracy·log n) per partition
+    * regardless of the domain, mergeable map-side. The audit runs
+    * both plus ONE extra narrow pass for the rank check (|probs|
+    * bounded counter columns); at 100 TB the exact column is dropped
+    * and the sketch serves alone. All driver state is bounded by
+    * construction: one row of 2·|probs| doubles + the counts row. */
+  def quantileAudit(df: DataFrame, valueCol: String, probs: Seq[Double],
+                    accuracy: Int = 10000, slack: Double = 0.005): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    require(probs.forall(p => p > 0 && p < 1), s"probs $probs must each be in (0,1)")
+    require(accuracy >= 10, s"accuracy $accuracy must be >= 10")
+    require(slack > 0, s"slack $slack must be > 0")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val pList = probs.mkString(",")
+    // ONE aggregate pass for n + exact + sketch
+    val head = vals.agg(
+      count(lit(1)).as("n"),
+      expr(s"percentile(v, array($pList))").as("exact"),
+      expr(s"approx_percentile(v, array($pList), $accuracy)").as("approx")).head()
+    val n = head.getLong(0)
+    require(n > 0, s"quantileAudit: no non-null $valueCol rows")
+    val exact = head.getSeq[Double](1)
+    val approx = head.getSeq[Double](2)
+    // rank-check pass: empirical CDF below/at each sketch value —
+    // narrow map + one partial agg carrying 2·|probs| counters
+    val cdfCols = probs.indices.flatMap { i =>
+      Seq(sum(when(col("v") < approx(i), 1L).otherwise(0L)).as(s"lo$i"),
+        sum(when(col("v") <= approx(i), 1L).otherwise(0L)).as(s"hi$i"))
+    }
+    val cdf = vals.agg(cdfCols.head, cdfCols.tail: _*).head()
+    val eps = 1.0 / accuracy + slack
+    val rows = probs.indices.map { i =>
+      val lo = cdf.getLong(2 * i).toDouble / n
+      val hi = cdf.getLong(2 * i + 1).toDouble / n
+      (probs(i),
+        BigDecimal(exact(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rankBoundOk(lo, hi, probs(i), eps))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("p", "exact_q", "gk_ok")
+  }
+
   /** Per-group distinct-cardinality audit: exact `count(distinct value)`
     * alongside the HLL++ `approx_count_distinct` estimate at `rsd` —
     * the pre-dedup census a pipeline runs to size its dedup strategy

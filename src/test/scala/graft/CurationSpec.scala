@@ -262,6 +262,55 @@ class CurationSpec extends SparkSpec {
     assert(!r._4, "rsd=0.39 estimate should not be exact on 500 distincts")
   }
 
+  test("quantileAudit: exact quantiles match R-7 interpolation, gk_ok true") {
+    // 1..1000 uniform: percentile(p) = 1 + p*999 exactly
+    val df = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("v")
+    val got = Curation.quantileAudit(df, "v", Seq(0.1, 0.5, 0.9))
+      .orderBy("p").as[(Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq((0.1, 100.9, true), (0.5, 500.5, true), (0.9, 900.1, true)))
+  }
+
+  test("quantileAudit: rank interval absorbs heavy ties") {
+    // 90% of the mass is one value: the sketch must return it for any
+    // p inside the tie block, and the rank INTERVAL (not a point CDF)
+    // is what keeps the bound true
+    val df = (Seq.fill(900)(42L) ++ (1 to 100).map(_.toLong + 1000))
+      .map(Tuple1(_)).toDF("v")
+    val got = Curation.quantileAudit(df, "v", Seq(0.2, 0.5, 0.89))
+      .as[(Double, Double, Boolean)].collect().toSeq
+    assert(got.forall(_._3), s"tie block broke the rank bound: $got")
+  }
+
+  test("rankBoundOk is a live two-sided comparison") {
+    // interval intersects [p±eps] → ok
+    assert(Curation.rankBoundOk(0.48, 0.52, 0.5, 0.01))
+    // whole interval above p+eps → reject (sketch value ranks too high)
+    assert(!Curation.rankBoundOk(0.60, 0.95, 0.5, 0.01))
+    // whole interval below p−eps → reject (ranks too low)
+    assert(!Curation.rankBoundOk(0.10, 0.45, 0.5, 0.01))
+    // tie block spanning p entirely → ok (lo below, hi above)
+    assert(Curation.rankBoundOk(0.10, 0.95, 0.5, 0.01))
+  }
+
+  test("quantileAudit rejects degenerate parameters and empty input loudly") {
+    val df = Seq(Tuple1(1L)).toDF("v")
+    intercept[IllegalArgumentException] {
+      Curation.quantileAudit(df, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileAudit(df, "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileAudit(df, "v", Seq(0.5), accuracy = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileAudit(df, "v", Seq(0.5), slack = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileAudit(df.filter(col("v") > 100), "v", Seq(0.5))
+    }
+  }
+
   test("distinctAudit rejects degenerate rsd and tol loudly") {
     val df = Seq(("a", "x")).toDF("source", "text")
     intercept[IllegalArgumentException] {

@@ -2739,9 +2739,16 @@ object Queries {
     None)
 
   def cascade(s: SparkSession, d: String): DataFrame = {
+    // lazy localCheckpoint (the shared-subtree pattern): this entry
+    // executes THREE cascades (fixture adaptive + fixture fixed for
+    // the identity gate, then the real search), and the adaptive form
+    // additionally runs a count action per stage — each would re-run
+    // the docs⋈embeddings join otherwise. The joined corpus is bounded
+    // by |embeddings| rows.
     val corpus = t(s, d, "documents")
       .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .crossJoin(broadcast(queryVec(s, d, 0)))
+      .localCheckpoint(false)
     val q = "looking for a join job in the row area"
     // Identity gate (round-9 judge ask): the adaptive cascade's
     // sequential count gates aren't SQL-expressible, but they ARE
@@ -2874,9 +2881,12 @@ object Queries {
     // §3.4 composition: scan-then-filter cascade (main_remind.py) —
     // same operators as c1, different policy configuration.
     (s, d) => {
+      // shared-subtree checkpoint, as in c1: three remind executions
+      // (identity pair + the returned one) over one materialized join
       val corpus = t(s, d, "documents")
         .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
         .crossJoin(broadcast(queryVec(s, d, 0)))
+        .localCheckpoint(false)
       val q = "looking for a join job in the row area"
       val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
       // Identity gate (round-9 judge ask): the remind composition has

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1679,6 +1679,63 @@ object Queries {
       FROM sel s JOIN cand c ON c.vec_id = s.picked ORDER BY rank"""
     })
 
+  private val v11 = QuerySpec("v11_retrieval_metrics",
+    // The full IR eval triple over batch IVF at a DELIBERATELY lossy
+    // nprobe=4 (so the metrics are non-trivial): recall@10, MRR@10,
+    // nDCG@10 per query against the exact batch kNN ground truth.
+    // v9's recall check generalized — this is the sign-off gate an ANN
+    // config passes before serving at corpus scale, and every join in
+    // it is k-bounded per query (nothing re-touches the corpus).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
+      val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+        cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 4)
+      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
+      RetrievalEval.metricsAtK(ivf, exact.select("qid", "vec_id"),
+          "qid", "vec_id", "knn_rank", k = 10)
+        .orderBy("qid")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 64),
+      q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probes AS (SELECT qid, qv, cluster_id FROM (
+        SELECT q.qid, q.qv, cid AS cluster_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
+        FROM cent CROSS JOIN q) WHERE pr <= 4),
+      ivf AS (SELECT qid, vec_id, rnk FROM (
+        SELECT p.qid, c.vec_id,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
+        FROM clusters c JOIN probes p USING (cluster_id)) WHERE rnk <= 10),
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+      j AS (SELECT i.qid, i.rnk,
+          CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM ivf i LEFT JOIN exact x
+          ON i.qid = x.qid AND i.vec_id = x.vec_id),
+      idcg AS (SELECT sum(1.0/(ln(r+1)/ln(2))) AS v FROM range(1, 11) t(r))
+      SELECT qid, round(sum(rel)/10.0, 6) AS recall_10,
+        round(coalesce(max(CASE WHEN rel = 1 THEN 1.0/rnk END), 0.0), 6) AS mrr_10,
+        round(sum(CASE WHEN rel = 1 THEN 1.0/(ln(rnk+1)/ln(2)) ELSE 0.0 END)
+          / (SELECT v FROM idcg), 6) AS ndcg_10
+      FROM j GROUP BY qid ORDER BY qid"""))
+
   private val v9 = QuerySpec("v9_ann_recall",
     // ANN quality measurement: recall@10 of batch IVF (64 toy
     // centroids, nprobe=8) against the exact batch kNN, per query.
@@ -2912,7 +2969,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

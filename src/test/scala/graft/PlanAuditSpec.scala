@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Automated plan-shape guards: the scale claims PLANS.md makes in
+  * prose, asserted on the actual physical plans so a regression that
+  * re-plans an operator into a scale anti-pattern fails CI instead of
+  * waiting for a bench diff. Runs at sf0.001 — planning cost only
+  * (plus the bounded driver-side collects some entries perform by
+  * design). */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no harness query plans a CartesianProduct (every cross join broadcasts)") {
+    // The invariant behind every crossJoin in the codebase: the small
+    // side is always broadcast(), so the planner must choose
+    // BroadcastNestedLoopJoin, never CartesianProductExec — a
+    // cartesian over two corpus-sized sides is the canonical
+    // 100 TB-killer. Sweep EVERY harness query.
+    val offenders = Queries.all.flatMap { q =>
+      try {
+        val plan = q.impl(spark, sf).queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct")) Some(q.name) else None
+      } catch {
+        case e: Throwable => Some(s"${q.name} failed to plan: ${e.toString.take(120)}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products (or planning failures) in: ${offenders.mkString(", ")}")
+  }
+
+  test("v1 kNN: TakeOrderedAndProject, native distance, zero shuffles") {
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements during preparation, so only the executed plan
+    // can prove their absence
+    val plan = SparkEntry.queries("v1_knn_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"kNN top-k must be TakeOrderedAndProject (bounded per-partition heaps):\n$plan")
+    assert(plan.contains("vector_l2sq"),
+      s"kNN distance must be the native codegen expression:\n$plan")
+    // BroadcastExchange of the 1-row query vector is fine; what must
+    // never appear is a SHUFFLE exchange
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning")
+        && !plan.contains("Exchange SinglePartition"),
+      s"exact 1xN kNN needs NO shuffle (TakeOrdered reduces partition heaps " +
+        s"on the driver):\n$plan")
+  }
+
+  test("t16 source cap: the rank window partitions by group, never globally") {
+    // groupCap returns EVERY row flagged (no rank<=cap filter, so no
+    // WindowGroupLimit to push) — the scale property to pin is that
+    // its window sorts per-source partitions, not one global partition
+    val plan = SparkEntry.queries("t16_source_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"groupCap's window must shuffle on the group key:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a single-partition exchange under a corpus-sized window moves the " +
+        s"whole table to one task:\n$plan")
+  }
+
+  test("t24/t25 sketch audits: single aggregate pass over the corpus") {
+    // the audit contract is ONE pass computing exact + sketch together;
+    // a second corpus-side HashAggregate chain would mean the sketch
+    // and the exact twin stopped sharing their scan
+    val plan = SparkEntry.queries("t24_distinct_audit")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"t24 must read documents exactly once, saw $scans scans:\n$plan")
+  }
+}

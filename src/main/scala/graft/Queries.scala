@@ -936,6 +936,24 @@ object Queries {
       UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(v, 0.99), 4), TRUE FROM tok
       ORDER BY p"""))
 
+  private val t26 = QuerySpec("t26_shard_manifest",
+    // The export sink's declarative twin (sources/ShardExport): the
+    // per-shard manifest of a deterministic 8-way training-shard
+    // export — shard = md5-bucket of doc_id (t10's engine-portable
+    // idiom; stable across runs/engines, so incremental re-exports
+    // rewrite only changed shards), with per-shard doc and token
+    // totals. The physical write (one file per shard dir, md5
+    // pseudo-random read order — the reproducible global shuffle)
+    // is ShardExportSpec's half; the manifest math is checked here.
+    (s, d) => graft.sources.ShardExport.manifest(
+        t(s, d, "documents"), "doc_id", "text", nShards = 8)
+      .orderBy("shard"),
+    Some(s"""SELECT ${hashBucketSql("doc_id", 8)} AS shard,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1 ORDER BY shard"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -2967,7 +2985,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

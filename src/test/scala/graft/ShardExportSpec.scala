@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.ShardExport
+import org.apache.spark.sql.functions._
+
+/** Shard export: partition-complete, deterministically assigned and
+  * ordered, one file per shard, manifest true to the files. */
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0 until 500)
+    .map(i => (i.toLong, s"doc $i body with ${"w " * (i % 7)}tokens"))
+    .toDF("doc_id", "text")
+
+  test("every doc lands in exactly one shard; assignment is stable across runs") {
+    val a = ShardExport.withShard(docs, "doc_id", 8)
+    assert(a.groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val b = ShardExport.withShard(docs, "doc_id", 8)
+    assert(a.select("doc_id", "shard").except(b.select("doc_id", "shard")).count() == 0)
+    // md5 balance: all 8 shards populated, none more than 2x the mean
+    val sizes = a.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length == 8 && sizes.max <= 2 * (500 / 8))
+  }
+
+  test("writeShards: one file per shard dir, deterministic order, complete union, true manifest") {
+    val out = Files.createTempDirectory("graft_shards").toString
+    val mf = ShardExport.writeShards(docs, "doc_id", "text", out, 8)
+      .orderBy("shard")
+      .as[(Int, Long, Long)].collect().toSeq
+    // one parquet data file per shard directory
+    for (s <- 0 until 8 if mf.exists(_._1 == s)) {
+      val dir = Paths.get(out, s"shard=$s")
+      val parts = Files.list(dir).iterator()
+      var nData = 0
+      while (parts.hasNext) {
+        val f = parts.next().getFileName.toString
+        if (f.endsWith(".parquet") && !f.startsWith("_")) nData += 1
+      }
+      assert(nData == 1, s"shard $s has $nData data files")
+    }
+    // union of shards == input, no loss or duplication
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+    assert(docs.select("doc_id").except(back.select("doc_id")).count() == 0)
+    // manifest rows describe the written files exactly
+    val recount = back
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCountWs(col("text")).cast("long"))
+          .as("n_tokens"))
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    assert(mf == recount)
+    assert(mf.map(_._2).sum == 500)
+    // deterministic read order: a second export yields the identical
+    // per-shard row sequence (the reproducible-global-shuffle claim)
+    val out2 = Files.createTempDirectory("graft_shards2").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out2, 8)
+    for (s <- mf.map(_._1)) {
+      def seqOf(o: String) = spark.read.parquet(s"$o/shard=$s")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(seqOf(out) == seqOf(out2), s"shard $s order differs across runs")
+    }
+    // and the order within a shard is NOT sorted by id (it is the md5
+    // pseudo-random order — the point of the deterministic shuffle)
+    val anyShard = spark.read.parquet(s"$out/shard=${mf.head._1}")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(anyShard != anyShard.sorted, "shard order unexpectedly id-sorted")
+  }
+
+  test("guards are loud") {
+    intercept[IllegalArgumentException] {
+      ShardExport.withShard(docs, "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      ShardExport.writeShards(docs, "doc_id", "text", "/tmp/x", 0)
+    }
+  }
+}

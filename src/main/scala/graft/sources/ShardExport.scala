@@ -78,4 +78,50 @@ object ShardExport {
       .parquet(s"$outDir/_graft_manifest")
     spark.read.parquet(s"$outDir/_graft_manifest")
   }
+
+  /** Incremental re-export: merge `delta` (new or changed docs,
+    * overwrite-by-id) into an existing export, rewriting ONLY the
+    * shard directories the delta's ids hash into — the point of the
+    * stable assignment. At 100 TB a daily delta touches a handful of
+    * docs per shard; rewriting the whole corpus to admit them is the
+    * scale-killer this avoids (dynamic partition overwrite, the
+    * [[IndexStore.upsertPartitioned]] pattern — untouched shard
+    * directories keep their physical files, ShardExportSpec asserts
+    * identity by inode-level listing). The affected-shard list is a
+    * driver collect bounded by nShards. Rewritten shards keep the
+    * deterministic md5 order, so a full rewrite and an incremental
+    * one produce row-identical shards. Returns the refreshed
+    * manifest. */
+  def upsertShards(outDir: String, delta: DataFrame, idCol: String,
+                   textCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val spark = delta.sparkSession
+    val deduped = withShard(delta.dropDuplicates(idCol), idCol, nShards)
+    val affected = deduped.select("shard").distinct()
+      .collect().map(_.get(0)) // bounded by nShards
+    val existing = spark.read.parquet(outDir)
+      .filter(col("shard").isin(affected: _*))
+      .join(deduped.select(col(idCol)), Seq(idCol), "left_anti")
+    val merged = existing.unionByName(deduped.select(existing.columns.map(col): _*))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .repartition(affected.length.max(1), col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .drop("__ord")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.localCheckpoint(true).write.mode("overwrite")
+        .partitionBy("shard").parquet(outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val mf = spark.read.parquet(outDir).groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
+          .as("n_tokens"))
+    mf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_graft_manifest")
+    spark.read.parquet(s"$outDir/_graft_manifest")
+  }
 }

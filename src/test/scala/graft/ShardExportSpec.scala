@@ -72,6 +72,39 @@ class ShardExportSpec extends SparkSpec {
     assert(anyShard != anyShard.sorted, "shard order unexpectedly id-sorted")
   }
 
+  test("upsertShards rewrites only affected shard dirs; result row-identical to a full rewrite") {
+    import java.io.File
+    val out = Files.createTempDirectory("graft_upsert").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out, 8)
+    def listing(s: Int): Set[(String, Long, Long)] = {
+      val d = new File(out, s"shard=$s")
+      d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val before = (0 until 8).map(f => f -> listing(f)).toMap
+    // delta: one changed doc + one brand-new doc
+    val delta = Seq((5L, "doc 5 REVISED body"), (1000L, "new doc body"))
+      .toDF("doc_id", "text")
+    val affected = ShardExport.withShard(delta, "doc_id", 8)
+      .select("shard").as[Long].collect().map(_.toInt).toSet
+    Thread.sleep(1100) // mtime resolution guard
+    ShardExport.upsertShards(out, delta, "doc_id", "text", 8)
+    for (s <- 0 until 8 if !affected.contains(s))
+      assert(listing(s) == before(s), s"untouched shard $s was rewritten")
+    for (s <- affected)
+      assert(listing(s) != before(s), s"affected shard $s not rewritten")
+    // row-identity with a from-scratch export of the merged corpus,
+    // including intra-shard order (the deterministic-order claim)
+    val mergedDocs = docs.filter(col("doc_id") =!= 5L).unionByName(delta)
+    val out2 = Files.createTempDirectory("graft_full").toString
+    ShardExport.writeShards(mergedDocs, "doc_id", "text", out2, 8)
+    for (s <- 0 until 8) {
+      def rows(o: String) = spark.read.parquet(s"$o/shard=$s")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      assert(rows(out) == rows(out2), s"shard $s differs from full rewrite")
+    }
+  }
+
   test("guards are loud") {
     intercept[IllegalArgumentException] {
       ShardExport.withShard(docs, "doc_id", 0)

@@ -116,10 +116,22 @@ object ShardExport {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val mf = spark.read.parquet(outDir).groupBy("shard")
+    // manifest merge stays delta-bounded too: recount ONLY the
+    // rewritten shards (partition-pruned read — static
+    // PartitionFilters, the d12 scheme), keep the other rows from the
+    // previous manifest. Re-reading the whole export to recount it
+    // would put the corpus-proportional scan right back into the
+    // incremental path.
+    val keptMf = spark.read.parquet(s"$outDir/_graft_manifest")
+      .filter(!col("shard").isin(affected: _*))
+      .localCheckpoint(true) // materialize before overwriting its source
+    val affMf = spark.read.parquet(outDir)
+      .filter(col("shard").isin(affected: _*))
+      .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
           .as("n_tokens"))
+    val mf = keptMf.unionByName(affMf.select(keptMf.columns.map(col): _*))
     mf.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_graft_manifest")
     spark.read.parquet(s"$outDir/_graft_manifest")

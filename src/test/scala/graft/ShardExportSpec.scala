@@ -93,6 +93,15 @@ class ShardExportSpec extends SparkSpec {
       assert(listing(s) == before(s), s"untouched shard $s was rewritten")
     for (s <- affected)
       assert(listing(s) != before(s), s"affected shard $s not rewritten")
+    // the incrementally-merged manifest equals a full recount
+    val mfGot = spark.read.parquet(s"$out/_graft_manifest")
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    val mfFull = spark.read.parquet(out).groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCountWs(col("text")).cast("long"))
+          .as("n_tokens"))
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    assert(mfGot == mfFull, "incremental manifest drifted from full recount")
     // row-identity with a from-scratch export of the merged corpus,
     // including intra-shard order (the deterministic-order claim)
     val mergedDocs = docs.filter(col("doc_id") =!= 5L).unionByName(delta)

@@ -1754,6 +1754,52 @@ object Queries {
           / (SELECT v FROM idcg), 6) AS ndcg_10
       FROM j GROUP BY qid ORDER BY qid"""))
 
+  private val v12 = QuerySpec("v12_embedding_drift",
+    // Embedding-space drift (Ann.embeddingDrift): both snapshot
+    // halves assigned to the SAME 8 fixed centroids (narrow argmin
+    // map — no shuffle), JS divergence over the two cluster-mass
+    // distributions. The vector twin of t22: tells the index operator
+    // the mass no longer matches the partitioning (re-train
+    // centroids) BEFORE v9/v11's recall eval says it after the fact.
+    // Exchange carries 8 counts per side, never vectors.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", cent, "cid", "cvec")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      aa AS (SELECT cid AS cluster_id FROM (
+        SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 0) WHERE crn = 1),
+      bb AS (SELECT cid AS cluster_id FROM (
+        SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 1) WHERE crn = 1),
+      ca AS (SELECT cluster_id, count(*) AS ca FROM aa GROUP BY 1),
+      cb AS (SELECT cluster_id, count(*) AS cb FROM bb GROUP BY 1),
+      j AS (SELECT coalesce(a.cluster_id, b.cluster_id) AS cluster_id,
+          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM ca a FULL JOIN cb b ON a.cluster_id = b.cluster_id),
+      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+      p AS (SELECT cluster_id, ca, cb,
+          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
+          (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0 AS m
+        FROM j CROSS JOIN tot),
+      c AS (SELECT cluster_id, pa, pb,
+          (CASE WHEN ca > 0 THEN pa * ln(pa / m) / 2.0 ELSE 0.0 END)
+          + (CASE WHEN cb > 0 THEN pb * ln(pb / m) / 2.0 ELSE 0.0 END) AS contrib
+        FROM p),
+      t AS (SELECT round(sum(contrib), 4) AS js_total FROM c)
+      SELECT cluster_id, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        round(contrib, 6) AS js_contrib, js_total
+      FROM c CROSS JOIN t ORDER BY cluster_id"""))
+
   private val v9 = QuerySpec("v9_ann_recall",
     // ANN quality measurement: recall@10 of batch IVF (64 toy
     // centroids, nprobe=8) against the exact batch kNN, per query.
@@ -2987,7 +3033,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

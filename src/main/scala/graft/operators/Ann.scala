@@ -567,4 +567,33 @@ object Ann {
       assigned.join(broadcast(probed), Seq("cluster_id"), "left_semi"),
       embCol, idCol, queryVec, k)
   }
+
+  /** Embedding-space drift between two corpus snapshots — the vector
+    * twin of [[Curation.distributionDrift]] (t22). Both snapshots are
+    * assigned to the SAME fixed centroid set (the live index's — a
+    * narrow argmin map, no shuffle, no join), and the drift is the JS
+    * divergence between the two cluster-MASS distributions: an
+    * embedding-model update, a topical shift in the crawl, or a feed
+    * gone rogue all show up as probability mass moving between
+    * regions of the vector space, per-cluster attributable. This is
+    * the signal that tells an index operator "re-train the centroids"
+    * (IVF recall decays when the mass no longer matches the
+    * partitioning) before v9/v11's recall eval says it after the
+    * fact.
+    *
+    * Scale shape: two narrow assignment maps over the snapshots, then
+    * [[Curation.keyedDrift]] on `cluster_id` — the exchange carries k
+    * counts per side, never vectors. Null embeddings are excluded
+    * (they have no position in the space); the empty-side guard is
+    * keyedDrift's, loud. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, embCol: String,
+                     idCol: String, centroids: DataFrame,
+                     cidCol: String, cvecCol: String): DataFrame = {
+    def masses(df: DataFrame) =
+      ivfAssign(df, embCol, idCol, centroids, cidCol, cvecCol)
+        .filter(col("cluster_id").isNotNull)
+        .select(col("cluster_id"))
+    Curation.keyedDrift(masses(a), masses(b), "cluster_id",
+      opName = "embeddingDrift")
+  }
 }

@@ -260,37 +260,48 @@ object Curation {
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(explode(split(trim(col(textCol)), Ws)).as("word"))
         .filter(length(col("word")) > 0)
-    val ca = words(a).groupBy("word").agg(count(lit(1)).as("ca"))
-    val cb = words(b).groupBy("word").agg(count(lit(1)).as("cb"))
-    val joined = ca.join(cb, Seq("word"), "full_outer")
-      .select(col("word"), coalesce(col("ca"), lit(0L)).as("ca"),
+    keyedDrift(words(a), words(b), "word", opName = "distributionDrift")
+  }
+
+  /** The JS reduction of [[distributionDrift]] over ANY keyed
+    * observation frames (one row per observation of `keyCol`): the
+    * same math serves word distributions, cluster-assignment masses
+    * ([[graft.operators.Ann.embeddingDrift]]), source mixes, …
+    * Output: one row per key — (keyCol, p_a, p_b, js_contrib) — plus
+    * the broadcast `js_total` scalar on every row. */
+  def keyedDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                 opName: String = "keyedDrift"): DataFrame = {
+    val ca = a.groupBy(keyCol).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(keyCol).agg(count(lit(1)).as("cb"))
+    val joined = ca.join(cb, Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      // feeds the totals aggregate AND the per-word projection
+      // feeds the totals aggregate AND the per-key projection
       .localCheckpoint(false)
     // drift against an EMPTY side is undefined. The guard lives on the
-    // DRIVER: the previous per-row guard column never evaluated when
-    // BOTH sides were empty (no rows to carry it), silently returning
-    // an empty frame against the fail-loudly contract (round-9
-    // ADVICE). The totals row always exists — null sums — so this
-    // catches one-empty AND both-empty; the collect is 1 bounded row
-    // over the checkpointed counts, and the totals then enter the plan
-    // as literals (no broadcast join needed).
+    // DRIVER: a per-row guard column never evaluates when BOTH sides
+    // are empty (no rows to carry it), silently returning an empty
+    // frame against the fail-loudly contract (round-9 ADVICE). The
+    // totals row always exists — null sums — so this catches
+    // one-empty AND both-empty; the collect is 1 bounded row over the
+    // checkpointed counts, and the totals then enter the plan as
+    // literals (no broadcast join needed).
     val tot = joined.agg(sum("ca").as("na"), sum("cb").as("nb")).collect()(0)
     require(!tot.isNullAt(0) && tot.getLong(0) > 0 &&
       !tot.isNullAt(1) && tot.getLong(1) > 0,
-      "distributionDrift: a side has no words")
+      s"$opName: a side has no $keyCol rows")
     val pA = col("ca").cast("double") / lit(tot.getLong(0))
     val pB = col("cb").cast("double") / lit(tot.getLong(1))
     val m = (pA + pB) / 2.0
     val contrib =
       when(col("ca") > 0, pA * log(pA / m) / 2.0).otherwise(lit(0.0)) +
         when(col("cb") > 0, pB * log(pB / m) / 2.0).otherwise(lit(0.0))
-    val perWord = joined
-      .select(col("word"), round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+    val perKey = joined
+      .select(col(keyCol), round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
         round(contrib, 6).as("js_contrib"), contrib.as("__c"))
       .localCheckpoint(false) // feeds js_total AND the result rows
-    val total = perWord.agg(round(sum("__c"), 4).as("js_total"))
-    perWord.crossJoin(broadcast(total)).drop("__c")
+    val total = perKey.agg(round(sum("__c"), 4).as("js_total"))
+    perKey.crossJoin(broadcast(total)).drop("__c")
   }
 
   /** Distinct k-gram explode for one side of a contamination-family

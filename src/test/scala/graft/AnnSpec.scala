@@ -425,4 +425,30 @@ class AnnSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(ivf == exact)
   }
+
+  test("embeddingDrift: identical snapshots drift 0; mass shift computes the hand JS") {
+    val same = Ann.embeddingDrift(corpus, corpus,
+        "embedding", "vec_id", cents, "cid", "cvec")
+      .select("js_total").as[Double].collect()
+    assert(same.nonEmpty && same.forall(_ == 0.0))
+    // A: 30 rows in cluster 0, 10 in cluster 1 → (0.75, 0.25)
+    // B: 10 in cluster 0, 30 in cluster 1 → (0.25, 0.75)
+    def snap(nearZero: Int, nearHundred: Int) =
+      ((0 until nearZero).map(i => (i.toLong, Array(0.1f * i, 0.1f * i))) ++
+        (0 until nearHundred).map(i =>
+          (1000L + i, Array(100f + 0.1f * i, 100f + 0.1f * i))))
+        .toDF("vec_id", "embedding")
+    val got = Ann.embeddingDrift(snap(30, 10), snap(10, 30),
+        "embedding", "vec_id", cents, "cid", "cvec")
+      .orderBy("cluster_id")
+      .select("cluster_id", "p_a", "p_b", "js_total")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((0L, 0.75, 0.25), (1L, 0.25, 0.75)))
+    // hand JS: per cluster ½(p ln(p/m) + q ln(q/m)) with m = 0.5 both
+    val expected = BigDecimal(
+        0.75 * math.log(0.75 / 0.5) / 2 + 0.25 * math.log(0.25 / 0.5) / 2 +
+        0.25 * math.log(0.25 / 0.5) / 2 + 0.75 * math.log(0.75 / 0.5) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._4).distinct == Seq(expected))
+  }
 }

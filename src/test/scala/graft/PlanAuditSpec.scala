@@ -70,4 +70,37 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"t24 must read documents exactly once, saw $scans scans:\n$plan")
   }
+
+  test("t26 shard manifest: one scan, one aggregation exchange") {
+    // the manifest is a single groupBy over one corpus read; a second
+    // scan would mean assignment and counting stopped sharing it
+    val plan = SparkEntry.queries("t26_shard_manifest")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"t26 must read documents exactly once, saw $scans scans:\n$plan")
+  }
+
+  test("v12 embedding drift: native narrow assignment; only cluster counts shuffle") {
+    // the final drift plan is checkpoint-truncated (keyedDrift
+    // materializes the joined counts), so the scale claims are pinned
+    // on the stage that carries them: the per-snapshot assignment +
+    // mass count that feeds keyedDrift
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.operators.Ann.ivfAssign(
+      e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+      cent, "cid", "cvec")
+    val aPlan = assigned.queryExecution.executedPlan.toString
+    assert(aPlan.contains("vector_l2sq"),
+      s"assignment argmin must use the native codegen distance:\n$aPlan")
+    assert(!aPlan.contains("Exchange"),
+      s"assignment must be a narrow map (no shuffle, no join):\n$aPlan")
+    val counts = assigned.filter(col("cluster_id").isNotNull)
+      .select("cluster_id").groupBy("cluster_id").count()
+    val cPlan = counts.queryExecution.executedPlan.toString
+    val shuffles = cPlan.split("\n").filter(_.contains("Exchange"))
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("embedding")),
+      s"the mass-count exchange must carry cluster ids only:\n$cPlan")
+  }
 }

@@ -190,6 +190,24 @@ class CurationSpec extends SparkSpec {
     assert(ee.getMessage.contains("distributionDrift"), ee.getMessage)
   }
 
+  test("keyedDrift invariants: js_total in [0, ln 2], symmetric, property-tested") {
+    import org.scalacheck.Gen
+    // random keyed observation multisets over a small alphabet; both
+    // sides non-empty (the guarded domain)
+    val side = Gen.nonEmptyListOf(Gen.chooseNum(0, 6))
+    PropHelper.forAll(Gen.zip(side, side), n = 15) { case (xs, ys) =>
+      val a = xs.map(k => Tuple1(s"k$k")).toDF("key")
+      val b = ys.map(k => Tuple1(s"k$k")).toDF("key")
+      val ab = Curation.keyedDrift(a, b, "key")
+        .select("js_total").as[Double].head()
+      val ba = Curation.keyedDrift(b, a, "key")
+        .select("js_total").as[Double].head()
+      // JS with natural log is bounded by ln 2; 4dp rounding slack
+      assert(ab >= 0.0 && ab <= math.log(2) + 1e-4, s"js_total $ab out of range")
+      assert(ab == ba, s"JS must be symmetric: $ab != $ba")
+    }
+  }
+
   test("decontaminate: manifest is total, taints on any pairing, reports worst hit") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.sources.IndexStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Drift-gated index maintenance — the operational loop that keeps an
+  * IVF index healthy as the corpus moves, composing this engine's own
+  * parts end to end: DETECT ([[Ann.embeddingDrift]], v12) → RETRAIN
+  * ([[Ann.trainCentroids]]) → REBUILD as a new immutable version
+  * ([[IndexStore.writeVersioned]] — never in place) → VALIDATE
+  * ([[RetrievalEval.metricsAtK]], v11's metric) → and only then let
+  * the version flip stand. A rebuild whose recall regresses is NOT
+  * committed: readers keep resolving the previous version (the
+  * _SUCCESS-marker contract), which is the whole point of the
+  * versioned store.
+  *
+  * Why retraining is ever needed: IVF recall decays when corpus mass
+  * stops matching the trained partitioning (cells over-full / empty).
+  * v12's cluster-mass JS is the cheap leading indicator — two narrow
+  * assignment maps — so the expensive retrain+rebuild runs only when
+  * the distribution actually moved.
+  *
+  * The drift reference are the index's EFFECTIVE centroids, recovered
+  * from the stored assignment as per-cluster means: for a converged
+  * k-means the centroid IS the mean of its assigned points, so the
+  * store needs no centroid sidecar and the reference always describes
+  * the index actually being served. The recovery is one
+  * (cluster × dim)-keyed aggregate — k·dim rows cross the exchange,
+  * never vectors.
+  *
+  * Everything returned is a driver-side scalar report (bounded by
+  * construction); the heavy data stays distributed.
+  */
+object IndexMaintenance {
+
+  /** Per-cluster mean vectors of a stored assigned index:
+    * (cid, cvec: array&lt;double&gt;). */
+  def effectiveCentroids(index: DataFrame, embCol: String): DataFrame =
+    index.filter(col("cluster_id").isNotNull)
+      .select(col("cluster_id").as("cid"), posexplode(col(embCol)))
+      .groupBy("cid", "pos").agg(avg("col").as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+
+  /** One maintenance decision, driver-sized. `version`/`meanRecall`
+    * are None on the paths that never computed them. */
+  final case class Report(jsTotal: Double, retrained: Boolean,
+                          version: Option[Long], meanRecall: Option[Double],
+                          reason: String)
+
+  /** Run the loop against the versioned store at `root`:
+    * measure drift of `fresh` (the corpus as it is NOW, with `embCol`
+    * + `idCol`) vs the currently-served index; below `driftThreshold`
+    * do nothing; otherwise retrain k centroids on `fresh`, rebuild,
+    * validate mean recall@`evalK` at `nprobe` over `sampleQueries`
+    * (qidCol="qid", qvCol="qv") against the exact answer, and commit
+    * the new version only when recall holds `recallFloor`. */
+  def maintain(spark: SparkSession, root: String, fresh: DataFrame,
+               embCol: String, idCol: String, k: Int,
+               driftThreshold: Double, recallFloor: Double,
+               sampleQueries: DataFrame, evalK: Int = 10,
+               nprobe: Int = 4): Report = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(driftThreshold >= 0, s"driftThreshold $driftThreshold must be >= 0")
+    require(recallFloor > 0 && recallFloor <= 1,
+      s"recallFloor $recallFloor must be in (0, 1]")
+    val current = IndexStore.loadCurrent(spark, root)
+    val cents = effectiveCentroids(current, embCol)
+      .localCheckpoint(true) // consumed by two assignment plan builds
+    val js = Ann.embeddingDrift(current, fresh, embCol, idCol,
+        cents, "cid", "cvec")
+      .select("js_total").head().getDouble(0)
+    if (js <= driftThreshold)
+      return Report(js, retrained = false, None, None,
+        s"drift $js within threshold $driftThreshold — index unchanged")
+    val newCents = Ann.trainCentroids(fresh, embCol, k)
+    val assigned = Ann.ivfAssignBig(fresh, embCol, idCol,
+        newCents, "cid", "cvec")
+      .localCheckpoint(true) // feeds validation AND the version write
+    val ivf = Ann.ivfSearchBatch(assigned, embCol, idCol, newCents,
+      "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
+    val exact = Knn.batchAgg(fresh, embCol, idCol,
+      sampleQueries, "qid", "qv", evalK)
+    val meanRecall = RetrievalEval.metricsAtK(
+        ivf.select(col("qid"), col(idCol), col("knn_rank")),
+        exact.select(col("qid"), col(idCol)),
+        "qid", idCol, "knn_rank", evalK)
+      .agg(avg(s"recall_$evalK")).head().getDouble(0)
+    if (meanRecall < recallFloor)
+      Report(js, retrained = false, None, Some(meanRecall),
+        s"rebuild recall $meanRecall below floor $recallFloor — " +
+          "version NOT committed, previous index stays current")
+    else {
+      val v = IndexStore.writeVersioned(assigned, root)
+      Report(js, retrained = true, Some(v), Some(meanRecall),
+        s"drift $js exceeded $driftThreshold — retrained, validated " +
+          s"(recall $meanRecall), committed v$v")
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Ann, IndexMaintenance}
+import graft.sources.IndexStore
+import org.apache.spark.sql.functions._
+
+/** The drift-gated maintenance loop: no-op below threshold, retrain +
+  * version flip above it, and a recall-regressed rebuild is never
+  * committed. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (0,0) and (10,10)
+  private def corpus(shiftToUpper: Int) = {
+    val lower = (0 until (40 - shiftToUpper))
+      .map(i => (i.toLong, Array(0.01f * i, 0.02f * i)))
+    val upper = (0 until (40 + shiftToUpper))
+      .map(i => (1000L + i, Array(10f + 0.01f * i, 10f + 0.02f * i)))
+    (lower ++ upper).toDF("vec_id", "embedding")
+  }
+
+  private def freshStore(base: org.apache.spark.sql.DataFrame): String = {
+    val root = Files.createTempDirectory("graft_maint").toString
+    val cents = Ann.trainCentroids(base, "embedding", k = 2)
+    IndexStore.writeVersioned(
+      Ann.ivfAssignBig(base, "embedding", "vec_id", cents, "cid", "cvec"), root)
+    root
+  }
+
+  test("effectiveCentroids recovers the per-cluster means of the stored index") {
+    val base = corpus(0)
+    val root = freshStore(base)
+    val got = IndexMaintenance.effectiveCentroids(
+        IndexStore.loadCurrent(spark, root), "embedding")
+      .orderBy("cid").as[(Long, Seq[Double])].collect()
+    assert(got.length == 2)
+    // one centroid near each cluster's mean, clusters well separated
+    val heads = got.map(_._2.head).sorted
+    assert(heads(0) < 1.0 && heads(1) > 9.0, heads.toSeq.toString)
+  }
+
+  test("below drift threshold: no retrain, no new version") {
+    val base = corpus(0)
+    val root = freshStore(base)
+    val before = IndexStore.committedVersions(spark, root)
+    val r = IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
+      k = 2, driftThreshold = 0.05, recallFloor = 0.5,
+      sampleQueries = Seq((0L, Array(0.0, 0.0))).toDF("qid", "qv"), evalK = 5,
+      nprobe = 2)
+    assert(!r.retrained && r.version.isEmpty && r.jsTotal <= 0.05)
+    assert(IndexStore.committedVersions(spark, root) == before)
+  }
+
+  test("above threshold: retrains, validates, commits a new version") {
+    val base = corpus(0)
+    val root = freshStore(base)
+    val before = IndexStore.committedVersions(spark, root)
+    val shifted = corpus(30) // mass moves to the upper cluster
+    val queries = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    val r = IndexMaintenance.maintain(spark, root, shifted, "embedding", "vec_id",
+      k = 2, driftThreshold = 0.01, recallFloor = 0.9,
+      sampleQueries = queries, evalK = 5, nprobe = 2)
+    assert(r.retrained && r.jsTotal > 0.01, r.toString)
+    assert(r.meanRecall.exists(_ >= 0.9), r.toString)
+    val after = IndexStore.committedVersions(spark, root)
+    assert(after.size == before.size + 1 && r.version.contains(after.last))
+    // the flipped index serves the shifted corpus
+    assert(IndexStore.loadCurrent(spark, root).count() == shifted.count())
+  }
+
+  test("recall-regressed rebuild is NOT committed; previous version stays current") {
+    val base = corpus(0)
+    val root = freshStore(base)
+    val before = IndexStore.committedVersions(spark, root)
+    val shifted = corpus(30)
+    // eval k=15 while the near cluster holds only 10 points: the exact
+    // top-15 MUST span both clusters, nprobe=1 probes one — recall
+    // provably < 1 on this geometry whichever cluster wins the probe
+    val queries = Seq((0L, Array(5.0, 5.0))).toDF("qid", "qv")
+    val r = IndexMaintenance.maintain(spark, root, shifted, "embedding", "vec_id",
+      k = 2, driftThreshold = 0.01, recallFloor = 0.99,
+      sampleQueries = queries, evalK = 15, nprobe = 1)
+    assert(!r.retrained && r.version.isEmpty, r.toString)
+    assert(r.meanRecall.exists(_ < 0.99), r.toString)
+    assert(r.reason.contains("NOT committed"), r.reason)
+    assert(IndexStore.committedVersions(spark, root) == before)
+    assert(IndexStore.loadCurrent(spark, root).count() == base.count())
+  }
+
+  test("guards are loud") {
+    val base = corpus(0)
+    val root = freshStore(base)
+    val q = Seq((0L, Array(0.0, 0.0))).toDF("qid", "qv")
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
+        k = 0, driftThreshold = 0.1, recallFloor = 0.5, sampleQueries = q)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
+        k = 2, driftThreshold = -1, recallFloor = 0.5, sampleQueries = q)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
+        k = 2, driftThreshold = 0.1, recallFloor = 1.5, sampleQueries = q)
+    }
+  }
+}

@@ -66,6 +66,10 @@ object IndexMaintenance {
     require(driftThreshold >= 0, s"driftThreshold $driftThreshold must be >= 0")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
+    // an empty sample would make the recall aggregate null and the
+    // commit decision vacuous — refuse loudly up front (bounded probe)
+    require(!sampleQueries.isEmpty,
+      "maintain: sampleQueries is empty — recall validation would be vacuous")
     val current = IndexStore.loadCurrent(spark, root)
     val cents = effectiveCentroids(current, embCol)
       .localCheckpoint(true) // consumed by two assignment plan builds

@@ -106,5 +106,10 @@ class IndexMaintenanceSpec extends SparkSpec {
       IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
         k = 2, driftThreshold = 0.1, recallFloor = 1.5, sampleQueries = q)
     }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, base, "embedding", "vec_id",
+        k = 2, driftThreshold = 0.1, recallFloor = 0.5,
+        sampleQueries = q.filter(col("qid") < 0))
+    }
   }
 }

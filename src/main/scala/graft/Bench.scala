@@ -172,9 +172,13 @@ object Bench {
     // tail window (BENCH_r08 lost its first ~13 queries and the suite
     // total to truncation). Persist the COMPLETE artifact to a file the
     // driver can snapshot whole; stdout keeps the one-line contract.
+    // cwd-relative by default (sbt runs at the repo root), overridable
+    // like the sf dir — a hardcoded absolute path would clobber or
+    // miss on any other checkout/host
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+      java.nio.file.Paths.get(artifact), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $artifact: $e") }
     println(line)
   }
 }

@@ -3016,12 +3016,16 @@ object Queries {
       // just a fixture), and the fixed twin at the SAME scanK is c4's
       // oracle-checked query. Asserting row-identity here makes c2
       // transitively oracle-checked: c2 ≡ searchRemindFixed ≡ DuckDB.
-      val adaptive = search.searchRemind(q, col("qv"), scanK = 200).collect().toSeq
+      val adaptiveDf = search.searchRemind(q, col("qv"), scanK = 200)
+      val adaptive = adaptiveDf.collect().toSeq
       val fixed = search.searchRemindFixed(q, col("qv"), scanK = 200).collect().toSeq
       require(adaptive.nonEmpty && adaptive == fixed,
         s"remind adaptive/fixed identity violated: ${adaptive.length} vs " +
           s"${fixed.length} rows\nadaptive=$adaptive\nfixed=$fixed")
-      search.searchRemind(q, col("qv"), scanK = 200)
+      // the returned frame is the ALREADY-COLLECTED adaptive result
+      // (5 bounded rows) — re-running the search a third time for the
+      // return value would pay a whole extra pool scan per timed run
+      s.createDataFrame(s.sparkContext.parallelize(adaptive, 1), adaptiveDf.schema)
         .select(col("rank"), col("doc_id"), col("stage_rank"),
           round(col("dist"), 6).as("dist"), col("score"),
           lit(true).as("identity_match"))

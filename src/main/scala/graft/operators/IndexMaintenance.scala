@@ -79,6 +79,13 @@ object IndexMaintenance {
     if (js <= driftThreshold)
       return Report(js, retrained = false, None, None,
         s"drift $js within threshold $driftThreshold — index unchanged")
+    // the floor must be reachable: recall@k divides by k, so a corpus
+    // smaller than evalK caps recall below 1 forever and the index
+    // would silently never refresh — refuse loudly instead
+    val nFresh = fresh.count()
+    require(nFresh >= evalK,
+      s"maintain: fresh corpus has $nFresh rows < evalK $evalK — " +
+        "recall floor would be mathematically unreachable")
     val newCents = Ann.trainCentroids(fresh, embCol, k)
     val assigned = Ann.ivfAssignBig(fresh, embCol, idCol,
         newCents, "cid", "cvec")
@@ -87,11 +94,18 @@ object IndexMaintenance {
       "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
     val exact = Knn.batchAgg(fresh, embCol, idCol,
       sampleQueries, "qid", "qv", evalK)
-    val meanRecall = RetrievalEval.metricsAtK(
+    // mean over the FULL sample, not over queries-with-results:
+    // metricsAtK emits no row for a qid whose probes all landed in
+    // empty cells — its true recall is 0 and it must drag the mean
+    // down, not vanish from it (averaging present rows would let a
+    // rebuild that fails part of the sample pass the gate)
+    val nQ = sampleQueries.count()
+    val sumRecall = RetrievalEval.metricsAtK(
         ivf.select(col("qid"), col(idCol), col("knn_rank")),
         exact.select(col("qid"), col(idCol)),
         "qid", idCol, "knn_rank", evalK)
-      .agg(avg(s"recall_$evalK")).head().getDouble(0)
+      .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
+    val meanRecall = sumRecall / nQ
     if (meanRecall < recallFloor)
       Report(js, retrained = false, None, Some(meanRecall),
         s"rebuild recall $meanRecall below floor $recallFloor — " +

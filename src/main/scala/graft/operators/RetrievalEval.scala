@@ -26,7 +26,15 @@ object RetrievalEval {
   /** Per-query metrics of `results` (columns: qidCol, idCol, rankCol
     * with ranks 1..k) against `truth` (qidCol, idCol — the exact
     * top-k). Returns one row per qid: recall_k, mrr_k, ndcg_k,
-    * rounded at 6 dp. */
+    * rounded at 6 dp.
+    *
+    * Coverage contract: rows are emitted per qid PRESENT IN
+    * `results`. A query with zero result rows (e.g. every probed IVF
+    * cell empty) gets NO row — its recall is 0, not absent — so a
+    * caller averaging over a query sample must divide by the SAMPLE
+    * size, not count the returned rows
+    * ([[IndexMaintenance.maintain]] does exactly this for its commit
+    * gate). */
   def metricsAtK(results: DataFrame, truth: DataFrame,
                  qidCol: String, idCol: String, rankCol: String,
                  k: Int): DataFrame = {

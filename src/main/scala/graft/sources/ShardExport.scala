@@ -39,6 +39,16 @@ import org.apache.spark.sql.functions._
   */
 object ShardExport {
 
+  /** The manifest aggregate — ONE definition shared by the
+    * declarative twin, the full-export recount, and the incremental
+    * merge, so the three can never drift on what a manifest row
+    * means. */
+  private def countsByShard(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
+          .as("n_tokens"))
+
   /** Deterministic shard assignment: adds `shard` in [0, nShards). */
   def withShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
@@ -49,11 +59,7 @@ object ShardExport {
     * Pure declarative form — oracle-expressible, no files involved. */
   def manifest(df: DataFrame, idCol: String, textCol: String,
                nShards: Int): DataFrame =
-    withShard(df, idCol, nShards)
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
-          .as("n_tokens"))
+    countsByShard(withShard(df, idCol, nShards), textCol)
 
   /** Physical export: one parquet file per shard directory under
     * `outDir/shard=<s>/`, rows in the deterministic md5 read order,
@@ -70,10 +76,7 @@ object ShardExport {
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     val written = spark.read.parquet(outDir)
-    val mf = written.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
-          .as("n_tokens"))
+    val mf = countsByShard(written, textCol)
     mf.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_graft_manifest")
     spark.read.parquet(s"$outDir/_graft_manifest")
@@ -125,12 +128,9 @@ object ShardExport {
     val keptMf = spark.read.parquet(s"$outDir/_graft_manifest")
       .filter(!col("shard").isin(affected: _*))
       .localCheckpoint(true) // materialize before overwriting its source
-    val affMf = spark.read.parquet(outDir)
-      .filter(col("shard").isin(affected: _*))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
-          .as("n_tokens"))
+    val affMf = countsByShard(
+      spark.read.parquet(outDir).filter(col("shard").isin(affected: _*)),
+      textCol)
     val mf = keptMf.unionByName(affMf.select(keptMf.columns.map(col): _*))
     mf.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_graft_manifest")

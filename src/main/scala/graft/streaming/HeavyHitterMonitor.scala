@@ -68,13 +68,21 @@ object HeavyHitterMonitor {
     * batch pass against the archived rows (`archive` = the same rows
     * the stream saw — closed windows being immutable, the sink).
     * Returns (w_start, itemCol, freq) — row-for-row the per-window
-    * naive `groupBy.count.filter` answer, for any capacity ≥ k
-    * (superset guarantee; the spec pins equality across batch
-    * splits). */
+    * naive `groupBy.count.filter` answer, PROVIDED the sketch ran
+    * with capacity ≥ k (the superset guarantee's precondition; the
+    * spec pins equality across batch splits). `capacity` must restate
+    * the value `windowedCandidates` was called with — a smaller
+    * sketch can silently drop true hitters from the candidate set,
+    * so the mismatch must fail here, loudly, same as the batch twin
+    * [[HeavyHitters.exact]]. */
   def verifiedHitters(archive: DataFrame, counts: DataFrame, tsCol: String,
-                      itemCol: String, k: Int,
+                      itemCol: String, k: Int, capacity: Int = 64,
                       windowLen: String = "1 hour"): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
+    require(capacity >= k,
+      s"capacity $capacity must be >= k=$k: a smaller Misra-Gries sketch " +
+        "does not guarantee every freq > n/k item survives into the " +
+        "candidate set, and the verify would silently under-report")
     // ≤ capacity·windows candidate rows and one (n) row per window:
     // both broadcast by construction
     val cand = counts.select(col("w_start"), explode(col("cand")).as(itemCol))

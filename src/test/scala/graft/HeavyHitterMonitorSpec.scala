@@ -80,7 +80,7 @@ class HeavyHitterMonitorSpec extends SparkSpec {
       ("2026-01-01 10:00:00", "the", 40L), ("2026-01-01 11:00:00", "spam", 60L)))
     for (split <- Seq(Seq(mkRows), mkRows.grouped(37).toSeq)) {
       val counts = runStream(split, capacity = 8)
-      val got = HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item", k = 3)
+      val got = HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item", k = 3, capacity = 8)
         .select(col("w_start").cast("string"), col("item"), col("freq"))
         .as[(String, String, Long)].collect().toSet
       assert(got == expected, s"split ${split.size}: $got")
@@ -91,7 +91,7 @@ class HeavyHitterMonitorSpec extends SparkSpec {
     val archive = mkRows.toDF("ts", "item")
     val counts = HeavyHitterMonitor.windowedCandidates(
       archive, "ts", "item", capacity = 8)
-    val got = HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item", k = 3)
+    val got = HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item", k = 3, capacity = 8)
       .select(col("w_start").cast("string"), col("item"), col("freq"))
       .as[(String, String, Long)].collect().toSet
     assert(got == naive(archive, k = 3))
@@ -100,6 +100,11 @@ class HeavyHitterMonitorSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item", k = 0)
+    }
+    // capacity below k: the superset guarantee's precondition fails loudly
+    intercept[IllegalArgumentException] {
+      HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item",
+        k = 100, capacity = 8)
     }
   }
 }

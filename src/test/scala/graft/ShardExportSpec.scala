@@ -114,6 +114,23 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("upsertShards is idempotent: re-applying the same delta changes nothing") {
+    val out = Files.createTempDirectory("graft_idem").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out, 8)
+    val delta = Seq((5L, "doc 5 REVISED"), (1000L, "new doc")).toDF("doc_id", "text")
+    def state() = spark.read.parquet(out)
+      .select("shard", "doc_id", "text")
+      .as[(Int, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def mf() = spark.read.parquet(s"$out/_graft_manifest")
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    ShardExport.upsertShards(out, delta, "doc_id", "text", 8)
+    val (s1, m1) = (state(), mf())
+    // a retried ingest batch re-applies the same delta — the export
+    // and its manifest must be unchanged in content
+    ShardExport.upsertShards(out, delta, "doc_id", "text", 8)
+    assert(state() == s1 && mf() == m1)
+  }
+
   test("guards are loud") {
     intercept[IllegalArgumentException] {
       ShardExport.withShard(docs, "doc_id", 0)

@@ -1800,6 +1800,42 @@ object Queries {
         round(contrib, 6) AS js_contrib, js_total
       FROM c CROSS JOIN t ORDER BY cluster_id"""))
 
+  private val v13 = QuerySpec("v13_cluster_audit",
+    // Per-cluster IVF health report (Ann.clusterAudit): member count,
+    // mean member→centroid L2 (tightness), nearest-other-centroid L2
+    // (separation), and their Dunn-style ratio. v12 says the MASS
+    // moved; this says the GEOMETRY is bad — the two reports an index
+    // operator reads before spending a retrain. One narrow assignment
+    // scan + a k-group aggregate; the k×k separation matrix never
+    // leaves the driver. Same fixed 8-centroid table as v12/d13 so
+    // the assignment is inside the DuckDB oracle.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.clusterAudit(e, "embedding", "vec_id", cent, "cid", "cvec")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      members AS (SELECT a.vec_id, a.cid,
+          ${l2Sql("a.embedding", "c.cvec")} AS d
+        FROM (SELECT vec_id, embedding, cid FROM assign WHERE crn = 1) a
+        JOIN cent c USING (cid)),
+      intra AS (SELECT cid, count(*) AS n, avg(d) AS mi
+        FROM members GROUP BY cid),
+      inter AS (SELECT a.cid, min(${l2Sql("a.cvec", "b.cvec")}) AS min_inter
+        FROM cent a JOIN cent b ON a.cid <> b.cid GROUP BY a.cid)
+      SELECT i.cid AS cluster_id, coalesce(n, 0) AS n,
+        round(mi, 6) AS mean_intra, round(min_inter, 6) AS min_inter,
+        CASE WHEN mi IS NULL OR mi = 0 THEN NULL
+          ELSE round(min_inter / mi, 6) END AS separation
+      FROM inter i LEFT JOIN intra USING (cid) ORDER BY cluster_id"""))
+
   private val v9 = QuerySpec("v9_ann_recall",
     // ANN quality measurement: recall@10 of batch IVF (64 toy
     // centroids, nprobe=8) against the exact batch kNN, per query.
@@ -3037,7 +3073,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -596,4 +596,67 @@ object Ann {
     Curation.keyedDrift(masses(a), masses(b), "cluster_id",
       opName = "embeddingDrift")
   }
+
+  /** Per-cluster health audit of an IVF index: for every centroid, the
+    * member count, the mean member→centroid L2 distance (tightness),
+    * the distance to the nearest OTHER centroid (separation), and the
+    * ratio min_inter / mean_intra — a per-cluster Dunn-style index.
+    * This is the report an index maintainer reads before trusting a
+    * partitioning: separation ≪ 1 means members sit farther from their
+    * own centroid than the next centroid does (probe spill, bad
+    * recall at low nprobe — retrain); n = 0 means a dead partition
+    * (wasted probe budget). Complements [[embeddingDrift]] (mass
+    * moved) and [[graft.streaming.IndexMaintenance]] (recall gate)
+    * with the geometric WHY.
+    *
+    * Contract: empty clusters ARE reported (n = 0, null mean_intra /
+    * separation); a singleton cluster whose only member is the
+    * centroid itself has mean_intra = 0 → null separation (not ∞).
+    * Null-embedding rows are excluded, matching [[ivfAssign]]'s
+    * null-cluster contract.
+    *
+    * Scale shape: one narrow assignment scan over the corpus (the
+    * [[ivfAssign]] literal argmin — no shuffle, no join), a k-group
+    * aggregate, and a k×k separation matrix computed on the driver
+    * from the already-collected centroid table and joined back as a
+    * broadcast k-row frame. At real k swap in [[ivfAssignBig]]'s
+    * assignment the same way s2 → s4 does; the audit cost at 100 TB
+    * is the assignment pass an index build pays anyway. */
+  def clusterAudit(corpus: DataFrame, embCol: String, idCol: String,
+                   centroids: DataFrame, cidCol: String,
+                   cvecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
+    require(cents.length >= 2,
+      s"clusterAudit needs >= 2 centroids, got ${cents.length}")
+    // k×k nearest-other-centroid distances: k rows by definition, so
+    // the driver loop is bounded and the result broadcasts.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val interDf = cents.map { case (cid, v) =>
+      (cid, cents.iterator.filter(_._1 != cid)
+        .map(c => math.sqrt(l2sqStrict(v, c._2))).min)
+    }.toSeq.toDF("cluster_id", "__min_inter")
+    val centDf = broadcast(centroids.select(
+      col(cidCol).cast("long").as("cluster_id"),
+      col(cvecCol).cast("array<double>").as("__cvec")))
+    val intra = ivfAssign(corpus, embCol, idCol, centroids, cidCol, cvecCol)
+      .filter(col("cluster_id").isNotNull)
+      .join(centDf, "cluster_id")
+      .withColumn("__d", VectorFunctions.l2(col(embCol), col("__cvec")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("__n"), avg("__d").as("__mi"))
+    // interDf is the k-row outer side of the left join, so the
+    // broadcast goes on the ≤k-row aggregate (the preserved side of a
+    // left-outer join cannot be broadcast).
+    interDf.join(broadcast(intra), Seq("cluster_id"), "left")
+      .select(
+        col("cluster_id"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        round(col("__mi"), 6).as("mean_intra"),
+        round(col("__min_inter"), 6).as("min_inter"),
+        when(col("__mi").isNull || col("__mi") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(col("__min_inter") / col("__mi"), 6))
+          .as("separation"))
+  }
 }

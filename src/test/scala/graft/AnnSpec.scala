@@ -451,4 +451,38 @@ class AnnSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.map(_._4).distinct == Seq(expected))
   }
+
+  test("clusterAudit: hand geometry — tightness, separation, empty and degenerate clusters") {
+    // c0=(0,0) holds (±1,0) → n=2, mean_intra=1; c1=(10,0) holds its
+    // own centroid vector → mean_intra=0 → null separation; c2 is a
+    // dead partition → n=0, null stats. min_inter: c0↔c1 = 10.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cent3 = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(100.0f, 100.0f))).toDF("cid", "cvec")
+    val got = Ann.clusterAudit(vecs, "embedding", "vec_id", cent3, "cid", "cvec")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Option[Double], Double, Option[Double])]
+      .collect().toSeq
+    val c2MinInter = BigDecimal(math.sqrt(90.0 * 90 + 100.0 * 100))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (0L, 2L, Some(1.0), 10.0, Some(10.0)),
+      (1L, 1L, Some(0.0), 10.0, None),
+      (2L, 0L, None, c2MinInter, None)))
+  }
+
+  test("clusterAudit: loud guard on a single centroid; no sort-merge join in the plan") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.clusterAudit(corpus, "embedding", "vec_id",
+        cents.filter($"cid" === 0L), "cid", "cvec")
+    }
+    assert(e.getMessage.contains("2 centroids"))
+    val plan = Ann.clusterAudit(corpus, "embedding", "vec_id",
+        cents, "cid", "cvec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"non-broadcast join in:\n$plan")
+  }
 }

@@ -1305,15 +1305,26 @@ object Queries {
       SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
       WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
 
+  /** DuckDB mirror of TextAnalysis.shinglesFast over a split-word list
+    * `ws` — ONE copy shared by the minhash CTE chain (d2/d4/d6/d11/
+    * d12) and the containment oracle (d14) so candidate and verify
+    * shingle sets can never drift apart. */
+  private def shingleExprSql(shingleK: Int): String =
+    if (shingleK == 1) "list_distinct(ws)"
+    else {
+      val parts = (0 until shingleK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"list_distinct(list_transform(range(1, len(ws) - ${shingleK - 2}), i -> $parts))"
+    }
+
+  /** The ws→shingled CTE pair shared by every shingle-set oracle. */
+  private def shingledCtes(shingleK: Int): String =
+    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE ${shingleExprSql(shingleK)} END AS sh FROM ws)"""
+
   private def minhashPairsCtes(numHashes: Int, bandRows: Int, shingleK: Int,
                                candSql: Option[String] = None): String = {
     val nBands = numHashes / bandRows
-    val shingleExpr =
-      if (shingleK == 1) "list_distinct(ws)"
-      else {
-        val parts = (0 until shingleK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
-        s"list_distinct(list_transform(range(1, len(ws) - ${shingleK - 2}), i -> $parts))"
-      }
     // hex→numeric digests (mirrors Spark's conv(substring(md5(s),…),16,10)):
     // value of 7 hex chars starting at position p, big-endian.
     def hexVal(p: Int): String = (0 until 7).map { k =>
@@ -1326,9 +1337,7 @@ object Queries {
       s"SELECT doc_id, $b AS band_idx, md5($sig) AS band_sig FROM sig"
     }.mkString(" UNION ALL ")
     val inter = "len(list_intersect(sa.sh, sb.sh))"
-    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
-      shingled AS (SELECT doc_id,
-        CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE $shingleExpr END AS sh FROM ws),
+    s"""${shingledCtes(shingleK)},
       hexv AS (SELECT doc_id, ${hexVal(1)} AS ha, ${hexVal(9)} AS hb
         FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)),
       sig AS (SELECT doc_id, $mh FROM hexv GROUP BY doc_id),
@@ -1439,6 +1448,33 @@ object Queries {
         FROM clusters a JOIN clusters b
           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
       WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
+
+  private val d14 = QuerySpec("d14_containment",
+    // Containment near-dup (Dedup.containmentPairs): the nested-
+    // document quadrant Jaccard resemblance is blind to — C(A,B) =
+    // |A∩B| / min(|A|,|B|) over shingle sets, candidates from a
+    // df-capped rare-shingle inverted index (not d2's bands: a
+    // nested pair's Jaccard is too LOW to collide in resemblance
+    // LSH). Oracle mirrors both stages exactly: same shingle CTE as
+    // d2's chain, same df window [2, maxDf], same >= minShared gate.
+    (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, maxDf = 20, minShared = 2, threshold = 0.8)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${shingledCtes(3)},
+      posts AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      rare AS (SELECT s FROM posts GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+      rp AS (SELECT p.doc_id, p.s FROM posts p JOIN rare USING (s)),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rp a JOIN rp b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      verified AS (SELECT doc_a, doc_b,
+          least(len(sa.sh), len(sb.sh)) AS n_small,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / least(len(sa.sh), len(sb.sh)) AS c
+        FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+                  JOIN shingled sb ON cand.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, n_small, round(c, 6) AS containment
+      FROM verified WHERE c >= 0.8 ORDER BY doc_a, doc_b"""))
 
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
@@ -3072,7 +3108,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

@@ -587,6 +587,76 @@ object Dedup {
     minhashNearDups(df, idCol, textCol,
       numHashes = 32, bandRows = 4, shingleK = shingleK, threshold = threshold)
 
+  /** Containment near-dup: pairs where the smaller document's shingle
+    * set sits mostly inside the larger's — C(A,B) = |A∩B| /
+    * min(|A|,|B|). The nested-document family resemblance dedup is
+    * structurally blind to: a page embedded verbatim in a boilerplate-
+    * heavy superset has C ≈ 1 but Jaccard ≈ |A|/|B|, far below any
+    * useful resemblance threshold — AND below the LSH collision
+    * probability that generates d2's candidates in the first place
+    * (at r=4 a j=0.1 pair collides w.p. ~0.0008), so this operator
+    * needs its own candidate generator, not just its own verify.
+    *
+    * Candidates: docs sharing ≥ `minShared` RARE shingles, where rare
+    * means document frequency ≤ `maxDf` — the d9 rare-gram cap. The
+    * df cap is what keeps the inverted-index self-join non-quadratic
+    * at corpus scale: a boilerplate shingle in half the corpus would
+    * alone contribute n²/4 candidate pairs and zero containment
+    * signal, while a genuinely nested pair shares MANY rare shingles
+    * (every shingle of the nested doc that isn't global boilerplate).
+    * Exact set intersection then runs on candidate pairs only, with
+    * the same single-subtree reassembly as [[minhashNearDups]] —
+    * containment under min is pair-symmetric, so the collect_list
+    * order is harmless.
+    *
+    * Candidate-recall contract: a pair is missed only if the smaller
+    * doc has fewer than `minShared` shingles rarer than `maxDf` —
+    * i.e. it consists of corpus boilerplate, which is exact-dedup's
+    * (d1) or span-dedup's (d9) job, not containment's.
+    *
+    * Reference behavior: dedup families in SURVEY.md §2.7; containment
+    * as distinct from resemblance per Broder, "On the resemblance and
+    * containment of documents" (SEQUENCES '97). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, maxDf: Int = 20,
+                       minShared: Int = 2, threshold: Double = 0.8): DataFrame = {
+    require(maxDf >= 2, s"maxDf $maxDf must be >= 2 (df-1 shingles cannot pair)")
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold must be in (0, 1]")
+    val shingleRows = shinglePipeline(df, idCol, textCol, shingleK)
+    // Inverted index over rare shingles only: df computed on the
+    // already-distinct (doc, shingle) rows, so df = document frequency.
+    val rare = shingleRows.groupBy("s")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("s")
+    val posts = shingleRows.join(rare, Seq("s"))
+    val cand = posts.select(col("s"), col("doc_id").as("doc_a"))
+      .join(posts.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("doc_a", "doc_b")
+    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(collect_list(col("shs")).as("both"))
+      .withColumn("__inter",
+        size(array_intersect(element_at(col("both"), 1), element_at(col("both"), 2))))
+      .withColumn("__minsz",
+        least(size(element_at(col("both"), 1)), size(element_at(col("both"), 2))))
+      .withColumn("containment",
+        col("__inter").cast("double") / col("__minsz"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("__minsz").as("n_small"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Near-dup GROUPS from near-dup pairs: connected components by
     * iterated min-label propagation (hash-to-min). Each node adopts
     * the minimum label in its closed neighborhood until fixpoint —

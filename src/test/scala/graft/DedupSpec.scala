@@ -350,4 +350,74 @@ class DedupSpec extends SparkSpec {
     // doc 4 shares no vocabulary: it must not pair with anything
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
   }
+
+  test("containmentPairs catches a nested doc that Jaccard-resemblance dedup misses") {
+    // B = 60 distinct words; A = a verbatim 12-word slice of B.
+    // Containment(A,B) = 1.0; Jaccard = 10/58 ≈ 0.17 — below any
+    // useful resemblance threshold.
+    val wordsB = (0 until 60).map(i => s"w$i")
+    val sliceA = wordsB.slice(20, 32)
+    val df = Seq(
+      (1L, sliceA.mkString(" ")),
+      (2L, wordsB.mkString(" ")),
+      (3L, (100 until 140).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleK = 3, maxDf = 10, minShared = 2, threshold = 0.8)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.minhashNearDups(df, "doc_id", "text",
+        numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
+      .count()
+    assert(jac == 0L, "resemblance dedup should NOT see the nested pair")
+  }
+
+  test("containmentPairs: df cap drops boilerplate-only overlap; guards are loud") {
+    // Docs 1-6 share ONLY one ubiquitous shingle run (df = 6 > maxDf 5)
+    // plus distinct content → no rare shingles shared → no pairs.
+    val boiler = "the quick brown fox"
+    val df = (1L to 6L).map(i =>
+        (i, s"$boiler item$i alpha$i beta$i gamma$i delta$i"))
+      .toSeq.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+      shingleK = 3, maxDf = 5, minShared = 1, threshold = 0.1)
+    assert(got.count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", maxDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0)
+    }
+  }
+
+  test("property: containmentPairs equals brute force when the df cap is inactive") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val docs = (0L until 25L).map { i =>
+      val n = 5 + rnd.nextInt(15)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 2
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split("[ \t\n]+", -1)
+      if (ws.length < k) Set.empty
+      else ws.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val thr = 0.2
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= thr && (sa & sb).nonEmpty
+    } yield (a, b, BigDecimal(c).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleK = k, maxDf = docs.size, minShared = 1, threshold = thr)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
 }

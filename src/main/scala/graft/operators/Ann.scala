@@ -51,11 +51,6 @@ object Ann {
     // collectCentroids casts the vector column to array<double>, so a
     // float parquet table and trainCentroids' double output both work.
     val cents = collectCentroids(centroids, cidCol, cvecCol)
-    val distStructs = array(cents.map { case (cid, v) =>
-      struct(
-        VectorFunctions.l2(col(embCol), typedlit(v.toSeq)).as("d"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
     // array_min orders structs lexicographically: min distance first,
     // then min centroid id — the deterministic tie-break for free.
     // Degenerate rows must not assign silently: a null distance (null
@@ -64,7 +59,7 @@ object Ann {
     // min-cid. Contract (same as ivfAssignBig): null embedding → null
     // cluster_id; a non-null embedding whose distance is null (dim
     // mismatch / null element) fails loudly.
-    val best = array_min(distStructs)
+    val best = bestCentroid(cents, embCol)
     corpus.withColumn("cluster_id",
       when(col(embCol).isNull, lit(null).cast("long"))
         .when(best.getField("d").isNull,
@@ -73,6 +68,20 @@ object Ann {
             col(idCol).cast("string"))))
         .otherwise(best.getField("cid")))
   }
+
+  /** The literal-inline argmin over a collected centroid table:
+    * struct(d, cid) of the nearest centroid (L2, ties by min cid) — a
+    * pure narrow expression with NO shuffle and NO join. Shared by
+    * [[ivfAssign]] (which surfaces cid) and [[clusterAudit]] (which
+    * also needs d, and must measure it against the SAME collected
+    * snapshot the assignment used). */
+  private def bestCentroid(cents: Array[(Long, Array[Double])],
+                           embCol: String): Column =
+    array_min(array(cents.map { case (cid, v) =>
+      struct(
+        VectorFunctions.l2(col(embCol), typedlit(v.toSeq)).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*))
 
   /** Collect a centroid table to a sorted driver array (k rows by
     * definition) — shared by [[ivfAssignBig]] and the streaming probe
@@ -636,13 +645,21 @@ object Ann {
       (cid, cents.iterator.filter(_._1 != cid)
         .map(c => math.sqrt(l2sqStrict(v, c._2))).min)
     }.toSeq.toDF("cluster_id", "__min_inter")
-    val centDf = broadcast(centroids.select(
-      col(cidCol).cast("long").as("cluster_id"),
-      col(cvecCol).cast("array<double>").as("__cvec")))
-    val intra = ivfAssign(corpus, embCol, idCol, centroids, cidCol, cvecCol)
-      .filter(col("cluster_id").isNotNull)
-      .join(centDf, "cluster_id")
-      .withColumn("__d", VectorFunctions.l2(col(embCol), col("__cvec")))
+    // The argmin already computed the member→centroid distance, and
+    // against the SAME collected snapshot the assignment used — reuse
+    // it instead of re-joining a fresh centroid scan (which could
+    // disagree with the snapshot under a nondeterministic centroid
+    // frame). Null-distance guard matches ivfAssign's contract.
+    val best = bestCentroid(cents, embCol)
+    val intra = corpus
+      .filter(col(embCol).isNotNull)
+      .select(
+        when(best.getField("d").isNull,
+          raise_error(concat(
+            lit("clusterAudit: null distance (dim mismatch or null element) for id "),
+            col(idCol).cast("string"))))
+          .otherwise(best.getField("cid")).as("cluster_id"),
+        best.getField("d").as("__d"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("__n"), avg("__d").as("__mi"))
     // interDf is the k-row outer side of the left join, so the

@@ -150,13 +150,26 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // Exact verify. The shingle-set subtree appears ONCE in the plan:
-    // each candidate pair is exploded into its two member ids, joined
-    // against the sets a single time, and the pair's two arrays are
-    // reassembled with collect_list (jaccard is symmetric, so the
-    // nondeterministic list order is harmless). Joining sets twice
-    // (once per side) would re-execute the whole shingle pipeline per
-    // side — alias projections defeat exchange reuse.
+    pairShingleSets(cand, shingleRows)
+      .withColumn("jaccard",
+        TextAnalysis.jaccard(element_at(col("both"), 1), element_at(col("both"), 2)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact-verify reassembly shared by [[minhashNearDups]] and
+    * [[containmentPairs]]: (doc_a, doc_b) candidate pairs → (doc_a,
+    * doc_b, both), where `both` holds the pair's two shingle sets.
+    * The shingle-set subtree appears ONCE in the plan: each candidate
+    * pair is exploded into its two member ids, joined against the
+    * sets a single time, and the pair's two arrays are reassembled
+    * with collect_list. The list order is nondeterministic, so the
+    * metric applied to `both` must be pair-symmetric (Jaccard is;
+    * containment under min is). Joining sets twice (once per side)
+    * would re-execute the whole shingle pipeline per side — alias
+    * projections defeat exchange reuse. */
+  private def pairShingleSets(cand: DataFrame,
+                              shingleRows: DataFrame): DataFrame = {
     val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
     cand
       .select(col("doc_a"), col("doc_b"),
@@ -164,10 +177,6 @@ object Dedup {
       .join(sets, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(collect_list(col("shs")).as("both"))
-      .withColumn("jaccard",
-        TextAnalysis.jaccard(element_at(col("both"), 1), element_at(col("both"), 2)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Incremental near-dup: which docs of an incoming batch are near-
@@ -639,13 +648,7 @@ object Dedup {
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)
       .select("doc_a", "doc_b")
-    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b")
-      .agg(collect_list(col("shs")).as("both"))
+    pairShingleSets(cand, shingleRows)
       .withColumn("__inter",
         size(array_intersect(element_at(col("both"), 1), element_at(col("both"), 2))))
       .withColumn("__minsz",
@@ -653,7 +656,10 @@ object Dedup {
       .withColumn("containment",
         col("__inter").cast("double") / col("__minsz"))
       .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("__minsz").as("n_small"),
+      // long n_small: the DuckDB oracle's len() is BIGINT — keep the
+      // harness compare type-stable, not just value-equal.
+      .select(col("doc_a"), col("doc_b"),
+        col("__minsz").cast("long").as("n_small"),
         round(col("containment"), 6).as("containment"))
   }
 

@@ -103,4 +103,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.nonEmpty && shuffles.forall(!_.contains("embedding")),
       s"the mass-count exchange must carry cluster ids only:\n$cPlan")
   }
+
+  test("v13 cluster audit: one aggregation shuffle, broadcast joins only") {
+    val plan = SparkEntry.queries("v13_cluster_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the k-row separation/aggregate joins must broadcast:\n$plan")
+    val aggShuffles = plan.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(aggShuffles.length == 1,
+      s"cluster audit needs exactly ONE aggregation exchange (the k-group " +
+        s"partial/final split), found ${aggShuffles.length}:\n$plan")
+    assert(aggShuffles.forall(!_.contains("embedding")),
+      s"the aggregation exchange must carry (cluster_id, d) partials, " +
+        s"never vectors:\n$plan")
+  }
+
+  test("d14 containment: no corpus-side broadcast, no single-partition exchange") {
+    // The df-capped inverted index keeps every stage equi-keyed: a
+    // BroadcastNestedLoopJoin (corpus side broadcast) or a
+    // SinglePartition exchange would mean candidate generation
+    // degenerated into an all-pairs or single-node shape.
+    val plan = SparkEntry.queries("d14_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must never broadcast a corpus-sized side:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage of containment may collapse to one partition:\n$plan")
+  }
 }

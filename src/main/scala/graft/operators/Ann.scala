@@ -133,21 +133,26 @@ object Ann {
     // l2sqStrict — the same contract ivfAssign enforces expression-side.
     val assign = udf { (emb: Seq[Double]) =>
       if (emb == null) Option.empty[Long]
-      else {
-        val cs = bc.value
-        val arr = emb.toArray
-        var bestCid = cs(0)._1
-        var bestD = Double.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val d = l2sqStrict(arr, cs(i)._2)
-          if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
-          i += 1
-        }
-        Some(bestCid)
-      }
+      else Some(nearestCentroid(bc.value, emb.toArray)._1)
     }
     corpus.withColumn("cluster_id", assign(col(embCol).cast("array<double>")))
+  }
+
+  /** The tight JVM argmin shared by [[ivfAssignBig]] and
+    * [[clusterAudit]]'s bigK path: (nearest cid, SQUARED L2 to it).
+    * Ascending-cid iteration + strictly-smaller replacement = the
+    * same (min d, min cid) tie-break as [[bestCentroid]]. */
+  private def nearestCentroid(cs: Array[(Long, Array[Double])],
+                              arr: Array[Double]): (Long, Double) = {
+    var bestCid = cs(0)._1
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val d = l2sqStrict(arr, cs(i)._2)
+      if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
+      i += 1
+    }
+    (bestCid, bestD)
   }
 
   /** IVF search against a PARTITIONED store: probe selection runs over
@@ -628,12 +633,14 @@ object Ann {
     * [[ivfAssign]] literal argmin — no shuffle, no join), a k-group
     * aggregate, and a k×k separation matrix computed on the driver
     * from the already-collected centroid table and joined back as a
-    * broadcast k-row frame. At real k swap in [[ivfAssignBig]]'s
-    * assignment the same way s2 → s4 does; the audit cost at 100 TB
-    * is the assignment pass an index build pays anyway. */
+    * broadcast k-row frame. At real k pass `bigK = true` — the
+    * [[ivfAssignBig]] form (broadcast centroids + the shared JVM
+    * argmin, constant plan size) — the same s2 → s4 swap; the audit
+    * cost at 100 TB is the assignment pass an index build pays
+    * anyway. */
   def clusterAudit(corpus: DataFrame, embCol: String, idCol: String,
                    centroids: DataFrame, cidCol: String,
-                   cvecCol: String): DataFrame = {
+                   cvecCol: String, bigK: Boolean = false): DataFrame = {
     val cents = collectCentroids(centroids, cidCol, cvecCol)
     require(cents.length >= 2,
       s"clusterAudit needs >= 2 centroids, got ${cents.length}")
@@ -650,16 +657,31 @@ object Ann {
     // it instead of re-joining a fresh centroid scan (which could
     // disagree with the snapshot under a nondeterministic centroid
     // frame). Null-distance guard matches ivfAssign's contract.
-    val best = bestCentroid(cents, embCol)
-    val intra = corpus
-      .filter(col(embCol).isNotNull)
-      .select(
-        when(best.getField("d").isNull,
-          raise_error(concat(
-            lit("clusterAudit: null distance (dim mismatch or null element) for id "),
-            col(idCol).cast("string"))))
-          .otherwise(best.getField("cid")).as("cluster_id"),
-        best.getField("d").as("__d"))
+    // bigK = the ivfAssignBig form (broadcast centroids + shared JVM
+    // argmin): constant plan size at real k, where inlining k literal
+    // structs blows up Janino — same s2 → s4 swap, same tie-break.
+    val withD =
+      if (bigK) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val assign = udf { (emb: Seq[Double]) =>
+          val (cid, d2) = nearestCentroid(bc.value, emb.toArray)
+          (cid, math.sqrt(d2))
+        }
+        corpus.filter(col(embCol).isNotNull)
+          .select(assign(col(embCol).cast("array<double>")).as("__a"))
+          .select(col("__a._1").as("cluster_id"), col("__a._2").as("__d"))
+      } else {
+        val best = bestCentroid(cents, embCol)
+        corpus.filter(col(embCol).isNotNull)
+          .select(
+            when(best.getField("d").isNull,
+              raise_error(concat(
+                lit("clusterAudit: null distance (dim mismatch or null element) for id "),
+                col(idCol).cast("string"))))
+              .otherwise(best.getField("cid")).as("cluster_id"),
+            best.getField("d").as("__d"))
+      }
+    val intra = withD
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("__n"), avg("__d").as("__mi"))
     // interDf is the k-row outer side of the left join, so the

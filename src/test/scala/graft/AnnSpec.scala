@@ -474,6 +474,27 @@ class AnnSpec extends SparkSpec {
       (2L, 0L, None, c2MinInter, None)))
   }
 
+  test("clusterAudit bigK form is row-identical to the literal-argmin form") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), (3L, Array(5.0f, 0.1f))).toDF("vec_id", "embedding")
+    val cent3 = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(100.0f, 100.0f))).toDF("cid", "cvec")
+    def rows(bigK: Boolean) =
+      Ann.clusterAudit(vecs, "embedding", "vec_id", cent3, "cid", "cvec", bigK = bigK)
+        .orderBy("cluster_id")
+        .as[(Long, Long, Option[Double], Double, Option[Double])]
+        .collect().toSeq
+    assert(rows(bigK = true) == rows(bigK = false))
+    // the bigK plan must not inline per-centroid literal structs
+    val bigPlan = Ann.clusterAudit(vecs, "embedding", "vec_id",
+        cent3, "cid", "cvec", bigK = true)
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("vector_l2sq"),
+      s"bigK form must use the broadcast JVM argmin, not inlined literals:\n$bigPlan")
+  }
+
   test("clusterAudit: loud guard on a single centroid; no sort-merge join in the plan") {
     val e = intercept[IllegalArgumentException] {
       Ann.clusterAudit(corpus, "embedding", "vec_id",

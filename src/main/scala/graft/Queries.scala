@@ -1476,6 +1476,38 @@ object Queries {
       SELECT doc_a, doc_b, n_small, round(c, 6) AS containment
       FROM verified WHERE c >= 0.8 ORDER BY doc_a, doc_b"""))
 
+  private val d15 = QuerySpec("d15_containment_incremental",
+    // d14's daily-ingest form (Dedup.containmentPairsAgainst): the
+    // batch (doc_id % 10 = 0, d11's split) probes the corpus's
+    // rare-shingle inverted index — new×old only, rarity judged on
+    // corpus df (the precomputable index-time statistic), no df >= 2
+    // floor (a corpus-unique shingle still witnesses a cross pair).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.containmentPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleK = 3, maxDf = 20,
+          minShared = 2, threshold = 0.8)
+        .orderBy("doc_new", "doc_old")
+    },
+    Some(s"""WITH ${shingledCtes(3)},
+      posts AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+      rare AS (SELECT s FROM posts WHERE doc_id % 10 <> 0
+        GROUP BY s HAVING count(*) <= 20),
+      cand AS (SELECT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM posts n JOIN posts o ON n.s = o.s JOIN rare r ON n.s = r.s
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      verified AS (SELECT doc_new, doc_old,
+          least(len(sn.sh), len(so.sh)) AS n_small,
+          CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+            / least(len(sn.sh), len(so.sh)) AS c
+        FROM cand JOIN shingled sn ON cand.doc_new = sn.doc_id
+                  JOIN shingled so ON cand.doc_old = so.doc_id)
+      SELECT doc_new, doc_old, n_small, round(c, 6) AS containment
+      FROM verified WHERE c >= 0.8 ORDER BY doc_new, doc_old"""))
+
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         shingleK = 2, threshold = 0.4)
@@ -3108,7 +3140,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

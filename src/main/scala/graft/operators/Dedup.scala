@@ -663,6 +663,66 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Incremental containment: which docs of an incoming batch are
+    * nested in (or supersets of) an EXISTING corpus — the daily-
+    * ingest form of [[containmentPairs]], pairing with
+    * [[minhashNearDupsAgainst]] the way d14 pairs with d2. The
+    * candidate join runs new×old only, never old×old: the batch's
+    * shingles probe the corpus's rare-shingle inverted index, so the
+    * per-batch cost is proportional to the batch's collision
+    * footprint, not the corpus.
+    *
+    * Two deliberate deltas from the self-join form: (1) rarity (df ≤
+    * maxDf) is judged on the CORPUS side — that df is the index-time
+    * statistic a production deployment precomputes, and a batch
+    * can't shift it; (2) no df ≥ 2 floor — a corpus shingle unique
+    * within the corpus (df = 1) can still witness a cross-side pair.
+    * Ids must be distinct across the two frames (same contract as
+    * [[minhashNearDupsAgainst]]); pairs are oriented (doc_new,
+    * doc_old). Result computed eagerly so both internal persists are
+    * released before returning. */
+  def containmentPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleK: Int = 3, maxDf: Int = 20,
+                              minShared: Int = 2,
+                              threshold: Double = 0.8): DataFrame = {
+    require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold must be in (0, 1]")
+    val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
+    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK)
+    val rare = oldShingles.groupBy("s")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("s")
+    val cand = newShingles.select(col("s"), col("doc_id").as("doc_new"))
+      .join(oldShingles.join(rare, Seq("s"))
+        .select(col("s"), col("doc_id").as("doc_old")), Seq("s"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("doc_new", "doc_old")
+    val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
+    val oldSets = oldShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_old"))
+    val out = cand
+      .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(oldSets.withColumnRenamed("doc_id", "doc_old"), Seq("doc_old"))
+      .withColumn("__inter",
+        size(array_intersect(col("sh_new"), col("sh_old"))))
+      .withColumn("__minsz", least(size(col("sh_new")), size(col("sh_old"))))
+      .withColumn("containment",
+        col("__inter").cast("double") / col("__minsz"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_new"), col("doc_old"),
+        col("__minsz").cast("long").as("n_small"),
+        round(col("containment"), 6).as("containment"))
+      .localCheckpoint(true)
+    newShingles.unpersist()
+    oldShingles.unpersist()
+    out
+  }
+
   /** Near-dup GROUPS from near-dup pairs: connected components by
     * iterated min-label propagation (hash-to-min). Each node adopts
     * the minimum label in its closed neighborhood until fixpoint —

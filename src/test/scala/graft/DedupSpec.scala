@@ -391,6 +391,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsAgainst: batch page nested in a corpus doc is caught; new-new pairs never emitted") {
+    val wordsB = (0 until 60).map(i => s"w$i")
+    val sliceA = wordsB.slice(10, 24)
+    val newDf = Seq(
+      (100L, sliceA.mkString(" ")),
+      (101L, sliceA.mkString(" ")))  // two identical NEW docs
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, wordsB.mkString(" ")),
+      (2L, (200 until 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsAgainst(newDf, corpus, "doc_id", "text",
+        shingleK = 3, maxDf = 10, minShared = 2, threshold = 0.8)
+      .select("doc_new", "doc_old", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // both new docs pair with corpus doc 1; the new-new duplicate pair
+    // (100, 101) must NOT appear — that's the self-join operator's job
+    assert(got == Set((100L, 1L, 1.0), (101L, 1L, 1.0)))
+  }
+
+  test("property: containmentPairsAgainst equals cross-side brute force when the df cap is inactive") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"v$i")
+    def mk(ids: Range): Seq[(Long, String)] = ids.map { i =>
+      val n = 5 + rnd.nextInt(15)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val newDocs = mk(0 until 10)
+    val oldDocs = mk(100 until 120)
+    val k = 2
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split("[ \t\n]+", -1)
+      if (ws.length < k) Set.empty
+      else ws.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val thr = 0.2
+    val brute = (for {
+      (a, ta) <- newDocs; (b, tb) <- oldDocs
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= thr && (sa & sb).nonEmpty
+    } yield (a, b, BigDecimal(c).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.containmentPairsAgainst(
+        newDocs.toDF("doc_id", "text"), oldDocs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = k, maxDf = oldDocs.size,
+        minShared = 1, threshold = thr)
+      .select("doc_new", "doc_old", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
+
   test("property: containmentPairs equals brute force when the df cap is inactive") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 30).map(i => s"v$i")

@@ -599,14 +599,25 @@ object Ann {
     * [[Curation.keyedDrift]] on `cluster_id` — the exchange carries k
     * counts per side, never vectors. Null embeddings are excluded
     * (they have no position in the space); the empty-side guard is
-    * keyedDrift's, loud. */
+    * keyedDrift's, loud.
+    *
+    * At real centroid counts pass `bigK = true` — the [[ivfAssignBig]]
+    * form (broadcast centroids + the shared JVM argmin, constant plan
+    * size) instead of the literal-inline argmin whose generated code
+    * grows linearly with k. Same tie-break either way, so the masses —
+    * and the JS — are identical. [[IndexMaintenance.maintain]] feeds
+    * this the index's full effective-centroid set, so it always takes
+    * the bigK path. */
   def embeddingDrift(a: DataFrame, b: DataFrame, embCol: String,
                      idCol: String, centroids: DataFrame,
-                     cidCol: String, cvecCol: String): DataFrame = {
-    def masses(df: DataFrame) =
-      ivfAssign(df, embCol, idCol, centroids, cidCol, cvecCol)
-        .filter(col("cluster_id").isNotNull)
-        .select(col("cluster_id"))
+                     cidCol: String, cvecCol: String,
+                     bigK: Boolean = false): DataFrame = {
+    def masses(df: DataFrame) = {
+      val assigned =
+        if (bigK) ivfAssignBig(df, embCol, idCol, centroids, cidCol, cvecCol)
+        else ivfAssign(df, embCol, idCol, centroids, cidCol, cvecCol)
+      assigned.filter(col("cluster_id").isNotNull).select(col("cluster_id"))
+    }
     Curation.keyedDrift(masses(a), masses(b), "cluster_id",
       opName = "embeddingDrift")
   }

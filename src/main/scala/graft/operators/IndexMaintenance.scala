@@ -73,8 +73,11 @@ object IndexMaintenance {
     val current = IndexStore.loadCurrent(spark, root)
     val cents = effectiveCentroids(current, embCol)
       .localCheckpoint(true) // consumed by two assignment plan builds
+    // bigK: the effective-centroid set is the index's full k, so the
+    // literal-inline argmin (plan size linear in k) is the wrong form
+    // here — broadcast centroids + the shared JVM argmin instead.
     val js = Ann.embeddingDrift(current, fresh, embCol, idCol,
-        cents, "cid", "cvec")
+        cents, "cid", "cvec", bigK = true)
       .select("js_total").head().getDouble(0)
     if (js <= driftThreshold)
       return Report(js, retrained = false, None, None,
@@ -98,8 +101,11 @@ object IndexMaintenance {
     // metricsAtK emits no row for a qid whose probes all landed in
     // empty cells — its true recall is 0 and it must drag the mean
     // down, not vanish from it (averaging present rows would let a
-    // rebuild that fails part of the sample pass the gate)
-    val nQ = sampleQueries.count()
+    // rebuild that fails part of the sample pass the gate).
+    // DISTINCT qids: metricsAtK aggregates per qid, so duplicate qids
+    // in the sample would inflate the denominator and silently deflate
+    // meanRecall — vetoing healthy rebuilds.
+    val nQ = sampleQueries.select("qid").distinct().count()
     val sumRecall = RetrievalEval.metricsAtK(
         ivf.select(col("qid"), col(idCol), col("knn_rank")),
         exact.select(col("qid"), col(idCol)),

@@ -64,7 +64,14 @@ object ShardExport {
   /** Physical export: one parquet file per shard directory under
     * `outDir/shard=<s>/`, rows in the deterministic md5 read order,
     * plus `_graft_manifest` (parquet) recording per-shard counts
-    * computed from the written files. Returns the manifest. */
+    * computed from the written files and `_graft_meta` recording the
+    * modulus (`n_shards`) the assignment used — [[upsertShards]]
+    * requires its caller's nShards to match it, because a delta
+    * re-bucketed under a different modulus would land updated docs in
+    * NEW shards while their stale originals survive untouched in the
+    * old ones, silently. Returns the manifest. (Leading-underscore
+    * sidecar dirs are invisible to parquet partition discovery — the
+    * `_graft_manifest` precedent.) */
   def writeShards(df: DataFrame, idCol: String, textCol: String,
                   outDir: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
@@ -75,6 +82,8 @@ object ShardExport {
       .sortWithinPartitions(col("shard"), col("__ord"))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.range(1).select(lit(nShards).cast("int").as("n_shards"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_graft_meta")
     val written = spark.read.parquet(outDir)
     val mf = countsByShard(written, textCol)
     mf.coalesce(1).write.mode("overwrite")
@@ -87,18 +96,35 @@ object ShardExport {
     * shard directories the delta's ids hash into — the point of the
     * stable assignment. At 100 TB a daily delta touches a handful of
     * docs per shard; rewriting the whole corpus to admit them is the
-    * scale-killer this avoids (dynamic partition overwrite, the
-    * [[IndexStore.upsertPartitioned]] pattern — untouched shard
-    * directories keep their physical files, ShardExportSpec asserts
-    * identity by inode-level listing). The affected-shard list is a
-    * driver collect bounded by nShards. Rewritten shards keep the
-    * deterministic md5 order, so a full rewrite and an incremental
-    * one produce row-identical shards. Returns the refreshed
-    * manifest. */
+    * scale-killer this avoids (untouched shard directories keep their
+    * physical files, ShardExportSpec asserts identity by inode-level
+    * listing). The affected-shard list is a driver collect bounded by
+    * nShards. Rewritten shards keep the deterministic md5 order, so a
+    * full rewrite and an incremental one produce row-identical
+    * shards. Returns the refreshed manifest.
+    *
+    * Read-modify-write without pinning rows in memory: the merged
+    * shards are written whole to a `_graft_tmp_upsert` staging dir
+    * (invisible to partition discovery) while their source files
+    * still exist, then each affected `shard=<s>` directory is flipped
+    * by delete + rename — the [[IndexStore]] write-then-flip pattern,
+    * so the merge never holds the affected set on the heap
+    * (`localCheckpoint` would) and a crash mid-write leaves the live
+    * export untouched. The manifest merge gets the same treatment. */
   def upsertShards(outDir: String, delta: DataFrame, idCol: String,
                    textCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
     val spark = delta.sparkSession
+    // the modulus is a property of the EXPORT, recorded at write time:
+    // a delta bucketed under any other nShards would strand stale
+    // copies of updated docs in their original shards with no error
+    val storedN = spark.read.parquet(s"$outDir/_graft_meta")
+      .select("n_shards").head().getInt(0)
+    require(storedN == nShards,
+      s"upsertShards: nShards $nShards does not match the export's " +
+        s"recorded n_shards $storedN — re-bucketing a delta under a " +
+        "different modulus would leave stale duplicates of updated docs " +
+        "in their original shards")
     val deduped = withShard(delta.dropDuplicates(idCol), idCol, nShards)
     val affected = deduped.select("shard").distinct()
       .collect().map(_.get(0)) // bounded by nShards
@@ -110,15 +136,19 @@ object ShardExport {
       .repartition(affected.length.max(1), col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"))
       .drop("__ord")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.localCheckpoint(true).write.mode("overwrite")
-        .partitionBy("shard").parquet(outDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def flip(src: String, dst: String): Unit = {
+      val (s, d) = (new org.apache.hadoop.fs.Path(src),
+        new org.apache.hadoop.fs.Path(dst))
+      if (fs.exists(d)) fs.delete(d, true)
+      require(fs.rename(s, d), s"upsertShards: rename $src -> $dst failed")
     }
+    // stage while sources still exist, then flip per affected shard
+    val tmp = s"$outDir/_graft_tmp_upsert"
+    merged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    affected.foreach(s => flip(s"$tmp/shard=$s", s"$outDir/shard=$s"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // manifest merge stays delta-bounded too: recount ONLY the
     // rewritten shards (partition-pruned read — static
     // PartitionFilters, the d12 scheme), keep the other rows from the
@@ -127,13 +157,13 @@ object ShardExport {
     // incremental path.
     val keptMf = spark.read.parquet(s"$outDir/_graft_manifest")
       .filter(!col("shard").isin(affected: _*))
-      .localCheckpoint(true) // materialize before overwriting its source
     val affMf = countsByShard(
       spark.read.parquet(outDir).filter(col("shard").isin(affected: _*)),
       textCol)
     val mf = keptMf.unionByName(affMf.select(keptMf.columns.map(col): _*))
-    mf.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/_graft_manifest")
+    val mfTmp = s"$outDir/_graft_manifest_tmp"
+    mf.coalesce(1).write.mode("overwrite").parquet(mfTmp)
+    flip(mfTmp, s"$outDir/_graft_manifest")
     spark.read.parquet(s"$outDir/_graft_manifest")
   }
 }

@@ -83,10 +83,23 @@ object HeavyHitterMonitor {
       s"capacity $capacity must be >= k=$k: a smaller Misra-Gries sketch " +
         "does not guarantee every freq > n/k item survives into the " +
         "candidate set, and the verify would silently under-report")
+    // A windowLen differing from the one windowedCandidates ran with
+    // would make the w_start equi-join miss silently — whole windows
+    // dropped, hitters under-reported: the same failure mode the
+    // capacity require guards. A sketch-time w_start is by construction
+    // aligned to its own window grid, so re-windowing it under THIS
+    // windowLen must be the identity; a misaligned row fails loudly.
+    val checked = counts.withColumn("w_start",
+      when(window(col("w_start"), windowLen).getField("start") =!= col("w_start"),
+        raise_error(concat(
+          lit("verifiedHitters: counts.w_start "), col("w_start").cast("string"),
+          lit(s" does not align to windowLen '$windowLen' — candidates were " +
+            "produced with a different window length"))))
+        .otherwise(col("w_start")))
     // ≤ capacity·windows candidate rows and one (n) row per window:
     // both broadcast by construction
-    val cand = counts.select(col("w_start"), explode(col("cand")).as(itemCol))
-    val totals = counts.select(col("w_start"), col("n_rows"))
+    val cand = checked.select(col("w_start"), explode(col("cand")).as(itemCol))
+    val totals = checked.select(col("w_start"), col("n_rows"))
     archive.filter(col(itemCol).isNotNull)
       .select(window(col(tsCol), windowLen).getField("start").as("w_start"),
         col(itemCol))

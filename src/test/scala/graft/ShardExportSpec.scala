@@ -139,4 +139,37 @@ class ShardExportSpec extends SparkSpec {
       ShardExport.writeShards(docs, "doc_id", "text", "/tmp/x", 0)
     }
   }
+
+  test("upsertShards refuses an nShards that differs from the export's recorded modulus") {
+    val out = Files.createTempDirectory("graft_modulus").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out, 8)
+    val delta = Seq((5L, "doc 5 REVISED")).toDF("doc_id", "text")
+    // re-bucketing under 16 would strand the stale doc 5 in its
+    // original shard while the revision lands elsewhere — must refuse
+    val e = intercept[IllegalArgumentException] {
+      ShardExport.upsertShards(out, delta, "doc_id", "text", 16)
+    }
+    assert(e.getMessage.contains("recorded n_shards 8"))
+    // and the matching modulus still works
+    ShardExport.upsertShards(out, delta, "doc_id", "text", 8)
+  }
+
+  test("upsert merge stages via temp-dir flip, not a localCheckpoint memory pin") {
+    // the read-modify-write safety comes from write-then-flip (the
+    // IndexStore pattern), never from pinning affected-shard rows on
+    // the heap — pin this at the source level so a regression to
+    // localCheckpoint (unbounded memory at a large affected set)
+    // cannot land silently
+    val src = new String(Files.readAllBytes(
+      Paths.get("src/main/scala/graft/sources/ShardExport.scala")), "UTF-8")
+    assert(!src.contains("localCheckpoint"),
+      "ShardExport must stage upserts via temp-dir flip, not localCheckpoint")
+    assert(src.contains("_graft_tmp_upsert"), "staging dir marker missing")
+    // and a crash-leftover staging dir must not poison later reads:
+    // leading-underscore dirs are invisible to partition discovery
+    val out = Files.createTempDirectory("graft_tmpvis").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out, 4)
+    Files.createDirectory(Paths.get(out, "_graft_tmp_upsert"))
+    assert(spark.read.parquet(out).count() == 500)
+  }
 }

@@ -69,4 +69,23 @@ class UniqueMonitorSpec extends SparkSpec {
         mkRows.toDF("ts", "source", "text"), "ts", "source", "text", rsd = 0.5)
     }
   }
+
+  test("null content rows are excluded from n_rows, not just the estimate") {
+    // 20 distinct docs + 20 null-text rows in one window: were nulls
+    // counted in n_rows (but not by approx_count_distinct), the rate
+    // would read 0.5 and fire the dedup alarm for a data-quality
+    // problem — the nulls must not deflate unique_rate
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    val rows = (0 until 20).map(i =>
+        (new Timestamp(base + i * 60000L), "a", s"doc-$i")) ++
+      (0 until 20).map(i =>
+        (new Timestamp(base + i * 60000L), "a", null.asInstanceOf[String]))
+    val got = UniqueMonitor.uniqueRateAlarms(
+        UniqueMonitor.windowedUniqueCounts(
+          rows.toDF("ts", "source", "text"), "ts", "source", "text"),
+        "source", minUniqueRate = 0.9)
+      .select(col("n_rows"), col("unique_rate"), col("alarm"))
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq((20L, 1.0, false)))
+  }
 }

@@ -27,6 +27,12 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Timed loop measures the CASCADE, not its verification harness:
+    // the c1/c2 adaptive≡fixed identity gates (2–3 extra cascade
+    // executions per entry) stay ON in Verify — the correctness
+    // artifact keeps its identity stamp — and OFF here, where they
+    // would roughly double the flagship's reported number.
+    Queries.identityGates = false
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"'  => "\\\""

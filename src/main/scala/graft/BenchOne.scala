@@ -19,6 +19,9 @@ object BenchOne {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // timing tool → gates off like Bench; SPARK_GRAFT_IDENTITY_GATES=1
+    // re-enables for measuring the verification cost itself
+    Queries.identityGates = sys.env.contains("SPARK_GRAFT_IDENTITY_GATES")
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing_summary")
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,

@@ -22,16 +22,42 @@ final case class QuerySpec(
 
 object Queries {
 
+  /** Run the c1/c2 adaptive≡fixed identity gates inside the cascade
+    * entries. Default ON — the CORRECTNESS artifact must carry the
+    * identity stamp. [[Bench]] turns it OFF for the timed loop (and
+    * ONLY there): the gates execute the cascade 2–3× plus per-stage
+    * count actions, so with them inside the clock c1's number measured
+    * the verification harness, not the cascade a user runs. The
+    * emitted `identity_match` column reports this flag honestly: true
+    * = the gate ran and held this execution (it raises on violation),
+    * false = the gate was skipped for timing. */
+  @volatile var identityGates: Boolean = true
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects at read (PARQUET_TYPE_ILLEGAL). Read the raw nanos as LONG
-    * and convert to a micros timestamp; DuckDB reads the same column
-    * natively as TIMESTAMP_NS, and hour-level truncation agrees. */
+  /** events.parquet's ts has shipped in two physical forms across
+    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark 4
+    * rejects at read (PARQUET_TYPE_ILLEGAL), so it is read as raw LONG
+    * nanos under the legacy flag and converted to micros — and native
+    * TIMESTAMP(MICROS), which reads directly (as NTZ when the file is
+    * timezone-naive; the cast to TimestampType is numerically identity
+    * under the UTC session both engines run with). Dispatch on the
+    * OBSERVED schema so either generation works; every downstream
+    * query sees one canonical micros TimestampType `ts`, and DuckDB
+    * reads the same column natively with agreeing `epoch_ns`/
+    * `date_trunc` semantics. */
   private def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = t(s, d, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => ev
+      case _ => // TIMESTAMP_NTZ (naive micros): identity cast under UTC
+        ev.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   // ---- DuckDB fragment builders (double-precision left folds that ----
@@ -1137,14 +1163,14 @@ object Queries {
           ELSE 0 END AS INT) AS n_seqs
       FROM cum ORDER BY doc_id"""))
 
-  private val d9 = QuerySpec("d9_dup_spans",
-    // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
-    // maximal runs of ≥8 consecutive shared tokens between doc pairs,
-    // via positional 4-gram match + per-diagonal gaps-and-islands.
-    (s, d) => Curation.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
-        k = 4, minTokens = 8, maxGramDf = 50)
-      .orderBy("doc_a", "doc_b", "start_a", "start_b"),
-    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
+  /** Shared DuckDB mirror of Curation.duplicateSpans at (k=4,
+    * minTokens=8, maxGramDf=50) on `documents` — the CTE chain ending
+    * in `spans(doc_a, doc_b, start_a, start_b, span_tokens)` WITH the
+    * min-length filter applied. ONE copy shared by d9 (detect) and
+    * d16 (apply) so the two oracles can never drift on what a span
+    * is. */
+  private def dupSpanCtes: String =
+    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
         FROM documents),
       grams AS (SELECT doc_id, i AS pos,
         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
@@ -1158,11 +1184,65 @@ object Queries {
       isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
           ORDER BY pos_a) AS grp FROM m),
-      spans AS (SELECT doc_a, doc_b, min(pos_a) AS start_a,
+      spans AS (SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM
+        (SELECT doc_a, doc_b, min(pos_a) AS start_a,
           min(pos_b) AS start_b, CAST(count(*) + 3 AS BIGINT) AS span_tokens
         FROM isl GROUP BY doc_a, doc_b, diag, grp)
+        WHERE span_tokens >= 8)"""
+
+  private val d9 = QuerySpec("d9_dup_spans",
+    // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
+    // maximal runs of ≥8 consecutive shared tokens between doc pairs,
+    // via positional 4-gram match + per-diagonal gaps-and-islands.
+    (s, d) => Curation.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 4, minTokens = 8, maxGramDf = 50)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b"),
+    Some(s"""WITH $dupSpanCtes
       SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
-      WHERE span_tokens >= 8 ORDER BY doc_a, doc_b, start_a, start_b"""))
+      ORDER BY doc_a, doc_b, start_a, start_b"""))
+
+  private val d16 = QuerySpec("d16_span_dedup_apply",
+    // d9's ACTION (apply-side span dedup): the CLEANED corpus with
+    // every detected duplicated span removed keep-first — the lower-id
+    // doc of each pair keeps the surviving copy, doc_b's occurrence is
+    // cut token-wise (overlapping intervals merged via cummax
+    // gaps-and-islands, survivors re-joined with single spaces; an
+    // untouched doc keeps its text byte-identical). Oracle mirrors the
+    // whole chain: detection CTEs shared verbatim with d9, then the
+    // same interval merge, NOT-EXISTS token cut, and ordered re-join.
+    (s, d) => Curation.removeDuplicateSpans(t(s, d, "documents"), "doc_id",
+        "text", k = 4, minTokens = 8, maxGramDf = 50)
+      .orderBy("doc_id"),
+    Some(s"""WITH $dupSpanCtes,
+      iv AS (SELECT doc_b AS adoc, start_b AS s,
+        start_b + span_tokens - 1 AS e FROM spans),
+      gi AS (SELECT adoc, s, e, max(e) OVER (PARTITION BY adoc
+        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        AS pmax FROM iv),
+      gr AS (SELECT adoc, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+          THEN 1 ELSE 0 END) OVER (PARTITION BY adoc ORDER BY s, e
+          ROWS UNBOUNDED PRECEDING) AS grp FROM gi),
+      mi AS (SELECT adoc, min(s) AS s, max(e) AS e FROM gr
+        GROUP BY adoc, grp),
+      aff AS (SELECT DISTINCT adoc FROM mi),
+      atoks AS (SELECT w.doc_id AS adoc, i AS pos, w.ws[i] AS tok
+        FROM ws w JOIN aff ON w.doc_id = aff.adoc,
+        unnest(range(1, len(w.ws) + 1)) AS t(i)),
+      ktoks AS (SELECT a.adoc, a.pos, a.tok FROM atoks a
+        WHERE NOT EXISTS (SELECT 1 FROM mi
+          WHERE mi.adoc = a.adoc AND a.pos BETWEEN mi.s AND mi.e)),
+      reb AS (SELECT adoc, string_agg(tok, ' ' ORDER BY pos) AS ctext,
+        count(*) AS nkept FROM ktoks GROUP BY adoc),
+      cln AS (SELECT aff.adoc, coalesce(reb.ctext, '') AS ctext,
+        coalesce(reb.nkept, 0) AS nkept
+        FROM aff LEFT JOIN reb ON aff.adoc = reb.adoc)
+      SELECT d.doc_id,
+        CASE WHEN cln.adoc IS NOT NULL THEN cln.ctext ELSE d.text END AS text,
+        CAST(CASE WHEN cln.adoc IS NOT NULL THEN len(w.ws) - cln.nkept
+          ELSE 0 END AS BIGINT) AS n_removed_tokens
+      FROM documents d JOIN ws w ON d.doc_id = w.doc_id
+        LEFT JOIN cln ON d.doc_id = cln.adoc
+      ORDER BY d.doc_id"""))
 
   // ======================================================================
   // Lexical retrieval + hybrid fusion (operators/Bm25): the lexical
@@ -2820,32 +2900,89 @@ object Queries {
       WHERE round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** The seeded-LSH sidecar (round-9 ask #1): the fitted model's
+    * hyperplanes + bucketLength written ONCE per (config, sf dir) to
+    * a STABLE absolute path the oracle SQL can name — the d12 band-
+    * index / `_graft_meta` pattern applied to MLlib LSH. With the
+    * planes exported, the entire bucketing is replayable as plain SQL
+    * (`floor(dot(v, plane) / bucket_length)` per table), which is
+    * what converts v6/v10 from rows-only to HASH-CHECKED. Planes
+    * depend only on (seed, dim, numTables), so re-writes across sf
+    * dirs are byte-stable; the TrieMap just skips the redundant IO. */
+  private def lshSidecarPath(name: String): String =
+    new java.io.File(s"target/graft_sidecars/$name").getAbsolutePath
+  private val lshSidecarWritten =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+  private def ensureLshSidecar(s: SparkSession, d: String, name: String,
+                               bucketLength: Double, numTables: Int): Unit =
+    lshSidecarWritten.getOrElseUpdate((name, d), {
+      LshAnn.writeHyperplaneSidecar(t(s, d, "embeddings"), "embedding",
+        lshSidecarPath(name), bucketLength, numTables)
+      true
+    })
+
+  /** DuckDB replay of the LSH batch kNN from the exported sidecar —
+    * the CTE chain ending in `lsh(qid, knn_rank, vec_id, dist)`:
+    * per-table `floor(dot/L)` bucketing of queries and corpus,
+    * candidate = shares ≥1 (table, bucket) key, exact-L2 rerank with
+    * the (dist, id) total order. Mirrors [[LshAnn.approxNearestBatch]]
+    * stage for stage; shared by v6 and v10 so the two oracles cannot
+    * drift on what a bucket is. */
+  private def lshReplayCtes(name: String, qPred: String, k: Int): String =
+    s"""planes AS (SELECT table_idx, plane, bucket_length
+        FROM read_parquet('${lshSidecarPath(name)}/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE $qPred),
+      qb AS (SELECT qid, table_idx,
+        CAST(floor(${dotSql("q.qv", "p.plane")} / p.bucket_length) AS BIGINT) AS b
+        FROM q CROSS JOIN planes p),
+      eb AS (SELECT e.vec_id, p.table_idx,
+        CAST(floor(${dotSql("e.embedding", "p.plane")} / p.bucket_length) AS BIGINT) AS b
+        FROM embeddings e CROSS JOIN planes p),
+      cand AS (SELECT DISTINCT qb.qid, eb.vec_id
+        FROM qb JOIN eb ON qb.table_idx = eb.table_idx AND qb.b = eb.b),
+      lsh AS (SELECT qid, knn_rank, vec_id, dist FROM (
+        SELECT c.qid, c.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist,
+          row_number() OVER (PARTITION BY c.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, c.vec_id) AS knn_rank
+        FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+          JOIN q ON c.qid = q.qid)
+        WHERE knn_rank <= $k)"""
+
   private val v6 = QuerySpec("v6_lsh_ann",
-    // MLlib BucketedRandomProjectionLSH ANN (seed-deterministic but
-    // approximate → spec-verified against the exact operators, not
-    // DuckDB-mirrorable; rows-only check here).
+    // MLlib BucketedRandomProjectionLSH ANN, HASH-CHECKED (round-9
+    // ask #1): the seeded hyperplanes ship as a parquet sidecar and
+    // the oracle replays bucketing → candidate join → exact-L2
+    // (dist, id) top-k in DuckDB. The Spark side serves through the
+    // fitted model's own transform (LshAnn.bucketTable path inside
+    // approxNearestBatch); LshAnnSpec pins transform ≡ plane-replay,
+    // and this oracle pins the whole query end to end.
     (s, d) => {
       val e = t(s, d, "embeddings")
-      val qv = e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
-      LshAnn.approxNearest(e, "embedding", "vec_id", qv, 10)
+      ensureLshSidecar(s, d, "lsh_v6", bucketLength = 2.0, numTables = 4)
+      val qs = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      LshAnn.approxNearestBatch(e, "embedding", "vec_id", qs, "qid", "qv",
+          k = 10, bucketLength = 2.0, numTables = 4)
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
         .orderBy("dist", "vec_id")
     },
-    None)
+    Some(s"""WITH ${lshReplayCtes("lsh_v6", "vec_id = 0", 10)}
+      SELECT vec_id, round(dist, 6) AS dist FROM lsh
+      ORDER BY dist, vec_id"""))
 
   private val v10 = QuerySpec("v10_lsh_recall",
     // The v9 treatment for the MLlib LSH path: recall@10 of the
     // bucketed batch kNN against the exact batch kNN, per query —
     // the quality measurement that decides whether an LSH config
-    // earns trust, reported as data. Seed-deterministic (fixed
-    // Gaussian projections), so the recall rows are stable run to
-    // run; rows-only in the harness because MLlib's seeded projection
-    // draws cannot be reproduced in DuckDB SQL (the IVF twin v9 IS
-    // oracle-checked; LshAnnSpec additionally pins a recall floor on
-    // a fixture corpus).
+    // earns trust, reported as data. HASH-CHECKED via the same
+    // sidecar replay as v6 (round-9 ask #1): DuckDB rebuilds the
+    // LSH top-10 from the exported planes AND the exact top-10, then
+    // recomputes every recall row — both sides of the measurement
+    // are now inside the oracle, not just the measurement's output.
     (s, d) => {
       val e = t(s, d, "embeddings")
+      ensureLshSidecar(s, d, "lsh_v10", bucketLength = 4.0, numTables = 8)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val lsh = LshAnn.approxNearestBatch(e, "embedding", "vec_id",
@@ -2860,7 +2997,16 @@ object Queries {
           round(col("n_hit") / 10.0, 6).as("recall"))
         .orderBy("qid")
     },
-    None)
+    Some(s"""WITH ${lshReplayCtes("lsh_v10", "vec_id < 5", 10)},
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q) WHERE rn <= 10)
+      SELECT x.qid, count(l.vec_id) AS n_hit,
+        round(count(l.vec_id) / 10.0, 6) AS recall
+      FROM exact x LEFT JOIN lsh l ON x.qid = l.qid AND x.vec_id = l.vec_id
+      GROUP BY x.qid ORDER BY x.qid"""))
 
   private val f3 = QuerySpec("f3_ner_json_filter",
     // P8 serialize → P7 permissive parse → F3 metadata filter round
@@ -2986,22 +3132,24 @@ object Queries {
     // sf, no synthesized data. A mismatch fails the harness query
     // loudly; success stamps the result with identity_match=true, the
     // declared upgrade from a bare rows-only check.
-    val fixture = corpus.filter(
-      !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
-    val fixSearch = new MultiStageSearch(fixture, "doc_id", "text", "embedding")
-    val adaptive = fixSearch.search(q, col("qv")).collect().toSeq
-    val fixed = fixSearch.searchFixed(q, col("qv")).collect().toSeq
-    require(adaptive.nonEmpty,
-      "cascade identity fixture produced no rows — the check did not bite")
-    require(adaptive == fixed,
-      s"adaptive/fixed cascade identity violated on the all-gates-fire " +
-        s"fixture: ${adaptive.length} vs ${fixed.length} rows\n" +
-        s"adaptive=$adaptive\nfixed=$fixed")
+    if (identityGates) {
+      val fixture = corpus.filter(
+        !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
+      val fixSearch = new MultiStageSearch(fixture, "doc_id", "text", "embedding")
+      val adaptive = fixSearch.search(q, col("qv")).collect().toSeq
+      val fixed = fixSearch.searchFixed(q, col("qv")).collect().toSeq
+      require(adaptive.nonEmpty,
+        "cascade identity fixture produced no rows — the check did not bite")
+      require(adaptive == fixed,
+        s"adaptive/fixed cascade identity violated on the all-gates-fire " +
+          s"fixture: ${adaptive.length} vs ${fixed.length} rows\n" +
+          s"adaptive=$adaptive\nfixed=$fixed")
+    }
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     search.search(q, col("qv"))
       .select(col("rank"), col("doc_id"), col("stage_rank"),
         round(col("dist"), 6).as("dist"), col("score"),
-        lit(true).as("identity_match"))
+        lit(identityGates).as("identity_match"))
   }
 
   private val c3 = QuerySpec("c3_cascade_fixed",
@@ -3121,18 +3269,26 @@ object Queries {
       // oracle-checked query. Asserting row-identity here makes c2
       // transitively oracle-checked: c2 ≡ searchRemindFixed ≡ DuckDB.
       val adaptiveDf = search.searchRemind(q, col("qv"), scanK = 200)
-      val adaptive = adaptiveDf.collect().toSeq
-      val fixed = search.searchRemindFixed(q, col("qv"), scanK = 200).collect().toSeq
-      require(adaptive.nonEmpty && adaptive == fixed,
-        s"remind adaptive/fixed identity violated: ${adaptive.length} vs " +
-          s"${fixed.length} rows\nadaptive=$adaptive\nfixed=$fixed")
-      // the returned frame is the ALREADY-COLLECTED adaptive result
-      // (5 bounded rows) — re-running the search a third time for the
-      // return value would pay a whole extra pool scan per timed run
-      s.createDataFrame(s.sparkContext.parallelize(adaptive, 1), adaptiveDf.schema)
-        .select(col("rank"), col("doc_id"), col("stage_rank"),
-          round(col("dist"), 6).as("dist"), col("score"),
-          lit(true).as("identity_match"))
+      if (!identityGates)
+        // timed form (Bench): the adaptive cascade alone, no fixed twin
+        adaptiveDf
+          .select(col("rank"), col("doc_id"), col("stage_rank"),
+            round(col("dist"), 6).as("dist"), col("score"),
+            lit(false).as("identity_match"))
+      else {
+        val adaptive = adaptiveDf.collect().toSeq
+        val fixed = search.searchRemindFixed(q, col("qv"), scanK = 200).collect().toSeq
+        require(adaptive.nonEmpty && adaptive == fixed,
+          s"remind adaptive/fixed identity violated: ${adaptive.length} vs " +
+            s"${fixed.length} rows\nadaptive=$adaptive\nfixed=$fixed")
+        // the returned frame is the ALREADY-COLLECTED adaptive result
+        // (5 bounded rows) — re-running the search a third time for the
+        // return value would pay a whole extra pool scan per timed run
+        s.createDataFrame(s.sparkContext.parallelize(adaptive, 1), adaptiveDf.schema)
+          .select(col("rank"), col("doc_id"), col("stage_rank"),
+            round(col("dist"), 6).as("dist"), col("score"),
+            lit(true).as("identity_match"))
+      }
     },
     None)
 
@@ -3140,7 +3296,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

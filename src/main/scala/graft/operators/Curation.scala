@@ -216,6 +216,89 @@ object Curation {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** Apply-side duplicate-SPAN dedup (d9's ACTION): emit the CLEANED
+    * corpus with every detected duplicated span removed keep-first —
+    * for each [[duplicateSpans]] pair (doc_a < doc_b), doc_b's
+    * occurrence of the span is cut, so the lower-id doc keeps the one
+    * surviving copy (the same priority rule as the A1 stage dedup and
+    * the d10 keeper manifest). This is the operator a training
+    * pipeline actually runs after d9 reports spans: d9 detects,
+    * this emits.
+    *
+    * Span surgery is token-level: a doc's removal intervals
+    * [start_b, start_b + span_tokens) are merged where they overlap
+    * (classic cummax gaps-and-islands — two windows keyed by doc),
+    * surviving tokens re-join with single spaces. A cleaned doc is
+    * therefore whitespace-NORMALIZED (the tokenizer's contract);
+    * untouched docs keep their text byte-identical, so the transform
+    * is surgical, not a corpus rewrite.
+    *
+    * Scale shape: detection is [[duplicateSpans]]'s (gram-keyed, df-
+    * capped, never all-pairs); everything after is bounded by the
+    * AFFECTED set — intervals are span-pair-count rows, only affected
+    * docs explode to tokens (left-semi prune BEFORE posexplode), the
+    * interval anti-join broadcasts the merged-interval table, and the
+    * rebuild groups by doc id. A 100 TB corpus with sparse duplication
+    * pays the detector plus work proportional to the duplicated docs
+    * only.
+    *
+    * Returns the FULL corpus: (idCol, textCol cleaned-or-original,
+    * n_removed_tokens). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minTokens: Int,
+                           maxGramDf: Int = 1000): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minTokens, maxGramDf)
+    // removal intervals for the LATER doc of each pair, 1-based
+    // inclusive [s, e]; merge overlaps per doc so double-counted
+    // tokens (a position covered by two pairs) are cut exactly once
+    val iv = spans.select(col("doc_b").as("__mdoc"), col("start_b").as("__s"),
+      (col("start_b") + col("span_tokens") - 1).as("__e"))
+    val w = Window.partitionBy("__mdoc").orderBy("__s", "__e")
+    val merged = iv
+      .withColumn("__pmax",
+        max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__isl",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__grp", sum("__isl").over(w))
+      .groupBy("__mdoc", "__grp")
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+      .select("__mdoc", "__s", "__e")
+    val affected = merged.select(col("__mdoc").as("__adoc")).distinct()
+    // token surgery ONLY for affected docs: semi-join prune first, so
+    // the posexplode never runs over the untouched corpus
+    val affToks = df
+      .select(col(idCol).cast("long").as("__doc"), col(textCol).as("__t"))
+      .join(affected, col("__doc") === col("__adoc"), "left_semi")
+      .select(col("__doc"),
+        posexplode(split(trim(col("__t")), Ws)).as(Seq("__p0", "__tok")))
+      .select(col("__doc"), (col("__p0") + 1).as("__pos"), col("__tok"))
+    val kept = affToks.join(broadcast(merged),
+      col("__doc") === col("__mdoc") &&
+        col("__pos") >= col("__s") && col("__pos") <= col("__e"),
+      "left_anti")
+    val rebuilt = kept.groupBy("__doc")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__ctext"),
+        count(lit(1)).as("__nkept"))
+    // base on the affected set, not the rebuild: a doc whose EVERY
+    // token sat inside removal intervals has no kept rows and must
+    // come back as the empty string, not silently keep its text
+    val cleaned = affected
+      .join(rebuilt, col("__adoc") === col("__doc"), "left")
+      .select(col("__adoc"),
+        coalesce(col("__ctext"), lit("")).as("__ctext"),
+        coalesce(col("__nkept"), lit(0L)).as("__nkept"))
+    df.withColumn("__ntok", size(split(trim(col(textCol)), Ws)).cast("long"))
+      .join(cleaned, col(idCol).cast("long") === col("__adoc"), "left")
+      .select(col(idCol),
+        when(col("__adoc").isNotNull, col("__ctext"))
+          .otherwise(col(textCol)).as(textCol),
+        when(col("__adoc").isNotNull, col("__ntok") - col("__nkept"))
+          .otherwise(lit(0L)).as("n_removed_tokens"))
+  }
+
   /** Benchmark-contamination audit: for every (train doc, eval doc)
     * pair sharing at least `minShared` distinct word k-grams, report
     * the shared-gram count and the contaminated fraction of the train

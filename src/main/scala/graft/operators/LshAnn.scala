@@ -36,6 +36,39 @@ object LshAnn {
       .fit(data)
   }
 
+  /** The fitted model's random hyperplanes as a relation:
+    * (table_idx, plane: array<double>, bucket_length). This is what
+    * makes the seeded-LSH family ORACLE-CHECKABLE: the projections are
+    * drawn once at fit time from the seed, so exporting them as a
+    * sidecar table lets an independent engine replay the entire
+    * bucketing — `floor(dot(v, plane) / bucket_length)` per table —
+    * and verify the ANN results hash-for-hash instead of trusting a
+    * recall measurement. `randUnitVectors` is `private[ml]` in Scala
+    * but a public JVM accessor, hence the reflective read; the
+    * replay-equals-transform contract is pinned by LshAnnSpec against
+    * `model.transform` on every corpus vector. */
+  def hyperplanes(corpus: DataFrame, embCol: String, bucketLength: Double,
+                  numTables: Int, seed: Long = 42L): DataFrame = {
+    val model = fitModel(withVec(corpus, embCol), bucketLength, numTables, seed)
+    val planes = model.getClass.getMethod("randUnitVectors").invoke(model)
+      .asInstanceOf[Array[org.apache.spark.ml.linalg.Vector]]
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    planes.zipWithIndex
+      .map { case (v, i) => (i, v.toArray, bucketLength) }.toSeq
+      .toDF("table_idx", "plane", "bucket_length")
+  }
+
+  /** Write [[hyperplanes]] as a single-file parquet sidecar at `path`
+    * (overwrite): the index-time artifact the DuckDB oracle reads to
+    * replay the bucketing. numTables×dim doubles — driver-size by
+    * construction, so coalesce(1) is bounded. */
+  def writeHyperplaneSidecar(corpus: DataFrame, embCol: String, path: String,
+                             bucketLength: Double, numTables: Int,
+                             seed: Long = 42L): Unit =
+    hyperplanes(corpus, embCol, bucketLength, numTables, seed)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
   /** Single-query ANN: multi-probe kNN over the bucketed index. */
   def approxNearest(corpus: DataFrame, embCol: String, idCol: String,
                     queryVec: Seq[Double], k: Int,
@@ -45,6 +78,23 @@ object LshAnn {
     val model = fitModel(data, bucketLength, numTables, seed)
     model.approxNearestNeighbors(data, Vectors.dense(queryVec.toArray), k)
       .select(col(idCol), col("distCol").as("dist"))
+  }
+
+  /** The model's bucketing as a relation: (idCol, table_idx, bucket)
+    * for every corpus vector — one row per (vector, hash table), the
+    * exploded index a bucket join runs on. Public so the sidecar
+    * replay contract is spec-checkable: recomputing
+    * `floor(dot(vec, plane) / bucket_length)` from [[hyperplanes]]
+    * must reproduce this table exactly (LshAnnSpec pins it). */
+  def bucketTable(corpus: DataFrame, embCol: String, idCol: String,
+                  bucketLength: Double, numTables: Int,
+                  seed: Long = 42L): DataFrame = {
+    val data = withVec(corpus, embCol)
+    val model = fitModel(data, bucketLength, numTables, seed)
+    model.transform(data)
+      .select(col(idCol), posexplode(col("__hashes")).as(Seq("__t", "__h")))
+      .select(col(idCol), col("__t").as("table_idx"),
+        element_at(vector_to_array(col("__h")), 1).cast("long").as("bucket"))
   }
 
   /** Batch LSH kNN: top-k per query served from the bucketed index —

@@ -126,6 +126,40 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 5, 5, 6L)))
   }
 
+  test("removeDuplicateSpans cuts doc_b's span keep-first, keeps others byte-identical") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x c d e f g h i j"),   // shares c..j (8 tokens) at pos 3..10
+      (2L, "k l m  n o")             // untouched; double space preserved
+    ).toDF("doc_id", "text")
+    val got = Curation.removeDuplicateSpans(df, "doc_id", "text",
+        k = 3, minTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "a b c d e f g h i j", 0L),  // doc_a keeps the surviving copy
+      (1L, "x x", 8L),                  // tokens 3..10 cut, rest re-joined
+      (2L, "k l m  n o", 0L)))          // untouched text byte-identical
+  }
+
+  test("removeDuplicateSpans merges overlapping intervals and empties a fully-covered doc") {
+    val df = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "c d e f g h i j"),
+      (2L, "a b c d e f g h")          // doc 2 ≡ doc 0: whole doc covered
+    ).toDF("doc_id", "text")
+    // pairs: (0,2) full 8-token span; (0,1) spans c..h (6 < 8, dropped);
+    // (1,2) likewise dropped — doc 2's single interval covers all 8 tokens
+    val got = Curation.removeDuplicateSpans(df, "doc_id", "text",
+        k = 3, minTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "a b c d e f g h", 0L),
+      (1L, "c d e f g h i j", 0L),
+      (2L, "", 8L)))
+  }
+
   test("contamination equals a brute-force distinct-shingle intersection") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -81,6 +81,31 @@ class LshAnnSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane sidecar replays model.transform bucketing exactly") {
+    // the contract that makes the v6/v10 DuckDB oracles sound: for
+    // EVERY corpus vector and every hash table, floor(dot/L) computed
+    // from the exported planes equals the fitted model's own bucket.
+    // Offset coordinates so buckets span negative and positive values
+    // (floor vs truncate would diverge on negatives — this catches it).
+    val shifted = corpus.withColumn("embedding",
+      transform(col("embedding"), x => x - 4.5f))
+    val planes = LshAnn.hyperplanes(shifted, "embedding",
+      bucketLength = 2.0, numTables = 4)
+    assert(planes.count() == 4)
+    val replay = shifted.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("table_idx"),
+        floor(graft.functions.VectorFunctions.dot(
+          col("embedding").cast("array<double>"), col("plane"))
+          / col("bucket_length")).cast("long").as("bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    val viaModel = LshAnn.bucketTable(shifted, "embedding", "vec_id",
+        bucketLength = 2.0, numTables = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaModel.nonEmpty && replay == viaModel)
+    // and buckets genuinely straddle zero, so the floor semantics bit
+    assert(viaModel.exists(_._3 < 0) && viaModel.exists(_._3 >= 0))
+  }
+
   test("approxSelfJoin returns only pairs within the distance threshold") {
     val pairs = LshAnn.approxSelfJoin(corpus, "embedding", "vec_id",
         threshold = 1.01, numTables = 6)

@@ -162,7 +162,9 @@ class ShardExportSpec extends SparkSpec {
     // cannot land silently
     val src = new String(Files.readAllBytes(
       Paths.get("src/main/scala/graft/sources/ShardExport.scala")), "UTF-8")
-    assert(!src.contains("localCheckpoint"),
+    // match the call syntax, not the bare word — docstrings may (and do)
+    // mention localCheckpoint when explaining why it is avoided
+    assert(!src.contains(".localCheckpoint("),
       "ShardExport must stage upserts via temp-dir flip, not localCheckpoint")
     assert(src.contains("_graft_tmp_upsert"), "staging dir marker missing")
     // and a crash-leftover staging dir must not poison later reads:

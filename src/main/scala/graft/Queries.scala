@@ -1984,6 +1984,97 @@ object Queries {
           ELSE round(min_inter / mi, 6) END AS separation
       FROM inter i LEFT JOIN intra USING (cid) ORDER BY cluster_id"""))
 
+  /** v14's trained-index artifact — MLlib-KMeans centroids + the
+    * cluster-partitioned IVF index, built ONCE per sf dir (the
+    * bandIndexFor pattern): train → broadcast-argmin assign →
+    * IndexStore write are INDEX-time cost, paid when the index is
+    * (re)built; repeated verify/bench runs then measure SERVE-time,
+    * the cost a query actually pays against an existing index. A lost
+    * race builds twice into separate temp dirs — wasteful, never
+    * wrong. */
+  private val trainedIvfRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def trainedIvfFor(s: SparkSession, d: String): String =
+    trainedIvfRoots.getOrElseUpdate(d, {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_trained_ivf_").toString
+      val e = t(s, d, "embeddings")
+      val cent = Ann.trainCentroids(e, "embedding", k = 32, seed = 42L,
+        maxIter = 10)
+      cent.write.parquet(s"$root/centroids")
+      val assigned = Ann
+        .ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      graft.sources.IndexStore.write(assigned, s"$root/index")
+      root
+    })
+
+  private val v14 = QuerySpec("v14_trained_ivf_serve",
+    // Round-9 ask #2: the PRODUCTION index shape on the correctness
+    // clock. Every other s*/v9+ row assigns against toy fixed
+    // centroids (first-k vectors) precisely so DuckDB can replay the
+    // assignment; this query serves from an index whose centroids
+    // KMeans TRAINED (Ann.trainCentroids, seed-deterministic), stored
+    // cluster-partitioned and probed with static partition pruning
+    // (Ann.ivfSearchStore — the s9 serving shape). KMeans' iterative
+    // float reductions are not DuckDB-replayable, so the declared
+    // compensating checks are (the c1/t21 pattern):
+    //   1. identity: the served-from-store top-10 must equal the
+    //      inline ivfSearchBatch on the same centroid table row for
+    //      row — store round-trip and partition pruning change
+    //      nothing;
+    //   2. recall floor: recall@10 vs the exact kNN must clear 0.5,
+    //      raised loudly otherwise and REPORTED as data. The floor is
+    //      a broken-index alarm, not a quality SLA: random (broken)
+    //      bucketing at nprobe=8/32 would land near 0.25, while the
+    //      trained index measures 0.8 at sf0.01 and 0.6 at sf0.1 —
+    //      synthetic near-orthogonal embeddings are ANN's worst case,
+    //      and the honest contract is to report the measured number,
+    //      which the driver's hash then pins run-over-run.
+    // Both run under the identityGates flag: ON in Verify (the
+    // correctness artifact carries the stamp), OFF in the timed
+    // bench loop, which then measures pure serve cost.
+    (s, d) => {
+      val root = trainedIvfFor(s, d)
+      val cent = s.read.parquet(s"$root/centroids")
+      val e = t(s, d, "embeddings")
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      val served = Ann.ivfSearchStore(s, s"$root/index", "embedding",
+          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 8)
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+      val (stamp, recall): (Boolean, java.lang.Double) =
+        if (!identityGates) (false, null)
+        else {
+          val servedRows = served.collect().toSeq
+            .map(r => (r.getLong(0), r.getDouble(2)))
+          val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
+            cent, "cid", "cvec")
+          val qs = e.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          val inline = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+              cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 8)
+            .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+            .orderBy("dist", "vec_id").collect().toSeq
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          require(servedRows.nonEmpty && servedRows == inline,
+            s"trained-IVF store/inline identity violated: " +
+              s"served=$servedRows\ninline=$inline")
+          val exactIds = Knn.exact(e, "embedding", "vec_id", qv, 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val rec = servedRows.map(_._1).toSet.intersect(exactIds).size / 10.0
+          require(rec >= 0.5,
+            s"trained-IVF recall@10 $rec below the 0.5 broken-index " +
+              "floor at nprobe=8/32 (random bucketing would be ~0.25)")
+          (true, Double.box(rec))
+        }
+      served.withColumn("recall_at_10", lit(recall).cast("double"))
+        .withColumn("identity_match", lit(stamp))
+    },
+    None)
+
   private val v9 = QuerySpec("v9_ann_recall",
     // ANN quality measurement: recall@10 of batch IVF (64 toy
     // centroids, nprobe=8) against the exact batch kNN, per query.
@@ -3297,7 +3388,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

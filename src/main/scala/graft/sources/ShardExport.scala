@@ -107,10 +107,23 @@ object ShardExport {
     * shards are written whole to a `_graft_tmp_upsert` staging dir
     * (invisible to partition discovery) while their source files
     * still exist, then each affected `shard=<s>` directory is flipped
-    * by delete + rename — the [[IndexStore]] write-then-flip pattern,
-    * so the merge never holds the affected set on the heap
-    * (`localCheckpoint` would) and a crash mid-write leaves the live
-    * export untouched. The manifest merge gets the same treatment. */
+    * by TWO renames through a `_graft_trash_upsert` parking dir —
+    * live → trash, staged → live — so the merge never holds the
+    * affected set on the heap (`localCheckpoint` would) and at every
+    * instant each shard's rows exist in full somewhere on disk (the
+    * round-10 delete-then-rename had a window where a crash lost the
+    * shard outright: a retry would then re-merge against an export
+    * silently missing those docs). The flip loop is still not atomic
+    * ACROSS shards, so a `_graft_upsert_pending` journal (the
+    * affected-shard list) is written after staging and removed after
+    * the manifest lands; the next upsert call first COMPLETES a
+    * crashed predecessor's remaining flips from the surviving staging
+    * dir and recounts the journal's shards — idempotent from every
+    * crash window. What this deliberately does NOT give is reader
+    * isolation DURING a flip: a concurrent reader can see a mix of
+    * old and new shards (each internally complete). Snapshot
+    * isolation is [[IndexStore.writeVersioned]]'s trade — a
+    * full-corpus rewrite per version, wrong for a daily delta. */
   def upsertShards(outDir: String, delta: DataFrame, idCol: String,
                    textCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
@@ -125,6 +138,10 @@ object ShardExport {
         s"recorded n_shards $storedN — re-bucketing a delta under a " +
         "different modulus would leave stale duplicates of updated docs " +
         "in their original shards")
+    // a crashed predecessor's flips must complete BEFORE this call
+    // reads the export, or the merge would run against a mixed (or,
+    // pre-repair, shard-missing) view and bake it in
+    recoverPendingUpsert(spark, outDir, textCol)
     val deduped = withShard(delta.dropDuplicates(idCol), idCol, nShards)
     val affected = deduped.select("shard").distinct()
       .collect().map(_.get(0)) // bounded by nShards
@@ -136,34 +153,121 @@ object ShardExport {
       .repartition(affected.length.max(1), col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"))
       .drop("__ord")
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def flip(src: String, dst: String): Unit = {
-      val (s, d) = (new org.apache.hadoop.fs.Path(src),
-        new org.apache.hadoop.fs.Path(dst))
-      if (fs.exists(d)) fs.delete(d, true)
-      require(fs.rename(s, d), s"upsertShards: rename $src -> $dst failed")
-    }
-    // stage while sources still exist, then flip per affected shard
+    // stage while sources still exist, then journal + flip per shard
     val tmp = s"$outDir/_graft_tmp_upsert"
     merged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    affected.foreach(s => flip(s"$tmp/shard=$s", s"$outDir/shard=$s"))
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    // manifest merge stays delta-bounded too: recount ONLY the
-    // rewritten shards (partition-pruned read — static
-    // PartitionFilters, the d12 scheme), keep the other rows from the
-    // previous manifest. Re-reading the whole export to recount it
-    // would put the corpus-proportional scan right back into the
-    // incremental path.
-    val keptMf = spark.read.parquet(s"$outDir/_graft_manifest")
-      .filter(!col("shard").isin(affected: _*))
+    locally {
+      import spark.implicits._
+      affected.map(_.toString.toInt).toSeq.toDF("shard")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_graft_upsert_pending")
+    }
+    flipStagedShards(spark, outDir, affected.map(_.toString.toInt))
+    mergeManifestFor(spark, outDir, affected.map(_.toString.toInt), textCol)
+    spark.read.parquet(s"$outDir/_graft_manifest")
+  }
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Flip each staged `_graft_tmp_upsert/shard=<s>` into place via two
+    * renames through `_graft_trash_upsert` (live → trash, staged →
+    * live): no instant at which a shard's rows aren't on disk in full.
+    * Idempotent per shard — an already-flipped shard (absent from
+    * staging) is skipped, and a shard caught between its two renames
+    * (absent from live AND staging) is restored from trash — so a
+    * recovery rerun after a crash in ANY window converges. Trash and
+    * staging dirs are deleted only after every shard is live. */
+  private def flipStagedShards(spark: org.apache.spark.sql.SparkSession,
+                               outDir: String, shards: Seq[Int]): Unit = {
+    val fs = fsOf(spark, outDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$outDir/_graft_tmp_upsert"
+    val trash = s"$outDir/_graft_trash_upsert"
+    fs.mkdirs(p(trash))
+    shards.foreach { s =>
+      val staged = p(s"$tmp/shard=$s")
+      val live = p(s"$outDir/shard=$s")
+      val parked = p(s"$trash/shard=$s")
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          if (fs.exists(parked)) fs.delete(parked, true)
+          require(fs.rename(live, parked),
+            s"upsertShards: park $live -> $parked failed")
+        }
+        require(fs.rename(staged, live),
+          s"upsertShards: flip $staged -> $live failed")
+      } else if (!fs.exists(live)) {
+        // crashed between park and flip with staging since lost —
+        // possible only under external tampering; restore loudly
+        require(fs.exists(parked),
+          s"upsertShards: shard=$s missing from live, staging AND trash")
+        require(fs.rename(parked, live),
+          s"upsertShards: restore $parked -> $live failed")
+      }
+    }
+    fs.delete(p(trash), true)
+    fs.delete(p(tmp), true)
+  }
+
+  /** Delta-bounded manifest refresh: recount ONLY `shards` (partition-
+    * pruned read — static PartitionFilters, the d12 scheme), keep the
+    * other rows from the previous manifest, flip the result in via the
+    * same two-rename pattern, then clear the `_graft_upsert_pending`
+    * journal — the upsert's commit point. Re-reading the whole export
+    * to recount it would put the corpus-proportional scan right back
+    * into the incremental path. */
+  private def mergeManifestFor(spark: org.apache.spark.sql.SparkSession,
+                               outDir: String, shards: Seq[Int],
+                               textCol: String): Unit = {
+    val fs = fsOf(spark, outDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val mfLive = s"$outDir/_graft_manifest"
+    val mfTrash = s"$outDir/_graft_manifest_trash"
+    // a crash between the manifest's two renames leaves only the trash
+    // copy; read whichever exists so recovery still sees the old rows
+    val mfSrc = if (fs.exists(p(mfLive))) mfLive else mfTrash
+    require(fs.exists(p(mfSrc)), s"upsertShards: manifest missing at $mfLive")
+    val keptMf = spark.read.parquet(mfSrc)
+      .filter(!col("shard").isin(shards: _*))
     val affMf = countsByShard(
-      spark.read.parquet(outDir).filter(col("shard").isin(affected: _*)),
+      spark.read.parquet(outDir).filter(col("shard").isin(shards: _*)),
       textCol)
     val mf = keptMf.unionByName(affMf.select(keptMf.columns.map(col): _*))
     val mfTmp = s"$outDir/_graft_manifest_tmp"
     mf.coalesce(1).write.mode("overwrite").parquet(mfTmp)
-    flip(mfTmp, s"$outDir/_graft_manifest")
-    spark.read.parquet(s"$outDir/_graft_manifest")
+    if (fs.exists(p(mfTrash))) fs.delete(p(mfTrash), true)
+    if (fs.exists(p(mfLive)))
+      require(fs.rename(p(mfLive), p(mfTrash)),
+        s"upsertShards: park manifest failed")
+    require(fs.rename(p(mfTmp), p(mfLive)),
+      s"upsertShards: flip manifest failed")
+    fs.delete(p(mfTrash), true)
+    fs.delete(p(s"$outDir/_graft_upsert_pending"), true)
+  }
+
+  /** Complete a crashed upsert from its surviving journal: if
+    * `_graft_upsert_pending` exists, finish the remaining flips from
+    * the staging dir and recount the journal's shards; without a
+    * journal, a leftover staging/trash dir belongs to an upsert that
+    * crashed BEFORE its commit protocol started (the caller never saw
+    * success and will resubmit the delta), so it is discarded.
+    * Idempotent — safe to call from every upsert and from operational
+    * tooling. */
+  def recoverPendingUpsert(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String, textCol: String): Unit = {
+    val fs = fsOf(spark, outDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val pending = s"$outDir/_graft_upsert_pending"
+    if (fs.exists(p(pending))) {
+      val shards = spark.read.parquet(pending)
+        .collect().map(_.getInt(0)).toSeq
+      flipStagedShards(spark, outDir, shards)
+      mergeManifestFor(spark, outDir, shards, textCol)
+    } else {
+      fs.delete(p(s"$outDir/_graft_tmp_upsert"), true)
+      fs.delete(p(s"$outDir/_graft_trash_upsert"), true)
+    }
   }
 }

@@ -154,6 +154,67 @@ class ShardExportSpec extends SparkSpec {
     ShardExport.upsertShards(out, delta, "doc_id", "text", 8)
   }
 
+  test("a crashed upsert is completed from its journal, from every crash window") {
+    import java.nio.file.{Files => F, Paths => P, StandardCopyOption}
+    // expected end state: a real, uninterrupted upsert
+    val outDone = F.createTempDirectory("graft_crash_done").toString
+    ShardExport.writeShards(docs, "doc_id", "text", outDone, 8)
+    val delta = Seq((5L, "doc 5 REVISED body"), (1000L, "new doc body"),
+      (1001L, "second new doc"), (1002L, "third new doc"))
+      .toDF("doc_id", "text")
+    val affected = ShardExport.withShard(delta, "doc_id", 8)
+      .select("shard").distinct().as[Long].collect()
+      .map(_.toInt).sorted.toSeq
+    assume(affected.size >= 2, "fixture must hit at least two shards")
+    ShardExport.upsertShards(outDone, delta, "doc_id", "text", 8)
+    def rows(o: String, s: Int) = spark.read.parquet(s"$o/shard=$s")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def mf(o: String) = spark.read.parquet(s"$o/_graft_manifest")
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    // crash scene: fresh export + staged merge + journal, flips torn
+    // at three different points
+    val out = F.createTempDirectory("graft_crash").toString
+    ShardExport.writeShards(docs, "doc_id", "text", out, 8)
+    def copyDir(src: String, dst: String): Unit = {
+      F.createDirectories(P.get(dst))
+      F.list(P.get(src)).iterator().forEachRemaining { f =>
+        if (!F.isDirectory(f))
+          F.copy(f, P.get(dst, f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // staging = what the flips would install (== outDone's shard dirs)
+    affected.foreach(s =>
+      copyDir(s"$outDone/shard=$s", s"$out/_graft_tmp_upsert/shard=$s"))
+    affected.toDF("shard").coalesce(1).write
+      .parquet(s"$out/_graft_upsert_pending")
+    // window B (mid-flip): first shard parked to trash, live absent
+    val b = affected.head
+    F.createDirectories(P.get(s"$out/_graft_trash_upsert"))
+    F.move(P.get(s"$out/shard=$b"),
+      P.get(s"$out/_graft_trash_upsert/shard=$b"))
+    // window C (post-flip, pre-manifest): last shard already live,
+    // old copy in trash, staged copy consumed
+    val c = affected.last
+    F.move(P.get(s"$out/shard=$c"),
+      P.get(s"$out/_graft_trash_upsert/shard=$c"))
+    F.move(P.get(s"$out/_graft_tmp_upsert/shard=$c"), P.get(s"$out/shard=$c"))
+    // (remaining affected shards, if any, sit in window A: journal
+    // written, flip not started)
+    ShardExport.recoverPendingUpsert(spark, out, "text")
+    for (s <- 0 until 8 if F.exists(P.get(s"$outDone/shard=$s")))
+      assert(rows(out, s) == rows(outDone, s), s"shard $s diverged")
+    assert(mf(out) == mf(outDone), "recovered manifest diverged")
+    for (d <- Seq("_graft_upsert_pending", "_graft_tmp_upsert",
+        "_graft_trash_upsert"))
+      assert(!F.exists(P.get(s"$out/$d")), s"$d not cleaned up")
+    // and with no journal, recovery just discards crash litter
+    F.createDirectories(P.get(s"$out/_graft_tmp_upsert/shard=0"))
+    ShardExport.recoverPendingUpsert(spark, out, "text")
+    assert(!F.exists(P.get(s"$out/_graft_tmp_upsert")))
+    assert(mf(out) == mf(outDone))
+  }
+
   test("upsert merge stages via temp-dir flip, not a localCheckpoint memory pin") {
     // the read-modify-write safety comes from write-then-flip (the
     // IndexStore pattern), never from pinning affected-shard rows on

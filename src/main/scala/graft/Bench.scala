@@ -86,7 +86,8 @@ object Bench {
         // which is what those queries exist to time. Build cost is
         // disclosed in warmup_sec.
         "s8_pq_served", "s9_ivfpq_served", "d12_incremental_banded",
-        "t21_quality_classifier", "v14_trained_ivf_serve",
+        "d17_containment_served", "t21_quality_classifier",
+        "v14_trained_ivf_serve",
         // t23's drift full-outer join is its own codegen family and its
         // first run pays multi-second Janino compile
         "t23_drift_windows")

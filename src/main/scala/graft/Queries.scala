@@ -1588,6 +1588,44 @@ object Queries {
       SELECT doc_new, doc_old, n_small, round(c, 6) AS containment
       FROM verified WHERE c >= 0.8 ORDER BY doc_new, doc_old"""))
 
+  /** d17's pre-stored corpus rare-shingle index — built ONCE per sf
+    * dir (the bandIndexFor pattern): the INDEX-time artifact of the
+    * incremental containment design, so repeated runs measure the
+    * per-batch probe cost, not the corpus-side shingle+df pass (240 s
+    * of d15's first run at 100× — PLANS.md round 11). */
+  private val shingleIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def shingleIndexFor(s: SparkSession, d: String): String =
+    shingleIndexPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_shingle_idx_").toString + "/posts"
+      Dedup.writeShingleIndex(
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", p, shingleK = 3, maxDf = 20, nBuckets = 16)
+      p
+    })
+
+  private val d17 = QuerySpec("d17_containment_served",
+    // d15 served from the pre-stored rare-shingle inverted index: the
+    // corpus side reads ONLY the batch's posting buckets (static
+    // partition pruning on shingle_bucket) and re-shingles only
+    // CANDIDATE corpus docs, instead of re-shingling + re-df-counting
+    // the whole corpus per batch — the d12 treatment applied to the
+    // containment family. Identical pairs by construction (rarity
+    // judged on the same corpus df, recorded at index-build time; all
+    // parameters from the index's own _graft_meta) — the oracle IS
+    // d15's.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.containmentPairsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0),
+          shingleIndexFor(s, d),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", minShared = 2, threshold = 0.8)
+        .orderBy("doc_new", "doc_old")
+    },
+    d15.oracle)
+
   private val d4 = QuerySpec("d4_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         shingleK = 2, threshold = 0.4)
@@ -3387,7 +3425,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

@@ -723,6 +723,112 @@ object Dedup {
     out
   }
 
+  /** The containment family's index-time artifact (the
+    * [[writeBandIndex]] treatment for [[containmentPairsAgainst]]):
+    * the corpus's RARE-shingle inverted index — (s, doc_id) posting
+    * rows for shingles with corpus df ≤ maxDf — stored
+    * partitionBy(shingle_bucket) so a daily batch's probe reads only
+    * the buckets its own shingles hash into. Rarity is judged on
+    * corpus df, the precomputable index-time statistic; the df cap is
+    * what keeps the posting list non-quadratic (stop-shingles never
+    * enter the index). This is the 100×-measured split made physical:
+    * the corpus-side shingle+df pass (240 s at 100× sf0.1, PLANS.md
+    * round 11) is paid HERE once per corpus version, and the per-batch
+    * query pays only its probe. Hash-scheme parameters persist in
+    * `_graft_meta`; readers take them from the index, never from the
+    * caller. */
+  def writeShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleK: Int = 3, maxDf: Int = 20,
+                        nBuckets: Int = 64): Unit = {
+    require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    val spark = corpus.sparkSession
+    // two consumers (df census + posting join) → bounded persist
+    val sh = shinglePipeline(corpus, idCol, textCol, shingleK)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("s")
+    sh.join(rare, Seq("s"))
+      .select(col("s"), col("doc_id"),
+        pmod(hash(col("s")), lit(nBuckets)).as("shingle_bucket"))
+      .write.mode("overwrite").partitionBy("shingle_bucket").parquet(path)
+    sh.unpersist()
+    import spark.implicits._
+    Seq((shingleK, maxDf, nBuckets))
+      .toDF("shingle_k", "max_df", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** The pruned posting read [[containmentPairsAgainstIndex]] is built
+    * on, extracted so its plan shape is testable (the
+    * [[prunedBandRead]] precedent): DedupSpec asserts the scan carries
+    * a `shingle_bucket` PartitionFilter. */
+  private[graft] def prunedShingleRead(spark: SparkSession, indexPath: String,
+                                       buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("shingle_bucket").isin(buckets: _*))
+
+  /** [[containmentPairsAgainst]] served from a pre-stored rare-shingle
+    * index ([[writeShingleIndex]]'s artifact) — identical pairs, but
+    * the corpus side reads ONLY the posting buckets the batch's own
+    * shingles hash into (static partition pruning on shingle_bucket;
+    * the bucket list is a bounded driver collect, ≤ the index's
+    * nBuckets) instead of re-shingling and re-counting the whole
+    * corpus per batch. The exact containment verify re-shingles just
+    * the CANDIDATE corpus docs (semi-join on the collision pairs), so
+    * corpus-side work scales with the batch's collision footprint,
+    * not the corpus. Candidate semantics are
+    * [[containmentPairsAgainst]]'s exactly: ≥ minShared shared
+    * rare-by-corpus-df shingles, then C = |A∩B| / min(|A|,|B|) ≥
+    * threshold on the FULL shingle sets. */
+  def containmentPairsAgainstIndex(newDf: DataFrame, indexPath: String,
+                                   corpus: DataFrame, idCol: String,
+                                   textCol: String, minShared: Int = 2,
+                                   threshold: Double = 0.8): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold must be in (0, 1]")
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/_graft_meta").collect()(0)
+    val (shingleK, nBuckets) =
+      (meta.getAs[Int]("shingle_k"), meta.getAs[Int]("n_buckets"))
+    val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
+    // ≤ nBuckets values: the literal IN list makes the pruning STATIC
+    // (visible in the scan's PartitionFilters), not a runtime join
+    val buckets = newShingles
+      .select(pmod(hash(col("s")), lit(nBuckets)).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val posts = prunedShingleRead(spark, indexPath, buckets)
+    val cand = newShingles.select(col("s"), col("doc_id").as("doc_new"))
+      .join(posts.select(col("s"), col("doc_id").as("doc_old")), Seq("s"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("doc_new", "doc_old")
+      .localCheckpoint(true) // eager + small: reused for verify AND the semi-join
+    val newSets = newShingles.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh_new"))
+    val oldIds = cand.select(col("doc_old")).distinct()
+    val oldSets = corpus
+      .join(oldIds, corpus(idCol) === oldIds("doc_old"), "left_semi")
+      .select(col(idCol).as("doc_old"),
+        TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_old"))
+    val out = cand
+      .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(oldSets, Seq("doc_old"))
+      .withColumn("__inter",
+        size(array_intersect(col("sh_new"), col("sh_old"))))
+      .withColumn("__minsz", least(size(col("sh_new")), size(col("sh_old"))))
+      .withColumn("containment",
+        col("__inter").cast("double") / col("__minsz"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_new"), col("doc_old"),
+        col("__minsz").cast("long").as("n_small"),
+        round(col("containment"), 6).as("containment"))
+      .localCheckpoint(true)
+    newShingles.unpersist()
+    out
+  }
+
   /** Near-dup GROUPS from near-dup pairs: connected components by
     * iterated min-label propagation (hash-to-min). Each node adopts
     * the minimum label in its closed neighborhood until fixpoint —

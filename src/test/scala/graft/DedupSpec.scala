@@ -111,6 +111,61 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 
+  test("shingle index: AgainstIndex equals Against, scheme read from index metadata") {
+    // base nests inside big (high containment, LOW jaccard — the
+    // quadrant the containment family exists for)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = base + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val far = "unrelated words that overlap with nothing else at all here"
+    val corpus = Seq((3L, big), (4L, far)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, "totally different payload again"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_sh_idx").toFile
+    val dir = root.toString + "/posts"
+    try {
+      // NON-default scheme: the reader must pick it up from _graft_meta
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,
+        shingleK = 2, maxDf = 5, nBuckets = 8)
+      val viaIndex = Dedup.containmentPairsAgainstIndex(batch, dir, corpus,
+          "doc_id", "text", minShared = 2, threshold = 0.5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val direct = Dedup.containmentPairsAgainst(batch, corpus,
+          "doc_id", "text", shingleK = 2, maxDf = 5,
+          minShared = 2, threshold = 0.5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(viaIndex.nonEmpty && viaIndex == direct)
+      assert(viaIndex.exists { case (n, o, _, c) => n == 10L && o == 3L && c >= 0.5 })
+      val sub = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(sub.exists(_.startsWith("shingle_bucket=")))
+      assert(sub.contains("_graft_meta"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("shingle index read is partition-pruned to the requested buckets") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i words ${"x " * i.toInt}"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_sh_prune").toFile
+    val dir = root.toString + "/posts"
+    try {
+      Dedup.writeShingleIndex(docs, "doc_id", "text", dir,
+        shingleK = 2, maxDf = 10, nBuckets = 8)
+      val wanted = Seq(1, 3)
+      val pruned = Dedup.prunedShingleRead(spark, dir, wanted)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("shingle_bucket"),
+        s"no shingle_bucket partition filter in scan:\n$scan")
+      val scanExec = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec leaf"))
+      val partsRead = scanExec.metrics("numPartitions").value
+      assert(partsRead <= wanted.size,
+        s"scan read $partsRead bucket partitions, wanted <= ${wanted.size}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
   test("band index read is partition-pruned to the requested buckets") {
     // minhashNearDupsAgainstIndex's output is localCheckpoint'ed, so
     // the pruning is invisible in ITS plan — assert it on the extracted

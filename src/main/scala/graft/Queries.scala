@@ -980,6 +980,60 @@ object Queries {
           ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  private val t27 = QuerySpec("t27_pii_redact",
+    // PII scrubbing (Curation.redactPii — the C4/Dolma-style curation
+    // ACTION before export): emails, IPv4s and ≥9-digit runs replaced
+    // with typed tags, per-doc counts of what each sequential stage
+    // actually replaced. The synthetic corpus carries no PII, so it is
+    // PLANTED deterministically from table columns (the f4 corruption
+    // pattern — every 5th doc an email, every 7th an IP, every 11th an
+    // account-shaped digit run; doc 0 gets all three), which makes the
+    // redaction path bite on every sf. Oracle replays plant + the
+    // three-stage redaction with the same regexes under RE2 — the
+    // patterns are deliberately lookaround-free ASCII so both engines
+    // read them identically.
+    (s, d) => {
+      val planted = t(s, d, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" acct "),
+            (col("doc_id") * 1000003L + 123456789L).cast("string")))
+          .otherwise(lit(""))))
+      Curation.redactPii(planted, "text")
+        .select(col("doc_id"), col("text"), col("n_emails"),
+          col("n_ipv4"), col("n_idruns"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (SELECT doc_id, text ||
+        (CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0
+          THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END) ||
+        (CASE WHEN doc_id % 11 = 0
+          THEN ' acct ' || (doc_id * 1000003 + 123456789) ELSE '' END)
+        AS text FROM documents),
+      s1 AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '${Curation.PiiEmail}')) AS n_emails,
+        regexp_replace(text, '${Curation.PiiEmail}', '<EMAIL>', 'g') AS t1
+        FROM planted),
+      s2 AS (SELECT doc_id, n_emails,
+        len(regexp_extract_all(t1, '${Curation.PiiIpv4}')) AS n_ipv4,
+        regexp_replace(t1, '${Curation.PiiIpv4}', '<IP>', 'g') AS t2
+        FROM s1),
+      s3 AS (SELECT doc_id, n_emails, n_ipv4,
+        len(regexp_extract_all(t2, '${Curation.PiiIdRun}')) AS n_idruns,
+        regexp_replace(t2, '${Curation.PiiIdRun}', '<ID>', 'g') AS text
+        FROM s2)
+      SELECT doc_id, text, CAST(n_emails AS INT) AS n_emails,
+        CAST(n_ipv4 AS INT) AS n_ipv4, CAST(n_idruns AS INT) AS n_idruns
+      FROM s3 ORDER BY doc_id"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -3424,7 +3478,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -589,4 +589,36 @@ object Curation {
         (abs(col("__approx") - col("n_distinct"))
           <= col("n_distinct").cast("double") * tol).as("hll_ok"))
   }
+
+  /** PII patterns, deliberately lookaround-free ASCII so the same
+    * regex means the same thing under Java's engine (Spark) and RE2
+    * (the DuckDB oracle): emails, dotted-quad IPv4, and bare digit
+    * runs of ≥9 (account/SSN-shaped). Public so the spec and the
+    * oracle builder quote ONE definition. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiIdRun = "\\b\\d{9,}\\b"
+
+  /** PII redaction (the curation ACTION every large training-corpus
+    * pipeline runs before export — C4/Dolma-style scrubbing): replace
+    * emails, IPv4 addresses and long digit runs with typed tags and
+    * report per-doc counts of what was ACTUALLY replaced. Redaction is
+    * sequential — emails first, then IPv4 on the email-redacted text,
+    * then digit runs on the IP-redacted text — and each count is
+    * measured on the text its own stage saw, so a digit run inside an
+    * email is redacted (and counted) exactly once, as part of the
+    * email. A doc with no matches keeps its text byte-identical.
+    *
+    * Scale shape: a pure narrow map (three codegen'd regexps per row),
+    * no shuffle, no join — at 100 TB the cost is the scan itself.
+    * Returns all input columns with textCol redacted, plus
+    * (n_emails, n_ipv4, n_idruns). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)))
+      .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+      .withColumn("n_ipv4", regexp_count(col("__t1"), lit(PiiIpv4)))
+      .withColumn("__t2", regexp_replace(col("__t1"), PiiIpv4, "<IP>"))
+      .withColumn("n_idruns", regexp_count(col("__t2"), lit(PiiIdRun)))
+      .withColumn(textCol, regexp_replace(col("__t2"), PiiIdRun, "<ID>"))
+      .drop("__t1", "__t2")
 }

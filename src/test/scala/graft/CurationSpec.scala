@@ -160,6 +160,27 @@ class CurationSpec extends SparkSpec {
       (2L, "", 8L)))
   }
 
+  test("redactPii: typed tags, per-stage counts, byte-identity for clean docs") {
+    val df = Seq(
+      (0L, "mail me at a.user+x@sub.example.org or b@c.io thanks"),
+      (1L, "server 192.168.1.250 and 10.0.0.1 are up"),
+      (2L, "acct 123456789 ref 98765432100"),
+      (3L, "clean doc  with double space and digits 12345678"), // 8 < 9
+      (4L, "mixed x9876543210@bank.example.com then 1.2.3.4 then 555000111222")
+    ).toDF("doc_id", "text")
+    val got = Curation.redactPii(df, "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    assert(got(0) == ((0L, "mail me at <EMAIL> or <EMAIL> thanks", 2, 0, 0)))
+    assert(got(1) == ((1L, "server <IP> and <IP> are up", 0, 2, 0)))
+    assert(got(2) == ((2L, "acct <ID> ref <ID>", 0, 0, 2)))
+    // untouched doc: byte-identical text (double space preserved), all zero
+    assert(got(3) == ((3L, "clean doc  with double space and digits 12345678", 0, 0, 0)))
+    // the digit run INSIDE the email is consumed by the email stage —
+    // redacted once, counted once, never double-tagged
+    assert(got(4) == ((4L, "mixed <EMAIL> then <IP> then <ID>", 1, 1, 1)))
+  }
+
   test("contamination equals a brute-force distinct-shingle intersection") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

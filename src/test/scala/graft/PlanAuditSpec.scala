@@ -48,6 +48,18 @@ class PlanAuditSpec extends SparkSpec {
         s"on the driver):\n$plan")
   }
 
+  test("t27 PII redaction: a pure narrow map — no exchange of any kind") {
+    // the scrub's whole scale story is "cost = the corpus scan": any
+    // exchange appearing here means the redaction stopped being a
+    // per-row map (the orderBy in the harness entry is presentation,
+    // so audit the operator itself)
+    val plan = graft.operators.Curation.redactPii(
+        spark.read.parquet(s"$sf/documents.parquet"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"redactPii must plan as a narrow map, no exchange:\n$plan")
+  }
+
   test("t16 source cap: the rank window partitions by group, never globally") {
     // groupCap returns EVERY row flagged (no rank<=cap filter, so no
     // WindowGroupLimit to push) — the scale property to pin is that

@@ -1034,6 +1034,46 @@ object Queries {
         CAST(n_ipv4 AS INT) AS n_ipv4, CAST(n_idruns AS INT) AS n_idruns
       FROM s3 ORDER BY doc_id"""))
 
+  private val t28 = QuerySpec("t28_mixture_sample",
+    // Training-mix sampling (Curation.mixtureSample): per-source
+    // weights (src1 upweighted 3×, src2 downweighted to 0.5, default
+    // 1.0) + a 20k-token budget → per-source admission thresholds
+    // p_micro = ⌊min(1, target/total)·1e6⌋, docs admitted by
+    // hashBucket(doc_id, 1e6) < p_micro — deterministic, engine-
+    // portable, and NESTED in the budget. Reported as the per-source
+    // audit relation (threshold, sampled docs, sampled tokens); the
+    // oracle replays totals, thresholds and the hash draw exactly.
+    (s, d) => {
+      val sampled = Curation.mixtureSample(t(s, d, "documents"),
+        "doc_id", "text", "source",
+        weights = Map("src1" -> 3.0, "src2" -> 0.5),
+        tokenBudget = 20000L)
+      sampled
+        .groupBy("source", "p_micro")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
+            .as("n_tokens"))
+        .select(col("source"), col("p_micro"), col("n_docs"), col("n_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (SELECT source, doc_id,
+        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS DOUBLE)
+          AS nt,
+        ${hashBucketSql("doc_id", 1000000)} AS hb FROM documents),
+      tot AS (SELECT source, sum(nt) AS total,
+        (CASE WHEN source = 'src1' THEN 3.0
+          WHEN source = 'src2' THEN 0.5 ELSE 1.0 END) AS w
+        FROM tok GROUP BY source),
+      th AS (SELECT source,
+        CAST(floor(least(1.0, CAST(20000 AS DOUBLE) * w
+          / (SELECT sum(w) FROM tot) / total) * 1000000.0) AS BIGINT) AS p
+        FROM tot)
+      SELECT t.source, th.p AS p_micro, count(*) AS n_docs,
+        CAST(sum(t.nt) AS BIGINT) AS n_tokens
+      FROM tok t JOIN th ON t.source = th.source AND t.hb < th.p
+      GROUP BY t.source, th.p ORDER BY t.source"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -3478,7 +3518,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -613,6 +613,57 @@ object Curation {
     * no shuffle, no join — at 100 TB the cost is the scan itself.
     * Returns all input columns with textCol redacted, plus
     * (n_emails, n_ipv4, n_idruns). */
+  /** Deterministic training-mix sampling (the data-MIXING step of an
+    * LLM pipeline: given per-source weights and a total token budget,
+    * draw a sample whose per-source token mass approaches
+    * budget·wₛ/Σw). Per source, the admission probability is
+    * pₛ = min(1, targetₛ / tokensₛ), materialized as an integer
+    * micro-threshold, and a doc is admitted iff
+    * hashBucket(id, 1e6) < ⌊pₛ·1e6⌋ — content-free id hashing, so the
+    * draw is reproducible across engines and runs, and NESTED: raising
+    * the budget only ever ADDS docs (a doc admitted at p stays
+    * admitted at every p' ≥ p), the property shuffle/rand sampling
+    * loses on every re-ingestion. A weight of 0 excludes a source
+    * exactly; sources missing from `weights` get `defaultWeight`.
+    *
+    * Scale shape: one per-source token aggregate (≤ #sources rows,
+    * broadcast back), then a pure narrow filter over the corpus — no
+    * corpus shuffle. Oversampling error is one doc per source by
+    * construction (the threshold cuts a hash-ordered prefix).
+    *
+    * Returns the sampled rows (all input columns) plus `p_micro`, the
+    * source's admission threshold — emitted so an auditor (and the
+    * oracle) can verify every admitted doc against it. */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, weights: Map[String, Double],
+                    tokenBudget: Long,
+                    defaultWeight: Double = 1.0): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget $tokenBudget must be >= 1")
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "negative mixture weights are meaningless")
+    import graft.functions.TextAnalysis
+    val wCase = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultWeight): Column) { case ((s, w), els) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(els)
+      }
+    val toks = df.withColumn("__nt",
+      TextAnalysis.tokenCountWs(col(textCol)).cast("double"))
+    val totals = toks.groupBy(col(sourceCol))
+      .agg(sum(col("__nt")).as("__total"))
+      .withColumn("__w", wCase)
+    val th = totals
+      .crossJoin(broadcast(totals.agg(sum(col("__w")).as("__sumw"))))
+      .withColumn("__p",
+        floor(least(lit(1.0),
+          lit(tokenBudget.toDouble) * col("__w") / col("__sumw")
+            / col("__total")) * lit(1000000.0)).cast("long"))
+      .select(col(sourceCol), col("__p"))
+    toks.join(broadcast(th), Seq(sourceCol))
+      .filter(hashBucket(col(idCol), 1000000) < col("__p"))
+      .withColumn("p_micro", col("__p"))
+      .drop("__p", "__nt")
+  }
+
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)))
       .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))

@@ -160,6 +160,44 @@ class CurationSpec extends SparkSpec {
       (2L, "", 8L)))
   }
 
+  test("mixtureSample: weighted thresholds, weight-0 exclusion, nested in the budget") {
+    val docs = (0L until 300L).map { i =>
+      val src = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      (i, src, s"tok ${"w " * 9}end") // 11 ws-tokens per doc
+    }.toDF("doc_id", "source", "text")
+    // equal corpus mass per source (100 docs × 11 tokens); weights
+    // 2:1:0 at a 660-token budget → targets 440/220/0 vs totals 1100
+    val got = Curation.mixtureSample(docs, "doc_id", "text", "source",
+      weights = Map("a" -> 2.0, "c" -> 0.0), tokenBudget = 660L)
+    val bySrc = got.groupBy("source")
+      .agg(countDistinct("doc_id").as("n"), max("p_micro").as("p"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // weight 0 excludes the source exactly
+    assert(!bySrc.contains("c"))
+    // thresholds are the arithmetic, not an approximation:
+    // p(a) = floor(min(1, 660*(2/3)/1100)*1e6) = 400000; p(b) half that
+    assert(bySrc("a")._2 == 400000L && bySrc("b")._2 == 200000L)
+    // admission = hash prefix below the threshold, so the draw leans
+    // toward p but is exact per doc; sanity-band the counts
+    assert(bySrc("a")._1 > 20 && bySrc("a")._1 < 80)
+    assert(bySrc("b")._1 > 5 && bySrc("b")._1 < 50)
+    // every admitted doc really sits under its source's threshold
+    val bad = got.filter(
+      Curation.hashBucket(col("doc_id"), 1000000) >= col("p_micro")).count()
+    assert(bad == 0)
+    // NESTED: doubling the budget only ever ADDS docs
+    val small = got.select("doc_id").as[Long].collect().toSet
+    val big = Curation.mixtureSample(docs, "doc_id", "text", "source",
+        weights = Map("a" -> 2.0, "c" -> 0.0), tokenBudget = 1320L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big) && big.size > small.size)
+    // determinism: the same call yields the same set
+    val again = Curation.mixtureSample(docs, "doc_id", "text", "source",
+        weights = Map("a" -> 2.0, "c" -> 0.0), tokenBudget = 660L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == small)
+  }
+
   test("redactPii: typed tags, per-stage counts, byte-identity for clean docs") {
     val df = Seq(
       (0L, "mail me at a.user+x@sub.example.org or b@c.io thanks"),

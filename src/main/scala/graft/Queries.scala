@@ -1074,6 +1074,33 @@ object Queries {
       FROM tok t JOIN th ON t.source = th.source AND t.hb < th.p
       GROUP BY t.source, th.p ORDER BY t.source"""))
 
+  private val t29 = QuerySpec("t29_semantic_decontam",
+    // Embedding-space decontamination (Curation.semanticDecontaminate):
+    // t20's verdict manifest recomputed in vector space — a train doc
+    // is dropped when its embedding sits within cosine >= 0.25 of any
+    // eval embedding, catching paraphrased leakage that shares no
+    // verbatim k-gram. Eval slice (vec_id % 50 = 0) broadcasts; the
+    // corpus pass is one narrow JVM max-cosine map, no corpus shuffle.
+    // The oracle replays the full train x eval max by brute force —
+    // identical double folds, so the keep verdict (taken on the EXACT
+    // max) and the 6dp-rounded cos_max both hash-match.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      Curation.semanticDecontaminate(
+          e.filter(col("vec_id") % 50 =!= 0),
+          e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.25)
+        .select(col("doc_id"), round(col("cos_max"), 6).as("cos_max"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ev AS (SELECT embedding AS ev FROM embeddings WHERE vec_id % 50 = 0),
+      tr AS (SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id % 50 <> 0),
+      cm AS (SELECT vec_id, max(${cosineSql("t.emb", "e.ev")}) AS cm
+        FROM tr t CROSS JOIN ev e GROUP BY vec_id)
+      SELECT vec_id AS doc_id, round(cm, 6) AS cos_max, cm < 0.25 AS keep
+      FROM cm ORDER BY doc_id"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -3518,7 +3545,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -432,6 +432,76 @@ object Curation {
         col("__hit").isNull.as("keep"))
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[decontaminate]]: a train doc is dropped when its embedding sits
+    * within cosine ≥ `threshold` of ANY eval-set embedding. Catches
+    * the paraphrased / translated / reformatted benchmark leakage that
+    * k-gram overlap is structurally blind to (the n-gram detector
+    * needs verbatim token runs; a reworded benchmark answer shares
+    * none) — the same gap SemDeDup-style semantic matching closes for
+    * dedup, applied to the train/eval boundary.
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of
+    * rows against a corpus of billions — so it rides the
+    * [[Ann.ivfAssignBig]] pattern: collected once (loud when empty),
+    * broadcast, and folded per train row by a tight JVM max-cosine
+    * loop. The corpus pass is a NARROW map — no crossJoin row
+    * explosion (n_train × n_eval intermediate rows never materialize),
+    * no corpus-keyed shuffle at all. The cosine fold replicates
+    * [[graft.functions.VectorFunctions.cosine]] exactly (one-pass
+    * double left fold, zero-norm → 0), so the result hash-matches the
+    * DuckDB mirror bit-for-bit.
+    *
+    * Contract: null embedding → null `cos_max`, keep = true (no
+    * contamination witnessed — [[decontaminate]]'s keep-unless-hit
+    * rule); mismatched dims fail loudly. Train/eval disjointness is
+    * the caller's contract, as in [[decontaminate]]. The verdict
+    * compares the EXACT max (callers round for display only). */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold $threshold must be in (-1, 1]")
+    val evals = Ann.collectCentroids(eval, idCol, embCol).map(_._2)
+    val bc = train.sparkSession.sparkContext.broadcast(evals)
+    val maxCos = udf { (emb: Seq[Double]) =>
+      if (emb == null) Option.empty[Double]
+      else {
+        val a = emb.toArray
+        val evs = bc.value
+        var best = Double.NegativeInfinity
+        var i = 0
+        while (i < evs.length) {
+          val c = cosStrict(a, evs(i))
+          if (c > best) best = c
+          i += 1
+        }
+        Some(best)
+      }
+    }
+    train.select(col(idCol).as("doc_id"),
+        maxCos(col(embCol).cast("array<double>")).as("cos_max"))
+      .withColumn("keep", coalesce(col("cos_max") < threshold, lit(true)))
+  }
+
+  /** One-pass cosine, bit-identical to the VectorCosine expression
+    * (dot/‖a‖²/‖b‖² as independent double left folds; zero-norm → 0);
+    * loud on dimension mismatch — a silent truncated fold would pass
+    * a contaminated doc with no error. */
+  private def cosStrict(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"embedding dim ${a.length} != eval dim ${b.length}")
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var j = 0
+    while (j < a.length) {
+      val x = a(j); val y = b(j)
+      dab += x * y; daa += x * x; dbb += y * y
+      j += 1
+    }
+    val nn = math.sqrt(daa) * math.sqrt(dbb)
+    if (nn == 0.0) 0.0 else dab / nn
+  }
+
   /** [[contamination]] with a broadcast Bloom-filter gate on the train
     * side — the 100 TB form of the audit.
     *

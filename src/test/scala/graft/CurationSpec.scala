@@ -325,6 +325,51 @@ class CurationSpec extends SparkSpec {
     assert(strict == Seq((10L, 3L, false), (11L, 0L, true), (12L, 0L, true)))
   }
 
+  test("semanticDecontaminate: exact copy dropped, orthogonal kept, null/zero kept") {
+    val train: org.apache.spark.sql.DataFrame = Seq(
+      (0L, Some(Seq(1.0, 0.0, 0.0))),   // verbatim eval copy → cos 1
+      (1L, Some(Seq(0.0, 1.0, 0.0))),   // orthogonal to both evals → 0
+      (2L, Some(Seq(0.6, 0.0, 0.8))),   // 0.6 vs e100, 0.8 vs e101 → max 0.8
+      (3L, None),                       // null embedding → kept, null max
+      (4L, Some(Seq(0.0, 0.0, 0.0)))    // zero norm → cos 0 by contract
+    ).toDF("id", "emb")
+    val eval = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 0.0, 1.0))).toDF("id", "emb")
+    val r = Curation.semanticDecontaminate(train, eval, "id", "emb", 0.7)
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Boolean)].collect().toSeq
+    assert(r.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(r(0)._2.contains(1.0) && !r(0)._3)
+    assert(r(1)._2.contains(0.0) && r(1)._3)
+    assert(r(2)._2.exists(c => math.abs(c - 0.8) < 1e-12) && !r(2)._3)
+    assert(r(3)._2.isEmpty && r(3)._3)
+    assert(r(4)._2.contains(0.0) && r(4)._3)
+    // verdict boundary is strict: max exactly AT the threshold drops
+    val at = Curation.semanticDecontaminate(train, eval, "id", "emb", 0.8)
+      .filter(col("doc_id") === 2L)
+      .as[(Long, Option[Double], Boolean)].collect().head
+    assert(!at._3, "cos_max == threshold must drop (keep is cos_max < tau)")
+  }
+
+  test("semanticDecontaminate: empty eval, dim mismatch, bad threshold fail loudly") {
+    val train = Seq((0L, Seq(1.0, 0.0))).toDF("id", "emb")
+    val emptyEval = Seq.empty[(Long, Seq[Double])].toDF("id", "emb")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.semanticDecontaminate(train, emptyEval, "id", "emb", 0.5)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val shortEval = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("id", "emb")
+    val e2 = intercept[Exception] {
+      Curation.semanticDecontaminate(train, shortEval, "id", "emb", 0.5).collect()
+    }
+    assert(e2.getMessage.contains("dim") || e2.getCause != null)
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.semanticDecontaminate(train, shortEval, "id", "emb", 1.5)
+    }
+    assert(e3.getMessage.contains("threshold"))
+  }
+
   test("contaminationBloom equals contamination for any fpp (FPs die in the join)") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

@@ -1726,6 +1726,44 @@ object Queries {
       p
     })
 
+  private val d18 = QuerySpec("d18_line_dedup",
+    // Corpus-wide line-level dedup APPLY (Curation.lineDedup): the
+    // RefinedWeb/CCNet step that strips repeated boilerplate lines
+    // keep-first and rebuilds each doc. Line structure is PLANTED
+    // deterministically from table columns (the t27 precedent —
+    // sf-independent): every doc gets the same header line (survives
+    // only in the min doc_id), a blank line (structure — preserved
+    // everywhere), its own unique body, and a per-source footer
+    // (survives once per source). The oracle replays the same reshape,
+    // a keep-first window over non-blank lines, and the ordered
+    // string_agg rebuild.
+    (s, d) => {
+      val reshaped = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("=== corpus boilerplate header ==="), lit(""),
+          col("text"),
+          concat(lit("footer of source "), col("source"))).as("text"))
+      Curation.lineDedup(reshaped, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id,
+        '=== corpus boilerplate header ===' || chr(10) || chr(10) || text
+          || chr(10) || 'footer of source ' || source AS text
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+      lines AS (SELECT doc_id, unnest(ls) AS ln,
+        unnest(range(1, len(ls) + 1)) AS pos FROM ls),
+      rn AS (SELECT doc_id, pos, ln, row_number() OVER (PARTITION BY ln
+          ORDER BY doc_id, pos) AS rn FROM lines WHERE trim(ln) <> ''),
+      kept AS (SELECT doc_id, pos, ln FROM rn WHERE rn = 1
+        UNION ALL SELECT doc_id, pos, ln FROM lines WHERE trim(ln) = ''),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(text_clean, '') AS text_clean
+      FROM ls l LEFT JOIN reb ON l.doc_id = reb.doc_id
+      ORDER BY l.doc_id"""))
+
   private val d17 = QuerySpec("d17_containment_served",
     // d15 served from the pre-stored rare-shingle inverted index: the
     // corpus side reads ONLY the batch's posting buckets (static
@@ -3546,7 +3584,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

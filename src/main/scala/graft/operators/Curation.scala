@@ -432,6 +432,55 @@ object Curation {
         col("__hit").isNull.as("keep"))
   }
 
+  /** Corpus-wide line-level dedup APPLY — the RefinedWeb/CCNet curation
+    * step: every line that already occurred anywhere else in the corpus
+    * (or earlier in the same document) is removed, keeping the single
+    * globally-first occurrence (smallest (doc_id, pos) — the A1
+    * keep-first convention), and each document is rebuilt from its
+    * surviving lines. Boilerplate headers/footers/nav chrome collapse
+    * to one canonical copy; whitespace-only lines are STRUCTURE, not
+    * content, and bypass dedup (collapsing them would merge every
+    * paragraph break in the corpus into one).
+    *
+    * Scale shape — three exchanges, none skew-fragile:
+    * 1. Canonical pass: groupBy(md5(line)) → min(struct(doc_id, pos)).
+    *    Partial aggregation collapses mass-duplicated lines map-side,
+    *    so the exchange carries one 16-byte digest + one (id, pos)
+    *    struct per DISTINCT line per partition — a row_number window
+    *    (the naive form) would instead funnel every copy of a
+    *    corpus-wide boilerplate line through ONE task's sort.
+    * 2. Verdict join on the digest: 1:1 enrich, AQE-skew-splittable
+    *    (a window over the same key could not be split).
+    * 3. Doc-keyed reassembly: sort_array over (pos, line) structs.
+    * Null text → n_lines null, n_kept 0, empty text_clean (null in,
+    * degenerate out — the d16 affected-doc contract). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
+    val nonBlank = lines.filter(trim(col("ln")) =!= "")
+    val canon = nonBlank
+      .groupBy(md5(col("ln")).as("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("h"), col("c.doc_id").as("__cdoc"), col("c.pos").as("__cpos"))
+    val keptNb = nonBlank.withColumn("h", md5(col("ln")))
+      .join(canon, Seq("h"))
+      .filter(col("doc_id") === col("__cdoc") && col("pos") === col("__cpos"))
+      .select("doc_id", "pos", "ln")
+    val kept = keptNb.unionByName(
+      lines.filter(trim(col("ln")) === "").select("doc_id", "pos", "ln"))
+    val reb = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("__nk"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("ln")))),
+        x => x.getField("ln")), "\n").as("__clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
+
   /** Semantic decontamination — the embedding-space twin of
     * [[decontaminate]]: a train doc is dropped when its embedding sits
     * within cosine ≥ `threshold` of ANY eval-set embedding. Catches

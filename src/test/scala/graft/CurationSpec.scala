@@ -325,6 +325,29 @@ class CurationSpec extends SparkSpec {
     assert(strict == Seq((10L, 3L, false), (11L, 0L, true), (12L, 0L, true)))
   }
 
+  test("lineDedup: keep-first across docs, intra-doc repeats cut, blanks preserved") {
+    val corpus = Seq(
+      (1L, "header\nunique one\nheader\nbody A"), // intra-doc repeat of header
+      (2L, "header\n\nbody B"),                   // header dup'd from doc 1; blank kept
+      (3L, "body C\nbody C\nbody C"),             // all-same lines: first survives
+      (4L, "totally unique\nlines here"),         // untouched → byte-identical
+      (5L, "header\nbody A")                      // everything seen before → empty
+    ).toDF("doc_id", "text")
+    val r = Curation.lineDedup(corpus, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 4L, 3L, "header\nunique one\nbody A"),
+      (2L, 3L, 2L, "\nbody B"),
+      (3L, 3L, 1L, "body C"),
+      (4L, 2L, 2L, "totally unique\nlines here"),
+      (5L, 2L, 0L, "")))
+    // whitespace-only lines are structure: never dedup'd, never canonical
+    val ws = Seq((1L, "a\n \nb"), (2L, " \nc\n ")).toDF("doc_id", "text")
+    val r2 = Curation.lineDedup(ws, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r2 == Seq((1L, 3L, 3L, "a\n \nb"), (2L, 3L, 3L, " \nc\n ")))
+  }
+
   test("semanticDecontaminate: exact copy dropped, orthogonal kept, null/zero kept") {
     val train: org.apache.spark.sql.DataFrame = Seq(
       (0L, Some(Seq(1.0, 0.0, 0.0))),   // verbatim eval copy → cos 1

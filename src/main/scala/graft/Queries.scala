@@ -1101,6 +1101,38 @@ object Queries {
       SELECT vec_id AS doc_id, round(cm, 6) AS cos_max, cm < 0.25 AS keep
       FROM cm ORDER BY doc_id"""))
 
+  private val t30 = QuerySpec("t30_cms_freq_audit",
+    // CountMin point-frequency audit (Curation.cmsFrequencyAudit):
+    // the fifth sketch-family leg. Probes = the deterministic top-20
+    // corpus words (count desc, word tie-break) plus two planted
+    // absent keys (exact 0 — the pure-collision side of the bound).
+    // Exact counts are the oracle-checked answer; cms_ok rides as the
+    // bound column (est >= exact AND est <= exact + eps·N), TRUE
+    // hash-matched against the oracle's literal — an estimator outside
+    // its own contract turns the row red. Fixed seed → deterministic.
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(trim(col("text")), WsSplit)).as("word"))
+        .filter(length(col("word")) > 0)
+      val top = words.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(20).select("word")
+      val absent = s.createDataFrame(
+        Seq(Tuple1("__absent_probe_a"), Tuple1("__absent_probe_b")))
+        .toDF("word")
+      Curation.cmsFrequencyAudit(words, "word", top.unionByName(absent),
+          eps = 1e-4, confidence = 0.999, seed = 42)
+        .orderBy("word")
+    },
+    Some(s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
+        FROM documents),
+      wf AS (SELECT word, count(*) AS c FROM w WHERE len(word) > 0 GROUP BY 1),
+      top AS (SELECT word, c FROM wf ORDER BY c DESC, word LIMIT 20),
+      probes AS (SELECT word, c AS n_exact FROM top
+        UNION ALL SELECT '__absent_probe_a', 0
+        UNION ALL SELECT '__absent_probe_b', 0)
+      SELECT word, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS cms_ok
+      FROM probes ORDER BY word"""))
+
   private val t24 = QuerySpec("t24_distinct_audit",
     // Per-source unique-document census (the pre-dedup sizing pass):
     // exact count(distinct text) is the oracle-checked answer, and the
@@ -3583,7 +3615,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

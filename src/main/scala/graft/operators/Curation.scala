@@ -709,6 +709,57 @@ object Curation {
           <= col("n_distinct").cast("double") * tol).as("hll_ok"))
   }
 
+  /** CountMin point-frequency audit — the fifth leg of the sketch
+    * family (frequency top-k: t17 Misra-Gries; membership: t18 Bloom;
+    * cardinality: t24 HLL; quantiles: t25 GK; point frequency: here).
+    * For each probe key: the exact count (the oracle-checked answer)
+    * and whether the CMS estimate respects BOTH sides of the sketch's
+    * contract — `est ≥ exact` (CMS never under-counts without
+    * deletions) and `est ≤ exact + eps·N` (the collision bound, N from
+    * the sketch's own totalCount — no second pass for the total). The
+    * raw estimate is engine-specific and stays out of the output; the
+    * BOUND is the checkable contract (the t24/t25 convention). With a
+    * fixed seed the flag is deterministic per dataset.
+    *
+    * Scale shape: the sketch is `DataFrameStatFunctions
+    * .countMinSketch` — fixed O(depth·width) size, merged across
+    * partitions, driver-held like the t18 Bloom. Exact recount runs
+    * ONLY on the bounded probe set via a broadcast semi-join (the t17
+    * recount pattern): map-side filter, |probes|-row aggregate. At
+    * corpus scale probes come from Misra-Gries candidates and this
+    * audit is the sign-off that the serving sketch is trustworthy. */
+  def cmsFrequencyAudit(df: DataFrame, keyCol: String, probes: DataFrame,
+                        eps: Double, confidence: Double,
+                        seed: Int): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps $eps must be in (0, 1)")
+    require(confidence > 0 && confidence < 1,
+      s"confidence $confidence must be in (0, 1)")
+    val spark = df.sparkSession
+    val probeDf = probes.select(col(keyCol).cast("string")).distinct()
+    val probeKeys = probeDf.collect().map(_.getString(0))
+    require(probeKeys.nonEmpty, "probe set is empty")
+    require(probeKeys.length <= 100000,
+      s"probe set ${probeKeys.length} exceeds the bounded-collect cap")
+    val sketch = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    val n = sketch.totalCount()
+    val exact = df.select(col(keyCol).cast("string").as(keyCol))
+      .join(broadcast(probeDf), Seq(keyCol))
+      .groupBy(keyCol).agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = probeKeys.sorted.toSeq.map { k =>
+      val ex = exact.getOrElse(k, 0L)
+      (k, ex, cmsBoundOk(sketch.estimateCount(k), ex, eps * n))
+    }
+    spark.createDataFrame(rows).toDF(keyCol, "n_exact", "cms_ok")
+  }
+
+  /** Live two-sided CMS contract check (the [[rankBoundOk]] pattern —
+    * kept a pure function so the spec can pin both failure sides,
+    * which a healthy sketch can't be made to exhibit determinately). */
+  private[graft] def cmsBoundOk(est: Long, exact: Long,
+                                slack: Double): Boolean =
+    est >= exact && est.toDouble <= exact + slack
+
   /** PII patterns, deliberately lookaround-free ASCII so the same
     * regex means the same thing under Java's engine (Spark) and RE2
     * (the DuckDB oracle): emails, dotted-quad IPv4, and bare digit

@@ -325,6 +325,40 @@ class CurationSpec extends SparkSpec {
     assert(strict == Seq((10L, 3L, false), (11L, 0L, true), (12L, 0L, true)))
   }
 
+  test("cmsFrequencyAudit: exact counts match brute force, bound holds, absent key 0") {
+    val keys = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val probes = Seq("a", "b", "zzz_absent").toDF("k")
+    val r = Curation.cmsFrequencyAudit(keys, "k", probes,
+        eps = 0.01, confidence = 0.99, seed = 7)
+      .orderBy("k").as[(String, Long, Boolean)].collect().toSeq
+    // c is NOT probed — audit is probe-bounded by construction
+    assert(r == Seq(("a", 3L, true), ("b", 2L, true), ("zzz_absent", 0L, true)))
+  }
+
+  test("cmsBoundOk is a live two-sided comparison") {
+    assert(Curation.cmsBoundOk(est = 10, exact = 10, slack = 0.0))
+    assert(Curation.cmsBoundOk(est = 12, exact = 10, slack = 2.0))
+    // over the collision bound → false
+    assert(!Curation.cmsBoundOk(est = 13, exact = 10, slack = 2.0))
+    // under-count (impossible for a real no-deletion CMS) → false
+    assert(!Curation.cmsBoundOk(est = 9, exact = 10, slack = 5.0))
+  }
+
+  test("cmsFrequencyAudit rejects degenerate parameters and empty probes loudly") {
+    val keys = Seq("a").toDF("k")
+    val probes = Seq("a").toDF("k")
+    val none = Seq.empty[String].toDF("k")
+    assert(intercept[IllegalArgumentException] {
+      Curation.cmsFrequencyAudit(keys, "k", none, 0.01, 0.99, 1)
+    }.getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.cmsFrequencyAudit(keys, "k", probes, 0.0, 0.99, 1)
+    }.getMessage.contains("eps"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.cmsFrequencyAudit(keys, "k", probes, 0.01, 1.0, 1)
+    }.getMessage.contains("confidence"))
+  }
+
   test("lineDedup: keep-first across docs, intra-doc repeats cut, blanks preserved") {
     val corpus = Seq(
       (1L, "header\nunique one\nheader\nbody A"), // intra-doc repeat of header

@@ -1101,6 +1101,95 @@ object Queries {
       SELECT vec_id AS doc_id, round(cm, 6) AS cos_max, cm < 0.25 AS keep
       FROM cm ORDER BY doc_id"""))
 
+  private val t31 = QuerySpec("t31_gopher_filter",
+    // Gopher-style rule-based quality gate (Curation.gopherFilter):
+    // the hard structural filter (Rae et al. 2021 appendix A; reused
+    // by RefinedWeb/Dolma/FineWeb) next to t2's soft score. Line
+    // structure is PLANTED from table columns (the d18/t27 precedent,
+    // sf-independent): doc_id % 13 docs become bullet-dominated
+    // (fails the ≤0.9 bullet rule), doc_id % 11 docs gain two
+    // ellipsis-ended lines (fails the ≤0.3 ellipsis rule); everything
+    // else exercises the word-count / word-length / stop-word rules on
+    // the natural text. The oracle replays every feature and every
+    // rule boolean — a drifted division or regex turns the row red.
+    (s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("- "), col("text"),
+            lit("\n- planted bullet\n- planted bullet two")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"),
+              lit("\nfirst planted line...\nsecond planted line\u2026")))
+          .otherwise(col("text")).as("text"))
+      Curation.gopherFilter(src, "doc_id", "text", minStopHits = 1)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("frac_bullet_lines"), 6).as("frac_bullet_lines"),
+          round(col("frac_ellipsis_lines"), 6).as("frac_ellipsis_lines"),
+          round(col("frac_alpha_words"), 6).as("frac_alpha_words"),
+          col("n_stop_hits"), col("ok_words"), col("ok_word_len"),
+          col("ok_symbol"), col("ok_bullet"), col("ok_ellipsis"),
+          col("ok_alpha"), col("ok_stop"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN '- ' || text || chr(10) ||
+            '- planted bullet' || chr(10) || '- planted bullet two'
+          WHEN doc_id % 11 = 0 THEN text || chr(10) ||
+            'first planted line...' || chr(10) || 'second planted line' || chr(8230)
+          ELSE text END AS text
+        FROM documents),
+      f AS (SELECT doc_id, text,
+        string_split_regex(trim(text), '$WsSplit') AS w,
+        string_split(text, chr(10)) AS ls,
+        len(trim(text)) = 0 AS blank FROM src),
+      g AS (SELECT doc_id,
+        CASE WHEN blank THEN 0 ELSE len(w) END AS n_words,
+        CASE WHEN blank THEN 0
+          ELSE coalesce(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0)
+          END AS sum_wlen,
+        CASE WHEN blank THEN 0
+          ELSE len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          END AS n_alpha,
+        CASE WHEN blank THEN 0 ELSE
+          (CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+          END AS n_stop,
+        len(regexp_extract_all(text, '[#\u2026]')) AS n_sym,
+        len(ls) AS n_lines,
+        len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+        len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t]*${"$"}'))) AS n_ellip
+        FROM f),
+      h AS (SELECT doc_id, n_words, n_stop,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(sum_wlen AS DOUBLE)/n_words END AS mwl,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE)/n_words END AS symr,
+        CAST(n_bullet AS DOUBLE)/n_lines AS bf,
+        CAST(n_ellip AS DOUBLE)/n_lines AS ef,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS af
+        FROM g)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        round(mwl, 6) AS mean_word_len, round(symr, 6) AS symbol_ratio,
+        round(bf, 6) AS frac_bullet_lines, round(ef, 6) AS frac_ellipsis_lines,
+        round(af, 6) AS frac_alpha_words, CAST(n_stop AS INT) AS n_stop_hits,
+        n_words >= 50 AND n_words <= 100000 AS ok_words,
+        mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+        symr <= 0.1 AS ok_symbol,
+        bf <= 0.9 AS ok_bullet,
+        ef <= 0.3 AS ok_ellipsis,
+        af >= 0.8 AS ok_alpha,
+        n_stop >= 1 AS ok_stop,
+        (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+          AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+          AND n_stop >= 1) AS keep
+      FROM h ORDER BY doc_id"""))
+
   private val t30 = QuerySpec("t30_cms_freq_audit",
     // CountMin point-frequency audit (Curation.cmsFrequencyAudit):
     // the fifth sketch-family leg. Probes = the deterministic top-20
@@ -3615,7 +3704,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -834,6 +834,97 @@ object Curation {
       .drop("__p", "__nt")
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A — the structural rule set that
+    * RefinedWeb / Dolma / FineWeb reuse): per-document surface
+    * features → one boolean per rule → `keep` = AND of all rules.
+    * Complements [[graft.functions.TextAnalysis.qualityScore]] (a
+    * soft score) with the hard gate a curation pipeline actually
+    * applies, and t9's repetition stats (which cover the
+    * duplicate-content rules of the same appendix).
+    *
+    * Rules (published defaults):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [minMeanWordLen, maxMeanWordLen]
+    *   - symbol-to-word ratio (`#`/`…` count ÷ words) ≤ maxSymbolRatio
+    *   - fraction of bullet-started lines ≤ maxBulletFrac
+    *   - fraction of ellipsis-ended lines ≤ maxEllipsisFrac
+    *   - fraction of words with ≥1 alphabetic char ≥ minAlphaFrac
+    *   - ≥ minStopHits DISTINCT members of the 8-word stop list
+    *     {the, be, to, of, and, that, have, with} present
+    *
+    * Scale shape: a pure NARROW map — every feature is a built-in
+    * higher-order / regex expression over the row's own text (no
+    * explode, no join, no exchange), so at 100 TB the cost is the
+    * corpus scan and the plan stays one WholeStageCodegen span.
+    * Regex classes use explicit ranges (no \\w, \\b classes beyond
+    * what RE2 shares with Java) so the DuckDB oracle replays every
+    * feature bit-for-bit; ratios divide exact integer counts as
+    * doubles, so the rule booleans — not just the rounded display
+    * columns — hash-match.
+    *
+    * Empty/blank docs: 0 words → mean/fractions defined as 0.0, so
+    * they fail the word-count and alpha rules loudly rather than
+    * dividing by zero. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                   minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "bad word-count bounds")
+    val text = col(textCol)
+    val words = when(length(trim(text)) === 0, typedlit(Seq.empty[String]))
+      .otherwise(split(trim(text), "[ \t\n]+"))
+    val lines = split(text, "\n", -1)
+    val lower_ = transform(words, w => lower(w))
+    val stopHits = GopherStopWords.map(s =>
+      when(array_contains(lower_, s), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val nWords = size(words).cast("long")
+    val d0 = when(nWords === 0, lit(0.0))
+    def fracOfWords(n: Column) = d0.otherwise(n.cast("double") / nWords)
+    val nLines = size(lines).cast("long")
+    val out = df.select(col(idCol), text.as(textCol))
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", fracOfWords(
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))))
+      .withColumn("symbol_ratio", fracOfWords(
+        size(regexp_extract_all(text, lit("[#…]"), lit(0)))))
+      .withColumn("frac_bullet_lines",
+        size(filter(lines, l => regexp_like(l, lit("^[ \t]*[-*•]"))))
+          .cast("double") / nLines)
+      .withColumn("frac_ellipsis_lines",
+        size(filter(lines, l => regexp_like(l, lit("(\\.\\.\\.|…)[ \t]*$"))))
+          .cast("double") / nLines)
+      .withColumn("frac_alpha_words", fracOfWords(
+        size(filter(words, w => regexp_like(w, lit("[A-Za-z]"))))))
+      .withColumn("n_stop_hits", stopHits)
+    out
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_bullet", col("frac_bullet_lines") <= maxBulletFrac)
+      .withColumn("ok_ellipsis", col("frac_ellipsis_lines") <= maxEllipsisFrac)
+      .withColumn("ok_alpha", col("frac_alpha_words") >= minAlphaFrac)
+      .withColumn("ok_stop", col("n_stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stop"))
+      .drop(textCol)
+  }
+
+  /** The Gopher stop list — 8 common English words; the rule asks for
+    * ≥2 distinct to be present (a cheap "is this running English
+    * prose" witness). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)))
       .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))

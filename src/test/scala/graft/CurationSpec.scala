@@ -536,4 +536,66 @@ class CurationSpec extends SparkSpec {
       Curation.distinctAudit(df, "source", "text", tol = 0.0)
     }
   }
+
+  test("gopherFilter: every rule has a pass and a fail witness") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs off to the forest with great speed that nobody " +
+      "could have expected from such a small animal at all " +
+      "because everyone knows foxes prefer napping under trees all day long"
+    val corpus = Seq(
+      (0L, good),                                  // passes everything
+      (1L, "too short to keep"),                   // fails word count (min)
+      (2L, good.replaceAll("[a-z]+", "a")),        // mean word len 1 → fails
+      (3L, ("# " * 60) + good),                    // symbol ratio > 0.1
+      (4L, "- one\n- two\n- three\n- four"),       // 100% bullets
+      (5L, good + "\nfirst cut...\nsecond cut…"),  // 2/3 ellipsis lines
+      (6L, ("123 " * 60).trim),                    // no alphabetic words
+      (7L, good.replace("the", "xx").replace("to", "xx")
+        .replace("and", "xx").replace("that", "xx").replace("have", "xx")
+        .replace("with", "xx").replace("of", "xx")), // no stop words
+      (8L, ""))                                    // empty: fails loudly as 0s
+      .toDF("doc_id", "text")
+    val r = Curation.gopherFilter(corpus, "doc_id", "text", minWords = 30)
+      .orderBy("doc_id")
+      .select("doc_id", "ok_words", "ok_word_len", "ok_symbol", "ok_bullet",
+        "ok_ellipsis", "ok_alpha", "ok_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map { case (id, a, b, c, d2, e, f, g, k) =>
+        id -> ((a, b, c, d2, e, f, g, k)) }.toMap
+    assert(r(0L) == ((true, true, true, true, true, true, true, true)))
+    assert(!r(1L)._1 && !r(1L)._8)
+    assert(!r(2L)._2 && !r(2L)._8)
+    assert(!r(3L)._3 && !r(3L)._8)
+    assert(!r(4L)._4 && !r(4L)._8)
+    assert(!r(5L)._5 && !r(5L)._8)
+    assert(!r(6L)._6 && !r(6L)._8)
+    assert(!r(7L)._7 && !r(7L)._8)
+    // empty doc: all word-derived features 0, fails words+alpha+stop
+    assert(!r(8L)._1 && !r(8L)._6 && !r(8L)._7 && !r(8L)._8)
+  }
+
+  test("gopherFilter: features are exact, stop hits count DISTINCT members") {
+    val corpus = Seq(
+      (1L, "the the the the"),      // 4 hits of ONE stop word → n_stop 1
+      (2L, "the be to of and"),     // 5 distinct stop words
+      (3L, "aa bbbb cc\n- x…"))     // mean len over 5 words; 1 bullet of 2
+      .toDF("doc_id", "text")
+    val r = Curation.gopherFilter(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "mean_word_len", "frac_bullet_lines",
+        "frac_ellipsis_lines", "n_stop_hits")
+      .as[(Long, Long, Double, Double, Double, Int)].collect().toSeq
+    assert(r(0) == ((1L, 4L, 3.0, 0.0, 0.0, 1)))
+    assert(r(1) == ((2L, 5L, 2.4, 0.0, 0.0, 5)))
+    // doc 3: words = [aa, bbbb, cc, -, x…] → (2+4+2+1+2)/5 = 2.2;
+    // lines = ["aa bbbb cc", "- x…"] → 1/2 bullets, 1/2 ellipsis
+    assert(r(2) == ((3L, 5L, 2.2, 0.5, 0.5, 0)))
+  }
+
+  test("gopherFilter rejects inverted word-count bounds loudly") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.gopherFilter(df, "doc_id", "text", minWords = 10, maxWords = 5)
+    }
+  }
 }

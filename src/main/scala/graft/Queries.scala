@@ -1847,6 +1847,64 @@ object Queries {
       p
     })
 
+  private val d19 = QuerySpec("d19_url_dedup",
+    // URL-level dedup (Curation.urlDedup over canonicalizeUrl): the
+    // crawl-snapshot step that runs BEFORE any text dedup — a page
+    // fetched twice with different tracking params / case / port /
+    // trailing-slash noise is one document. URLs are PLANTED from
+    // table columns (sf-independent): case noise on scheme+www,
+    // optional :443, optional trailing slash, two utm_* params, an
+    // optional REAL param (page=2, preserved), and a fragment. Group
+    // key after canonicalization = (source, doc_id%6, doc_id%5=0) —
+    // every noise axis collapses, the real param does not. The oracle
+    // replays all five canonicalization steps regex-for-regex (RE2-
+    // safe by construction: no lookarounds) and the keep-first rule.
+    (s, d) => {
+      val u = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/item/"), (col("doc_id") % 6).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("&page=2")).otherwise(lit("")),
+          lit("#sec"), (col("doc_id") % 9).cast("string")).as("url"))
+      Curation.urlDedup(u, "doc_id", "url").orderBy("doc_id")
+    },
+    Some(s"""WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+        || source || '.Example.COM'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        || '/item/' || (doc_id % 6)
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || '?utm_source=feed&utm_campaign=c' || (doc_id % 7)
+        || (CASE WHEN doc_id % 5 = 0 THEN '&page=2' ELSE '' END)
+        || '#sec' || (doc_id % 9) AS url
+        FROM documents),
+      c AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)', 2)),
+          '^www\\.', ''), ':(80|443)${"$"}', '') AS host,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)${"$"}', 3) AS rest
+        FROM u),
+      n AS (SELECT doc_id, url,
+        CASE WHEN scheme = '' OR host = '' THEN trim(url)
+          ELSE scheme || '://' || host ||
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(rest, '#.*${"$"}', ''),
+              '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\\1', 'g'),
+              '&&+', '&', 'g'), '\\?&', '?'), '[?&]+${"$"}', ''),
+              '/+(\\?|${"$"})', '\\1', 'g')
+          END AS url_canon
+        FROM c),
+      g AS (SELECT url_canon, min(doc_id) AS keeper,
+          count(*) AS group_size FROM n GROUP BY 1)
+      SELECT n.doc_id, n.url, n.url_canon, g.group_size,
+        n.doc_id = g.keeper AS keep
+      FROM n JOIN g USING (url_canon) ORDER BY n.doc_id"""))
+
   private val d18 = QuerySpec("d18_line_dedup",
     // Corpus-wide line-level dedup APPLY (Curation.lineDedup): the
     // RefinedWeb/CCNet step that strips repeated boilerplate lines
@@ -3705,7 +3763,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

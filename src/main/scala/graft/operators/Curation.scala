@@ -925,6 +925,66 @@ object Curation {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** URL canonicalization — the web-corpus normalization step that
+    * runs BEFORE text dedup (CCNet / RefinedWeb both dedupe crawl
+    * snapshots by normalized URL first; a page fetched twice with
+    * different tracking params is the same document regardless of its
+    * text hash). Steps, all pure regex (RE2-compatible — no
+    * lookarounds — so the DuckDB oracle replays them verbatim):
+    *
+    *   1. scheme and host lowercased (path/query case is significant
+    *      and preserved);
+    *   2. leading `www.` and default ports `:80`/`:443` dropped from
+    *      the host;
+    *   3. fragment stripped;
+    *   4. tracking params (`utm_*`, `fbclid`, `gclid`, `ref`)
+    *      removed, separators repaired (`&&`→`&`, then `?&`→`?`,
+    *      trailing `?`/`&` dropped) — real params survive in their
+    *      original order;
+    *   5. trailing slash on the path dropped.
+    *
+    * A string that doesn't parse as `scheme://host...` is returned
+    * trimmed but otherwise untouched — canonicalization never
+    * invents structure for a malformed URL. Narrow map, codegen'd. */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeHost = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)"
+    val scheme = lower(regexp_extract(url, schemeHost, 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(url, schemeHost, 2)), "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_extract(url, schemeHost + "(.*)$", 3)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
+    val repaired = regexp_replace(regexp_replace(
+      regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    val noSlash = regexp_replace(repaired, "/+(\\?|$)", "$1")
+    when(scheme === "" || host === "", trim(url))
+      .otherwise(concat(scheme, lit("://"), host, noSlash))
+  }
+
+  /** Keep-first dedup by canonical URL (the d18 aggregate pattern
+    * applied at document granularity): every row gets its
+    * [[canonicalizeUrl]] form, one row per canonical URL survives —
+    * the minimum `idCol` — and every row reports its group. The
+    * canonical pass is a groupBy(url_canon) → min/count AGGREGATE,
+    * map-side combinable, so a hot URL (a crawl that fetched one page
+    * a million times) arrives at its reducer as one partial per map
+    * task, never as a single-task occurrence list. The join back is
+    * keyed on url_canon: two corpus-sized exchanges total, payload
+    * text never shuffles (only ids and URLs). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.select(col(idCol), col(urlCol))
+      .withColumn("url_canon", canonicalizeUrl(col(urlCol)))
+    val groups = canon.groupBy("url_canon")
+      .agg(min(col(idCol)).as("__keeper"),
+        count(lit(1)).as("group_size"))
+    canon.join(groups, Seq("url_canon"))
+      .withColumn("keep", col(idCol) === col("__keeper"))
+      .select(col(idCol), col(urlCol), col("url_canon"),
+        col("group_size"), col("keep"))
+  }
+
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)))
       .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))

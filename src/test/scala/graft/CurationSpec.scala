@@ -592,6 +592,50 @@ class CurationSpec extends SparkSpec {
     assert(r(2) == ((3L, 5L, 2.2, 0.5, 0.5, 0)))
   }
 
+  test("canonicalizeUrl: each normalization step, malformed passthrough") {
+    val cases = Seq(
+      // case + www + default port + fragment + trailing slash
+      ("HTTPS://WWW.Ex.COM:443/A/b/#frag", "https://ex.com/A/b"),
+      ("http://ex.com:80/", "http://ex.com"),
+      // tracking params stripped wherever they sit; real params survive
+      ("https://ex.com/p?utm_source=x&id=2&utm_b=y", "https://ex.com/p?id=2"),
+      ("https://ex.com/p?utm_a=1", "https://ex.com/p"),
+      ("https://ex.com/p?id=2&ref=rss&page=3", "https://ex.com/p?id=2&page=3"),
+      ("https://ex.com/p?fbclid=abc&gclid=def", "https://ex.com/p"),
+      // path case preserved; non-default port preserved
+      ("https://Ex.com:8080/CaseSensitive", "https://ex.com:8080/CaseSensitive"),
+      // xref=1 is NOT the ref param — must survive
+      ("https://ex.com/p?xref=1", "https://ex.com/p?xref=1"),
+      // malformed: trimmed, otherwise untouched
+      ("  not a url  ", "not a url"),
+      ("ftp//missing.scheme/x", "ftp//missing.scheme/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("urlDedup: keep-first by canonical URL, group sizes, noise collapses") {
+    val rows = Seq(
+      (1L, "https://ex.com/a?utm_source=x"),
+      (2L, "HTTPS://WWW.EX.COM/a/"),          // same canon as 1
+      (3L, "https://ex.com/a?page=2"),        // real param → own group
+      (4L, "https://ex.com:443/a#frag"),      // same canon as 1
+      (5L, "https://other.com/a"))
+      .toDF("doc_id", "url")
+    val r = Curation.urlDedup(rows, "doc_id", "url").orderBy("doc_id")
+      .select("doc_id", "url_canon", "group_size", "keep")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, "https://ex.com/a", 3L, true),
+      (2L, "https://ex.com/a", 3L, false),
+      (3L, "https://ex.com/a?page=2", 1L, true),
+      (4L, "https://ex.com/a", 3L, false),
+      (5L, "https://other.com/a", 1L, true)))
+  }
+
   test("gopherFilter rejects inverted word-count bounds loudly") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

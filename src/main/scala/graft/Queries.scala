@@ -3136,6 +3136,65 @@ object Queries {
     * index artifact (coarse assignment + codes, both build-time costs),
     * written partitionBy(cluster_id) so s9's probe prunes partitions at
     * the reader (the ivfSearchStore layout). */
+  private val ivfVecPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stored plain-IVF index with toy (DuckDB-replayable) centroids:
+    * full vectors + the `label` metadata column, cluster-partitioned
+    * by IndexStore.write — the layout v15's filtered serve reads with
+    * static partition pruning + predicate pushdown in one scan. */
+  private def ivfVecTableFor(s: SparkSession, d: String): String =
+    ivfVecPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_vecs_").toString + "/index"
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.sources.IndexStore.write(
+        Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
+          .select("cluster_id", "vec_id", "embedding", "label"), p)
+      p
+    })
+
+  private val v15 = QuerySpec("v15_filtered_ivf_serve",
+    // Metadata-filtered ANN serving (Ann.ivfSearchStoreWhere): the
+    // "vector search WHERE tenant/license/label = ..." shape every
+    // production vector store exposes, served from the stored
+    // cluster-partitioned index so both prunings land in ONE scan —
+    // the probe list as static PartitionFilters, the label predicate
+    // as parquet PushedFilters (AnnSpec pins both in the plan).
+    // PRE-filter semantics: exact top-k among matching rows inside
+    // the probed clusters. Toy centroids keep the whole composition
+    // DuckDB-replayable — assignment, probe rule, filter, cut and
+    // tie-breaks all hash-checked.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      Ann.ivfSearchStoreWhere(s, ivfVecTableFor(s, d), "embedding",
+          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3,
+          predicate = col("label").isin(0, 2, 4))
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("label"), round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      assign AS (SELECT e.vec_id, e.embedding, e.label, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, label, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
+      SELECT vec_id, cluster_id, label, round(dist, 6) AS dist FROM (
+        SELECT c.vec_id, c.cluster_id, c.label,
+          ${l2Sql("c.embedding", "q.qv")} AS dist
+        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q
+        WHERE c.label IN (0, 2, 4))
+      ORDER BY dist, vec_id LIMIT 10"""))
+
   private val ivfPqCodePaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfPqCodeTableFor(s: SparkSession, d: String): String =
     ivfPqCodePaths.getOrElseUpdate(d, {
@@ -3764,7 +3823,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

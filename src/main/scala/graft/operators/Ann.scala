@@ -183,6 +183,45 @@ object Ann {
       embCol, idCol, queryVec, k)
   }
 
+  /** Metadata-FILTERED IVF serving — the "vector search with a
+    * predicate" shape every production vector store exposes (tenant,
+    * license, date-range filters), composed so BOTH prunings land in
+    * the same scan of the stored index: the driver-collected probe
+    * list becomes STATIC PartitionFilters on the `cluster_id` layout,
+    * and `predicate` rides next to it as an ordinary data filter the
+    * parquet reader pushes down (PushedFilters) when it is a plain
+    * column comparison/IN. At 100 TB the scan reads nprobe/k of the
+    * directories and, inside them, row groups the predicate's
+    * min/max stats admit — neither pruning costs a shuffle.
+    *
+    * Semantics are PRE-filter: exact top-k among the rows that
+    * satisfy `predicate` INSIDE the probed clusters. The filter
+    * shrinks the candidate set before ranking — it never truncates a
+    * pre-computed top-k the way a post-filter would, so k results
+    * come back whenever the probed clusters hold k matching rows. A
+    * highly selective predicate at fixed nprobe starves recall; the
+    * caller's dial is `nprobe` (widens the probe set, same plan
+    * shape). Keep predicates to stored-column comparisons — an
+    * expression over the embedding itself would defeat the pushdown
+    * and belongs in [[Knn.filtered]] instead. */
+  def ivfSearchStoreWhere(spark: org.apache.spark.sql.SparkSession,
+                          path: String, embCol: String, idCol: String,
+                          centroids: DataFrame, cidCol: String, cvecCol: String,
+                          queryVec: Column, k: Int, nprobe: Int,
+                          predicate: Column): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val probed = centroids
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).cast("long"))
+      .collect().map(_.getLong(0))
+    Knn.exact(
+      graft.sources.IndexStore.load(spark, path)
+        .filter(col("cluster_id").isin(probed: _*) && predicate),
+      embCol, idCol, queryVec, k)
+  }
+
   /** Batch IVF search: per-query probe selection over the broadcast
     * centroid table (queries × k rows — both small), then exact top-k
     * INSIDE the probed clusters via the bounded [[TopK]] aggregation:

@@ -112,6 +112,33 @@ class AnnSpec extends SparkSpec {
       "scan reads all cluster partitions")
   }
 
+  test("ivfSearchStoreWhere: filtered top-k, both prunings visible in ONE scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_f_").toString
+    // give every vector a label so the predicate has survivors + victims
+    val labeled = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val assigned = Ann.ivfAssign(labeled, "embedding", "vec_id", cents, "cid", "cvec")
+    graft.sources.IndexStore.write(assigned, dir)
+    val qv = typedlit(Seq(0.05, 0.1))
+    val res = Ann.ivfSearchStoreWhere(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, nprobe = 1,
+      predicate = col("label") === 1)
+    // oracle: exact kNN over the probed cluster's matching rows only
+    val want = Knn.exact(
+        labeled.filter($"vec_id" < 20 && $"label" === 1),
+        "embedding", "vec_id", qv, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.select("vec_id").as[Long].collect().toSeq == want)
+    // every result satisfies the predicate (PRE-filter, not post-cut)
+    assert(res.select("label").as[Int].collect().forall(_ == 1))
+    val plan = res.queryExecution.executedPlan.toString
+    // pruning 1: static PartitionFilters on the cluster layout
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
+    // pruning 2: the label predicate reaches the parquet reader
+    assert("PushedFilters: \\[[^\\]]*label".r
+      .findFirstIn(plan).isDefined, s"label filter not pushed down in:\n$plan")
+  }
+
   test("ivfSearch with nprobe = all clusters equals global exact kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val qv = typedlit(Seq(50.0, 50.0))

@@ -1101,6 +1101,35 @@ object Queries {
       SELECT vec_id AS doc_id, round(cm, 6) AS cos_max, cm < 0.25 AS keep
       FROM cm ORDER BY doc_id"""))
 
+  private val t32 = QuerySpec("t32_perplexity_buckets",
+    // CCNet perplexity bucketing (Curation.perplexityBuckets): t8's
+    // corpus-LM signal exponentiated into perplexity, corpus split at
+    // the exact terciles into head/middle/tail, tail marked for drop.
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n-1)·p linear interpolation bit-for-bit (verified on doubles),
+    // and ppl is 4dp-rounded BEFORE thresholding, so bucket
+    // boundaries — not just scores — hash-match. Production passes
+    // GK-sketch thresholds instead (bounded memory; the t25
+    // machinery) and bucketing becomes a pure narrow compare.
+    (s, d) =>
+      Curation.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some(s"""WITH w2 AS (SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
+          FROM documents) WHERE len(w) > 0),
+      freq AS (SELECT w, count(*) AS wn FROM w2 GROUP BY w),
+      tot AS (SELECT sum(wn) AS n FROM freq),
+      pd AS (SELECT doc_id, round(exp(-avg(ln(wn / n))), 4) AS ppl,
+          count(*) AS n_words
+        FROM w2 JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+      th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+          quantile_cont(ppl, 2.0/3) AS t2 FROM pd)
+      SELECT doc_id, ppl, n_words,
+        CASE WHEN ppl <= t1 THEN 'head'
+          WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        ppl <= t2 AS keep
+      FROM pd CROSS JOIN th ORDER BY doc_id"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -3821,7 +3850,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,

@@ -925,6 +925,61 @@ object Curation {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every document by its perplexity under a corpus unigram LM (the
+    * t8 signal, exponentiated), split the corpus into head / middle /
+    * tail at the perplexity terciles, and mark tail for dropping —
+    * the standard "keep the fluent two-thirds" web-corpus gate.
+    *
+    * Thresholds: pass `thresholds = Some((th1, th2))` in production —
+    * bucketing is then a PURE NARROW comparison after the per-doc
+    * score (the cutpoints come from a bounded-memory sketch, e.g.
+    * [[quantileAudit]]'s GK pass over yesterday's scores). With
+    * `None` the terciles are computed exactly (Spark `percentile`,
+    * memory ∝ distinct scores — fine at test SF, disclosed as the
+    * non-scale path; its value is that DuckDB's `quantile_cont`
+    * replays the interpolation bit-for-bit, so the whole operator is
+    * oracle-checkable end to end).
+    *
+    * Determinism: ppl is rounded to 4dp BEFORE thresholding, so the
+    * tercile interpolation runs on identical doubles in both engines
+    * and absorbs both avg re-association noise (~1e-13, the t8/e1
+    * precedent) and libm exp() ulp differences. Scale shape: one
+    * word-frequency aggregate + join back (shuffles carry words and
+    * ids, never documents), a 1-row threshold aggregate broadcast
+    * back, then a narrow compare. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        thresholds: Option[(Double, Double)] = None): DataFrame = {
+    val words = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "[ \t\n]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val freq = words.groupBy("w").agg(count(lit(1)).as("wn"))
+    val tot = freq.agg(sum("wn").as("n"))
+    val perDoc = words.join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(exp(-avg(log(col("wn") / col("n")))), 4).as("ppl"),
+        count(lit(1)).as("n_words"))
+    val withTh = thresholds match {
+      case Some((t1, t2)) =>
+        require(t1 <= t2, s"thresholds must be ordered: $t1 > $t2")
+        perDoc.withColumn("__t1", lit(t1)).withColumn("__t2", lit(t2))
+      case None =>
+        perDoc.crossJoin(broadcast(perDoc.agg(
+          percentile(col("ppl"), lit(1.0 / 3)).as("__t1"),
+          percentile(col("ppl"), lit(2.0 / 3)).as("__t2"))))
+    }
+    withTh
+      .withColumn("bucket",
+        when(col("ppl") <= col("__t1"), lit("head"))
+          .when(col("ppl") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("keep", col("bucket") =!= "tail")
+      .select(col("doc_id").as(idCol), col("ppl"), col("n_words"),
+        col("bucket"), col("keep"))
+  }
+
   /** URL canonicalization — the web-corpus normalization step that
     * runs BEFORE text dedup (CCNet / RefinedWeb both dedupe crawl
     * snapshots by normalized URL first; a page fetched twice with

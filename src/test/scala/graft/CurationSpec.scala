@@ -592,6 +592,48 @@ class CurationSpec extends SparkSpec {
     assert(r(2) == ((3L, 5L, 2.2, 0.5, 0.5, 0)))
   }
 
+  test("perplexityBuckets: hand-computed ppl, tercile split, explicit thresholds") {
+    // freq: a=3, b=2, c=1, N=6 → ppl(d1)=exp(-ln(1/2))=2.0,
+    // ppl(d2)=sqrt(2*3)=2.4495, ppl(d3)=sqrt(3*6)=4.2426
+    val corpus = Seq(
+      (1L, "a a"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
+    val r = Curation.perplexityBuckets(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "ppl", "bucket", "keep")
+      .as[(Long, Double, String, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2.0, "head", true),
+      (2L, 2.4495, "middle", true),
+      (3L, 4.2426, "tail", false)))
+    // explicit thresholds (the production/GK path): same scores,
+    // caller-set cutpoints, no percentile aggregate in the plan
+    val fixed = Curation.perplexityBuckets(corpus, "doc_id", "text",
+      thresholds = Some((2.0, 2.5)))
+    assert(!fixed.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("percentile"))
+    val rf = fixed.orderBy("doc_id").select("bucket")
+      .as[String].collect().toSeq
+    assert(rf == Seq("head", "middle", "tail"))
+    intercept[IllegalArgumentException] {
+      Curation.perplexityBuckets(corpus, "doc_id", "text",
+        thresholds = Some((3.0, 2.0)))
+    }
+  }
+
+  test("perplexityBuckets: buckets are contiguous in ppl order") {
+    val corpus = (1L to 30L).map(i => (i, ("w" + i + " ") * i.toInt))
+      .toDF("doc_id", "text")
+    val r = Curation.perplexityBuckets(corpus, "doc_id", "text")
+      .select("ppl", "bucket").as[(Double, String)].collect().toSeq
+    val headMax = r.filter(_._2 == "head").map(_._1).max
+    val midPpls = r.filter(_._2 == "middle").map(_._1)
+    val tailMin = r.filter(_._2 == "tail").map(_._1).min
+    assert(midPpls.nonEmpty && headMax <= midPpls.min && midPpls.max <= tailMin)
+    // terciles: close to n/3 per bucket
+    val sizes = r.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(s => s >= 8 && s <= 12), sizes.toString)
+  }
+
   test("canonicalizeUrl: each normalization step, malformed passthrough") {
     val cases = Seq(
       // case + www + default port + fragment + trailing slash

@@ -60,6 +60,33 @@ object IngestPipeline {
     }
   }
 
+  /** Quality gate for streaming ingest: drop documents failing the
+    * Gopher structural rules ([[graft.operators.Curation.gopherFilter]])
+    * BEFORE they reach the dedup gate — junk is rejected before the
+    * pipeline pays shingle/minhash cost for it, the same stage order
+    * every web-corpus pipeline runs (filter, then dedup). Compose it
+    * inside `foreachBatch`:
+    * {{{
+    * .foreachBatch { (b, id) =>
+    *   IngestPipeline.dedupedVersionedSink(root, "doc_id", "text")(
+    *     IngestPipeline.qualityGate(b, "doc_id", "text"), id)
+    * }
+    * }}}
+    * Per batch the rule evaluation is a narrow map over the
+    * micro-batch and the keep verdict comes back as a left-semi join
+    * on id — batch-sized, never corpus-sized. Rejections are silent
+    * by design (the stream's job is to keep up); audit the rejection
+    * RATE offline with the t31 relation over the raw feed. */
+  def qualityGate(batch: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minStopHits: Int = 2): DataFrame = {
+    val keep = graft.operators.Curation.gopherFilter(
+        batch, idCol, textCol,
+        minWords = minWords, maxWords = maxWords, minStopHits = minStopHits)
+      .filter(col("keep")).select(col(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** The batch-vs-corpus dedup gate both sinks share: exact (an id
     * already in the corpus never re-enters) then near (a batch doc
     * whose text near-duplicates ANY corpus doc is dropped — corpus

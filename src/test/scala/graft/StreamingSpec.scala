@@ -137,6 +137,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IngestPipeline: quality gate rejects junk before the dedup gate") {
+    import graft.streaming.IngestPipeline
+    import graft.sources.IndexStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_qgate").toString + "/corpus"
+    // passes the (relaxed-minWords) Gopher rules: prose-like, has
+    // stop words, sane word lengths
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs off to the forest with great speed that nobody expected"
+    val good2 = "we walked along the river bank and watched the boats " +
+      "drift by with the evening light fading over the water slowly"
+    val junkShort = "click here"
+    val junkBullets = "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n" +
+      "- k\n- l\n- m\n- n\n- o\n- p\n- q\n- r\n- s\n- t"
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF.toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        IngestPipeline.dedupedVersionedSink(root, "doc_id", "text")(
+          IngestPipeline.qualityGate(b, "doc_id", "text", minWords = 15), id)
+      }
+      .start()
+    try {
+      stream.addData((1L, good), (2L, junkShort), (3L, junkBullets))
+      q.processAllAvailable()
+      // only the good doc lands; the junk never reaches the index
+      assert(IndexStore.loadCurrent(spark, root)
+        .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+      // next batch: all-junk → NO new version committed
+      stream.addData((4L, junkShort))
+      q.processAllAvailable()
+      assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+      // gate then dedup still compose: good2 passes the gate and is
+      // genuinely new; a re-sent id 1 stays deduped
+      stream.addData((1L, good), (5L, good2))
+      q.processAllAvailable()
+      assert(IndexStore.loadCurrent(spark, root)
+        .select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L, 5L))
+    } finally q.stop()
+  }
+
   test("dedupedPartitionedSink rewrites only the batch's cluster partitions") {
     import graft.streaming.IngestPipeline
     implicit val sqlCtx = spark.sqlContext

@@ -60,6 +60,45 @@ class PlanAuditSpec extends SparkSpec {
       s"redactPii must plan as a narrow map, no exchange:\n$plan")
   }
 
+  test("t31 Gopher filter: a pure narrow map — no exchange of any kind") {
+    // same contract as t27: every rule feature is a per-row HOF/regex
+    // expression, so cost at 100 TB must be the corpus scan alone
+    val plan = graft.operators.Curation.gopherFilter(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gopherFilter must plan as a narrow map, no exchange:\n$plan")
+  }
+
+  test("d19 URL dedup: canonical pass is an aggregate, never a window") {
+    // the skew contract: a hot canonical URL must arrive at its
+    // reducer as map-side partials (partial_min/partial_count), not as
+    // a per-occurrence window partition list
+    val urls = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "concat('https://ex.com/', doc_id % 5) AS url")
+    val plan = graft.operators.Curation.urlDedup(urls, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"urlDedup keep-first must be aggregate-based, not a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected a map-side-combinable aggregate in:\n$plan")
+  }
+
+  test("t32 perplexity buckets: shuffles carry words and ids, never documents") {
+    // the bucket compare must be narrow: after the per-doc score, the
+    // threshold row arrives by broadcast — no extra corpus shuffle
+    val plan = graft.operators.Curation.perplexityBuckets(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"tercile thresholds must broadcast back:\n$plan")
+    // exactly the two word-keyed exchanges (freq agg + join back) and
+    // the doc-keyed score agg may shuffle; the text column must not
+    // appear in any exchange's output
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isDefined,
+      s"document text must never cross an exchange:\n$plan")
+  }
+
   test("t16 source cap: the rank window partitions by group, never globally") {
     // groupCap returns EVERY row flagged (no rank<=cap filter, so no
     // WindowGroupLimit to push) — the scale property to pin is that

@@ -2104,6 +2104,44 @@ object Queries {
       FROM comp JOIN documents USING (doc_id)
       GROUP BY component_id ORDER BY component_id"""))
 
+  private val d20 = QuerySpec("d20_dedup_apply",
+    // d10's manifest APPLIED (Dedup.applyPurgeManifest): the per-doc
+    // keep verdict over the whole corpus — keep-first per duplicate
+    // SimHash component, singletons untouched with a null cluster.
+    // Downstream purge is filter(keep); the relation keeps what was
+    // dropped AND why (its cluster id) auditable. The oracle shares
+    // d10's detection CTE chain verbatim and replays the keeper rule.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val comp = Dedup.components(
+        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
+      Dedup.applyPurgeManifest(docs, "doc_id", comp).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
+      blocks AS (SELECT doc_id, simhash, b AS block_idx,
+        (simhash >> (b * 15)) & 32767 AS block_val
+        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sa, b.simhash AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+        FROM reach GROUP BY u),
+      keepers AS (SELECT component_id, min(doc_id) AS keep_doc
+        FROM comp GROUP BY component_id)
+      SELECT d.doc_id, c.component_id,
+        (c.component_id IS NULL OR d.doc_id = k.keep_doc) AS keep
+      FROM documents d
+      LEFT JOIN comp c USING (doc_id)
+      LEFT JOIN keepers k USING (component_id)
+      ORDER BY d.doc_id"""))
+
   private val d5 = QuerySpec("d5_embedding_neardup",
     (s, d) => {
       val e = t(s, d, "embeddings")
@@ -3851,7 +3889,7 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

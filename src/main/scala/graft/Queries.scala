@@ -1167,6 +1167,34 @@ object Queries {
       FROM events WHERE user_id IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val t35 = QuerySpec("t35_heavy_hitter_windows",
+    // The t23/t34 treatment for the THIRD monitor: HeavyHitterMonitor's
+    // batch half on the correctness clock. Same two-stage path the
+    // stream runs — per-window Misra-Gries candidate sketch (fixed
+    // ≤capacity counters), then the exact broadcast-semi-join recount
+    // over the archive — whose verified output equals the naive
+    // per-window groupBy answer whenever capacity ≥ k (the superset
+    // guarantee; HeavyHitterMonitorSpec pins it across batch splits).
+    // That naive answer IS the DuckDB oracle: users with strictly
+    // more than 1/k of an hour's events.
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("ts"), col("user_id").cast("string").as("uid"))
+      val counts = graft.streaming.HeavyHitterMonitor.windowedCandidates(
+        ev, "ts", "uid", capacity = 64)
+      graft.streaming.HeavyHitterMonitor.verifiedHitters(
+          ev, counts, "ts", "uid", k = 4, capacity = 64)
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("uid").cast("long").as("user_id"), col("freq"))
+        .orderBy("w_start", "user_id")
+    },
+    Some("""WITH w AS (SELECT date_trunc('hour', ts) AS w0, user_id
+        FROM events WHERE user_id IS NOT NULL),
+      tot AS (SELECT w0, count(*) AS n FROM w GROUP BY 1),
+      f AS (SELECT w0, user_id, count(*) AS freq FROM w GROUP BY 1, 2)
+      SELECT strftime(f.w0, '%Y-%m-%d %H:%M:%S') AS w_start, f.user_id, freq
+      FROM f JOIN tot USING (w0) WHERE freq * 4 > n ORDER BY 1, 2"""))
+
   private val t33 = QuerySpec("t33_dataset_card",
     // The datasheet relation a corpus release publishes (dataset-card
     // per source): doc/token counts, exact unique-text census and
@@ -4021,7 +4049,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -2269,6 +2269,58 @@ object Queries {
       LEFT JOIN keepers k USING (component_id)
       ORDER BY d.doc_id"""))
 
+  private val d21 = QuerySpec("d21_quality_keeper_dedup",
+    // d20's apply with the keeper rule real pipelines use
+    // (Dedup.applyPurgeManifestBy): within each near-dup cluster keep
+    // the highest-QUALITY doc (t2's engine-identical quality score;
+    // ties → lowest doc_id), not the lowest id — clusters routinely
+    // mix a clean original with boilerplate-wrapped copies, and
+    // keep-first keeps whichever crawled first. Same SimHash-wide
+    // detection chain as d10/d20 (the oracle shares those CTEs
+    // verbatim); the keeper election is ONE row_number window over
+    // the component assignment (duplicate docs only, never the
+    // corpus); the verdict joins ship (id, component, score, bool)
+    // tuples — text never shuffles.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val comp = Dedup.components(
+        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Dedup.applyPurgeManifestBy(scored, "doc_id", comp, "quality")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
+      blocks AS (SELECT doc_id, simhash, b AS block_idx,
+        (simhash >> (b * 15)) & 32767 AS block_val
+        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sa, b.simhash AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+        FROM reach GROUP BY u),
+      qual AS (SELECT doc_id, $qualityExprSql AS quality
+        FROM (${qualityInnerSql()})),
+      keepers AS (SELECT component_id, doc_id AS keep_doc FROM (
+        SELECT c.doc_id, c.component_id,
+          row_number() OVER (PARTITION BY c.component_id
+            ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN qual q USING (doc_id)) WHERE rn = 1)
+      SELECT d.doc_id, c.component_id, q.quality,
+        (c.component_id IS NULL OR d.doc_id = k.keep_doc) AS keep
+      FROM documents d
+      JOIN qual q USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+      LEFT JOIN keepers k USING (component_id)
+      ORDER BY d.doc_id"""))
+
   private val d5 = QuerySpec("d5_embedding_neardup",
     (s, d) => {
       val e = t(s, d, "embeddings")
@@ -3423,6 +3475,49 @@ object Queries {
         WHERE c.label IN (0, 2, 4))
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val v16 = QuerySpec("v16_tombstone_ivf_serve",
+    // Tombstone-aware ANN serving (Ann.ivfSearchStoreExcluding): the
+    // deletes-between-rebuilds shape every production vector store
+    // has to handle — the cluster-partitioned index stays immutable,
+    // deletes accumulate in a small tombstone table, and serving
+    // anti-joins it (broadcast) BEFORE the exact cut so a deleted id
+    // can never surface and top-k stays exact over live rows. Every
+    // 17th vector is deleted — including vec_id 0, the query vector
+    // itself, so the query-for-a-deleted-doc path is exercised too.
+    // Probe pruning is s9/v15's static PartitionFilters; the oracle
+    // replays assignment, probe rule, delete set, cut and tie-breaks.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      val tomb = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("deleted_id"))
+      Ann.ivfSearchStoreExcluding(s, ivfVecTableFor(s, d), "embedding",
+          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3,
+          tombstones = tomb, tombIdCol = "deleted_id")
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
+      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
+        SELECT c.vec_id, c.cluster_id,
+          ${l2Sql("c.embedding", "q.qv")} AS dist
+        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q
+        WHERE c.vec_id % 17 <> 0)
+      ORDER BY dist, vec_id LIMIT 10"""))
+
   private val ivfPqCodePaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfPqCodeTableFor(s: SparkSession, d: String): String =
     ivfPqCodePaths.getOrElseUpdate(d, {
@@ -4050,8 +4145,8 @@ object Queries {
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, b1, b2, i1, r2,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, b1, b2, i1, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -222,6 +222,38 @@ object Ann {
       embCol, idCol, queryVec, k)
   }
 
+  /** Tombstone-aware serving: [[ivfSearchStore]] honoring a DELETE
+    * set. A cluster-partitioned index can't be rebuilt per delete;
+    * deletes accumulate in a small tombstone table that serving must
+    * respect until the next [[graft.operators.IndexMaintenance]]
+    * rebuild folds them in. Plan shape: the probe list still prunes
+    * the scan to nprobe cluster partitions (static PartitionFilters);
+    * the tombstone set — bounded by deletes-since-rebuild, orders of
+    * magnitude smaller than the corpus — broadcasts into a LEFT ANTI
+    * join BEFORE the exact top-k, so a deleted id can never surface
+    * and the cut stays exact over live rows (no k-overfetch hack). If
+    * deletes ever outgrow broadcast range the same plan degrades to a
+    * shuffled anti join keyed on id — still linear, never quadratic. */
+  def ivfSearchStoreExcluding(spark: org.apache.spark.sql.SparkSession,
+                              path: String, embCol: String, idCol: String,
+                              centroids: DataFrame, cidCol: String,
+                              cvecCol: String, queryVec: Column, k: Int,
+                              nprobe: Int, tombstones: DataFrame,
+                              tombIdCol: String): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val probed = centroids
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
+      .orderBy(col("__qdist"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).cast("long"))
+      .collect().map(_.getLong(0))
+    val tomb = tombstones.select(col(tombIdCol).as("__tomb_id")).distinct()
+    val live = graft.sources.IndexStore.load(spark, path)
+      .filter(col("cluster_id").isin(probed: _*))
+      .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
+    Knn.exact(live, embCol, idCol, queryVec, k)
+  }
+
   /** Batch IVF search: per-query probe selection over the broadcast
     * centroid table (queries × k rows — both small), then exact top-k
     * INSIDE the probed clusters via the bounded [[TopK]] aggregation:

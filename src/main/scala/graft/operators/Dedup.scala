@@ -970,4 +970,37 @@ object Dedup {
         (col("component_id").isNull || col("doc_id") === col("__keep_doc"))
           .as("keep"))
   }
+
+  /** [[applyPurgeManifest]] with the keeper rule production pipelines
+    * actually want: within each duplicate component keep the doc with
+    * the HIGHEST `scoreCol` (ties → lowest doc_id), not the lowest id.
+    * Near-dup clusters routinely mix a clean original with
+    * boilerplate-wrapped or truncated copies; keep-first keeps
+    * whichever happened to be crawled first, while a quality keeper
+    * keeps the best exemplar (the CCNet/RefinedWeb practice).
+    *
+    * `docs` must carry `scoreCol`; the verdict passes it through for
+    * auditability. Scale shape: the keeper election is ONE row_number
+    * window over the component assignment joined with (id, score)
+    * pairs — both sides are id/scalar-width and the window partitions
+    * by component (duplicate docs only, a small fraction of the
+    * corpus); the corpus-wide verdict joins ship (id, component,
+    * score, bool) tuples. Text never shuffles. */
+  def applyPurgeManifestBy(docs: DataFrame, idCol: String,
+                           comp: DataFrame, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("__s").desc, col("doc_id"))
+    val keepers = comp
+      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
+        Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("component_id"), col("doc_id").as("__keep_doc"))
+    docs.select(col(idCol).as("doc_id"), col(scoreCol))
+      .join(comp, Seq("doc_id"), "left")
+      .join(keepers, Seq("component_id"), "left")
+      .select(col("doc_id"), col("component_id"), col(scoreCol),
+        (col("component_id").isNull || col("doc_id") === col("__keep_doc"))
+          .as("keep"))
+  }
 }

@@ -139,6 +139,35 @@ class AnnSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"label filter not pushed down in:\n$plan")
   }
 
+  test("ivfSearchStoreExcluding: tombstoned ids never surface, cut exact over live rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_t_").toString
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    graft.sources.IndexStore.write(assigned, dir)
+    val qv = typedlit(Seq(0.05, 0.1))
+    // delete every 3rd vector — including some of the query's nearest
+    val tomb = corpus.filter($"vec_id" % 3 === 0)
+      .select($"vec_id".as("deleted_id"))
+    val res = Ann.ivfSearchStoreExcluding(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, nprobe = 1,
+      tombstones = tomb, tombIdCol = "deleted_id")
+    val got = res.select("vec_id").as[Long].collect().toSeq
+    // oracle: exact kNN over the probed cluster minus the delete set —
+    // the cut must be exact over LIVE rows (no k-overfetch truncation)
+    val want = Knn.exact(
+        corpus.filter($"vec_id" < 20 && $"vec_id" % 3 =!= 0),
+        "embedding", "vec_id", qv, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.forall(_ % 3 != 0))
+    val plan = res.queryExecution.executedPlan.toString
+    // partition pruning survives the anti join
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
+    // the tombstone side rides a broadcast hash anti join, not a shuffle
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone anti join not a broadcast LeftAnti in:\n$plan")
+  }
+
   test("ivfSearch with nprobe = all clusters equals global exact kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val qv = typedlit(Seq(50.0, 50.0))

@@ -548,4 +548,22 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Option[Long], Boolean)].collect().toSeq
     assert(r2 == Seq((1L, Some(99L), true), (2L, Some(99L), false)))
   }
+
+  test("applyPurgeManifestBy: quality keeper wins, ties break to min doc_id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),   // cluster 1: keeper = 2 (best)
+      (4L, 0.7),                          // singleton
+      (5L, 0.6), (6L, 0.6)                // cluster 5: tie → keeper = 5
+    ).toDF("doc_id", "quality")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component_id")
+    val r = Dedup.applyPurgeManifestBy(docs, "doc_id", comp, "quality")
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Double, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, Some(1L), 0.2, false), (2L, Some(1L), 0.9, true),
+      (3L, Some(1L), 0.5, false),
+      (4L, None, 0.7, true),
+      (5L, Some(5L), 0.6, true), (6L, Some(5L), 0.6, false)))
+  }
 }

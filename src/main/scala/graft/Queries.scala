@@ -480,11 +480,11 @@ object Queries {
         t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", k)
       val roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-      val whole = Window.partitionBy("doc_id")
+      // full-windows trim uses the generation-time n_grams constant —
+      // no second (whole-partition max) window over the exploded grams
       grams
         .withColumn("fp", min("gram_hash").over(roll))
-        .withColumn("npos", max("pos").over(whole))
-        .filter(col("pos") <= col("npos") - (w - 1))
+        .filter(col("pos") <= col("n_grams") - (w - 1))
         .select("doc_id", "fp").distinct()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fps"), min("fp").as("fp_min"), max("fp").as("fp_max"))

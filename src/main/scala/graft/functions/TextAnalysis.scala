@@ -75,17 +75,23 @@ object TextAnalysis {
     * rows pre-window — compose with a ROWS window min + distinct (see
     * Queries t6 for the full plan; both Spark and DuckDB express the
     * rolling window as `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`).
-    * Gram hash = first 60 bits of md5 (hex→numeric, engine-portable). */
+    * Gram hash = first 60 bits of md5 (hex→numeric, engine-portable).
+    * Also emits `n_grams` (= len−k+1, the max pos of the doc), carried
+    * from generation time as a per-row constant: downstream "full
+    * windows only" trims filter on it directly instead of paying a
+    * whole-partition `max(pos)` window — one fewer pass over the
+    * exploded gram set, which outnumbers documents ~1000:1. */
   def charGramHashes(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
+        (length(col(textCol)) - (k - 1)).cast("int").as("n_grams"),
         posexplode(
           when(length(col(textCol)) >= k,
             transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
               i => col(textCol).substr(i, lit(k))))
             .otherwise(array().cast("array<string>")))
           .as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+      .select(col("doc_id"), col("n_grams"), (col("pos0") + 1).as("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
 
   /** Distinct word k-shingles (word n-grams) — the unit for MinHash /

@@ -98,10 +98,13 @@ class TextFunctionsSpec extends SparkSpec {
     val df = Seq((1L, "abcdefghij"), (2L, "short")).toDF("doc_id", "text")
     val out = TextAnalysis.charGramHashes(df, "doc_id", "text", 8)
       .orderBy("doc_id", "pos")
-      .as[(Long, Int, Long)].collect().toSeq
+      .select("doc_id", "n_grams", "pos", "gram_hash")
+      .as[(Long, Int, Int, Long)].collect().toSeq
     // doc 1: 10 chars → 3 grams at pos 1..3; doc 2 (<k chars) → none
-    assert(out.map(r => (r._1, r._2)) == Seq((1L, 1), (1L, 2), (1L, 3)))
-    assert(out.forall(r => r._3 >= 0 && r._3 < (1L << 60)))
+    assert(out.map(r => (r._1, r._3)) == Seq((1L, 1), (1L, 2), (1L, 3)))
+    // n_grams carries len−k+1 (= max pos) from generation time
+    assert(out.forall(r => r._2 == 3))
+    assert(out.forall(r => r._4 >= 0 && r._4 < (1L << 60)))
     // identical grams hash identically across rows
     val dup = TextAnalysis.charGramHashes(
       Seq((1L, "xxxxxxxxy"), (2L, "xxxxxxxxz")).toDF("doc_id", "text"),

@@ -1167,6 +1167,46 @@ object Queries {
       FROM events WHERE user_id IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val t36 = QuerySpec("t36_dup_line_stats",
+    // Within-doc duplicate-LINE census (Curation.dupLineStats): the
+    // line-level Gopher repetition signal next to t11's n-gram
+    // repetitionStats and t31's structural rules — boilerplate pages
+    // (nav bars, cookie banners) light up here before any cross-doc
+    // dedup runs. Dup lines are PLANTED (doc_id % 7 docs gain one
+    // line three times — the t31/d18 sf-independent pattern) on top
+    // of whatever the natural text repeats. The oracle replays the
+    // line split, the blank-line exclusion, both fractions and the
+    // left-join zero fill.
+    (s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\nplanted duplicate line\n" +
+            "planted duplicate line\nplanted duplicate line")))
+          .otherwise(col("text")).as("text"))
+      Curation.dupLineStats(src, "doc_id", "text").orderBy("doc_id")
+    },
+    Some(s"""WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+            'planted duplicate line' || chr(10) ||
+            'planted duplicate line' || chr(10) || 'planted duplicate line'
+          ELSE text END AS text FROM documents),
+      lines AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, chr(10)),
+          l -> len(trim(l)) > 0)) AS line FROM src),
+      pl AS (SELECT doc_id, line, len(line) AS ln, count(*) AS c
+        FROM lines GROUP BY 1, 2, 3),
+      st AS (SELECT doc_id, sum(c) AS n_lines,
+        sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dl,
+        sum(ln * c) AS tc,
+        sum(CASE WHEN c > 1 THEN ln * (c - 1) ELSE 0 END) AS dc
+        FROM pl GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        round(CASE WHEN coalesce(n_lines, 0) = 0 THEN 0.0
+          ELSE CAST(dl AS DOUBLE) / n_lines END, 6) AS dup_line_frac,
+        round(CASE WHEN coalesce(tc, 0) = 0 THEN 0.0
+          ELSE CAST(dc AS DOUBLE) / tc END, 6) AS dup_char_frac
+      FROM src d LEFT JOIN st USING (doc_id) ORDER BY doc_id"""))
+
   private val t35 = QuerySpec("t35_heavy_hitter_windows",
     // The t23/t34 treatment for the THIRD monitor: HeavyHitterMonitor's
     // batch half on the correctness clock. Same two-stage path the
@@ -1702,14 +1742,45 @@ object Queries {
           concat(p.getField("doc_id").cast("string"), lit(":"),
             p.getField("tf").cast("string"))), ",").as("postings"))
       .orderBy("term"),
-    Some(s"""WITH toks AS (SELECT doc_id,
+    Some(postingsIndexSql))
+
+  /** Whole-corpus posting-index SQL — shared by i1 (build) and i2
+    * (incremental upsert): the upsert's merged index must be
+    * IDENTICAL to a from-scratch build, so they hash-check against
+    * the same oracle. */
+  private def postingsIndexSql: String =
+    s"""WITH toks AS (SELECT doc_id,
         unnest(list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
           w -> len(w) > 0)) AS term
         FROM documents),
       tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
       SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-      FROM tf GROUP BY term ORDER BY term"""))
+      FROM tf GROUP BY term ORDER BY term"""
+
+  private val i2 = QuerySpec("i2_postings_upsert",
+    // Incremental posting-index maintenance (Bm25.upsertPostings):
+    // the stored i1 artifact absorbs a new-doc batch without a
+    // rebuild — corpus = doc_id % 10 ≠ 3, batch = the rest. The
+    // merged index must be IDENTICAL to a from-scratch build over the
+    // union, so the oracle is i1's whole-corpus SQL verbatim — any
+    // df/cf drift or posting mis-merge breaks the hash. Only the
+    // batch's terms shuffle (batch-sized delta joined to stored rows
+    // on term); untouched terms pass through a left-anti join — the
+    // lexical twin of d15/d17's incremental containment serving.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val stored = Bm25.buildPostings(
+        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text")
+      Bm25.upsertPostings(stored,
+          docs.filter(col("doc_id") % 10 === 3), "doc_id", "text")
+        .select(col("term"), col("df"), col("cf"),
+          array_join(transform(col("postings"), p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("postings"))
+        .orderBy("term")
+    },
+    Some(postingsIndexSql))
 
   private val b2 = QuerySpec("b2_bm25_indexed",
     // b1 served FROM the posting-list index: only the query terms'
@@ -4144,9 +4215,9 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, b1, b2, i1, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, b1, b2, i1, i2, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -145,6 +145,40 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Incremental posting-index upsert: merge a NEW batch of documents
+    * into a stored [[buildPostings]] artifact without rebuilding —
+    * the lexical twin of the d15/d17 incremental containment path.
+    * Contract: batch doc ids must be NEW (not already in the stored
+    * index); an id present on both sides would double-count df/cf and
+    * duplicate its posting entry (same append-only contract as every
+    * log-structured posting merge).
+    *
+    * Plan shape: only the batch's terms shuffle — the batch builds its
+    * own (term, df, cf, postings) delta (batch-sized), joins the
+    * stored index on term (delta-term rows only), and merged posting
+    * lists re-sort per term; every term NOT in the batch passes
+    * through untouched via a left-anti join. Against a term-bucket-
+    * partitioned store the rewrite touches only the delta's buckets
+    * (the d12 stored-band-index pattern). At 100 TB the cost is
+    * bounded by the batch + the affected posting rows, never the
+    * corpus. */
+  def upsertPostings(stored: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val delta = buildPostings(batch, idCol, textCol)
+      .select(col("term"), col("df").as("__df_d"), col("cf").as("__cf_d"),
+        col("postings").as("__post_d"))
+    val untouched = stored.join(delta.select("term"), Seq("term"), "left_anti")
+    val merged = stored.join(delta, Seq("term"), "right")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + col("__df_d")).as("df"),
+        (coalesce(col("cf"), lit(0L)) + col("__cf_d")).as("cf"),
+        array_sort(concat(
+          coalesce(col("postings"),
+            array().cast("array<struct<doc_id:bigint,tf:bigint>>")),
+          col("__post_d"))).as("postings"))
+    untouched.unionByName(merged)
+  }
+
   /** Per-document token-length table (doc_id, dl) — the side table a
     * posting-list index pairs with for BM25 length normalization. */
   def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =

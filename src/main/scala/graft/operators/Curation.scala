@@ -165,6 +165,48 @@ object Curation {
       .withColumn("keep", col("grp_rank") <= cap)
   }
 
+  /** Within-document duplicate-LINE statistics — the line-level Gopher
+    * repetition signal ([[repetitionStats]] covers the n-gram ones,
+    * the structural rules live in [[gopherFilter]]): per doc, the
+    * fraction of lines and of line-characters that within-doc line
+    * dedup would remove (occurrences beyond the first of each distinct
+    * line). Boilerplate-heavy pages (nav bars, cookie banners,
+    * templated listings) light up on exactly these two numbers.
+    * Empty-after-trim lines are excluded from the census (blank lines
+    * are layout, not content); lines compare RAW otherwise. Docs with
+    * no nonempty lines report zero fractions.
+    *
+    * Scale shape: one explode → one (doc, line) count → one per-doc
+    * fold; the only exchanges are keyed on (doc, line) and doc — the
+    * same contract as [[repetitionStats]], with lines in place of
+    * grams. */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val lines = spread.select(col(idCol).as("doc_id"),
+      explode(filter(split(col(textCol), "\n"),
+        l => length(trim(l)) > 0)).as("line"))
+    val perLine = lines
+      .select(col("doc_id"), col("line"), length(col("line")).as("__len"))
+      .groupBy("doc_id", "line", "__len")
+      .agg(count(lit(1)).as("__c"))
+    val stats = perLine.groupBy("doc_id").agg(
+      sum("__c").as("n_lines"),
+      sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)).as("__dl"),
+      sum(col("__len").cast("long") * col("__c")).as("__tc"),
+      sum(when(col("__c") > 1, col("__len").cast("long") * (col("__c") - 1))
+        .otherwise(0L)).as("__dc"))
+    spread.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        round(when(col("n_lines").isNull || col("n_lines") === 0, lit(0.0))
+          .otherwise(col("__dl").cast("double") / col("n_lines")), 6)
+          .as("dup_line_frac"),
+        round(when(col("__tc").isNull || col("__tc") === 0, lit(0.0))
+          .otherwise(col("__dc").cast("double") / col("__tc")), 6)
+          .as("dup_char_frac"))
+  }
+
   /** Exact duplicate-SPAN detection (the substring-dedup family à la
     * "Deduplicating Training Data Makes Language Models Better" —
     * suffix-array semantics re-expressed declaratively): for every

@@ -137,4 +137,20 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
     assert(r1 == r2)
   }
+
+  test("upsertPostings: merged index equals a from-scratch build over the union") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("term"), col("df"), col("cf"),
+        to_json(col("postings")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    val stored = Bm25.buildPostings(corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    val batch = corpus.filter($"doc_id" > 2)
+    val merged = Bm25.upsertPostings(stored, batch, "doc_id", "text")
+    assert(canon(merged) == canon(Bm25.buildPostings(corpus, "doc_id", "text")))
+    // a batch introducing an entirely new term ("today") lands with
+    // stored-side nulls coalesced — df/cf from the batch alone
+    val newTerm = merged.filter($"term" === "today")
+      .select("df", "cf").as[(Long, Long)].head()
+    assert(newTerm == ((1L, 1L)))
+  }
 }

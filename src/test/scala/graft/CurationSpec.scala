@@ -36,6 +36,26 @@ class CurationSpec extends SparkSpec {
     assert(r(5)._2 == 1.0 && !r(5)._4)
   }
 
+  test("dupLineStats: within-doc line dedup fractions, blanks excluded, zero fill") {
+    val df = Seq(
+      (0L, "aaa\nbbb\naaa\n\n  \naaa"),  // aaa×3 + bbb → 2/4 dup lines, 6/12 dup chars
+      (1L, "xx\nyy\nzz"),                 // nothing repeats
+      (2L, ""),                           // no nonempty lines → zeros
+      (3L, "unique\nun\nunique")          // unique×2, un → 1/3, 6/14
+    ).toDF("doc_id", "text")
+    val r = Curation.dupLineStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      (0L, 4L, 0.5, 0.5),
+      (1L, 3L, 0.0, 0.0),
+      (2L, 0L, 0.0, 0.0),
+      (3L, 3L, round6(1.0 / 3), round6(6.0 / 14))))
+  }
+
+  private def round6(x: Double): Double =
+    math.rint(x * 1e6) / 1e6
+
   test("ngramsFast equals the expression-form ngrams") {
     val texts = Seq("", " padded  text ", "a", "a b", "a b c d e f",
       "tab\tand\nnewline separated words here").zipWithIndex

@@ -185,4 +185,96 @@ object IndexStore {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  // ---------------------------------------------------------------
+  // Delta maintenance on a cluster-partitioned index: the two
+  // operations [[upsertPartitioned]]'s contract explicitly leaves to
+  // the caller — ids that MOVE clusters (a re-embedded doc lands in a
+  // different Voronoi cell, so its old copy must be purged from the
+  // OLD cluster) and deletes (tombstones accumulated by
+  // ivfSearchStoreExcluding folded into the files). Both reduce to
+  // one primitive: rewrite exactly the AFFECTED cluster partitions as
+  // (existing − removeIds) ∪ batch. Cost ∝ affected partitions plus
+  // ONE narrow (id, cluster_id) scan to locate old copies — parquet
+  // column pruning keeps that scan payload-free (no embedding bytes),
+  // and at 100 TB it is the price of not maintaining a separate
+  // id→cluster sidecar; callers that do keep one can pass the
+  // affected set via the tombstone table's own cluster hints instead.
+  // ---------------------------------------------------------------
+
+  /** Rewrite affected partitions as (existing − removeIds) ∪ addBatch.
+    * `removeIds` must have a single column named `idCol`; `addBatch`
+    * rows must carry `cluster_id`. Returns the affected cluster ids.
+    *
+    * A cluster whose rows are ALL removed needs explicit handling:
+    * dynamic partition overwrite replaces only partitions PRESENT in
+    * the written data, so an emptied cluster would keep its stale
+    * directory. After the write, emptied directories are deleted via
+    * the filesystem. The flip itself is per-partition (Spark's dynamic
+    * overwrite semantics) — same crash-exposure class as
+    * [[upsertPartitioned]]; a versioned root ([[writeVersioned]]) is
+    * the atomic alternative when rewrite cost ∝ corpus is acceptable. */
+  private def rewriteAffected(spark: SparkSession, path: String,
+                              removeIds: DataFrame, addBatch: Option[DataFrame],
+                              idCol: String): Seq[Long] = {
+    val rm = removeIds.select(col(idCol)).distinct()
+    val existing = load(spark, path)
+    require(existing.columns.contains("cluster_id"),
+      s"$path is not a cluster-partitioned index")
+    // Narrow scan: only (idCol, cluster_id) leave the reader.
+    val oldAffected = existing.select(col(idCol), col("cluster_id"))
+      .join(broadcast(rm), Seq(idCol), "left_semi")
+      .select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val newAffected = addBatch.toSeq.flatMap(
+      _.select(col("cluster_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)))
+    val affected = (oldAffected ++ newAffected).distinct.sorted
+    if (affected.isEmpty) return Seq.empty
+    val survivors = existing.filter(col("cluster_id").isin(affected: _*))
+      .join(broadcast(rm), Seq(idCol), "left_anti")
+    val merged = addBatch.fold(survivors)(survivors.unionByName(_))
+      .localCheckpoint(true) // break the read-then-overwrite cycle
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // Emptied clusters: affected but absent from the written data.
+    val written = merged.select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (fs, root) = fsOf(spark, path)
+    affected.filterNot(written).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"cluster_id=$c"), true)
+    }
+    affected
+  }
+
+  /** Upsert that honors cluster MOVES: every old copy of a batch id is
+    * purged wherever it lives, then the re-assigned batch rows land in
+    * their (possibly different) clusters. This is the re-embedded-doc
+    * path [[upsertPartitioned]] documents away; use that cheaper form
+    * when ids provably keep their clusters (same centroids, same
+    * embedding). Idempotent: re-applying the same batch is a no-op. */
+  def upsertReassigned(spark: SparkSession, path: String,
+                       batch: DataFrame, idCol: String): Seq[Long] = {
+    require(batch.columns.contains("cluster_id"),
+      "upsertReassigned needs an IVF-assigned batch (cluster_id column)")
+    val deduped = batch.dropDuplicates(idCol)
+    rewriteAffected(spark, path, deduped.select(col(idCol)), Some(deduped), idCol)
+  }
+
+  /** Fold a tombstone set into the index files: rewrite only the
+    * clusters that hold a tombstoned id, dropping those rows (and any
+    * fully-emptied cluster directory). After compaction, serving goes
+    * back to the plain [[graft.operators.Ann.ivfSearchStore]] shape —
+    * no per-query anti-join — which is the point: tombstones are a
+    * serving tax that compaction repays in one partition-scoped pass. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         tombstones: DataFrame, tombIdCol: String,
+                         idCol: String): Seq[Long] =
+    rewriteAffected(spark, path,
+      tombstones.select(col(tombIdCol).as(idCol)), None, idCol)
 }

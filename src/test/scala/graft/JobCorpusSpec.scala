@@ -185,4 +185,74 @@ class JobCorpusSpec extends SparkSpec {
     assert(clusterFiles(1L) == before,
       "unaffected cluster partition was rewritten")
   }
+
+  test("upsertReassigned purges the OLD cluster's copy when an id moves") {
+    // the re-embedded-doc hazard upsertPartitioned documents away:
+    // id 2 moves cluster 0 -> 2; its old copy must vanish from 0
+    val dir = Files.createTempDirectory("graft_index_move").toString + "/idx"
+    IndexStore.write(Seq(
+      (1L, 0L, "a"), (2L, 0L, "b"), (11L, 1L, "x"), (21L, 2L, "p"))
+      .toDF("id", "cluster_id", "payload"), dir)
+    def clusterFiles(c: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/cluster_id=$c")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before1 = clusterFiles(1L)
+    Thread.sleep(1100) // mtime granularity guard
+    val affected = IndexStore.upsertReassigned(spark, dir,
+      Seq((2L, 2L, "b2"), (5L, 0L, "e")).toDF("id", "cluster_id", "payload"),
+      "id")
+    // affected = old cluster of id 2 (0), new clusters (2, 0)
+    assert(affected == Seq(0L, 2L))
+    val after = IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "cluster_id", "payload").as[(Long, Long, String)]
+      .collect().toSeq
+    // identical to a from-scratch build over the merged corpus:
+    // no stale (2, cluster 0) copy anywhere
+    assert(after == Seq(
+      (1L, 0L, "a"), (2L, 2L, "b2"), (5L, 0L, "e"),
+      (11L, 1L, "x"), (21L, 2L, "p")))
+    assert(clusterFiles(1L) == before1,
+      "unaffected cluster partition was rewritten")
+    // idempotent: re-applying the same batch changes nothing
+    IndexStore.upsertReassigned(spark, dir,
+      Seq((2L, 2L, "b2"), (5L, 0L, "e")).toDF("id", "cluster_id", "payload"),
+      "id")
+    assert(IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "cluster_id", "payload").as[(Long, Long, String)]
+      .collect().toSeq == after)
+  }
+
+  test("compactPartitioned drops tombstoned rows and emptied directories") {
+    val dir = Files.createTempDirectory("graft_index_compact").toString + "/idx"
+    IndexStore.write(Seq(
+      (1L, 0L, "a"), (2L, 0L, "b"), (11L, 1L, "x"), (21L, 2L, "p"))
+      .toDF("id", "cluster_id", "payload"), dir)
+    def clusterFiles(c: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/cluster_id=$c")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before1 = clusterFiles(1L)
+    Thread.sleep(1100)
+    // tombstones: id 2 (cluster 0 shrinks), id 21 (cluster 2 EMPTIES)
+    val affected = IndexStore.compactPartitioned(spark, dir,
+      Seq(2L, 21L).toDF("deleted_id"), "deleted_id", "id")
+    assert(affected == Seq(0L, 2L))
+    assert(IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "cluster_id", "payload").as[(Long, Long, String)]
+      .collect().toSeq == Seq((1L, 0L, "a"), (11L, 1L, "x")))
+    // the emptied cluster's directory is GONE (dynamic overwrite alone
+    // would have left it stale), the untouched one is byte-identical
+    assert(!new java.io.File(s"$dir/cluster_id=2").exists(),
+      "emptied cluster directory survived compaction")
+    assert(clusterFiles(1L) == before1,
+      "unaffected cluster partition was rewritten")
+    // a tombstone set hitting nothing is a no-op
+    assert(IndexStore.compactPartitioned(spark, dir,
+      Seq(999L).toDF("deleted_id"), "deleted_id", "id") == Seq.empty)
+  }
 }

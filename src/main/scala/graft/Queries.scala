@@ -1297,6 +1297,70 @@ object Queries {
         n_langs, lang_entropy, mean_quality, p50_chars, p90_chars
       FROM main m JOIN ent USING (source) ORDER BY m.source"""))
 
+  private val t37 = QuerySpec("t37_card_incremental",
+    // t33's datasheet kept as MERGEABLE state (operators/DatasetCard):
+    // sums, a lang-count grain, a fixed-width n_chars histogram, and a
+    // Datasketches HLL sketch of md5(text) — so a new batch updates
+    // the card at partial-table cost instead of a corpus rescan (the
+    // i2/d15 economics applied to corpus statistics; at 100 TB the
+    // partials are KBs). Here the corpus splits 9:1 into a "stored"
+    // card and a batch; merge folds the batch in, render derives the
+    // publishable relation. Exact columns (counts, token sums, lang
+    // entropy, histogram-bucket percentiles by the deterministic
+    // cumulative rule) hash-check against DuckDB replaying ONE pass
+    // over the union — a merge that dropped or double-counted a
+    // partial flips them. The sketch column rides as the t24/t34-style
+    // bound boolean against the exact census (disclosed verification
+    // column); DatasetCardSpec pins merge associativity and
+    // merged-estimate == from-scratch-estimate.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def parts(df: DataFrame) = graft.operators.DatasetCard.partials(
+        df, "doc_id", "text", "source", "lang", "n_chars")
+      val stored = parts(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = parts(docs.filter(col("doc_id") % 10 === 0))
+      val card = graft.operators.DatasetCard.render(
+        graft.operators.DatasetCard.merge(stored, delta))
+      val exact = docs.select(col("source"), md5(col("text")).as("__h"))
+        .groupBy("source").agg(countDistinct(col("__h")).as("n_unique_texts"))
+      card.join(exact, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_quality"), col("n_langs"), col("lang_entropy"),
+          col("p50_bucket"), col("p90_bucket"), col("n_unique_texts"),
+          (abs(col("n_unique_est") - col("n_unique_texts"))
+            <= greatest(col("n_unique_texts").cast("double") * 0.1, lit(2.0)))
+            .as("hll_ok"))
+        .orderBy("source")
+    },
+    Some(s"""WITH pd AS (SELECT source, lang,
+        CAST(n_chars // 64 AS BIGINT) AS bucket, md5(text) AS h,
+        CAST(nws AS BIGINT) AS nt, $qualityExprSql AS q
+        FROM (${qualityInnerSql(" source, lang, n_chars,")})),
+      main AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        round(sum(q) / count(*), 4) AS mean_quality,
+        count(DISTINCT h) AS n_unique_texts FROM pd GROUP BY source),
+      lc AS (SELECT source, lang, count(*) AS c FROM pd GROUP BY 1, 2),
+      ent AS (SELECT source, count(*) AS n_langs,
+        round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+          AS lang_entropy
+        FROM (SELECT source, lang, c,
+          sum(c) OVER (PARTITION BY source) AS n FROM lc)
+        GROUP BY source),
+      cum AS (SELECT source, bucket,
+        sum(n) OVER (PARTITION BY source ORDER BY bucket) AS c,
+        sum(n) OVER (PARTITION BY source) AS tot
+        FROM (SELECT source, bucket, count(*) AS n FROM pd GROUP BY 1, 2)),
+      pct AS (SELECT source,
+        min(CASE WHEN c >= tot * 0.5 THEN bucket END) AS p50_bucket,
+        min(CASE WHEN c >= tot * 0.9 THEN bucket END) AS p90_bucket
+        FROM cum GROUP BY source)
+      SELECT m.source, n_docs, n_tokens, mean_quality, n_langs,
+        lang_entropy, p50_bucket, p90_bucket, n_unique_texts,
+        TRUE AS hll_ok
+      FROM main m JOIN ent USING (source) JOIN pct USING (source)
+      ORDER BY m.source"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -4355,7 +4419,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, b1, b2, i1, i2, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

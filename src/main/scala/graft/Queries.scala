@@ -3730,6 +3730,54 @@ object Queries {
         FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  private val v19 = QuerySpec("v19_ivf_batch_serve",
+    // BATCH serving from the stored index (Ann.ivfSearchStoreBatch):
+    // the throughput shape a production deployment actually runs —
+    // a query batch amortizes ONE scan of the stored index instead
+    // of per-query round-trips. The union of all probed clusters
+    // becomes a static PartitionFilters isin on the cluster_id
+    // layout (the scan lists only directories some query probes);
+    // inside it, the broadcast probe join fans rows out only to the
+    // queries probing their cluster, and the bounded TopK aggregation
+    // ships ≤ k rows per (query × partition). The oracle replays
+    // per-query probe selection and per-query exact top-k inside the
+    // probed clusters, rank column included.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.ivfSearchStoreBatch(s, ivfVecTableFor(s, d), "embedding",
+          "vec_id", cent, "cid", "cvec", qs, "qid", "qv",
+          k = 10, nprobe = 3)
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      probes AS (SELECT qid, qv, cluster_id FROM (
+        SELECT q.qid, q.qv, cid AS cluster_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
+        FROM cent CROSS JOIN q) WHERE pr <= 3)
+      SELECT qid, CAST(rnk AS INT) AS knn_rank, vec_id,
+        round(dist, 6) AS dist FROM (
+        SELECT p.qid, c.vec_id, ${l2Sql("c.embedding", "p.qv")} AS dist,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
+        FROM clusters c JOIN probes p USING (cluster_id))
+      WHERE rnk <= 10 ORDER BY qid, knn_rank"""))
+
   /** v18 artifact: a private copy of the v15/v16 index layout with
     * v16's tombstone set (every 17th id) COMPACTED into the files —
     * only the clusters holding a tombstoned row are rewritten, and a
@@ -4421,7 +4469,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, b1, b2, i1, i2, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

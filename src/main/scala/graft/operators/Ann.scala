@@ -268,18 +268,34 @@ object Ann {
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val probes = batchProbes(queries, qidCol, qvecCol,
+      centroids, cidCol, cvecCol, nprobe)
+    searchWithProbes(assigned, embCol, idCol, probes, qidCol, k)
+  }
+
+  /** Per-query probe table: (__qid, __qvec, cluster_id), nprobe rows
+    * per query — queries × centroids are both broadcast-small.
+    * The query frame's columns are renamed to reserved __q* names up
+    * front: if the caller's qidCol/qvecCol collide with a column of
+    * the corpus or `centroids` (e.g. both vector columns named
+    * "embedding"), an un-renamed join would be ambiguous or silently
+    * bind the wrong side. */
+  private def batchProbes(queries: DataFrame, qidCol: String, qvecCol: String,
+                          centroids: DataFrame, cidCol: String,
+                          cvecCol: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Rename the query frame's columns to reserved __q* names up front:
-    // if the caller's qidCol/qvecCol collide with a column of `assigned`
-    // or `centroids` (e.g. both vector columns named "embedding"), the
-    // un-renamed join would be ambiguous or silently bind the wrong side.
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
     val probeW = Window.partitionBy("__qid").orderBy(col("__qdist"), col(cidCol))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), col("__qvec")))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("__qid"), col("__qvec"), col(cidCol).as("cluster_id"))
+  }
+
+  private def searchWithProbes(assigned: DataFrame, embCol: String,
+                               idCol: String, probes: DataFrame,
+                               qidCol: String, k: Int): DataFrame =
     assigned.join(broadcast(probes), Seq("cluster_id"))
       .select(col("__qid"),
         VectorFunctions.l2(col(embCol), col("__qvec")).as("__dist"),
@@ -290,6 +306,33 @@ object Ann {
       .select(col("__qid").as(if (qidCol == idCol) s"${qidCol}_q" else qidCol),
         (col("__pos") + 1).cast("int").as("knn_rank"),
         col("__entry.id").as(idCol), col("__entry.dist").as("dist"))
+
+  /** BATCH serving from the stored cluster-partitioned index — the
+    * throughput shape: amortize one index scan across a whole query
+    * batch instead of one [[ivfSearchStore]] round-trip per query.
+    * The probe table (queries × nprobe rows, driver-bounded) yields
+    * the UNION of probed clusters as a STATIC `isin` the reader turns
+    * into PartitionFilters — the scan lists only directories some
+    * query probes — and inside the scan the broadcast probe join
+    * fans each row out to just the queries probing its cluster. The
+    * per-(query × partition) partial heaps of the bounded [[TopK]]
+    * aggregation keep the exchange at ≤ k rows per query per
+    * partition. Same (dist, id) total order as [[ivfSearchBatch]] —
+    * which this equals row-for-row on an identically-assigned corpus. */
+  def ivfSearchStoreBatch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, embCol: String, idCol: String,
+                          centroids: DataFrame, cidCol: String,
+                          cvecCol: String, queries: DataFrame,
+                          qidCol: String, qvecCol: String,
+                          k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val probes = batchProbes(queries, qidCol, qvecCol,
+      centroids, cidCol, cvecCol, nprobe)
+    val probed = probes.select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded by queries × nprobe
+    val store = graft.sources.IndexStore.load(spark, path)
+      .filter(col("cluster_id").isin(probed: _*))
+    searchWithProbes(store, embCol, idCol, probes, qidCol, k)
   }
 
   /** Two-stage search over an int8-quantized store: candidates by

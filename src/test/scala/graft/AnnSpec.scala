@@ -112,6 +112,35 @@ class AnnSpec extends SparkSpec {
       "scan reads all cluster partitions")
   }
 
+  test("ivfSearchStoreBatch: row-identical to ivfSearchBatch, scan pruned to the probed union") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_batch_").toString
+    // three clusters so a 2-query batch probing nprobe=1 each leaves
+    // one cluster UNPROBED — pruning must be visible, not vacuous
+    val cents3 = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(100.0f, 100.0f)),
+      (2L, Array(-100.0f, -100.0f))).toDF("cid", "cvec")
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents3, "cid", "cvec")
+    graft.sources.IndexStore.write(assigned, dir)
+    val qs = Seq((900L, Array(0.05f, 0.1f)), (901L, Array(100.0f, 100.5f)))
+      .toDF("qid", "qv")
+    val served = Ann.ivfSearchStoreBatch(spark, dir, "embedding", "vec_id",
+      cents3, "cid", "cvec", qs, "qid", "qv", k = 5, nprobe = 1)
+    val inline = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+      cents3, "cid", "cvec", qs, "qid", "qv", k = 5, nprobe = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("dist"), 9))
+        .orderBy("qid", "knn_rank").collect().toSeq
+    assert(rows(served) == rows(inline))
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      "scan reads all cluster partitions")
+    // the unprobed cluster 2 must not appear in the pruned isin
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
+    assert(!pf.contains("2"), s"unprobed cluster in scan filter: $pf")
+  }
+
   test("ivfSearchStoreWhere: filtered top-k, both prunings visible in ONE scan") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_f_").toString
     // give every vector a label so the predicate has survivors + victims

@@ -1812,11 +1812,12 @@ object Queries {
     * (incremental upsert): the upsert's merged index must be
     * IDENTICAL to a from-scratch build, so they hash-check against
     * the same oracle. */
-  private def postingsIndexSql: String =
+  private def postingsIndexSql: String = postingsIndexSql("")
+  private def postingsIndexSql(where: String): String =
     s"""WITH toks AS (SELECT doc_id,
         unnest(list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
           w -> len(w) > 0)) AS term
-        FROM documents),
+        FROM documents $where),
       tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
       SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
@@ -1845,6 +1846,30 @@ object Queries {
         .orderBy("term")
     },
     Some(postingsIndexSql))
+
+  private val i3 = QuerySpec("i3_postings_delete",
+    // Posting-index DELETE without a rebuild (Bm25.deletePostings):
+    // the lexical twin of v18's tombstone compaction. A purge batch
+    // (doc_id % 9 = 0, text in hand from the purge manifest) names
+    // its own terms — the broadcast (term, doc_id) delete pairs
+    // semi-join out the affected stored rows, deleted entries
+    // anti-join away, one term-keyed regroup rebuilds list/df/cf;
+    // untouched terms never explode. The compacted index must be
+    // IDENTICAL to a from-scratch build over live docs, so the
+    // oracle is i1's SQL with the delete predicate — a stale
+    // posting, drifted df/cf, or zero-df debris breaks the hash.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val stored = Bm25.buildPostings(docs, "doc_id", "text")
+      Bm25.deletePostings(stored,
+          docs.filter(col("doc_id") % 9 === 0), "doc_id", "text")
+        .select(col("term"), col("df"), col("cf"),
+          array_join(transform(col("postings"), p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("postings"))
+        .orderBy("term")
+    },
+    Some(postingsIndexSql("WHERE doc_id % 9 <> 0")))
 
   private val b2 = QuerySpec("b2_bm25_indexed",
     // b1 served FROM the posting-list index: only the query terms'
@@ -4469,7 +4494,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, i3, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -179,6 +179,40 @@ object Bm25 {
     untouched.unionByName(merged)
   }
 
+  /** Delete documents from a stored posting index without a rebuild —
+    * the lexical twin of the vector index's tombstone compaction
+    * ([[graft.sources.IndexStore.compactPartitioned]]). The deleted
+    * docs' TEXT identifies the affected terms (a purge manifest in a
+    * curation pipeline carries the doc, so this costs nothing extra;
+    * without text, finding a doc's terms would mean scanning every
+    * posting list). Plan shape: the broadcast-small (term, doc_id)
+    * delete-pair table semi-joins the affected stored rows out,
+    * their posting lists explode → anti-join drops deleted entries →
+    * one term-keyed regroup rebuilds list + df + cf; untouched terms
+    * pass a broadcast left-anti join unread. Cost ∝ affected posting
+    * rows, never the index. A term whose postings empty out drops
+    * from the index entirely (no zero-df debris), so the result is
+    * IDENTICAL to a from-scratch build over the live docs. */
+  def deletePostings(stored: DataFrame, deletedDocs: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val dpairs = deletedDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val dtermList = dpairs.select("term").distinct()
+    val untouched = stored.join(broadcast(dtermList), Seq("term"), "left_anti")
+    val rewritten = stored.join(broadcast(dtermList), Seq("term"), "left_semi")
+      .select(col("term"), explode(col("postings")).as("__p"))
+      .select(col("term"), col("__p.doc_id").as("doc_id"),
+        col("__p.tf").as("tf"))
+      .join(broadcast(dpairs), Seq("term", "doc_id"), "left_anti")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+    untouched.unionByName(rewritten)
+  }
+
   /** Per-document token-length table (doc_id, dl) — the side table a
     * posting-list index pairs with for BM25 length normalization. */
   def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -153,4 +153,27 @@ class Bm25Spec extends SparkSpec {
       .select("df", "cf").as[(Long, Long)].head()
     assert(newTerm == ((1L, 1L)))
   }
+
+  test("deletePostings: compacted index equals a from-scratch build over live docs") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("term"), col("df"), col("cf"),
+        to_json(col("postings")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    val stored = Bm25.buildPostings(corpus, "doc_id", "text")
+    val deleted = corpus.filter($"doc_id" === 3)
+    val compacted = Bm25.deletePostings(stored, deleted, "doc_id", "text")
+    assert(canon(compacted) ==
+      canon(Bm25.buildPostings(corpus.filter($"doc_id" =!= 3), "doc_id", "text")))
+    // a term only doc 3 carried must vanish entirely (no zero-df debris)
+    val doc3Only = Bm25.buildPostings(deleted, "doc_id", "text")
+      .join(Bm25.buildPostings(corpus.filter($"doc_id" =!= 3), "doc_id", "text")
+        .select("term"), Seq("term"), "left_anti")
+      .select("term").as[String].collect()
+    assert(doc3Only.nonEmpty, "fixture must have a doc-3-exclusive term")
+    doc3Only.foreach(t =>
+      assert(compacted.filter($"term" === t).isEmpty, s"debris term $t"))
+    // idempotent: deleting the same doc again is a no-op
+    assert(canon(Bm25.deletePostings(compacted, deleted, "doc_id", "text"))
+      == canon(compacted))
+  }
 }

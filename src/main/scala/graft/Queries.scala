@@ -279,6 +279,35 @@ object Queries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
       ORDER BY event_id"""))
 
+  private val e7 = QuerySpec("e7_attribution_join",
+    // Stream-stream attribution (EventStream.attributionJoin): every
+    // purchase paired with the same user's clicks in the preceding
+    // hour — the canonical Structured Streaming interval join, run
+    // here on the STATIC events table where withWatermark is a no-op
+    // and the same code is the batch twin (the t23/t34/t35 pattern;
+    // StreamingSpec pins stream == batch with two MemoryStreams).
+    // Batch plan: one user_id-keyed equality shuffle with the time
+    // range as a post-join filter; streaming plan: both join-state
+    // stores bounded by the 2×gap watermarks. The oracle mirrors the
+    // micros-truncate-then-compare arithmetic exactly (the e4
+    // precedent for nanos-generation data).
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.EventStream.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), gapMinutes = 60)
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        c.user_id, p.us - c.us AS lag_us
+      FROM c JOIN p ON c.user_id = p.user_id
+      WHERE p.us >= c.us AND p.us <= c.us + 3600000000
+      ORDER BY purchase_id, click_id"""))
+
   private val e6 = QuerySpec("e6_range_join",
     // Keyless range join (RangeJoin.pairsWithin): click/purchase pairs
     // within 60s of each other across ALL users — no equi key, so the
@@ -2429,6 +2458,44 @@ object Queries {
       LEFT JOIN keepers k USING (component_id)
       ORDER BY d.doc_id"""))
 
+  private val d22 = QuerySpec("d22_snapshot_diff",
+    // Corpus snapshot diff (Curation.snapshotDiff): the per-doc
+    // added/removed/changed/unchanged verdict between two snapshot
+    // versions — the delta computation that FEEDS this library's
+    // incremental maintainers (changed/added → v17/i2 upserts,
+    // removed → v18/i3 compactions). Snapshot B adds the % 10 = 0
+    // docs, drops the % 10 = 3 docs, and edits the % 7 = 0 docs
+    // (planted " v2" suffix), so all four statuses appear. The join
+    // ships (id, md5) pairs only — text never crosses the exchange —
+    // and the oracle replays hash compare, outer-join semantics and
+    // the per-source rollup.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+      val b = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Curation.snapshotDiff(a, b, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    },
+    Some("""WITH a AS (SELECT doc_id, md5(text) AS ha
+        FROM documents WHERE doc_id % 10 <> 0),
+      b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+          THEN text || ' v2' ELSE text END) AS hb
+        FROM documents WHERE doc_id % 10 <> 3),
+      diff AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN ha IS NULL THEN 'added'
+             WHEN hb IS NULL THEN 'removed'
+             WHEN ha <> hb THEN 'changed'
+             ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT d.source, status, count(*) AS n
+      FROM diff JOIN documents d USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val d21 = QuerySpec("d21_quality_keeper_dedup",
     // d20's apply with the keeper rule real pipelines use
     // (Dedup.applyPurgeManifestBy): within each near-dup cluster keep
@@ -4490,10 +4557,10 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, e1, e2, e3, e4, e5, e6,
+    q1, q3, q5, q6, e1, e2, e3, e4, e5, e6, e7,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, i3, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

@@ -1091,4 +1091,24 @@ object Curation {
       .withColumn("n_idruns", regexp_count(col("__t2"), lit(PiiIdRun)))
       .withColumn(textCol, regexp_replace(col("__t2"), PiiIdRun, "<ID>"))
       .drop("__t1", "__t2")
+
+  /** Corpus snapshot diff: per-doc status (added / removed / changed /
+    * unchanged) between two snapshot versions — the delta computation
+    * that FEEDS every incremental maintainer in this library (changed/
+    * added rows → v17 index upsert + i2 posting upsert; removed rows →
+    * v18 tombstone compaction + i3 posting delete). Content equality
+    * is md5(text), so the full-outer join ships (id, hash) pairs only
+    * — payloads never cross the exchange (the d1 principle) and the
+    * one shuffle is keyed on the id. */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val ah = a.select(col(idCol).as(idCol), md5(col(textCol)).as("__ha"))
+    val bh = b.select(col(idCol).as(idCol), md5(col(textCol)).as("__hb"))
+    ah.join(bh, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -45,6 +45,37 @@ object EventStream {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream attribution join: every purchase paired with the
+    * same user's clicks in the preceding `gapMinutes` — the canonical
+    * Structured Streaming interval join. On STREAMING inputs the
+    * watermarks (2× the gap, so a row is only dropped once no
+    * in-range partner can still arrive) plus the time-range predicate
+    * bound both join-state stores: a buffered click is freed once the
+    * purchase watermark passes `click_ts + gap`. On STATIC frames
+    * `withWatermark` is a no-op and the SAME code is the batch twin —
+    * an equality join on user_id (shuffle keyed on the user, never
+    * broadcast-dependent) with the range condition as a post-join
+    * filter — which is what the e7 oracle hash-checks (the
+    * t23/t34/t35 one-code-path pattern). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      gapMinutes: Int = 60): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes $gapMinutes must be >= 1")
+    val wm = s"${2 * gapMinutes} minutes"
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", wm)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("__p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", wm)
+    c.join(p,
+        col("user_id") === col("__p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Streaming sessionization with custom state (the stateful twin of
     * the batch e4 query): gap-based sessions via
     * `flatMapGroupsWithState` + event-time timeout. Sessions closed by

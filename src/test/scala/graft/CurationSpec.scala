@@ -704,4 +704,20 @@ class CurationSpec extends SparkSpec {
       Curation.gopherFilter(df, "doc_id", "text", minWords = 10, maxWords = 5)
     }
   }
+
+  test("snapshotDiff: all four statuses, hashes not text across the join") {
+    val a = Seq((1L, "same"), (2L, "old text"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // the exchange ships md5 hashes, never the text payload: no text
+    // column survives into the join plan (projection before exchange)
+    val plan = Curation.snapshotDiff(a, b, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"), s"text crosses the exchange:\n$plan")
+  }
 }

@@ -48,6 +48,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    // clicks every 10 min for user 1 and 2; purchases at +15/+75/+200 min
+    val clicks = (0 until 12).flatMap(i => Seq(
+      (100L + i, 1L, new Timestamp(base + i * 600000L)),
+      (200L + i, 2L, new Timestamp(base + i * 600000L))))
+    val purchases = Seq(
+      (900L, 1L, new Timestamp(base + 15 * 60000L)),
+      (901L, 1L, new Timestamp(base + 75 * 60000L)),
+      (902L, 2L, new Timestamp(base + 200 * 60000L)), // beyond all clicks+60m
+      (903L, 3L, new Timestamp(base + 30 * 60000L)))  // user with no clicks
+    def asDf(rows: Seq[(Long, Long, Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts")
+
+    val cs = MemoryStream[(Long, Long, Timestamp)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    cs.addData(clicks); ps.addData(purchases)
+    val q = EventStream.attributionJoin(
+        cs.toDF().toDF("event_id", "user_id", "ts"),
+        ps.toDF().toDF("event_id", "user_id", "ts"), gapMinutes = 60)
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .orderBy("purchase_id", "click_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val batch = EventStream.attributionJoin(
+          asDf(clicks), asDf(purchases), gapMinutes = 60)
+        .orderBy("purchase_id", "click_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == batch)
+      // purchase 900: clicks at 0/10 min qualify (within the hour
+      // BEFORE it); purchase 902 and no-click user 903 attribute to
+      // nothing; every lag is in [0, 60 min]
+      assert(batch.filter(_._1 == 900L).map(_._2) == Seq(100L, 101L))
+      assert(!batch.exists(r => r._1 == 902L || r._1 == 903L))
+      assert(batch.forall(r => r._4 >= 0 && r._4 <= 3600000000L))
+    } finally q.stop()
+  }
+
   test("slidingCounts places each event in exactly two windows") {
     val df = mkEvents.toDF("ts", "event_type", "value")
     val total = EventStream.slidingCounts(df).agg(sum("n")).as[Long].head()

@@ -1390,6 +1390,30 @@ object Queries {
       FROM main m JOIN ent USING (source) JOIN pct USING (source)
       ORDER BY m.source"""))
 
+  private val t38 = QuerySpec("t38_skew_audit",
+    // Hot-key audit (Curation.skewAudit): the diagnostic run BEFORE
+    // choosing q6's salting or AQE skew-join — per-key counts, top-N
+    // keys by load, each key's corpus share and multiple of the mean
+    // key load. A hot key is PLANTED (every third event collapses to
+    // key 42) on top of the natural user distribution, so the audit
+    // must surface one dominant key among near-uniform ones. One
+    // keyed aggregate + a driver-bounded top-N against a broadcast
+    // 1-row stats frame; the oracle replays counts, shares and
+    // tie-breaks.
+    (s, d) => {
+      val keyed = events(s, d).select(
+        when(col("event_id") % 3 === 0, lit(42L))
+          .otherwise(col("user_id")).as("k"))
+      graft.operators.Curation.skewAudit(keyed, "k", topN = 10)
+    },
+    Some("""WITH k AS (SELECT CASE WHEN event_id % 3 = 0 THEN 42
+          ELSE user_id END AS key FROM events),
+      counts AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+      stats AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts)
+      SELECT key, n, round(n / total, 6) AS share,
+        round(n * nkeys / total, 4) AS x_mean_key
+      FROM counts, stats ORDER BY n DESC, key LIMIT 10"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -2495,6 +2519,48 @@ object Queries {
       SELECT d.source, status, count(*) AS n
       FROM diff JOIN documents d USING (doc_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val d23 = QuerySpec("d23_line_dedup_within",
+    // WITHIN-doc duplicate-line removal (Curation.lineDedupWithinDoc):
+    // the apply side of t36's census and the in-document half of
+    // Gopher repetition cleanup — d18 strips corpus-wide boilerplate,
+    // this strips a page's own repeated lines (nav fragments, chat
+    // echoes) with blank lines preserved as layout. Keep-first is ONE
+    // (doc, line)-keyed min-struct aggregate — no window, no join, no
+    // corpus-wide hot key (a line repeated in a million docs is a
+    // million group keys). Dup lines are planted with t36's exact
+    // pattern so the two queries describe the same corpus; the oracle
+    // replays split, blank exclusion, first-occurrence rule and the
+    // ordered rebuild.
+    (s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\nplanted duplicate line\n" +
+            "planted duplicate line\nplanted duplicate line")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Curation.lineDedupWithinDoc(src, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        THEN text || chr(10) || 'planted duplicate line' || chr(10) ||
+          'planted duplicate line' || chr(10) || 'planted duplicate line'
+        ELSE text END AS text FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+      lines AS (SELECT doc_id, unnest(ls) AS ln,
+        unnest(range(1, len(ls) + 1)) AS pos FROM ls),
+      rn AS (SELECT doc_id, pos, ln, row_number() OVER (
+          PARTITION BY doc_id, ln ORDER BY pos) AS rn
+        FROM lines WHERE trim(ln) <> ''),
+      kept AS (SELECT doc_id, pos, ln FROM rn WHERE rn = 1
+        UNION ALL SELECT doc_id, pos, ln FROM lines WHERE trim(ln) = ''),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(text_clean, '') AS text_clean
+      FROM ls l LEFT JOIN reb ON l.doc_id = reb.doc_id
+      ORDER BY l.doc_id"""))
 
   private val d21 = QuerySpec("d21_quality_keeper_dedup",
     // d20's apply with the keeper rule real pipelines use
@@ -4559,8 +4625,8 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, e1, e2, e3, e4, e5, e6, e7,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, i3, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

@@ -1092,6 +1092,62 @@ object Curation {
       .withColumn(textCol, regexp_replace(col("__t2"), PiiIdRun, "<ID>"))
       .drop("__t1", "__t2")
 
+  /** WITHIN-doc duplicate-line removal — the APPLY side of
+    * [[dupLineStats]] (t36 measures what this deletes) and the
+    * in-document half of Gopher-style repetition cleanup: a line that
+    * repeats inside one document keeps its first occurrence only;
+    * blank lines are layout and survive everywhere (the same
+    * exclusion dupLineStats counts by). Unlike [[lineDedup]]'s
+    * corpus-wide canon join, first-occurrence here is one
+    * (doc, line)-keyed min-struct AGGREGATE — no window, no join, no
+    * global hot keys (the d19 skew principle): a boilerplate line
+    * repeated across a million docs is a million separate group keys,
+    * never one. Output shape matches [[lineDedup]]. */
+  def lineDedupWithinDoc(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
+    val keptNb = lines.filter(trim(col("ln")) =!= "")
+      .groupBy(col("doc_id"), md5(col("ln")).as("__h"))
+      .agg(min(struct(col("pos"), col("ln"))).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.ln").as("ln"))
+    val kept = keptNb.unionByName(
+      lines.filter(trim(col("ln")) === "").select("doc_id", "pos", "ln"))
+    val reb = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("__nk"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("ln")))),
+        x => x.getField("ln")), "\n").as("__clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
+
+  /** Hot-key audit — the diagnostic that decides WHEN the q6 salting
+    * treatment (or AQE skew join) is worth its cost: per-key counts,
+    * the top `topN` keys with their corpus share, and each key's
+    * multiple of the mean key load. One keyed aggregate + a
+    * driver-bounded top-N against a broadcast 1-row stats frame; the
+    * audited frame never shuffles twice. Null keys count as a real
+    * key (they are precisely the hot key a null-heavy join explodes
+    * on). */
+  def skewAudit(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN $topN must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.orderBy(desc("n"), asc("key")).limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        round(col("n") * col("__nkeys") / col("__total"), 4)
+          .as("x_mean_key"))
+  }
+
   /** Corpus snapshot diff: per-doc status (added / removed / changed /
     * unchanged) between two snapshot versions — the delta computation
     * that FEEDS every incremental maintainer in this library (changed/

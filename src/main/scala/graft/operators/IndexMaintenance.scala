@@ -123,4 +123,60 @@ object IndexMaintenance {
           s"(recall $meanRecall), committed v$v")
     }
   }
+
+  /** One BETWEEN-REBUILDS maintenance step, driver-sized. */
+  final case class DeltaReport(affected: Seq[Long], rowsBefore: Long,
+                               rowsAfter: Long, upserted: Long, deleted: Long)
+
+  /** The between-rebuilds path [[maintain]] leaves to the store
+    * primitives, composed into one step: deletes fold in via
+    * [[IndexStore.compactPartitioned]] (so serving drops the v16
+    * per-query anti-join), then the batch — assigned against the
+    * index's EFFECTIVE centroids, so no retrain and no sidecar —
+    * lands via [[IndexStore.upsertReassigned]] (old copies purged
+    * wherever they live, re-embedded docs free to change cluster).
+    * Cost ∝ batch + affected partitions; the expensive
+    * retrain-rebuild-validate loop stays gated behind [[maintain]]'s
+    * drift detector.
+    *
+    * Invariant gate (cheap, narrow id-column scans): the post-apply
+    * row count must equal rows − |tombstoned ∩ index| − |batch ids
+    * surviving the tombstones ∩ remaining index| + |batch|. A
+    * mismatch means a stale copy survived or live rows were lost —
+    * the exact corruption class in-place maintenance risks — and
+    * raises instead of returning, BEFORE any serve trusts the index. */
+  def applyDelta(spark: SparkSession, path: String, batch: DataFrame,
+                 tombstones: DataFrame, embCol: String, idCol: String,
+                 tombIdCol: String): DeltaReport = {
+    val pre = IndexStore.load(spark, path)
+    val rowsBefore = pre.count()
+    val tomb = tombstones.select(col(tombIdCol).as(idCol)).distinct()
+      .localCheckpoint(true) // small by contract; reused in 3 plans
+    val nTombHits = pre.select(col(idCol))
+      .join(broadcast(tomb), Seq(idCol), "left_semi").count()
+    val batchIds = batch.select(col(idCol)).distinct()
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val nBatch = batchIds.count()
+    // old copies of batch ids still present after the tombstones go
+    val nReplaced = pre.select(col(idCol))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .join(broadcast(batchIds), Seq(idCol), "left_semi").count()
+    val affectedDel = IndexStore.compactPartitioned(
+      spark, path, tomb, idCol, idCol)
+    val cents = effectiveCentroids(IndexStore.load(spark, path), embCol)
+    val assigned = Ann.ivfAssignBig(
+        batch.join(broadcast(tomb), Seq(idCol), "left_anti"),
+        embCol, idCol, cents, "cid", "cvec")
+      .select(Seq(col("cluster_id")) ++
+        batch.columns.filterNot(_ == "cluster_id").map(col): _*)
+    val affectedUp = IndexStore.upsertReassigned(spark, path, assigned, idCol)
+    val rowsAfter = IndexStore.load(spark, path).count()
+    val expected = rowsBefore - nTombHits - nReplaced + nBatch
+    require(rowsAfter == expected,
+      s"applyDelta reconciliation failed: $rowsBefore - $nTombHits tombstoned " +
+        s"- $nReplaced replaced + $nBatch upserted = $expected, index has $rowsAfter")
+    DeltaReport((affectedDel ++ affectedUp).distinct.sorted,
+      rowsBefore, rowsAfter, nBatch, nTombHits)
+  }
 }

@@ -705,6 +705,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lineDedupWithinDoc: in-doc dups drop, cross-doc shared lines survive everywhere") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\n\nalpha\ngamma"),   // alpha repeats IN-doc
+      (2L, "alpha\ndelta"),                  // alpha again, other doc
+      (3L, "\n\n"),                          // blanks only
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = Curation.lineDedupWithinDoc(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 4L, "alpha\nbeta\n\ngamma"), // second alpha gone, blank kept
+      (2L, 2L, 2L, "alpha\ndelta"),         // cross-doc repeat untouched
+      (3L, 3L, 3L, "\n\n"),
+      (4L, 1L, 1L, "solo")))
+  }
+
+  test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
+    val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
+      Option.empty[Long], Option.empty[Long])).toDF("k")
+    val got = Curation.skewAudit(rows, "k", topN = 2)
+      .as[(Option[Long], Long, Double, Double)].collect().toSeq
+    // 10 rows, 4 keys (incl null) -> mean 2.5
+    assert(got == Seq(
+      (Some(7L), 6L, 0.6, 2.4),
+      (None, 2L, 0.2, 0.8)))
+  }
+
   test("snapshotDiff: all four statuses, hashes not text across the join") {
     val a = Seq((1L, "same"), (2L, "old text"), (3L, "goes away"))
       .toDF("doc_id", "text")

@@ -112,4 +112,37 @@ class IndexMaintenanceSpec extends SparkSpec {
         sampleQueries = q.filter(col("qid") < 0))
     }
   }
+
+  test("applyDelta: deletes fold in, re-embedded doc moves cluster, counts reconcile") {
+    // plain (non-versioned) store — the in-place path applyDelta serves
+    val base = corpus(0)
+    val path = Files.createTempDirectory("graft_delta").toString + "/idx"
+    val cents = Ann.trainCentroids(base, "embedding", k = 2)
+    IndexStore.write(
+      Ann.ivfAssignBig(base, "embedding", "vec_id", cents, "cid", "cvec")
+        .select("cluster_id", "vec_id", "embedding"), path)
+    val before = IndexStore.load(spark, path).count()
+    // delta: doc 5 RE-EMBEDDED into the far cluster (must move), doc
+    // 7777 brand new; tombstones: docs 1000 and 3; doc 3 is ALSO in
+    // the batch — the delete must win
+    val batch = Seq(
+      (5L, Array(10.5f, 10.5f)),
+      (7777L, Array(0.3f, 0.3f)),
+      (3L, Array(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val tomb = Seq(1000L, 3L, 999999L).toDF("deleted_id") // one id absent
+    val r = IndexMaintenance.applyDelta(spark, path, batch, tomb,
+      "embedding", "vec_id", "deleted_id")
+    assert(r.rowsBefore == before && r.deleted == 2 && r.upserted == 2)
+    assert(r.rowsAfter == before - 2 /*tomb hits*/ - 1 /*doc 5 replaced*/ + 2)
+    val after = IndexStore.load(spark, path)
+    // tombstoned ids gone; batch ids present exactly once
+    assert(after.filter(col("vec_id").isin(1000L, 3L)).isEmpty)
+    assert(after.filter(col("vec_id") === 5L).count() == 1)
+    assert(after.filter(col("vec_id") === 7777L).count() == 1)
+    // doc 5 now lives in the upper cluster — same cluster as doc 1001
+    val cOf = after.select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(cOf(5L) == cOf(1001L), "re-embedded doc did not move cluster")
+    assert(cOf(7777L) != cOf(1001L))
+  }
 }

@@ -103,7 +103,7 @@ object Bench {
         "s8_pq_served", "s9_ivfpq_served", "d12_incremental_banded",
         "d17_containment_served", "t21_quality_classifier",
         "v14_trained_ivf_serve", "v15_filtered_ivf_serve",
-        "s10_int8_served",
+        "s10_int8_served", "v17_ivf_upsert_serve", "v18_ivf_compact_serve",
         // t23's drift full-outer join is its own codegen family and its
         // first run pays multi-second Janino compile
         "t23_drift_windows")

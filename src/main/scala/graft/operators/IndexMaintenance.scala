@@ -124,9 +124,17 @@ object IndexMaintenance {
     }
   }
 
-  /** One BETWEEN-REBUILDS maintenance step, driver-sized. */
+  /** One BETWEEN-REBUILDS maintenance step, driver-sized.
+    * `affectedRatio` (affected ÷ total cluster partitions) is the
+    * dial a scheduler reads to pick the NEXT step's strategy: the
+    * 100× probes in PLANS.md measured that when a delta touches
+    * every partition (ratio 1.0 at toy k), the in-place rewrite costs
+    * MORE than a full rebuild — the incremental path only wins while
+    * the ratio stays small, which at production centroid counts it
+    * does for localized batches. */
   final case class DeltaReport(affected: Seq[Long], rowsBefore: Long,
-                               rowsAfter: Long, upserted: Long, deleted: Long)
+                               rowsAfter: Long, upserted: Long, deleted: Long,
+                               affectedRatio: Double)
 
   /** The between-rebuilds path [[maintain]] leaves to the store
     * primitives, composed into one step: deletes fold in via
@@ -171,12 +179,15 @@ object IndexMaintenance {
       .select(Seq(col("cluster_id")) ++
         batch.columns.filterNot(_ == "cluster_id").map(col): _*)
     val affectedUp = IndexStore.upsertReassigned(spark, path, assigned, idCol)
-    val rowsAfter = IndexStore.load(spark, path).count()
+    val post = IndexStore.load(spark, path)
+    val rowsAfter = post.count()
     val expected = rowsBefore - nTombHits - nReplaced + nBatch
     require(rowsAfter == expected,
       s"applyDelta reconciliation failed: $rowsBefore - $nTombHits tombstoned " +
         s"- $nReplaced replaced + $nBatch upserted = $expected, index has $rowsAfter")
-    DeltaReport((affectedDel ++ affectedUp).distinct.sorted,
-      rowsBefore, rowsAfter, nBatch, nTombHits)
+    val affected = (affectedDel ++ affectedUp).distinct.sorted
+    val nClusters = post.select("cluster_id").distinct().count().max(1L)
+    DeltaReport(affected, rowsBefore, rowsAfter, nBatch, nTombHits,
+      affected.size.toDouble / nClusters)
   }
 }

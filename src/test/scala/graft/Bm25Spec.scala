@@ -175,5 +175,7 @@ class Bm25Spec extends SparkSpec {
     // idempotent: deleting the same doc again is a no-op
     assert(canon(Bm25.deletePostings(compacted, deleted, "doc_id", "text"))
       == canon(compacted))
+    // deleting every doc empties the index entirely
+    assert(Bm25.deletePostings(stored, corpus, "doc_id", "text").isEmpty)
   }
 }

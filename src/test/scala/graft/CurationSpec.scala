@@ -722,6 +722,19 @@ class CurationSpec extends SparkSpec {
       (4L, 1L, 1L, "solo")))
   }
 
+  test("lineDedupWithinDoc is idempotent: cleaning a cleaned doc changes nothing") {
+    val docs = Seq(
+      (1L, "x\ny\nx\n\nx\nz\nz"),
+      (2L, "a\na\na")).toDF("doc_id", "text")
+    val once = Curation.lineDedupWithinDoc(docs, "doc_id", "text")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val twice = Curation.lineDedupWithinDoc(once, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "text_clean")
+      .as[(Long, String)].collect().toSeq
+    assert(twice == once.orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq)
+  }
+
   test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
     val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
       Option.empty[Long], Option.empty[Long])).toDF("k")

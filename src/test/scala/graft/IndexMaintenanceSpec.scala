@@ -133,6 +133,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     val r = IndexMaintenance.applyDelta(spark, path, batch, tomb,
       "embedding", "vec_id", "deleted_id")
     assert(r.rowsBefore == before && r.deleted == 2 && r.upserted == 2)
+    assert(r.affectedRatio > 0 && r.affectedRatio <= 1.0)
     assert(r.rowsAfter == before - 2 /*tomb hits*/ - 1 /*doc 5 replaced*/ + 2)
     val after = IndexStore.load(spark, path)
     // tombstoned ids gone; batch ids present exactly once

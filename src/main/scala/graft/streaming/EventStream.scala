@@ -45,6 +45,31 @@ object EventStream {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based sessionization via the NATIVE `session_window`
+    * operator — the state-store-backed merging-sessions aggregation a
+    * streaming deployment runs (vs [[sessionizeStream]]'s hand-rolled
+    * flatMapGroupsWithState and e4's batch gaps-and-islands window).
+    * Each event opens a candidate window [ts, ts+gap) and windows
+    * that overlap OR touch merge, so an event exactly `gap` after its
+    * predecessor continues the SAME session (StreamingSpec pins the
+    * boundary, and the e8 oracle replays `> gap` as the new-session
+    * flag — e4's convention). On a STREAMING source the watermark lets the store emit
+    * and free a session once no event can still extend it; on STATIC
+    * frames withWatermark is a no-op and the same code is the batch
+    * twin (the t23/t34/t35 pattern). Session bounds are emitted as
+    * epoch micros so the hash-compare is timezone-free. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream attribution join: every purchase paired with the
     * same user's clicks in the preceding `gapMinutes` — the canonical
     * Structured Streaming interval join. On STREAMING inputs the

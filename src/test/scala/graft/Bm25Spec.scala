@@ -178,4 +178,37 @@ class Bm25Spec extends SparkSpec {
     // deleting every doc empties the index entirely
     assert(Bm25.deletePostings(stored, corpus, "doc_id", "text").isEmpty)
   }
+
+  test("diff-driven reindex (i4 composition) equals a from-scratch build") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("term"), col("df"), col("cf"),
+        to_json(col("postings")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    // old: docs 1-4, doc 2's text stale; new: docs 2-5 (1 removed,
+    // 5 added, 2 changed, 3/4 untouched)
+    val newSnap = Seq(
+      (2L, "spark shuffles data"), (3L, "rows and rows"),
+      (4L, "broadcast the small side"), (5L, "a brand new doc")
+    ).toDF("doc_id", "text")
+    val oldSnap = Seq(
+      (1L, "soon to be removed"), (2L, "spark STALE text"),
+      (3L, "rows and rows"), (4L, "broadcast the small side")
+    ).toDF("doc_id", "text")
+    val diff = graft.operators.Curation.snapshotDiff(
+      oldSnap, newSnap, "doc_id", "text")
+    val statuses = diff.as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "unchanged", 5L -> "added"))
+    val delIds = diff.filter($"status".isin("removed", "changed")).select("doc_id")
+    val upIds = diff.filter($"status".isin("added", "changed")).select("doc_id")
+    val stored = Bm25.buildPostings(oldSnap, "doc_id", "text")
+    val compacted = Bm25.deletePostings(stored,
+      oldSnap.join(delIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val reindexed = Bm25.upsertPostings(compacted,
+      newSnap.join(upIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    assert(canon(reindexed) == canon(Bm25.buildPostings(newSnap, "doc_id", "text")))
+    // the stale-only term left no debris; the new doc's term arrived
+    assert(reindexed.filter($"term" === "stale").isEmpty)
+    assert(reindexed.filter($"term" === "brand").count() == 1)
+  }
 }

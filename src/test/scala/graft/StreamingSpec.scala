@@ -264,6 +264,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg: native session_window batch semantics + gap boundary") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // user 1: 10:00, 10:29 merge (gap 29 < 30). user 2: 10:00 then
+    // exactly 10:30 — the boundary case: candidate windows
+    // [10:00,10:30) and [10:30,11:00) touch without overlapping, and
+    // Spark MERGES adjacent windows (verified behavior) — one
+    // session. An event strictly more than gap later opens a new one
+    // (user 3). The e8 oracle's new-session flag is therefore
+    // `> gap`, the same convention as e4.
+    val df = Seq(
+      (1L, ts(10, 0), 1.0), (1L, ts(10, 29), 2.0),
+      (2L, ts(10, 0), 5.0), (2L, ts(10, 30), 7.0),
+      (3L, ts(10, 0), 8.0), (3L, ts(10, 31), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventStream.sessionWindowAgg(df, gapMinutes = 30)
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    def us(h: Int, m: Int) = ts(h, m).getTime * 1000L
+    assert(out == Seq(
+      (1L, us(10, 0), us(10, 59), 2L, 3.0),   // end = last ts + gap
+      (2L, us(10, 0), us(11, 0), 2L, 12.0),   // boundary → merged
+      (3L, us(10, 0), us(10, 30), 1L, 8.0),   // > gap → split
+      (3L, us(10, 31), us(11, 1), 1L, 9.0)))
+  }
+
+  test("sessionWindowAgg over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0), (1L, ts(11, 30), 3.0),
+      (2L, ts(10, 5), 4.0), (2L, ts(10, 40), 5.0),
+      // watermark pusher: lets every real session close for append mode
+      (999L, ts(20, 0), 0.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.sessionWindowAgg(
+        stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("swagg_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(2).foreach { g => stream.addData(g); q.processAllAvailable() }
+      val got = spark.table("swagg_test").filter(col("user_id") < 999L)
+        .orderBy("user_id", "session_start_us")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val batch = EventStream.sessionWindowAgg(
+          rows.toDF("user_id", "ts", "value"))
+        .filter(col("user_id") < 999L)
+        .orderBy("user_id", "session_start_us")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == batch)
+      assert(batch.map(_._4).sum == 5)
+    } finally q.stop()
+  }
+
   test("upsertBatch: insert then overwrite-by-id") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/index"
     EventStream.upsertBatch(dir, "id")(

@@ -4008,6 +4008,57 @@ object Queries {
         FROM clusters c JOIN probes p USING (cluster_id))
       WHERE rnk <= 10 ORDER BY qid, knn_rank"""))
 
+  private val v20 = QuerySpec("v20_adaptive_probe",
+    // ADAPTIVE-nprobe serving (Ann.ivfSearchStoreAdaptive): the probe
+    // count is not a config constant but the fewest distance-ranked
+    // clusters whose stored occupancies cover k·candMult candidates —
+    // a pure function of the index and the query vector, so the
+    // whole adaptive decision is replayed in SQL (cumulative sum over
+    // ranked cluster sizes) and hash-checked, not just spot-tested.
+    // The emitted n_probed is the serving monitor's occupancy-drift
+    // dial. Same static-PartitionFilters scan as v14/s9; toy
+    // centroids keep assignment DuckDB-replayable. At sf0.01 (500
+    // vecs, 8 clusters) target 100 probes ~2 clusters; at sf0.1 the
+    // denser clusters cover it with 1 — the per-sf variation IS the
+    // adaptivity, pinned per-sf by the driver's hash.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qv = typedlit(e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
+      Ann.ivfSearchStoreAdaptive(s, ivfVecTableFor(s, d), "embedding",
+          "vec_id", cent, "cid", "cvec", qv, k = 10, candMult = 10,
+          maxProbe = 8)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          round(col("dist"), 6).as("dist"), col("n_probed"))
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1),
+      ranked AS (SELECT cid, row_number() OVER (
+          ORDER BY ${l2Sql("cvec", "qv")}, cid) AS rn
+        FROM cent CROSS JOIN q),
+      cum AS (SELECT rn, cid, sum(coalesce(n, 0)) OVER (ORDER BY rn) AS c
+        FROM ranked LEFT JOIN sizes ON cid = cluster_id),
+      pick AS (SELECT coalesce(min(CASE WHEN c >= 100 THEN rn END),
+          (SELECT max(rn) FROM cum)) AS p FROM cum),
+      probed AS (SELECT cid FROM cum, pick WHERE rn <= p)
+      SELECT vec_id, cluster_id, round(dist, 6) AS dist,
+        (SELECT p FROM pick) AS n_probed FROM (
+        SELECT cl.vec_id, cl.cluster_id,
+          ${l2Sql("cl.embedding", "qv")} AS dist
+        FROM clusters cl JOIN probed ON cl.cluster_id = probed.cid
+        CROSS JOIN q)
+      ORDER BY dist, vec_id LIMIT 10"""))
+
   /** v18 artifact: a private copy of the v15/v16 index layout with
     * v16's tombstone set (every 17th id) COMPACTED into the files —
     * only the clusters holding a tombstoned row are rewritten, and a
@@ -4502,6 +4553,36 @@ object Queries {
       CAST(sum(l_orderkey % 1000) AS BIGINT) AS sum_v
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  private val q7 = QuerySpec("q7_skew_split_join",
+    // t38's audit ACTED ON (Salting.skewSplitJoin): the audit's top
+    // hot keys route their fact rows through a broadcast of the dim
+    // side's hot subset — a hot key's rows never converge on one
+    // reducer — while cold keys take the ordinary keyed shuffle; the
+    // union IS the plain inner join, which is exactly what the
+    // oracle checks (the split must be invisible in the result).
+    // Declarative skew handling, vs AQE's runtime re-plan: the plan
+    // itself shows one BroadcastHashJoin + one shuffle join
+    // (SaltingSpec pins it with broadcast disabled). hotKeys is the
+    // audit's driver-bounded top-N.
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val hot = Curation.skewAudit(li, "l_suppkey", 2)
+        .select("key").collect().map(_.getLong(0)).toSeq
+      graft.operators.Salting.skewSplitJoin(li, t(s, d, "supplier"),
+          "l_suppkey", "s_suppkey", hot)
+        .groupBy("s_suppkey", "s_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("s_suppkey")).limit(10)
+        .select(col("s_suppkey"), col("s_name"), col("revenue"), col("n_items"))
+    },
+    Some("""SELECT s_suppkey, s_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey LIMIT 10"""))
+
   /** Bucketed orders/lineitem tables built ONCE per sf dir (the
     * s8/d12 stored-artifact pattern): the layout-time shuffle paid
     * here is the one every j2 execution — and at 100 TB every
@@ -4743,11 +4824,11 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, j2, e1, e2, e3, e4, e5, e6, e7, e8,
+    q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, b1, b2, i1, i2, i3, i4, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

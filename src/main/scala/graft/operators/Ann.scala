@@ -183,6 +183,60 @@ object Ann {
       embCol, idCol, queryVec, k)
   }
 
+  /** ADAPTIVE-nprobe serving from the partitioned store: probe the
+    * FEWEST nearest clusters whose stored occupancies cover
+    * `k * candMult` candidates (capped at `maxProbe`; every cluster
+    * if the whole index is smaller than the target). A fixed nprobe
+    * wastes reads when the nearest cluster already holds 10× k and
+    * starves recall when deletes/skew have hollowed it out; sizing
+    * the probe set by ACTUAL occupancy adapts per query for the cost
+    * of one size lookup. Both driver inputs are bounded by the
+    * centroid count by definition (k centroid rows, ≤ k size rows —
+    * the same boundedness as [[ivfSearchStore]]'s probe collect).
+    * The decision is a pure function of the stored index and the
+    * query vector — deterministic, so the v20 oracle replays it in
+    * SQL as a cumulative sum over distance-ranked clusters — and the
+    * scan it produces is the same static-PartitionFilters shape as
+    * [[ivfSearchStore]]. Emits the chosen probe count as `n_probed`:
+    * the dial a serving monitor watches for occupancy drift pushing
+    * probe fan-out (and latency) up, and the trigger for
+    * [[IndexMaintenance]] when it trends toward maxProbe. */
+  def ivfSearchStoreAdaptive(spark: org.apache.spark.sql.SparkSession,
+                             path: String, embCol: String, idCol: String,
+                             centroids: DataFrame, cidCol: String,
+                             cvecCol: String, queryVec: Column, k: Int,
+                             candMult: Int, maxProbe: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(candMult >= 1, s"candMult $candMult must be >= 1")
+    require(maxProbe >= 1, s"maxProbe $maxProbe must be >= 1")
+    // cluster_id casts: a partitionBy layout reads the partition
+    // column back as int when its values fit
+    val sizes = graft.sources.IndexStore.load(spark, path)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = centroids
+      .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
+      .orderBy(col("__qdist"), col(cidCol))
+      .select(col(cidCol).cast("long"))
+      .collect().map(_.getLong(0))
+    require(ranked.nonEmpty, "centroid table is empty")
+    val target = k.toLong * candMult
+    val cums = ranked.scanLeft(0L)((acc, cid) =>
+      acc + sizes.getOrElse(cid, 0L)).tail
+    val wanted = cums.indexWhere(_ >= target) match {
+      case -1 => ranked.length
+      case i  => i + 1
+    }
+    val p = math.max(1, math.min(wanted, maxProbe))
+    val probed = ranked.take(p)
+    Knn.exact(
+      graft.sources.IndexStore.load(spark, path)
+        .filter(col("cluster_id").isin(probed: _*)),
+      embCol, idCol, queryVec, k)
+      .withColumn("n_probed", lit(p.toLong))
+  }
+
   /** Metadata-FILTERED IVF serving — the "vector search with a
     * predicate" shape every production vector store exposes (tenant,
     * license, date-range filters), composed so BOTH prunings land in

@@ -56,6 +56,35 @@ object Salting {
       .agg(sum("__partial").as(outCol))
   }
 
+  /** Hot/cold SPLIT join — the act side of `Curation.skewAudit`'s
+    * diagnosis (q7 pairs them): rows carrying a hot key join via a
+    * broadcast of the small side's hot subset (each hot key's rows
+    * stay spread across their input partitions — no reducer ever
+    * holds a hot key's full row set), everything else takes the
+    * ordinary keyed shuffle, and the union is EXACTLY the plain
+    * inner join (the q7 oracle). Use when a handful of keys dominate
+    * (the audit's x_mean_key ≫ 1): AQE's skew-join split only kicks
+    * in on sort-merge partitions past a size threshold and re-plans
+    * at runtime, while this split is declarative — visible in the
+    * plan (one BroadcastHashJoin + one shuffle join, spec-pinned)
+    * and independent of runtime stats at any scale. INNER-join
+    * semantics: null-keyed big rows match nothing and are dropped by
+    * both branches (`!isin` evaluates null → filtered), same as the
+    * plain join. `hotKeys` is caller-supplied and driver-sized by
+    * construction (skewAudit's bounded top-N). */
+  def skewSplitJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    hotKeys: Seq[Any]): DataFrame = {
+    require(hotKeys.nonEmpty,
+      "hotKeys: empty split is a plain join — supply skewAudit's top keys")
+    val hotBig = big.filter(col(bigKey).isin(hotKeys: _*))
+    val coldBig = big.filter(!col(bigKey).isin(hotKeys: _*))
+    val hotSmall = small.filter(col(smallKey).isin(hotKeys: _*))
+    val coldSmall = small.filter(!col(smallKey).isin(hotKeys: _*))
+    hotBig.join(broadcast(hotSmall), col(bigKey) === col(smallKey))
+      .unionByName(coldBig.join(coldSmall, col(bigKey) === col(smallKey)))
+  }
+
   /** Salted broadcast-side replication for a skewed join: replicate
     * the small side `buckets`× with an explicit salt column and salt
     * the big side's key, so one hot join key spreads over `buckets`

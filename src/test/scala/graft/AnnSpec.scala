@@ -112,6 +112,37 @@ class AnnSpec extends SparkSpec {
       "scan reads all cluster partitions")
   }
 
+  test("ivfSearchStoreAdaptive: probe count covers the candidate target, cap binds, result = fixed-nprobe twin") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_adapt_").toString
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
+    graft.sources.IndexStore.write(assigned, dir)
+    val qv = typedlit(Seq(0.05, 0.1))
+    // cluster 0 holds 20 rows: target 5*2=10 ≤ 20 → adapts to P=1
+    val near = Ann.ivfSearchStoreAdaptive(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, candMult = 2, maxProbe = 8)
+    assert(near.select("n_probed").distinct().as[Long].head() == 1L)
+    assert(near.select("vec_id").as[Long].collect().toSeq ==
+      Ann.ivfSearchStore(spark, dir, "embedding", "vec_id",
+        cents, "cid", "cvec", qv, k = 5, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSeq)
+    // target 5*5=25 > 20 → must widen to P=2 (and equal the nprobe=2 twin)
+    val wide = Ann.ivfSearchStoreAdaptive(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, candMult = 5, maxProbe = 8)
+    assert(wide.select("n_probed").distinct().as[Long].head() == 2L)
+    assert(wide.select("vec_id").as[Long].collect().toSeq ==
+      Ann.ivfSearchStore(spark, dir, "embedding", "vec_id",
+        cents, "cid", "cvec", qv, k = 5, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSeq)
+    // maxProbe caps the widening even when the target is unreachable
+    val capped = Ann.ivfSearchStoreAdaptive(spark, dir, "embedding", "vec_id",
+      cents, "cid", "cvec", qv, k = 5, candMult = 1000, maxProbe = 1)
+    assert(capped.select("n_probed").distinct().as[Long].head() == 1L)
+    // the adaptive scan keeps the static partition pruning shape
+    val plan = near.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
+  }
+
   test("ivfSearchStoreBatch: row-identical to ivfSearchBatch, scan pruned to the probed union") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_batch_").toString
     // three clusters so a 2-query batch probing nprobe=1 each leaves
@@ -136,9 +167,15 @@ class AnnSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"no partition pruning in:\n$plan")
     assert(!plan.contains("PartitionFilters: []"),
       "scan reads all cluster partitions")
-    // the unprobed cluster 2 must not appear in the pruned isin
-    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
-    assert(!pf.contains("2"), s"unprobed cluster in scan filter: $pf")
+    // the unprobed cluster 2 must not appear in the pruned IN-list
+    // (parse the list itself — a raw substring check would trip on
+    // attribute exprIds like cluster_id#824 that happen to contain
+    // the digit)
+    val inList = "IN \\(([0-9, ]*)\\)".r.findFirstMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim).toSet)
+    assert(inList.contains(Set("0", "1")),
+      s"probed IN-list should be exactly {0,1}: $inList in\n" +
+        "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse(""))
   }
 
   test("ivfSearchStoreWhere: filtered top-k, both prunings visible in ONE scan") {

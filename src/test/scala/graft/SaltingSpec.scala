@@ -54,4 +54,37 @@ class SaltingSpec extends SparkSpec {
     val salted = bigS.join(smallS, keys).agg(sum("attr")).as[Long].head()
     assert(salted == direct)
   }
+
+  test("skewSplitJoin equals the plain inner join, incl. null-key drop") {
+    val big = ((0 until 300).map(i => (i.toLong, Option("HOT"))) ++
+      (0 until 30).map(i => (1000L + i, Option(s"key${i % 5}"))) :+
+      (9999L, Option.empty[String])).toDF("id", "k")
+    val dim = Seq(("HOT", 1), ("key0", 2), ("key3", 3), ("cold", 4))
+      .toDF("dk", "attr")
+    val split = Salting.skewSplitJoin(big, dim, "k", "dk", Seq("HOT"))
+      .select("id", "k", "attr")
+      .orderBy("id", "attr").as[(Long, String, Int)].collect().toSeq
+    val plain = big.join(dim, col("k") === col("dk"))
+      .select("id", "k", "attr")
+      .orderBy("id", "attr").as[(Long, String, Int)].collect().toSeq
+    assert(split == plain)
+    assert(!split.exists(_._1 == 9999L), "null-keyed row must drop (inner)")
+  }
+
+  test("skewSplitJoin plan: hot half broadcasts, cold half shuffles") {
+    val big = (0 until 100).map(i => (i.toLong, if (i < 90) "HOT" else s"c$i"))
+      .toDF("id", "k")
+    val dim = (0 until 100).map(i => (s"c$i", i)).toDF("dk", "attr")
+      .union(Seq(("HOT", -1)).toDF("dk", "attr"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Salting.skewSplitJoin(big, dim, "k", "dk", Seq("HOT"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hot branch must broadcast even at threshold -1:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold branch must keep the keyed shuffle:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -1446,6 +1446,61 @@ object Queries {
         round(n * nkeys / total, 4) AS x_mean_key
       FROM counts, stats ORDER BY n DESC, key LIMIT 10"""))
 
+  private val t39 = QuerySpec("t39_stratified_split",
+    // Stratified EXACT split (Curation.stratifiedSplit): per-language
+    // 80/10/10 exact to the row — t10's hash split holds proportions
+    // only in expectation, and a small stratum can land 70/20/10.
+    // Rank within stratum by portable md5(id) (id tie-break → total
+    // order), integer-div thresholds — every piece replayed in SQL,
+    // so the oracle checks the EXACT same doc→split assignment via
+    // the per-(lang, split) counts and token sums. One shuffle: both
+    // windows share the stratum partitioning.
+    (s, d) => Curation.stratifiedSplit(t(s, d, "documents"),
+        "doc_id", "lang")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("lang", "split"),
+    Some(s"""WITH ranked AS (SELECT lang, text,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        count(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+      split AS (SELECT lang, text,
+        CASE WHEN rk <= (n * 80) // 100 THEN 'train'
+          WHEN rk <= (n * 90) // 100 THEN 'valid'
+          ELSE 'test' END AS split
+        FROM ranked)
+      SELECT lang, split, count(*) AS n_docs,
+        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
+      FROM split GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  private val t40 = QuerySpec("t40_gram_novelty",
+    // Per-doc trigram novelty (Curation.gramNovelty): fraction of a
+    // doc's distinct trigrams appearing in NO other doc — the
+    // complement of t11's contamination overlap, scored against the
+    // whole corpus. Near-zero novelty = boilerplate the dedup pass
+    // missed; the corpus-level novelty distribution is a dataset-card
+    // quality signal. Gram-keyed exchanges only (no text after the
+    // explode).
+    (s, d) => Curation.gramNovelty(t(s, d, "documents"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id"),
+    Some(s"""WITH ws AS (SELECT doc_id,
+          string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS gram
+        FROM ws)),
+      gdf AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        round(avg(CASE WHEN gdf = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+      FROM g JOIN gdf USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -4826,7 +4881,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -133,6 +133,61 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Per-doc k-gram novelty: the fraction of a doc's DISTINCT k-grams
+    * appearing in NO other document — high novelty flags original
+    * content (or noise); near-zero novelty flags boilerplate a dedup
+    * pass missed. The complement of contamination overlap (t11): same
+    * gram-keyed exchange shape, but scored per-document against the
+    * whole corpus instead of against an eval set. Distinct-per-doc
+    * grams explode once; the gram-df aggregate map-side combines; the
+    * join back is gram-keyed — no text crosses an exchange after the
+    * explode. Docs shorter than k words have no grams and are absent
+    * from the output (callers left-join if they need them). */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(ngramsFast(col(textCol), k)).as("gram"))
+      .distinct()
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("__gdf"))
+    grams.join(gdf, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__gdf") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("__gdf") === 1, 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
+  /** Stratified EXACT split: [[hashSplit]] holds proportions only in
+    * expectation — a small or unlucky stratum can land 70/20/10 — so
+    * evaluation suites that need per-language (or per-source) splits
+    * exact to the row use this instead. Within each stratum, rows
+    * rank by the engine-portable md5 of their id (id tie-break, so
+    * the order is total and replayable in SQL); the first
+    * (n·trainPct) div 100 go to train, the next (n·validPct) div 100
+    * to valid, the rest test — integer arithmetic, no float-rounding
+    * drift between engines. Still deterministic and
+    * content-independent like hashSplit, but NOT stable under corpus
+    * growth (adding a doc shifts its stratum's ranks — the price of
+    * exactness; pin the split at release time, which is what the
+    * manifest pattern t26 exists for). One shuffle: both windows
+    * share the stratum partitioning. A skewed stratum is one sorted
+    * partition — the t38 audit's dial applies. */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+                      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"bad split $trainPct/$validPct: need a non-empty test slice")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(expr(s"__rk <= (__n * $trainPct) div 100"), "train")
+          .when(expr(s"__rk <= (__n * ${trainPct + validPct}) div 100"), "valid")
+          .otherwise("test"))
+      .drop("__rk", "__n")
+  }
+
   /** Per-group mixture sampling: keep each row with its group's target
     * rate, decided by the row's OWN deterministic hash (Bernoulli per
     * row, exact-in-expectation per group). `rates` maps group value →

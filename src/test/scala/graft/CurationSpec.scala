@@ -735,6 +735,41 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq)
   }
 
+  test("stratifiedSplit: per-stratum proportions exact, deterministic, guards loud") {
+    // 10 docs in stratum A → exactly 8/1/1; 3 docs in B → 2/0/1
+    // (floor thresholds: (3*80)div100=2 train, (3*90)div100=2 → 0 valid)
+    val docs = ((1 to 10).map(i => (i.toLong, "A")) ++
+      (11 to 13).map(i => (i.toLong, "B"))).toDF("doc_id", "lang")
+    val out = Curation.stratifiedSplit(docs, "doc_id", "lang")
+    val counts = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(counts == Set(("A", "train", 8L), ("A", "valid", 1L),
+      ("A", "test", 1L), ("B", "train", 2L), ("B", "test", 1L)))
+    // deterministic: same assignment on re-run
+    val a1 = out.orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    val a2 = Curation.stratifiedSplit(docs, "doc_id", "lang")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(a1 == a2)
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSplit(docs, "doc_id", "lang", 90, 10)
+    }
+  }
+
+  test("gramNovelty: unique vs shared trigrams, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d"
+      (2L, "a b c x"),        // shares "a b c" with doc 1
+      (3L, "z z"),            // < 3 words → absent
+      (4L, "p q r")           // one gram, unique
+    ).toDF("doc_id", "text")
+    val out = Curation.gramNovelty(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),   // "b c d" unique, "a b c" shared
+      (2L, 2L, 1L, 0.5),
+      (4L, 1L, 1L, 1.0)))
+  }
+
   test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
     val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
       Option.empty[Long], Option.empty[Long])).toDF("k")

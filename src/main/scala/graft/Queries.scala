@@ -1501,6 +1501,58 @@ object Queries {
       FROM g JOIN gdf USING (gram)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val t41 = QuerySpec("t41_bpe_merges",
+    // Tokenizer training on the engine (Curation.bpeMerges): 3 BPE
+    // merge steps over the corpus vocabulary, the WHOLE loop —
+    // frequency-weighted pair counts, count-desc/pair-asc tie-break,
+    // sentinel-space single-pass application — replayed in SQL and
+    // hash-checked. One corpus-sized pass (word freq); iterations
+    // run over the vocabulary. The residual-overlap convention
+    // ("a a a a a" → "aa a aa") is deliberate and engine-identical
+    // (Curation scaladoc + CurationSpec pin it).
+    (s, d) => Curation.bpeMerges(t(s, d, "documents"), "text", nMerges = 3)
+      .orderBy("step"),
+    Some(s"""WITH w AS (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+          '$WsSplit'), x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
+      s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+        freq FROM w),
+      p1 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s0))
+        GROUP BY pair),
+      t1 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p1
+        ORDER BY n DESC, pair LIMIT 1),
+      s1 AS (SELECT trim(replace(' ' || seq || ' ',
+          ' ' || (SELECT pair FROM t1) || ' ',
+          ' ' || (SELECT merged FROM t1) || ' ')) AS seq, freq FROM s0),
+      p2 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s1))
+        GROUP BY pair),
+      t2 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p2
+        ORDER BY n DESC, pair LIMIT 1),
+      s2 AS (SELECT trim(replace(' ' || seq || ' ',
+          ' ' || (SELECT pair FROM t2) || ' ',
+          ' ' || (SELECT merged FROM t2) || ' ')) AS seq, freq FROM s1),
+      p3 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s2))
+        GROUP BY pair),
+      t3 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p3
+        ORDER BY n DESC, pair LIMIT 1)
+      SELECT step, pair, merged, CAST(n AS BIGINT) AS n FROM (
+        SELECT 1 AS step, pair, merged, n FROM t1
+        UNION ALL SELECT 2, pair, merged, n FROM t2
+        UNION ALL SELECT 3, pair, merged, n FROM t3)
+      ORDER BY step"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -4881,7 +4933,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -133,6 +133,60 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** BPE merge learning — tokenizer training as a Spark job. The
+    * corpus is scanned ONCE into a word-frequency table (the only
+    * corpus-sized pass); every merge iteration then runs over the
+    * VOCABULARY (bounded by distinct words, not corpus rows): count
+    * adjacent symbol pairs weighted by word frequency, pick the most
+    * frequent (count desc, pair asc — a total tie-break), splice it
+    * into every sequence, repeat. Symbols start as codepoints
+    * (regexp char-split, identical in both engines); application is
+    * a SINGLE left-to-right non-overlapping sentinel-space replace —
+    * "a a a a a" merging (a,a) yields "aa a aa", with the residual
+    * middle symbol picked up by a LATER iteration. That convention
+    * is deliberate: java.lang.String.replace and DuckDB's replace
+    * scan identically (verified), so the whole training loop —
+    * counts, tie-breaks, application — replays in SQL and
+    * hash-checks (t41), which a canonical greedy re-scan would break
+    * (it needs a per-word loop no engine-portable SQL expresses).
+    * Returns the merge table (step, pair, merged, n) — the artifact
+    * a tokenizer ships. Driver work per step: one 1-row collect. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges $nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(split(lower(trim(col(textCol))), Ws)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+        col("freq"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = words
+        .select(col("freq"), split(col("seq"), " ").as("s"))
+        .select(col("freq"), explode(when(size(col("s")) < 2,
+          array().cast("array<string>")).otherwise(expr(
+          "transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .collect()
+      require(top.nonEmpty, s"no adjacent pairs left to merge at step $step")
+      val pair = top(0).getString(0)
+      val merged = pair.replace(" ", "")
+      out += ((step, pair, merged, top(0).getLong(1)))
+      words = words.select(
+        trim(call_function("replace",
+          concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))).as("seq"),
+        col("freq"))
+        .localCheckpoint(false)
+    }
+    out.toSeq.toDF("step", "pair", "merged", "n")
+  }
+
   /** Per-doc k-gram novelty: the fraction of a doc's DISTINCT k-grams
     * appearing in NO other document — high novelty flags original
     * content (or noise); near-zero novelty flags boilerplate a dedup

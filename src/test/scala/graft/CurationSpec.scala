@@ -770,6 +770,29 @@ class CurationSpec extends SparkSpec {
       (4L, 1L, 1L, 1.0)))
   }
 
+  test("bpeMerges: hand-computed merges, freq weighting, residual convention") {
+    // corpus: "low" x3, "lower" x1 → char pairs weighted by word freq:
+    // (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1 → step1 ties (l o)/(o w) at 4,
+    // pair-asc picks "l o". After merge: "lo w" x3+1 → step2 (lo,w)=4.
+    // step3: "low e r" → (low,e)=1 ties (e,r)=1 → "e r" asc.
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val out = Curation.bpeMerges(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1, "l o", "lo", 4L),
+      (2, "lo w", "low", 4L),
+      (3, "e r", "er", 1L)))
+    // residual convention: merging (a,a) over "a a a a a" single-pass
+    // leaves the middle symbol for a later step (engine-identical
+    // replace semantics — the reason the whole loop is SQL-replayable)
+    val rep = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val m = Curation.bpeMerges(rep, "text", 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m(0) == ((1, "a a", "aa", 4L)))   // 4 adjacent pairs counted
+    // after single-pass apply: "aa a aa" → step2 ties (a,aa)/(aa,a) at 1
+    assert(m(1) == ((2, "a aa", "aaa", 1L)))
+  }
+
   test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
     val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
       Option.empty[Long], Option.empty[Long])).toDF("k")

@@ -1553,6 +1553,70 @@ object Queries {
         UNION ALL SELECT 3, pair, merged, n FROM t3)
       ORDER BY step"""))
 
+  private val t42 = QuerySpec("t42_bpe_segment",
+    // t41's learn → APPLY round trip: segment the corpus with the
+    // 3 learned merges and report per-language compression
+    // (Curation.bpeSegmentStats). Serving shape: the merge chain runs
+    // over the DISTINCT-word vocabulary, broadcast-joined back to the
+    // exploded corpus — per-word work once, corpus side never
+    // shuffles. The oracle re-derives the SAME merges in SQL (t41's
+    // chain, word carried through) and replays the apply, so a drift
+    // anywhere in train OR apply breaks the hash.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Curation.bpeMerges(docs, "text", nMerges = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Curation.bpeSegmentStats(docs, "text", "lang", merges)
+        .orderBy("lang")
+    },
+    Some(s"""WITH wl AS (SELECT lang, w, count(*) AS freq FROM (
+        SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)),
+          '$WsSplit'), x -> len(x) > 0)) AS w FROM documents) GROUP BY 1, 2),
+      w AS (SELECT w, sum(freq) AS freq FROM wl GROUP BY w),
+      s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
+        freq FROM w),
+      p1 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s0))
+        GROUP BY pair),
+      t1 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p1
+        ORDER BY n DESC, pair LIMIT 1),
+      s1 AS (SELECT w, trim(replace(' ' || seq || ' ',
+          ' ' || (SELECT pair FROM t1) || ' ',
+          ' ' || (SELECT merged FROM t1) || ' ')) AS seq, freq FROM s0),
+      p2 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s1))
+        GROUP BY pair),
+      t2 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p2
+        ORDER BY n DESC, pair LIMIT 1),
+      s2 AS (SELECT w, trim(replace(' ' || seq || ' ',
+          ' ' || (SELECT pair FROM t2) || ' ',
+          ' ' || (SELECT merged FROM t2) || ' ')) AS seq, freq FROM s1),
+      p3 AS (SELECT pair, sum(freq) AS n FROM (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s2))
+        GROUP BY pair),
+      t3 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p3
+        ORDER BY n DESC, pair LIMIT 1),
+      s3 AS (SELECT w, trim(replace(' ' || seq || ' ',
+          ' ' || (SELECT pair FROM t3) || ' ',
+          ' ' || (SELECT merged FROM t3) || ' ')) AS seq FROM s2),
+      tok AS (SELECT w, len(w) AS n_sym,
+        len(string_split(seq, ' ')) AS n_tok FROM s3)
+      SELECT lang, CAST(sum(freq * n_sym) AS BIGINT) AS n_symbols,
+        CAST(sum(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
+        round(sum(freq * n_tok) / sum(freq * n_sym), 6) AS compression
+      FROM wl JOIN tok USING (w)
+      GROUP BY lang ORDER BY lang"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -4933,7 +4997,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -187,6 +187,42 @@ object Curation {
     out.toSeq.toDF("step", "pair", "merged", "n")
   }
 
+  /** The apply side of [[bpeMerges]]: segment the corpus with a
+    * learned merge table and report per-group compression. The
+    * serving shape that scales: the merge chain is applied to the
+    * DISTINCT-word vocabulary (bounded), which then broadcast-joins
+    * back to the exploded corpus words — per-word segmentation is
+    * computed once no matter how many times the word occurs, and the
+    * corpus-sized side never shuffles (group keys ride the explode).
+    * Emits per-group initial symbol (codepoint) and BPE token totals
+    * plus the compression ratio — the number a tokenizer budget is
+    * planned with. Merge application is the same sentinel-space
+    * replace as training (identical residual convention, so
+    * train→apply round-trips exactly). */
+  def bpeSegmentStats(df: DataFrame, textCol: String, groupCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges: supply bpeMerges output")
+    val words = df
+      .select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), Ws)).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = words.select("w").distinct()
+      .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    for ((pair, merged) <- merges)
+      vocab = vocab.withColumn("seq",
+        trim(call_function("replace",
+          concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))))
+    val tok = vocab.select(col("w"),
+      length(col("w")).cast("long").as("__n_sym"),
+      size(split(col("seq"), " ")).cast("long").as("__n_tok"))
+    words.join(broadcast(tok), Seq("w"))
+      .groupBy(col(groupCol))
+      .agg(sum("__n_sym").as("n_symbols"),
+        sum("__n_tok").as("n_bpe_tokens"),
+        round(sum("__n_tok") / sum("__n_sym"), 6).as("compression"))
+  }
+
   /** Per-doc k-gram novelty: the fraction of a doc's DISTINCT k-grams
     * appearing in NO other document — high novelty flags original
     * content (or noise); near-zero novelty flags boilerplate a dedup

@@ -793,6 +793,23 @@ class CurationSpec extends SparkSpec {
     assert(m(1) == ((2, "a aa", "aaa", 1L)))
   }
 
+  test("bpeSegmentStats: learned merges compress, per-group exact counts") {
+    val docs = Seq(
+      (1L, "A", "low low low lower"),
+      (2L, "B", "low")).toDF("doc_id", "grp", "text")
+    val merges = Curation.bpeMerges(docs, "text", 2)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    // merges: (l o)->lo, (lo w)->low — "low" → 1 token, "lower" → 3
+    val out = Curation.bpeSegmentStats(docs, "text", "grp", merges)
+      .orderBy("grp").as[(String, Long, Long, Double)].collect().toSeq
+    // A: 4 words: 3x"low"(3 sym → 1 tok) + "lower"(5 sym → 3 tok:
+    // low e r); B: "low" (3 sym → 1 tok)
+    assert(out == Seq(
+      ("A", 14L, 6L, math.rint(6.0 / 14.0 * 1e6) / 1e6),
+      ("B", 3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+  }
+
   test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
     val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
       Option.empty[Long], Option.empty[Long])).toDF("k")

@@ -112,6 +112,53 @@ class PlanAuditSpec extends SparkSpec {
         s"whole table to one task:\n$plan")
   }
 
+  test("t39 stratified split: ONE stratum-keyed exchange feeds window AND final agg") {
+    // row_number and count windows share the lang partitioning, and
+    // the (lang, split) grouping is satisfied BY that partitioning
+    // (clustered-by-subset) — a second hashpartitioning exchange
+    // means the reuse broke
+    val plan = SparkEntry.queries("t39_stratified_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"t39 must shuffle exactly once (the stratum window), saw $shuffles:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global window allowed:\n$plan")
+  }
+
+  test("t40 gram novelty: exchanges carry grams and ids, never text") {
+    val plan = graft.operators.Curation.gramNovelty(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isDefined,
+      s"document text must never cross an exchange:\n$plan")
+  }
+
+  test("t42 BPE segment: vocab broadcasts back, corpus text never shuffles") {
+    val plan = graft.operators.Curation.bpeSegmentStats(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "lang",
+        Seq(("e r", "er")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"per-word token counts must broadcast back to the corpus:\n$plan")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isDefined,
+      s"document text must never cross an exchange:\n$plan")
+  }
+
+  test("q7 skew-split join: one broadcast branch + one shuffle branch, unioned") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SparkEntry.queries("q7_skew_split_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hot branch must broadcast even at threshold -1:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold branch must keep the keyed shuffle:\n$plan")
+      assert(plan.contains("Union"), s"the two branches must union:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t24/t25 sketch audits: single aggregate pass over the corpus") {
     // the audit contract is ONE pass computing exact + sketch together;
     // a second corpus-side HashAggregate chain would mean the sketch

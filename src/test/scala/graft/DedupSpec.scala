@@ -566,4 +566,29 @@ class DedupSpec extends SparkSpec {
       (4L, None, 0.7, true),
       (5L, Some(5L), 0.6, true), (6L, Some(5L), 0.6, false)))
   }
+
+  test("group-aware split (d24 composition): no near-dup component spans two splits") {
+    import graft.operators.Curation
+    // near-identical pairs (1,2) and (3,4); 5 is a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "completely different content about nothing shared here")
+    ).toDF("doc_id", "text")
+    val comp = Dedup.components(
+      Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
+    val withRep = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("component_id"), col("doc_id")))
+    val split = Curation.hashSplit(withRep, "rep")
+    // the property the operator exists for: each component's docs all
+    // land in ONE split
+    val spans = split.groupBy("rep")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(spans == 0L)
+    // and the near-dup pairs really were clustered (fixture sanity)
+    assert(comp.count() >= 4)
+  }
 }

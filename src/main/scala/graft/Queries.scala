@@ -4361,6 +4361,111 @@ object Queries {
         CROSS JOIN q)
       ORDER BY dist, vec_id LIMIT 10"""))
 
+  /** One candidate index's half of the v21 A/B oracle: assignment,
+    * probe selection, IVF top-10, per-query recall vs the shared
+    * exact top-10, per-query candidate volume, and the per-index
+    * roll-up — all tagged so two candidates coexist in one WITH. */
+  private def abIndexSql(tag: String, centWhere: String): String =
+    s"""cent_$tag AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE $centWhere),
+      assign_$tag AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent_$tag),
+      clusters_$tag AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign_$tag WHERE crn = 1),
+      sizes_$tag AS (SELECT cluster_id, count(*) AS csz
+        FROM clusters_$tag GROUP BY 1),
+      probes_$tag AS (SELECT qid, qv, cluster_id FROM (
+        SELECT q.qid, q.qv, cid AS cluster_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
+        FROM cent_$tag CROSS JOIN q) WHERE pr <= 2),
+      ivf_$tag AS (SELECT qid, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
+        FROM clusters_$tag c JOIN probes_$tag p USING (cluster_id))
+        WHERE rnk <= 10),
+      rec_$tag AS (SELECT ex.qid,
+          count(iv.vec_id) / 10.0 AS recall
+        FROM exact ex LEFT JOIN ivf_$tag iv
+          ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+        GROUP BY ex.qid),
+      cand_$tag AS (SELECT p.qid, sum(s.csz) AS n_cand
+        FROM probes_$tag p JOIN sizes_$tag s USING (cluster_id)
+        GROUP BY p.qid),
+      m_$tag AS (SELECT '$tag' AS index_id,
+        round(avg(recall), 6) AS mean_recall,
+        round(avg(n_cand), 2) AS mean_candidates
+        FROM rec_$tag JOIN cand_$tag USING (qid))"""
+
+  private val v21 = QuerySpec("v21_index_ab_gate",
+    // The index RELEASE GATE: two candidate IVF indexes (different
+    // centroid sets) scored on the same query set — mean recall@10
+    // vs the shared exact top-10 and mean probed-candidate volume
+    // (the serving-cost proxy) — with the winner picked by
+    // (recall desc, cost asc, id asc). This is the comparison
+    // IndexMaintenance's validate step runs before a flip, here as a
+    // first-class oracle-checked report: toy centroid sets keep BOTH
+    // candidates' assignment/probe/recall math DuckDB-replayable, so
+    // the verdict itself is hash-checked, not asserted.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
+        .select(col("qid"), col("vec_id"))
+      def evalIndex(tag: String, cent: DataFrame): DataFrame = {
+        val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
+          cent, "cid", "cvec")
+        val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+            cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 2)
+          .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
+        val rec = exact.join(ivf, Seq("qid", "vec_id"), "left")
+          .groupBy("qid").agg((count(col("__hit")) / 10.0).as("recall"))
+        val sizes = assigned.groupBy("cluster_id")
+          .agg(count(lit(1)).as("csz"))
+        val pw = Window.partitionBy("qid")
+          .orderBy(col("__qd"), col("cid"))
+        val probes = qs.crossJoin(broadcast(cent))
+          .withColumn("__qd", VectorFunctions.l2(col("cvec"), col("qv")))
+          .withColumn("__pr", row_number().over(pw))
+          .filter(col("__pr") <= 2)
+          .select(col("qid"), col("cid").as("cluster_id"))
+        val cand = probes.join(sizes, Seq("cluster_id"))
+          .groupBy("qid").agg(sum("csz").as("n_cand"))
+        rec.join(cand, Seq("qid"))
+          .agg(round(avg("recall"), 6).as("mean_recall"),
+            round(avg("n_cand"), 2).as("mean_candidates"))
+          .select(lit(tag).as("index_id"), col("mean_recall"),
+            col("mean_candidates"))
+      }
+      val cA = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cB = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val both = evalIndex("a", cA).unionByName(evalIndex("b", cB))
+      val ww = Window.orderBy(desc("mean_recall"),
+        asc("mean_candidates"), asc("index_id"))
+      both.withColumn("is_winner", row_number().over(ww) === 1)
+        .orderBy("index_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+      ${abIndexSql("a", "vec_id < 8")},
+      ${abIndexSql("b", "vec_id >= 8 AND vec_id < 16")},
+      ab AS (SELECT * FROM m_a UNION ALL SELECT * FROM m_b)
+      SELECT index_id, mean_recall, mean_candidates,
+        (row_number() OVER (ORDER BY mean_recall DESC,
+          mean_candidates ASC, index_id ASC) = 1) AS is_winner
+      FROM ab ORDER BY index_id"""))
+
   /** v18 artifact: a private copy of the v15/v16 index layout with
     * v16's tombstone set (every 17th id) COMPACTED into the files —
     * only the clusters holding a tombstoned row are rewritten, and a
@@ -5130,7 +5235,7 @@ object Queries {
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, b1, b2, i1, i2, i3, i4, r2,
+    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
     g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
 }

@@ -1715,10 +1715,30 @@ object Queries {
             'first planted line...' || chr(10) || 'second planted line' || chr(8230)
           ELSE text END AS text
         FROM documents),
-      f AS (SELECT doc_id, text,
+      ${gopherCtes("src")}
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        round(mwl, 6) AS mean_word_len, round(symr, 6) AS symbol_ratio,
+        round(bf, 6) AS frac_bullet_lines, round(ef, 6) AS frac_ellipsis_lines,
+        round(af, 6) AS frac_alpha_words, CAST(n_stop AS INT) AS n_stop_hits,
+        n_words >= 50 AND n_words <= 100000 AS ok_words,
+        mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+        symr <= 0.1 AS ok_symbol,
+        bf <= 0.9 AS ok_bullet,
+        ef <= 0.3 AS ok_ellipsis,
+        af >= 0.8 AS ok_alpha,
+        n_stop >= 1 AS ok_stop,
+        $gopherKeepSql AS keep
+      FROM h ORDER BY doc_id"""))
+
+  /** The Gopher feature CTEs (f → g → h), parameterized by the source
+    * relation so t31 (planted noise) and t44 (natural corpus) share
+    * one rule replication — a drifted division or regex turns BOTH
+    * rows red instead of silently diverging. */
+  private def gopherCtes(src: String): String =
+    s"""f AS (SELECT doc_id, text,
         string_split_regex(trim(text), '$WsSplit') AS w,
         string_split(text, chr(10)) AS ls,
-        len(trim(text)) = 0 AS blank FROM src),
+        len(trim(text)) = 0 AS blank FROM $src),
       g AS (SELECT doc_id,
         CASE WHEN blank THEN 0 ELSE len(w) END AS n_words,
         CASE WHEN blank THEN 0
@@ -1748,22 +1768,55 @@ object Queries {
         CAST(n_bullet AS DOUBLE)/n_lines AS bf,
         CAST(n_ellip AS DOUBLE)/n_lines AS ef,
         CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS af
-        FROM g)
-      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        round(mwl, 6) AS mean_word_len, round(symr, 6) AS symbol_ratio,
-        round(bf, 6) AS frac_bullet_lines, round(ef, 6) AS frac_ellipsis_lines,
-        round(af, 6) AS frac_alpha_words, CAST(n_stop AS INT) AS n_stop_hits,
-        n_words >= 50 AND n_words <= 100000 AS ok_words,
-        mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
-        symr <= 0.1 AS ok_symbol,
-        bf <= 0.9 AS ok_bullet,
-        ef <= 0.3 AS ok_ellipsis,
-        af >= 0.8 AS ok_alpha,
-        n_stop >= 1 AS ok_stop,
-        (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        FROM g)"""
+
+  /** The composite keep rule over h's columns — shared by t31 and
+    * t44. A `def`, not a `val`: t31's QuerySpec literal interpolates
+    * it during object init, before later vals assign. */
+  private def gopherKeepSql: String =
+    """(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
           AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
-          AND n_stop >= 1) AS keep
-      FROM h ORDER BY doc_id"""))
+          AND n_stop >= 1)"""
+
+  private val t44 = QuerySpec("t44_curation_impact",
+    // The filter's BILL: per-language doc/token retention under the
+    // t31 Gopher gate on the NATURAL corpus — the report a curation
+    // run ships so a reviewer sees what a rule change costs each
+    // language before it lands (per-language retention skew is the
+    // classic silent failure of corpus-wide thresholds). Same rule
+    // replication as t31 via the shared CTEs — the two queries
+    // cannot drift apart.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val gf = Curation.gopherFilter(docs, "doc_id", "text", minStopHits = 1)
+        .select(col("doc_id"), col("n_words"), col("keep"))
+      gf.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_words").cast("long")).as("n_tokens"),
+          sum(when(col("keep"), col("n_words").cast("long")).otherwise(0L))
+            .as("n_tokens_kept"),
+          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6)
+            .as("doc_retention"),
+          round(sum(when(col("keep"), col("n_words").cast("double"))
+              .otherwise(0.0)) /
+            greatest(sum(col("n_words").cast("double")), lit(1.0)), 6)
+            .as("token_retention"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH ${gopherCtes("documents")},
+      keepers AS (SELECT doc_id, n_words, $gopherKeepSql AS keep FROM h)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(k.n_words) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN keep THEN k.n_words ELSE 0 END) AS BIGINT)
+          AS n_tokens_kept,
+        round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS doc_retention,
+        round(CAST(sum(CASE WHEN keep THEN k.n_words ELSE 0 END) AS DOUBLE) /
+          greatest(CAST(sum(k.n_words) AS DOUBLE), 1.0), 6) AS token_retention
+      FROM keepers k JOIN documents d USING (doc_id)
+      GROUP BY lang ORDER BY lang"""))
 
   private val t30 = QuerySpec("t30_cms_freq_audit",
     // CountMin point-frequency audit (Curation.cmsFrequencyAudit):
@@ -5233,7 +5286,7 @@ object Queries {
   val all: Seq[QuerySpec] = Seq(
     q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, b1, b2, i1, i2, i3, i4, r2,
     a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,

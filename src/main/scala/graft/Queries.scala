@@ -5043,6 +5043,27 @@ object Queries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey LIMIT 10"""))
 
+  private val q8 = QuerySpec("q8_rollup_report",
+    // Hierarchical totals in ONE pass: ROLLUP(l_returnflag,
+    // l_linestatus) computes leaf groups, per-flag subtotals, and the
+    // grand total from a single scan + one aggregation family — the
+    // report shape that otherwise costs three scans and a union.
+    // Spark plans Expand (3 grouping sets) + HashAggregate with
+    // map-side partials per set; null grouping keys mark subtotal
+    // rows in both engines identically.
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      round(sum(l_extendedprice), 2) AS sum_price,
+      round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   /** Bucketed orders/lineitem tables built ONCE per sf dir (the
     * s8/d12 stored-artifact pattern): the layout-time shuffle paid
     * here is the one every j2 execution — and at 100 TB every
@@ -5284,7 +5305,7 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, q7, j2, e1, e2, e3, e4, e5, e6, e7, e8,
+    q1, q3, q5, q6, q7, q8, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,

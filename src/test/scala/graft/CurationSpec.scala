@@ -810,6 +810,28 @@ class CurationSpec extends SparkSpec {
       ("B", 3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
   }
 
+  test("property: stratifiedSplit hits the integer-div quotas exactly for any stratum sizes") {
+    import org.scalacheck.Gen
+    PropHelper.forAll(Gen.listOfN(3, Gen.choose(1, 40)), n = 12) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map(i => (g * 1000L + i, s"g$g"))
+      }.toDF("doc_id", "grp")
+      val out = Curation.stratifiedSplit(docs, "doc_id", "grp")
+        .groupBy("grp", "split").count()
+        .as[(String, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      sizes.zipWithIndex.foreach { case (sz, g) =>
+        val m = out(s"g$g")
+        val train = (sz * 80) / 100
+        val valid = (sz * 90) / 100 - train
+        val test = sz - train - valid
+        assert(m.getOrElse("train", 0L) == train.toLong, s"sz=$sz $m")
+        assert(m.getOrElse("valid", 0L) == valid.toLong, s"sz=$sz $m")
+        assert(m.getOrElse("test", 0L) == test.toLong, s"sz=$sz $m")
+      }
+    }
+  }
+
   test("skewAudit surfaces the hot key with share and mean-multiple; nulls count") {
     val rows = (Seq.fill(6)(Option(7L)) ++ Seq(Option(1L), Option(2L),
       Option.empty[Long], Option.empty[Long])).toDF("k")

@@ -71,6 +71,24 @@ class SaltingSpec extends SparkSpec {
     assert(!split.exists(_._1 == 9999L), "null-keyed row must drop (inner)")
   }
 
+  test("property: skewSplitJoin equals plain join for any hot-key subset") {
+    import org.scalacheck.Gen
+    val keys = Seq("a", "b", "c", "d", "e")
+    val big = (0 until 60).map(i => (i.toLong, keys(i % keys.length)))
+      .toDF("id", "k")
+    val dim = keys.zipWithIndex.map { case (k, i) => (k, i) }
+      .toDF("dk", "attr")
+    val plain = big.join(dim, col("k") === col("dk"))
+      .select("id", "attr").orderBy("id", "attr")
+      .as[(Long, Int)].collect().toSeq
+    PropHelper.forAll(Gen.someOf(keys).suchThat(_.nonEmpty), n = 10) { hot =>
+      val split = Salting.skewSplitJoin(big, dim, "k", "dk", hot.toSeq)
+        .select("id", "attr").orderBy("id", "attr")
+        .as[(Long, Int)].collect().toSeq
+      assert(split == plain, s"hot=$hot")
+    }
+  }
+
   test("skewSplitJoin plan: hot half broadcasts, cold half shuffles") {
     val big = (0 until 100).map(i => (i.toLong, if (i < 90) "HOT" else s"c$i"))
       .toDF("id", "k")

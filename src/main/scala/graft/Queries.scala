@@ -4363,6 +4363,13 @@ object Queries {
         FROM clusters c JOIN probes p USING (cluster_id))
       WHERE rnk <= 10 ORDER BY qid, knn_rank"""))
 
+  /** v20's occupancy table, computed once per sf dir (the index is
+    * immutable here): the sizes input a serving loop keeps per index
+    * version instead of re-scanning occupancy per query. */
+  private val ivfSizesCache = scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
+  private def ivfSizesFor(s: SparkSession, d: String): Map[Long, Long] =
+    ivfSizesCache.getOrElseUpdate(d, Ann.clusterSizes(s, ivfVecTableFor(s, d)))
+
   private val v20 = QuerySpec("v20_adaptive_probe",
     // ADAPTIVE-nprobe serving (Ann.ivfSearchStoreAdaptive): the probe
     // count is not a config constant but the fewest distance-ranked
@@ -4384,7 +4391,7 @@ object Queries {
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
       Ann.ivfSearchStoreAdaptive(s, ivfVecTableFor(s, d), "embedding",
           "vec_id", cent, "cid", "cvec", qv, k = 10, candMult = 10,
-          maxProbe = 8)
+          maxProbe = 8, ivfSizesFor(s, d))
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
           round(col("dist"), 6).as("dist"), col("n_probed"))
     },
@@ -5072,8 +5079,12 @@ object Queries {
   private val bucketedPaths = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def bucketedTablesFor(s: SparkSession, d: String): (String, String) =
     bucketedPaths.getOrElseUpdate(d, {
-      val db = "graft_buckets_" + java.lang.Integer.toHexString(d.hashCode)
+      // db name from the fresh temp dir, NOT a hash of `d`: two sf
+      // dirs with colliding 32-bit hashCodes would share a database
+      // and the second build would overwrite the first's tables
       val loc = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+      val db = "graft_buckets_" + loc.replaceAll(".*graft_buckets_", "")
+        .replaceAll("[^0-9a-zA-Z]", "")
       graft.sources.BucketedLayout.ensureDatabase(s, db, loc)
       graft.sources.BucketedLayout.writeBucketed(
         t(s, d, "orders"), s"$db.orders_b", "o_orderkey", 8)

@@ -189,10 +189,11 @@ object Ann {
     * if the whole index is smaller than the target). A fixed nprobe
     * wastes reads when the nearest cluster already holds 10× k and
     * starves recall when deletes/skew have hollowed it out; sizing
-    * the probe set by ACTUAL occupancy adapts per query for the cost
-    * of one size lookup. Both driver inputs are bounded by the
-    * centroid count by definition (k centroid rows, ≤ k size rows —
-    * the same boundedness as [[ivfSearchStore]]'s probe collect).
+    * the probe set by ACTUAL occupancy adapts per query against a
+    * once-per-index-version size table ([[clusterSizes]]). Both
+    * driver inputs are bounded by the centroid count by definition
+    * (k centroid rows, ≤ k size rows — the same boundedness as
+    * [[ivfSearchStore]]'s probe collect).
     * The decision is a pure function of the stored index and the
     * query vector — deterministic, so the v20 oracle replays it in
     * SQL as a cumulative sum over distance-ranked clusters — and the
@@ -206,15 +207,38 @@ object Ann {
                              centroids: DataFrame, cidCol: String,
                              cvecCol: String, queryVec: Column, k: Int,
                              candMult: Int, maxProbe: Int): DataFrame = {
-    require(k >= 1, s"k $k must be >= 1")
-    require(candMult >= 1, s"candMult $candMult must be >= 1")
-    require(maxProbe >= 1, s"maxProbe $maxProbe must be >= 1")
+    // Self-computing variant: pays a full-index occupancy pass PER
+    // CALL. Occupancy is a property of the stored index, so serving
+    // loops should compute [[clusterSizes]] once per index version
+    // and use the sizes overload (the v20 harness entry does).
+    ivfSearchStoreAdaptive(spark, path, embCol, idCol, centroids,
+      cidCol, cvecCol, queryVec, k, candMult, maxProbe,
+      clusterSizes(spark, path))
+  }
+
+  /** Per-cluster occupancy of a stored index — the sizes input the
+    * adaptive probe decision reads. Compute once per index version;
+    * recompute after [[IndexMaintenance.applyDelta]]/compaction
+    * (stale sizes mis-size the probe set — wrong cost, never wrong
+    * results, since the search inside the probed clusters is exact). */
+  def clusterSizes(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Map[Long, Long] =
     // cluster_id casts: a partitionBy layout reads the partition
     // column back as int when its values fit
-    val sizes = graft.sources.IndexStore.load(spark, path)
+    graft.sources.IndexStore.load(spark, path)
       .groupBy(col("cluster_id").cast("long").as("cluster_id"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  def ivfSearchStoreAdaptive(spark: org.apache.spark.sql.SparkSession,
+                             path: String, embCol: String, idCol: String,
+                             centroids: DataFrame, cidCol: String,
+                             cvecCol: String, queryVec: Column, k: Int,
+                             candMult: Int, maxProbe: Int,
+                             sizes: Map[Long, Long]): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(candMult >= 1, s"candMult $candMult must be >= 1")
+    require(maxProbe >= 1, s"maxProbe $maxProbe must be >= 1")
     val ranked = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))

@@ -235,9 +235,13 @@ object Curation {
     * from the output (callers left-join if they need them). */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame = {
+    // lazy localCheckpoint: grams feeds the df aggregate AND the join
+    // back — without it the corpus re-shingles and re-distincts twice
+    // (the contamination() precedent)
     val grams = df.select(col(idCol),
         explode(ngramsFast(col(textCol), k)).as("gram"))
       .distinct()
+      .localCheckpoint(false)
     val gdf = grams.groupBy("gram").agg(count(lit(1)).as("__gdf"))
     grams.join(gdf, Seq("gram"))
       .groupBy(col(idCol))

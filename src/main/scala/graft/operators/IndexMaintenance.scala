@@ -158,6 +158,13 @@ object IndexMaintenance {
                  tombIdCol: String): DeltaReport = {
     val pre = IndexStore.load(spark, path)
     val rowsBefore = pre.count()
+    // PRE-delta cluster census for the affectedRatio denominator:
+    // deletes and reassignments only ever touch clusters that existed
+    // before the delta (assignment targets the existing effective
+    // centroids), so affected ⊆ pre-clusters and the ratio stays ≤ 1
+    // even when the delta EMPTIES a cluster — a post-delta census
+    // would undercount and push the ratio past 1.0.
+    val nClustersPre = pre.select("cluster_id").distinct().count().max(1L)
     val tomb = tombstones.select(col(tombIdCol).as(idCol)).distinct()
       .localCheckpoint(true) // small by contract; reused in 3 plans
     val nTombHits = pre.select(col(idCol))
@@ -186,8 +193,7 @@ object IndexMaintenance {
       s"applyDelta reconciliation failed: $rowsBefore - $nTombHits tombstoned " +
         s"- $nReplaced replaced + $nBatch upserted = $expected, index has $rowsAfter")
     val affected = (affectedDel ++ affectedUp).distinct.sorted
-    val nClusters = post.select("cluster_id").distinct().count().max(1L)
     DeltaReport(affected, rowsBefore, rowsAfter, nBatch, nTombHits,
-      affected.size.toDouble / nClusters)
+      affected.size.toDouble / nClustersPre)
   }
 }

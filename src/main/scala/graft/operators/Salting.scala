@@ -75,12 +75,19 @@ object Salting {
   def skewSplitJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     hotKeys: Seq[Any]): DataFrame = {
-    require(hotKeys.nonEmpty,
-      "hotKeys: empty split is a plain join — supply skewAudit's top keys")
-    val hotBig = big.filter(col(bigKey).isin(hotKeys: _*))
-    val coldBig = big.filter(!col(bigKey).isin(hotKeys: _*))
-    val hotSmall = small.filter(col(smallKey).isin(hotKeys: _*))
-    val coldSmall = small.filter(!col(smallKey).isin(hotKeys: _*))
+    // Drop null hot keys BEFORE building the filters: skewAudit counts
+    // nulls (they ARE the key a null-heavy join explodes on) and can
+    // surface key=null in its top-N, but a null key matches nothing in
+    // an inner join — and a null inside NOT IN makes the cold-branch
+    // predicate NULL for EVERY row, silently emptying the cold half
+    // and breaking the union==plain-join contract.
+    val hot = hotKeys.filterNot(_ == null)
+    require(hot.nonEmpty,
+      "hotKeys: empty (or all-null) split is a plain join — supply skewAudit's top non-null keys")
+    val hotBig = big.filter(col(bigKey).isin(hot: _*))
+    val coldBig = big.filter(!col(bigKey).isin(hot: _*))
+    val hotSmall = small.filter(col(smallKey).isin(hot: _*))
+    val coldSmall = small.filter(!col(smallKey).isin(hot: _*))
     hotBig.join(broadcast(hotSmall), col(bigKey) === col(smallKey))
       .unionByName(coldBig.join(coldSmall, col(bigKey) === col(smallKey)))
   }

@@ -146,4 +146,28 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(cOf(5L) == cOf(1001L), "re-embedded doc did not move cluster")
     assert(cOf(7777L) != cOf(1001L))
   }
+
+  test("applyDelta: affectedRatio stays <= 1 even when the delta EMPTIES a cluster") {
+    // two tight clusters; tombstone EVERY member of one of them — the
+    // post-delta census would see 1 cluster while 2 were affected,
+    // pushing a post-computed ratio to 2.0; the PRE-delta denominator
+    // keeps it <= 1 (the regression this test pins)
+    val docs = (Seq((1L, Array(0.1f, 0.1f)), (2L, Array(0.2f, 0.2f))) ++
+      Seq((10L, Array(50.0f, 50.0f)), (11L, Array(50.2f, 50.2f))))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft_delta_empty").toString + "/idx"
+    val cents = Ann.trainCentroids(docs, "embedding", k = 2)
+    IndexStore.write(
+      Ann.ivfAssignBig(docs, "embedding", "vec_id", cents, "cid", "cvec")
+        .select("cluster_id", "vec_id", "embedding"), path)
+    val batch = Seq((99L, Array(0.15f, 0.15f))).toDF("vec_id", "embedding")
+    val tomb = Seq(10L, 11L).toDF("deleted_id") // the whole far cluster
+    val r = IndexMaintenance.applyDelta(spark, path, batch, tomb,
+      "embedding", "vec_id", "deleted_id")
+    assert(r.deleted == 2 && r.upserted == 1)
+    assert(r.affectedRatio > 0 && r.affectedRatio <= 1.0,
+      s"ratio ${r.affectedRatio} must stay within [0,1] after emptying a cluster")
+    assert(IndexStore.load(spark, path)
+      .filter(col("vec_id").isin(10L, 11L)).isEmpty)
+  }
 }

@@ -89,6 +89,20 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("skewSplitJoin: a null hot key (skewAudit can emit one) never empties the cold branch") {
+    val big = Seq((1L, Option("HOT")), (2L, Option("cold")),
+      (3L, Option.empty[String])).toDF("id", "k")
+    val dim = Seq(("HOT", 1), ("cold", 2)).toDF("dk", "attr")
+    // null inside NOT IN would make the cold predicate NULL for every
+    // row — the operator must drop the null hot key instead
+    val split = Salting.skewSplitJoin(big, dim, "k", "dk", Seq(null, "HOT"))
+      .select("id", "attr").orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(split == Seq((1L, 1), (2L, 2)))
+    intercept[IllegalArgumentException] {
+      Salting.skewSplitJoin(big, dim, "k", "dk", Seq(null))
+    }
+  }
+
   test("skewSplitJoin plan: hot half broadcasts, cold half shuffles") {
     val big = (0 until 100).map(i => (i.toLong, if (i < 90) "HOT" else s"c$i"))
       .toDF("id", "k")

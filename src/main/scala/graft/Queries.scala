@@ -5071,6 +5071,42 @@ object Queries {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  private val q9 = QuerySpec("q9_ri_audit",
+    // Referential-integrity audit: orphan counts in both directions
+    // via anti-joins (lineitems without an order, orders without any
+    // lineitem, orders with a dangling customer) — the ingest gate
+    // that catches a partial load before a join silently drops rows.
+    // Each check is one keyed anti-join + count; no row payloads
+    // cross an exchange (key columns only).
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val cust = t(s, d, "customer")
+      def chk(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("ri_check"), col("n_orphans"))
+      chk("lineitem_without_order",
+          li.select("l_orderkey").join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(chk("order_without_lineitem",
+          o.select("o_orderkey").join(li.select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(chk("order_without_customer",
+          o.select("o_custkey").join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .orderBy("ri_check")
+    },
+    Some("""SELECT * FROM (
+      SELECT 'lineitem_without_order' AS ri_check, count(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'order_without_lineitem', count(*)
+        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+      UNION ALL
+      SELECT 'order_without_customer', count(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      ORDER BY ri_check"""))
+
   /** Bucketed orders/lineitem tables built ONCE per sf dir (the
     * s8/d12 stored-artifact pattern): the layout-time shuffle paid
     * here is the one every j2 execution — and at 100 TB every
@@ -5316,7 +5352,7 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, q7, q8, j2, e1, e2, e3, e4, e5, e6, e7, e8,
+    q1, q3, q5, q6, q7, q8, q9, j2, e1, e2, e3, e4, e5, e6, e7, e8,
     p1, p2, p3, p5, p9, p10, p12, p13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
     d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,

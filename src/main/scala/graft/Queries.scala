@@ -20,5343 +20,18 @@ final case class QuerySpec(
     impl: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-object Queries {
-
-  /** Run the c1/c2 adaptive≡fixed identity gates inside the cascade
-    * entries. Default ON — the CORRECTNESS artifact must carry the
-    * identity stamp. [[Bench]] turns it OFF for the timed loop (and
-    * ONLY there): the gates execute the cascade 2–3× plus per-stage
-    * count actions, so with them inside the clock c1's number measured
-    * the verification harness, not the cascade a user runs. The
-    * emitted `identity_match` column reports this flag honestly: true
-    * = the gate ran and held this execution (it raises on violation),
-    * false = the gate was skipped for timing. */
-  @volatile var identityGates: Boolean = true
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** events.parquet's ts has shipped in two physical forms across
-    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark 4
-    * rejects at read (PARQUET_TYPE_ILLEGAL), so it is read as raw LONG
-    * nanos under the legacy flag and converted to micros — and native
-    * TIMESTAMP(MICROS), which reads directly (as NTZ when the file is
-    * timezone-naive; the cast to TimestampType is numerically identity
-    * under the UTC session both engines run with). Dispatch on the
-    * OBSERVED schema so either generation works; every downstream
-    * query sees one canonical micros TimestampType `ts`, and DuckDB
-    * reads the same column natively with agreeing `epoch_ns`/
-    * `date_trunc` semantics. */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, d, "events")
-    ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampType => ev
-      case _ => // TIMESTAMP_NTZ (naive micros): identity cast under UTC
-        ev.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
-  }
-
-  // ---- DuckDB fragment builders (double-precision left folds that ----
-  // ---- mirror VectorFunctions exactly)                            ----
-  private def l2Sql(a: String, b: String): String =
-    s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - $b[i])**2)))"
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
-  private def cosineSql(a: String, b: String): String = {
-    val nn = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-    s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dotSql(a, b)} / $nn END)"
-  }
-  private val WsSplit = "[ \\t\\n]+"
-
-  /** DuckDB mirror of TextAnalysis.qualityScore — ONE copy shared by
-    * t2/t7/t16 so the three oracles can never drift apart on near-tie
-    * documents. Expects `text`, `nws`, `nstop` in scope (from
-    * [[qualityInnerSql]]). */
-  private def qualityExprSql: String =
-    s"""round(
-      0.4 * least(len(text) / 500.0, 1.0)
-      + 0.3 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0
-          ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS DOUBLE) / len(text) END))
-      + 0.3 * (CASE WHEN nws = 0 THEN 0.0 ELSE least(CAST(nstop AS DOUBLE) / nws, 1.0) END), 6)"""
-
-  /** The documents projection feeding [[qualityExprSql]] (whitespace
-    * token count + stopword hits); `extraCols` threads extra columns
-    * through (e.g. " source," for t16). */
-  private def qualityInnerSql(extraCols: String = ""): String =
-    s"""SELECT doc_id,$extraCols text,
-      CASE WHEN len(trim(text)) = 0 THEN 0
-           ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS nws,
-      len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS nstop
-      FROM documents"""
-
-  // ======================================================================
-  // Relational baseline (bench headliners; SURVEY §2.6 aggregation/sort)
-  // ======================================================================
-
-  private val q1 = QuerySpec("q1_pricing_summary",
-    (s, d) => t(s, d, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity),2) AS sum_qty,
-      round(sum(l_extendedprice),2) AS sum_base_price,
-      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      round(avg(l_discount),6) AS avg_disc,
-      count(*) AS count_order
-      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
-
-  private val q3 = QuerySpec("q3_top_orders",
-    (s, d) => {
-      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
-      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .select(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
-        .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
-    },
-    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
-      SELECT l_orderkey, o_orderdate,
-        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-      WHERE c_mktsegment = 'BUILDING'
-        AND o_orderdate < TIMESTAMP '1998-01-01'
-        AND l_shipdate > TIMESTAMP '1998-01-01'
-      GROUP BY l_orderkey, o_orderdate)
-      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
-
-  private val q5 = QuerySpec("q5_nation_revenue",
-    (s, d) => {
-      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
-      val n = t(s, d, "nation")
-      val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
-      val l = t(s, d, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(desc("revenue"), asc("n_name"))
-    },
-    Some("""SELECT n_name,
-      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA'
-      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
-
-  // ======================================================================
-  // Events: windowed aggregation + permissive JSON (P7; streaming's batch
-  // twin — the same plan runs under readStream, see graft.streaming)
-  // ======================================================================
-
-  private val e1 = QuerySpec("e1_events_hourly",
-    (s, d) => events(s, d)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      .orderBy("hour", "event_type"),
-    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-      event_type, count(*) AS n, round(sum(value),2) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val e2 = QuerySpec("e2_events_props_json",
-    (s, d) => events(s, d)
-      .withColumn("p", when(col("event_id") % 7 === 0,
-        expr("substring(props, 1, length(props)-2)")).otherwise(col("props")))
-      .withColumn("k",
-        from_json(col("p"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k"))
-      .groupBy("event_type")
-      .agg(sum("k").cast("bigint").as("sum_k"),
-        count(when(col("k").isNull, 1)).as("n_bad"),
-        count(lit(1)).as("n"))
-      .orderBy("event_type"),
-    Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
-      count(CASE WHEN k IS NULL THEN 1 END) AS n_bad, count(*) AS n FROM (
-      SELECT event_type,
-        CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
-      FROM (SELECT event_type,
-        CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props)-2) ELSE props END AS p
-        FROM events))
-      GROUP BY event_type ORDER BY event_type"""))
-
-  private val e4 = QuerySpec("e4_sessionize",
-    // Gap-based sessionization (30-min inactivity): lag + cumulative
-    // sum of session-start flags per user — the standard windowed
-    // formulation, identical in both engines. Nanos-integer gap math
-    // avoids float drift.
-    (s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      events(s, d)
-        .withColumn("prev_ts", lag("ts", 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
-            .otherwise(0))
-        .withColumn("session_idx",
-          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_idx")
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
-        .groupBy("user_id")
-        .agg(max("session_idx").cast("bigint").as("n_sessions"),
-          max("n_events").as("max_session_events"),
-          round(max("session_value"), 2).as("max_session_value"))
-        .orderBy("user_id")
-    },
-    Some("""WITH flagged AS (
-        SELECT user_id, value,
-          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
-          us, event_id
-        FROM (SELECT user_id, value, event_id, epoch_ns(ts) // 1000 AS us,
-          -- order by the MICROS-truncated ts (not raw TIMESTAMP_NS): Spark's
-          -- ts is micros, so the tie-break domain must match exactly or two
-          -- same-user events within one micro could order differently
-          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
-            ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
-          FROM events)),
-      sessions AS (
-        SELECT user_id, value,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-        FROM flagged),
-      per_session AS (
-        SELECT user_id, session_idx, count(*) AS n_events,
-          round(sum(value), 2) AS session_value
-        FROM sessions GROUP BY user_id, session_idx)
-      SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
-        max(n_events) AS max_session_events,
-        round(max(session_value), 2) AS max_session_value
-      FROM per_session GROUP BY user_id ORDER BY user_id"""))
-
-  private val e5 = QuerySpec("e5_asof_join",
-    // As-of join (AsOfJoin.lastBefore): every click event gets the
-    // user's latest prior purchase value — the temporal join Spark
-    // lacks, via the union + last(ignoreNulls) window (one shuffle by
-    // user, zero joins). Timestamps compare in MICROS on both sides
-    // (same tie-break domain as e4); the right side pre-aggregates to
-    // one row per (user, ts) so ties are deterministic — the same
-    // contract DuckDB's native ASOF JOIN (the oracle here) has.
-    (s, d) => {
-      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "us")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "us").agg(max("value").as("pval"))
-      graft.operators.AsOfJoin.lastBefore(
-          clicks, purchases, "user_id", "us", "us", "pval",
-          outCol = "last_purchase")
-        .select(col("event_id"), col("user_id"),
-          round(col("last_purchase"), 2).as("last_purchase"))
-        .orderBy("event_id")
-    },
-    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
-          FROM events WHERE event_type = 'click'),
-      r AS (SELECT user_id, epoch_ns(ts)//1000 AS us, max(value) AS pval
-          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-      SELECT l.event_id, l.user_id, round(r.pval, 2) AS last_purchase
-      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
-      ORDER BY event_id"""))
-
-  private val e7 = QuerySpec("e7_attribution_join",
-    // Stream-stream attribution (EventStream.attributionJoin): every
-    // purchase paired with the same user's clicks in the preceding
-    // hour — the canonical Structured Streaming interval join, run
-    // here on the STATIC events table where withWatermark is a no-op
-    // and the same code is the batch twin (the t23/t34/t35 pattern;
-    // StreamingSpec pins stream == batch with two MemoryStreams).
-    // Batch plan: one user_id-keyed equality shuffle with the time
-    // range as a post-join filter; streaming plan: both join-state
-    // stores bounded by the 2×gap watermarks. The oracle mirrors the
-    // micros-truncate-then-compare arithmetic exactly (the e4
-    // precedent for nanos-generation data).
-    (s, d) => {
-      val ev = events(s, d)
-      graft.streaming.EventStream.attributionJoin(
-          ev.filter(col("event_type") === "click"),
-          ev.filter(col("event_type") === "purchase"), gapMinutes = 60)
-        .orderBy("purchase_id", "click_id")
-    },
-    Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
-        FROM events WHERE event_type = 'click'),
-      p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
-        FROM events WHERE event_type = 'purchase')
-      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-        c.user_id, p.us - c.us AS lag_us
-      FROM c JOIN p ON c.user_id = p.user_id
-      WHERE p.us >= c.us AND p.us <= c.us + 3600000000
-      ORDER BY purchase_id, click_id"""))
-
-  private val e8 = QuerySpec("e8_session_window",
-    // e4's sessionization via the NATIVE session_window operator —
-    // the merging-sessions aggregation whose streaming form is
-    // state-store-backed and watermark-bounded (EventStream scaladoc;
-    // EventStreamSpec pins stream == batch and the gap boundary).
-    // Run on the static events table the same code is the batch twin,
-    // hash-checked here. Boundary semantics: candidate windows
-    // [ts, ts+gap) merge when they overlap OR touch (spec-pinned), so
-    // a successor exactly gap later continues the session — the
-    // oracle's new-session flag is `> gap`, e4's convention, making
-    // e8 the operator-level twin of e4's windowed formulation.
-    (s, d) => graft.streaming.EventStream
-      .sessionWindowAgg(events(s, d), gapMinutes = 30)
-      .orderBy("user_id", "session_start_us"),
-    Some("""WITH e AS (SELECT user_id, value, event_id,
-          epoch_ns(ts) // 1000 AS us FROM events),
-      flagged AS (SELECT user_id, value, us, event_id,
-          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-            THEN 1 ELSE 0 END AS new_s
-        FROM (SELECT user_id, value, us, event_id,
-          lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-            AS prev_us FROM e)),
-      sess AS (SELECT user_id, value, us,
-          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM flagged)
-      SELECT user_id, min(us) AS session_start_us,
-        max(us) + 1800000000 AS session_end_us,
-        count(*) AS n_events, round(sum(value), 2) AS session_value
-      FROM sess GROUP BY user_id, sid
-      ORDER BY user_id, session_start_us"""))
-
-  private val e6 = QuerySpec("e6_range_join",
-    // Keyless range join (RangeJoin.pairsWithin): click/purchase pairs
-    // within 60s of each other across ALL users — no equi key, so the
-    // naive form is a BroadcastNestedLoopJoin; the bucketed form
-    // shuffles integer bucket keys and compares candidates only.
-    // Oracle is the plain inequality join (exact same pair set).
-    (s, d) => {
-      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("us").as("click_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("us").as("purchase_us"))
-      graft.operators.RangeJoin.pairsWithin(
-          clicks, purchases, "click_us", "purchase_us", 60000000L)
-        .select(col("click_id"), col("purchase_id"),
-          (col("purchase_us") - col("click_us")).as("delta_us"))
-        .orderBy("click_id", "purchase_id")
-    },
-    Some("""WITH l AS (SELECT event_id AS click_id, epoch_ns(ts)//1000 AS click_us
-          FROM events WHERE event_type = 'click'),
-      r AS (SELECT event_id AS purchase_id, epoch_ns(ts)//1000 AS purchase_us
-          FROM events WHERE event_type = 'purchase')
-      SELECT click_id, purchase_id, purchase_us - click_us AS delta_us
-      FROM l JOIN r ON abs(click_us - purchase_us) <= 60000000
-      ORDER BY click_id, purchase_id"""))
-
-  // ======================================================================
-  // Scalar text transforms (P1/P5/P6/P9/P10/P11)
-  // ======================================================================
-
-  private val p1 = QuerySpec("p1_clean_html",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        TextFunctions.cleanText(
-          concat(lit("<b>"), col("text"), lit("</b>\n tail"))).as("clean"),
-        TextFunctions.stripFences(
-          concat(lit("```json\n"), col("lang"), lit("\n```"))).as("unfenced"),
-        TextFunctions.normalize(concat(lit("  A "), col("lang"))).as("norm"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      trim(regexp_replace(regexp_replace('<b>' || text || '</b>' || chr(10) || ' tail',
-        '<[^>]+>', '', 'g'), '\n', ' ', 'g')) AS clean,
-      regexp_replace(regexp_replace('```json' || chr(10) || lang || chr(10) || '```',
-        '```(json)?', '', 'g'), '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS unfenced,
-      lower(trim('  A ' || lang)) AS norm
-      FROM documents ORDER BY doc_id"""))
-
-  private val p5 = QuerySpec("p5_chunk_ids",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        TextFunctions.chunkIdPortable(col("doc_id"), lit(0), col("text")).as("chunk_id"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      regexp_replace(doc_id || '_chunk0_' || substr(md5(substr(text, 1, 50)), 1, 16),
-        '[^a-zA-Z0-9_-]', '_', 'g') AS chunk_id
-      FROM documents ORDER BY doc_id"""))
-
-  private val p2 = QuerySpec("p2_flatten_requirements",
-    // P2/G3 (build_vectorstore.py:142-152): generic flatten of
-    // array<map<string,array<string>>> requirement groups into
-    // "key: v1 v2" lines — the map constructed from table columns so
-    // the oracle can recompute the rendered string directly.
-    (s, d) => t(s, d, "documents")
-      .withColumn("reqs", array(
-        map(lit("경력조건"), array(col("lang")),
-            lit("학력"), array(col("source"), lit("이상"))),
-        map(lit("고용형태"), array(lit("파트타임")))))
-      .select(col("doc_id"),
-        TextFunctions.flattenRequirements(col("reqs")).as("req_text"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      '경력조건: ' || lang || chr(10) || '학력: ' || source || ' 이상' ||
-      chr(10) || '고용형태: 파트타임' AS req_text
-      FROM documents ORDER BY doc_id"""))
-
-  private val p3 = QuerySpec("p3_combined_ner_text",
-    // P3 combined-text assembly (build_vectorstore.py:154-161) + P4
-    // NER-to-text merge (build_vectorstore.py:184-194), built from
-    // table columns so the oracle recomputes the exact rendered string.
-    // region = nullif(lang,'zh') exercises the null→"" coalesce; the
-    // NER JSON uses clean token values, where to_json is the identity
-    // rendering the oracle can reproduce by concatenation.
-    (s, d) => t(s, d, "documents")
-      .withColumn("combined", TextFunctions.combinedText(
-        col("source"), col("lang"), nullif(col("lang"), lit("zh")),
-        col("n_chars").cast("string"), substring(col("text"), 1, 40), col("lang")))
-      .withColumn("merged", TextFunctions.nerMerge(col("combined"),
-        to_json(struct(col("lang"), col("source")))))
-      .select(col("doc_id"), col("combined"), col("merged"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id, combined,
-      combined || chr(10) || chr(10) || '[NER 추출 정보]' || chr(10) ||
-        '{"lang":"' || lang || '","source":"' || source || '"}' AS merged
-      FROM (SELECT doc_id, lang, source,
-        '채용제목: ' || source || chr(10) ||
-        '회사명: ' || lang || chr(10) ||
-        '근무지역: ' || coalesce(nullif(lang, 'zh'), '') || chr(10) ||
-        '급여조건: ' || n_chars || chr(10) ||
-        '직무내용: ' || substr(text, 1, 40) || chr(10) ||
-        '세부요건:' || chr(10) || lang AS combined
-        FROM documents)
-      ORDER BY doc_id"""))
-
-  private val p13 = QuerySpec("p13_redact_pii",
-    // Training-data hygiene: regex redaction of emails/URLs + counts.
-    // Explicit char classes so Java regex (Spark) and RE2 (DuckDB)
-    // agree; redaction before counting so the two columns are
-    // independently checkable.
-    (s, d) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[A-Za-z0-9./_%-]+"
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
-          substring(regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
-            url, "[URL]"), 1, 120).as("redacted_head"))
-        .orderBy("doc_id")
-    },
-    Some("""SELECT doc_id,
-      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-      len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS n_urls,
-      substr(regexp_replace(regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        'https?://[A-Za-z0-9./_%-]+', '[URL]', 'g'), 1, 120) AS redacted_head
-      FROM documents ORDER BY doc_id"""))
-
-  private val p10 = QuerySpec("p10_response_projection",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        coalesce(nullif(col("lang"), lit("zh")), lit("정보없음")).as("lang_or_default"),
-        coalesce(nullif(col("source"), lit("src0")), lit("no_id")).as("source_or_default"),
-        regexp_replace(substring(col("text"), 1, 100), "\n", " ").as("description"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      coalesce(nullif(lang, 'zh'), '정보없음') AS lang_or_default,
-      coalesce(nullif(source, 'src0'), 'no_id') AS source_or_default,
-      regexp_replace(substr(text, 1, 100), '\n', ' ', 'g') AS description
-      FROM documents ORDER BY doc_id"""))
-
-  // ======================================================================
-  // Text analysis (north star: lang-ID, quality, tokens, fingerprint)
-  // ======================================================================
-
-  private val t1 = QuerySpec("t1_lang_id",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
-        col("lang").as("lang_actual"))
-      .orderBy("doc_id"),
-    Some {
-      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
-        s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
-      }.mkString(", ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred, lang AS lang_actual
-         FROM (SELECT doc_id, lang, $best AS best, ${langs.map("s_" + _).mkString(", ")}
-               FROM (SELECT doc_id, lang, $scores FROM documents))
-         ORDER BY doc_id"""
-    })
-
-  private val t2 = QuerySpec("t2_quality_score",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id"),
-    Some(s"""SELECT doc_id, $qualityExprSql AS quality
-      FROM (${qualityInnerSql()})
-      ORDER BY doc_id"""))
-
-  private val t3 = QuerySpec("t3_token_count",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
-        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpe"))
-      .orderBy("doc_id"),
-    Some(s"""SELECT doc_id,
-      CASE WHEN len(trim(text)) = 0 THEN 0
-           ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS n_ws,
-      len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern.replace("\t", "\\t").replace("\n", "\\n")}')) AS n_bpe
-      FROM documents ORDER BY doc_id"""))
-
-  private val t4 = QuerySpec("t4_fingerprint",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id"),
-    Some(s"""SELECT doc_id,
-      md5(array_to_string(list_sort(list_distinct(
-        string_split_regex(lower(trim(text)), '$WsSplit'))), ' ')) AS fp
-      FROM documents ORDER BY doc_id"""))
-
-  private val t6 = QuerySpec("t6_winnowing",
-    // Rolling-hash document fingerprinting (winnowing/MOSS): min gram
-    // hash per sliding w-window — both engines express the roll as a
-    // ROWS window frame; full windows only.
-    (s, d) => {
-      val (k, w) = (8, 4)
-      val grams = TextAnalysis.charGramHashes(
-        t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", k)
-      val roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-      // full-windows trim uses the generation-time n_grams constant —
-      // no second (whole-partition max) window over the exploded grams
-      grams
-        .withColumn("fp", min("gram_hash").over(roll))
-        .filter(col("pos") <= col("n_grams") - (w - 1))
-        .select("doc_id", "fp").distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fps"), min("fp").as("fp_min"), max("fp").as("fp_max"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val (k, w) = (8, 4)
-      val hex = (1 to 15).map { j =>
-        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * ${math.pow(16, 15 - j).toLong}"
-      }.mkString(" + ")
-      s"""WITH grams AS (
-        SELECT doc_id, pos, $hex AS gram_hash FROM (
-          SELECT doc_id, CAST(i AS INT) AS pos,
-            md5(substr(text, CAST(i AS INT), $k)) AS h
-          FROM (SELECT doc_id, text, unnest(range(1, len(text) - $k + 2)) AS i
-                FROM documents WHERE len(text) >= $k))),
-      win AS (SELECT doc_id, pos,
-        min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
-          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
-        max(pos) OVER (PARTITION BY doc_id) AS npos
-        FROM grams),
-      fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= npos - ${w - 1})
-      SELECT doc_id, count(*) AS n_fps, min(fp) AS fp_min, max(fp) AS fp_max
-      FROM fps GROUP BY doc_id ORDER BY doc_id"""
-    })
-
-  private val t7 = QuerySpec("t7_curation_manifest",
-    // The training-data curation pass, composed end-to-end in ONE scan
-    // + one hash-key dedup window: lang-ID + quality + token counts +
-    // exact-dedup keep flag → the filtered manifest a 100 TB curation
-    // job would write. Everything before the dedup window is a single
-    // codegen'd projection; the window shuffles only (hash, id, small
-    // scalars). The keep rule is d1's (min doc_id per md5(text)).
-    (s, d) => {
-      val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
-          md5(col("text")).as("text_hash"))
-      val w = Window.partitionBy("text_hash").orderBy("doc_id")
-      docs
-        .withColumn("keep", row_number().over(w) === 1)
-        .filter(col("keep") && col("quality") >= 0.5 && col("n_tokens") >= 5)
-        .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
-        s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
-      }.mkString(", ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
-      s"""WITH scored AS (
-          SELECT doc_id, text,
-            $qualityExprSql AS quality,
-            nws AS n_tokens,
-            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM (${qualityInnerSql()})),
-        lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-          FROM (SELECT doc_id, $best AS best, ${langs.map("s_" + _).mkString(", ")}
-                FROM (SELECT doc_id, $scores FROM documents)))
-      SELECT s.doc_id, lang_pred, quality, n_tokens
-      FROM scored s JOIN lang USING (doc_id)
-      WHERE rn = 1 AND quality >= 0.5 AND n_tokens >= 5
-      ORDER BY s.doc_id"""
-    })
-
-  private val t8 = QuerySpec("t8_lm_score",
-    // Corpus-LM quality scoring (the KenLM-style signal web-scale
-    // pipelines filter on): unigram model from the corpus itself, each
-    // doc scored by its mean word log-probability. Two aggregations:
-    // the frequency table (map-side partials on word), then a join
-    // back and a per-doc mean — both shuffles carry words/ids, never
-    // documents. avg re-association noise (~1e-13) is absorbed by
-    // round(4), the e1 precedent.
-    (s, d) => {
-      val words = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "[ \t\n]+")).as("w"))
-        .filter(length(col("w")) > 0)
-      val freq = words.groupBy("w").agg(count(lit(1)).as("wn"))
-      val tot = freq.agg(sum("wn").as("n"))
-      words.join(freq, Seq("w"))
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(round(avg(log(col("wn") / col("n"))), 4).as("avg_logp"),
-          count(lit(1)).as("n_words"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH w2 AS (SELECT doc_id, w FROM (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
-          FROM documents) WHERE len(w) > 0),
-      freq AS (SELECT w, count(*) AS wn FROM w2 GROUP BY w),
-      tot AS (SELECT sum(wn) AS n FROM freq)
-      SELECT doc_id, round(avg(ln(wn / n)), 4) AS avg_logp,
-        count(*) AS n_words
-      FROM w2 JOIN freq USING (w) CROSS JOIN tot
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  // ======================================================================
-  // Corpus curation (north star: repetition quality filters, hash
-  // split, mixture sampling, contamination audit — operators/Curation)
-  // ======================================================================
-
-  /** DuckDB mirror of Curation.hashBucket: numeric value of the first
-    * 8 hex chars of md5(key), big-endian, mod `buckets`. */
-  private def hashBucketSql(key: String, buckets: Int): String = {
-    val hv = (0 until 8).map { k =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
-    }.mkString(" + ")
-    s"(($hv) % $buckets)"
-  }
-
-  private val t9 = QuerySpec("t9_repetition_stats",
-    // Gopher-style repetition filters: top-bigram fraction + duplicate-
-    // trigram fraction per doc, keep-flag at the published thresholds.
-    (s, d) => Curation.repetitionStats(t(s, d, "documents"), "doc_id", "text")
-      .orderBy("doc_id"),
-    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
-        FROM documents),
-      g2 AS (SELECT doc_id, 2 AS n, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-        ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS gram
-        FROM ws),
-      g3 AS (SELECT doc_id, 3 AS n, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-        ELSE list_transform(range(1, len(ws) - 1),
-          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS gram
-        FROM ws),
-      cnt AS (SELECT doc_id, n, gram, count(*) AS cnt
-        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) GROUP BY 1, 2, 3),
-      agg AS (SELECT doc_id,
-        max(CASE WHEN n = 2 THEN cnt END) AS top2,
-        sum(CASE WHEN n = 2 THEN cnt END) AS tot2,
-        sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3,
-        sum(CASE WHEN n = 3 THEN cnt END) AS tot3
-        FROM cnt GROUP BY doc_id),
-      fr AS (SELECT d.doc_id,
-        round(CASE WHEN coalesce(tot2, 0) > 0
-          THEN CAST(coalesce(top2, 0) AS DOUBLE) / tot2 ELSE 0.0 END, 6) AS top2_frac,
-        round(CASE WHEN coalesce(tot3, 0) > 0
-          THEN CAST(coalesce(dup3, 0) AS DOUBLE) / tot3 ELSE 0.0 END, 6) AS dup3_frac
-        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
-      SELECT doc_id, top2_frac, dup3_frac,
-        (top2_frac <= 0.18 AND dup3_frac <= 0.30) AS keep
-      FROM fr ORDER BY doc_id"""))
-
-  private val t10 = QuerySpec("t10_hash_split",
-    // Deterministic train/valid/test split by id hash (stable under
-    // corpus growth, engine-portable — no rand(seed) layout dependence)
-    // + per-split doc and token totals.
-    (s, d) => Curation.hashSplit(t(s, d, "documents"), "doc_id")
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
-      .orderBy("split"),
-    Some(s"""SELECT split, count(*) AS n_docs,
-        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
-      FROM (SELECT text,
-        CASE WHEN ${hashBucketSql("doc_id", 100)} < 80 THEN 'train'
-          WHEN ${hashBucketSql("doc_id", 100)} < 90 THEN 'valid'
-          ELSE 'test' END AS split
-        FROM documents)
-      GROUP BY split ORDER BY split"""))
-
-  private val t11 = QuerySpec("t11_contamination",
-    // Benchmark-contamination audit: distinct 3-gram overlap between
-    // the train slice and a small "benchmark" slice (doc_id % 100 = 0),
-    // join keyed on the gram (never all-pairs).
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Curation.contamination(
-          docs.filter(col("doc_id") % 100 =!= 0),
-          docs.filter(col("doc_id") % 100 === 0),
-          "doc_id", "text", k = 3, minShared = 3)
-        .orderBy("train_doc", "eval_doc")
-    },
-    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
-        FROM documents),
-      sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-        ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh FROM ws),
-      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 <> 0),
-      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 = 0),
-      ng AS (SELECT train_doc, count(*) AS n_train_grams FROM tg GROUP BY 1),
-      pairs AS (SELECT train_doc, eval_doc, count(*) AS n_shared
-        FROM tg JOIN eg USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3)
-      SELECT train_doc, eval_doc, n_shared,
-        round(CAST(n_shared AS DOUBLE) / n_train_grams, 6) AS contaminated_frac
-      FROM pairs JOIN ng USING (train_doc) ORDER BY train_doc, eval_doc"""))
-
-  private val MixRates = Seq(
-    "de" -> 1.0, "en" -> 0.5, "es" -> 0.75, "fr" -> 0.25, "zh" -> 0.1)
-
-  private val t12 = QuerySpec("t12_mixture_sample",
-    // Data mixing: per-language keep rates applied as a deterministic
-    // per-row hash Bernoulli (narrow filter, stable across runs) —
-    // report per-language totals vs kept.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val kept = Curation.mixtureSample(docs, "doc_id", "lang", MixRates.toMap)
-      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-        .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
-        .select(col("lang"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-        .orderBy("lang")
-    },
-    Some {
-      val rate = MixRates.foldRight("1.0") { case ((g, r), acc) =>
-        s"CASE WHEN lang = '$g' THEN $r ELSE $acc END"
-      }
-      s"""SELECT lang, count(*) AS n_total,
-        CAST(sum(CASE WHEN ${hashBucketSql("doc_id", 10000)} < ($rate) * 10000
-          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      FROM documents GROUP BY lang ORDER BY lang"""
-    })
-
-  private val t13 = QuerySpec("t13_length_quantiles",
-    // Quantile-based length trim (the p10/p90 cut of a curation
-    // pipeline): EXACT corpus percentiles of the token count via
-    // `percentile` (linear interpolation — same R-7 definition as
-    // DuckDB's quantile_cont), broadcast back as the per-doc keep rule.
-    // Exact percentile aggregates a count-per-value map, so memory is
-    // ∝ DISTINCT token counts (a small integer domain) — scale-safe
-    // here; a continuous-valued column would use approx_percentile.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-      val thr = docs.agg(
-        expr("percentile(n_tokens, 0.1)").as("p10"),
-        expr("percentile(n_tokens, 0.9)").as("p90"))
-      docs.crossJoin(broadcast(thr))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("p10"), 6).as("p10"), round(col("p90"), 6).as("p90"),
-          (col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
-            .as("keep"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tok AS (SELECT doc_id,
-        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS BIGINT) AS n_tokens
-        FROM documents),
-      thr AS (SELECT quantile_cont(n_tokens, 0.1) AS p10,
-        quantile_cont(n_tokens, 0.9) AS p90 FROM tok)
-      SELECT doc_id, n_tokens, round(p10, 6) AS p10, round(p90, 6) AS p90,
-        (n_tokens >= p10 AND n_tokens <= p90) AS keep
-      FROM tok CROSS JOIN thr ORDER BY doc_id"""))
-
-  private val t14 = QuerySpec("t14_bigram_lm",
-    // Bigram LM with add-k smoothing (the KenLM-shaped quality signal,
-    // one order up from t8's unigram): per doc, the mean log of
-    // P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V). Tokenization keeps
-    // empty tokens on BOTH sides so the gram↔unigram joins align
-    // exactly; shuffles carry words/grams and counts, never documents;
-    // the vocabulary size is a broadcast scalar. Docs with fewer than
-    // two tokens have no transitions and drop out of the result on
-    // both engines. round(4) absorbs avg re-association noise (t8
-    // precedent).
-    (s, d) => {
-      val k = 0.5
-      val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
-      val words = docs.select(col("doc_id"),
-        explode(split(col("lt"), "[ \t\n]+")).as("w"))
-      val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
-      val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
-      val bi = docs.select(col("doc_id"),
-        explode(Curation.ngramsFast(col("lt"), 2)).as("gram"))
-      val big = bi.groupBy("gram").agg(count(lit(1)).as("c2"))
-      bi.join(big, Seq("gram"))
-        .withColumn("w1", substring_index(col("gram"), " ", 1))
-        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(round(avg(log((col("c2") + k) / (col("c1") + col("v") * k))), 4)
-            .as("avg_logp"),
-          count(lit(1)).as("n_bigrams"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH toks AS (SELECT doc_id,
-        string_split_regex(lower(trim(text)), '$WsSplit') AS ts FROM documents),
-      words AS (SELECT doc_id, unnest(ts) AS w FROM toks),
-      uni AS (SELECT w, count(*) AS c1 FROM words GROUP BY w),
-      vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-      bi AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
-        ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
-        END) AS gram FROM toks),
-      big AS (SELECT gram, count(*) AS c2 FROM bi GROUP BY gram)
-      SELECT doc_id,
-        round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logp,
-        count(*) AS n_bigrams
-      FROM bi JOIN big USING (gram)
-        JOIN uni ON uni.w = split_part(gram, ' ', 1)
-        CROSS JOIN vocab
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  private val t15 = QuerySpec("t15_seq_packing",
-    // Concatenate-and-chunk sequence packing: every doc gets its slot
-    // in the shuffled virtual token stream (global prefix sum as
-    // 64 bucket-partitioned windows + a broadcast bucket-offset row
-    // set — never a single-partition global window), then the
-    // seqLen-256 cut is pure arithmetic. The oracle replays the same
-    // (bucket, md5, id) order as one DuckDB global window.
-    (s, d) => Packing.concatChunk(
-        t(s, d, "documents")
-          .select(col("doc_id"),
-            TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", seqLen = 256, buckets = 64)
-      .orderBy("doc_id"),
-    Some(s"""WITH tok AS (SELECT doc_id,
-        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS BIGINT) AS n_tokens,
-        ${hashBucketSql("doc_id", 64)} AS b,
-        md5(CAST(doc_id AS VARCHAR)) AS ok
-        FROM documents),
-      cum AS (SELECT doc_id, n_tokens,
-        CAST(sum(n_tokens) OVER (ORDER BY b, ok, doc_id
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS icum
-        FROM tok)
-      SELECT doc_id, n_tokens,
-        icum - n_tokens AS start_tok,
-        (icum - n_tokens) // 256 AS first_seq,
-        CASE WHEN n_tokens > 0 THEN (icum - 1) // 256
-          ELSE (icum - n_tokens) // 256 END AS last_seq,
-        CAST(CASE WHEN n_tokens > 0
-          THEN (icum - 1) // 256 - (icum - n_tokens) // 256 + 1
-          ELSE 0 END AS INT) AS n_seqs
-      FROM cum ORDER BY doc_id"""))
-
-  private val t16 = QuerySpec("t16_source_cap",
-    // Per-domain cap (C4/RefinedWeb-style): at most 15 docs per source,
-    // best quality first, ties cut by doc_id. One window keyed on the
-    // source — the shuffle carries (source, quality, id) scalars.
-    (s, d) => Curation.groupCap(
-        t(s, d, "documents").select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality")),
-        "doc_id", "source", "quality", cap = 15)
-      .select("doc_id", "source", "quality", "grp_rank", "keep")
-      .orderBy("doc_id"),
-    Some(s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS quality
-        FROM (${qualityInnerSql(" source,")}))
-      SELECT doc_id, source, quality,
-        CAST(row_number() OVER (PARTITION BY source
-          ORDER BY quality DESC, doc_id) AS INT) AS grp_rank,
-        row_number() OVER (PARTITION BY source
-          ORDER BY quality DESC, doc_id) <= 15 AS keep
-      FROM q ORDER BY doc_id"""))
-
-  private val t17 = QuerySpec("t17_heavy_hitters",
-    // Exact vocabulary heavy hitters (words with freq > n/100): a
-    // Misra-Gries candidate sketch (bounded counters per partition)
-    // then an exact verify of the ≤capacity candidates — the
-    // full-vocabulary shuffle the naive groupBy pays never happens,
-    // yet the verified result IS the naive answer (hence the plain
-    // SQL oracle). operators/HeavyHitters.
-    (s, d) => {
-      val words = t(s, d, "documents")
-        .select(explode(split(trim(col("text")), "[ \t\n]+")).as("word"))
-        .filter(length(col("word")) > 0)
-      HeavyHitters.exact(words, "word", k = 100)
-        .orderBy(col("freq").desc, col("word"))
-    },
-    Some(s"""WITH w0 AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
-        FROM documents),
-      w AS (SELECT word FROM w0 WHERE len(word) > 0),
-      nn AS (SELECT count(*) AS n FROM w)
-      SELECT word, count(*) AS freq FROM w, nn
-      GROUP BY word, n HAVING count(*) * 100 > n
-      ORDER BY freq DESC, word"""))
-
-  private val t18 = QuerySpec("t18_contamination_bloom",
-    // t11's audit with a broadcast Bloom gate on the train side: the
-    // corpus-sized gram exchange shrinks to the collision footprint
-    // before the join (Curation.contaminationBloom). Exactness is
-    // unconditional — false positives die in the inner join — so it
-    // shares t11's oracle bit-for-bit.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Curation.contaminationBloom(
-          docs.filter(col("doc_id") % 100 =!= 0),
-          docs.filter(col("doc_id") % 100 === 0),
-          "doc_id", "text", k = 3, minShared = 3)
-        .orderBy("train_doc", "eval_doc")
-    },
-    t11.oracle)
-
-  private val t20 = QuerySpec("t20_decontaminate",
-    // Decontamination manifest: t11's detect composed into the ACT —
-    // per train doc, the worst shared-gram count vs the benchmark
-    // slice and the keep verdict (any pairing ≥ minShared taints).
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Curation.decontaminate(
-          docs.filter(col("doc_id") % 100 =!= 0),
-          docs.filter(col("doc_id") % 100 === 0),
-          "doc_id", "text", k = 3, minShared = 3)
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
-        FROM documents),
-      sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-        ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh FROM ws),
-      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 <> 0),
-      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh WHERE doc_id % 100 = 0),
-      pairs AS (SELECT train_doc, eval_doc, count(*) AS n_shared
-        FROM tg JOIN eg USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3),
-      hits AS (SELECT train_doc AS doc_id, max(n_shared) AS hit
-        FROM pairs GROUP BY 1)
-      SELECT d.doc_id, coalesce(hit, 0) AS n_shared_max, hit IS NULL AS keep
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
-      LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
-
-  private val t22 = QuerySpec("t22_distribution_drift",
-    // Corpus drift monitor: JS divergence between two snapshot slices
-    // over unigram distributions — total drift plus the top words
-    // driving it (Curation.distributionDrift). Vocabulary-keyed
-    // shuffles of (word, count) only; totals broadcast.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Curation.distributionDrift(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1), "text")
-        .orderBy(col("js_contrib").desc, col("word"))
-        .limit(30)
-    },
-    Some(s"""WITH wa AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
-        FROM documents WHERE doc_id % 2 = 0),
-      wb AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
-        FROM documents WHERE doc_id % 2 = 1),
-      ca AS (SELECT word, count(*) AS ca FROM wa WHERE len(word) > 0 GROUP BY 1),
-      cb AS (SELECT word, count(*) AS cb FROM wb WHERE len(word) > 0 GROUP BY 1),
-      j AS (SELECT coalesce(a.word, b.word) AS word,
-          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        FROM ca a FULL JOIN cb b ON a.word = b.word),
-      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
-      p AS (SELECT word, ca, cb,
-          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
-          (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0 AS m
-        FROM j CROSS JOIN tot),
-      c AS (SELECT word, pa, pb,
-          (CASE WHEN ca > 0 THEN pa * ln(pa / m) / 2.0 ELSE 0.0 END)
-          + (CASE WHEN cb > 0 THEN pb * ln(pb / m) / 2.0 ELSE 0.0 END) AS contrib
-        FROM p)
-      SELECT word, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
-        round(contrib, 6) AS js_contrib,
-        (SELECT round(sum(contrib), 4) FROM c) AS js_total
-      FROM c ORDER BY round(contrib, 6) DESC, word LIMIT 30"""))
-
-  private val t25 = QuerySpec("t25_quantile_audit",
-    // Token-length quantiles both ways (t13's cut, audited): exact
-    // `percentile` is the oracle-checked answer; the GK sketch at the
-    // default accuracy rides along as the rank-space bound column
-    // (value-space distance is meaningless for a sketch whose
-    // guarantee is rank error ≤ n/accuracy). Completes the sketch
-    // quartet: frequency (t17 Misra-Gries), membership (t18 Bloom),
-    // cardinality (t24 HLL), quantiles (here). At corpus scale the
-    // exact count-per-value map is dropped and the mergeable
-    // O(accuracy·log n) sketch serves alone.
-    (s, d) => Curation.quantileAudit(
-        t(s, d, "documents")
-          .select(TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens")),
-        "n_tokens", probs = Seq(0.1, 0.5, 0.9, 0.99))
-      .orderBy("p"),
-    Some(s"""WITH tok AS (SELECT
-        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS DOUBLE) AS v
-        FROM documents)
-      SELECT CAST(0.1 AS DOUBLE) AS p, round(quantile_cont(v, 0.1), 4) AS exact_q, TRUE AS gk_ok FROM tok
-      UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(v, 0.5), 4), TRUE FROM tok
-      UNION ALL SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(v, 0.9), 4), TRUE FROM tok
-      UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(v, 0.99), 4), TRUE FROM tok
-      ORDER BY p"""))
-
-  private val t26 = QuerySpec("t26_shard_manifest",
-    // The export sink's declarative twin (sources/ShardExport): the
-    // per-shard manifest of a deterministic 8-way training-shard
-    // export — shard = md5-bucket of doc_id (t10's engine-portable
-    // idiom; stable across runs/engines, so incremental re-exports
-    // rewrite only changed shards), with per-shard doc and token
-    // totals. The physical write (one file per shard dir, md5
-    // pseudo-random read order — the reproducible global shuffle)
-    // is ShardExportSpec's half; the manifest math is checked here.
-    (s, d) => graft.sources.ShardExport.manifest(
-        t(s, d, "documents"), "doc_id", "text", nShards = 8)
-      .orderBy("shard"),
-    Some(s"""SELECT ${hashBucketSql("doc_id", 8)} AS shard,
-        count(*) AS n_docs,
-        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY 1 ORDER BY shard"""))
-
-  private val t27 = QuerySpec("t27_pii_redact",
-    // PII scrubbing (Curation.redactPii — the C4/Dolma-style curation
-    // ACTION before export): emails, IPv4s and ≥9-digit runs replaced
-    // with typed tags, per-doc counts of what each sequential stage
-    // actually replaced. The synthetic corpus carries no PII, so it is
-    // PLANTED deterministically from table columns (the f4 corruption
-    // pattern — every 5th doc an email, every 7th an IP, every 11th an
-    // account-shaped digit run; doc 0 gets all three), which makes the
-    // redaction path bite on every sf. Oracle replays plant + the
-    // three-stage redaction with the same regexes under RE2 — the
-    // patterns are deliberately lookaround-free ASCII so both engines
-    // read them identically.
-    (s, d) => {
-      val planted = t(s, d, "documents").withColumn("text", concat(
-        col("text"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-            lit(".1"))).otherwise(lit("")),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" acct "),
-            (col("doc_id") * 1000003L + 123456789L).cast("string")))
-          .otherwise(lit(""))))
-      Curation.redactPii(planted, "text")
-        .select(col("doc_id"), col("text"), col("n_emails"),
-          col("n_ipv4"), col("n_idruns"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH planted AS (SELECT doc_id, text ||
-        (CASE WHEN doc_id % 5 = 0
-          THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
-        (CASE WHEN doc_id % 7 = 0
-          THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END) ||
-        (CASE WHEN doc_id % 11 = 0
-          THEN ' acct ' || (doc_id * 1000003 + 123456789) ELSE '' END)
-        AS text FROM documents),
-      s1 AS (SELECT doc_id, text,
-        len(regexp_extract_all(text, '${Curation.PiiEmail}')) AS n_emails,
-        regexp_replace(text, '${Curation.PiiEmail}', '<EMAIL>', 'g') AS t1
-        FROM planted),
-      s2 AS (SELECT doc_id, n_emails,
-        len(regexp_extract_all(t1, '${Curation.PiiIpv4}')) AS n_ipv4,
-        regexp_replace(t1, '${Curation.PiiIpv4}', '<IP>', 'g') AS t2
-        FROM s1),
-      s3 AS (SELECT doc_id, n_emails, n_ipv4,
-        len(regexp_extract_all(t2, '${Curation.PiiIdRun}')) AS n_idruns,
-        regexp_replace(t2, '${Curation.PiiIdRun}', '<ID>', 'g') AS text
-        FROM s2)
-      SELECT doc_id, text, CAST(n_emails AS INT) AS n_emails,
-        CAST(n_ipv4 AS INT) AS n_ipv4, CAST(n_idruns AS INT) AS n_idruns
-      FROM s3 ORDER BY doc_id"""))
-
-  private val t28 = QuerySpec("t28_mixture_sample",
-    // Training-mix sampling (Curation.mixtureSample): per-source
-    // weights (src1 upweighted 3×, src2 downweighted to 0.5, default
-    // 1.0) + a 20k-token budget → per-source admission thresholds
-    // p_micro = ⌊min(1, target/total)·1e6⌋, docs admitted by
-    // hashBucket(doc_id, 1e6) < p_micro — deterministic, engine-
-    // portable, and NESTED in the budget. Reported as the per-source
-    // audit relation (threshold, sampled docs, sampled tokens); the
-    // oracle replays totals, thresholds and the hash draw exactly.
-    (s, d) => {
-      val sampled = Curation.mixtureSample(t(s, d, "documents"),
-        "doc_id", "text", "source",
-        weights = Map("src1" -> 3.0, "src2" -> 0.5),
-        tokenBudget = 20000L)
-      sampled
-        .groupBy("source", "p_micro")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
-            .as("n_tokens"))
-        .select(col("source"), col("p_micro"), col("n_docs"), col("n_tokens"))
-        .orderBy("source")
-    },
-    Some(s"""WITH tok AS (SELECT source, doc_id,
-        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END AS DOUBLE)
-          AS nt,
-        ${hashBucketSql("doc_id", 1000000)} AS hb FROM documents),
-      tot AS (SELECT source, sum(nt) AS total,
-        (CASE WHEN source = 'src1' THEN 3.0
-          WHEN source = 'src2' THEN 0.5 ELSE 1.0 END) AS w
-        FROM tok GROUP BY source),
-      th AS (SELECT source,
-        CAST(floor(least(1.0, CAST(20000 AS DOUBLE) * w
-          / (SELECT sum(w) FROM tot) / total) * 1000000.0) AS BIGINT) AS p
-        FROM tot)
-      SELECT t.source, th.p AS p_micro, count(*) AS n_docs,
-        CAST(sum(t.nt) AS BIGINT) AS n_tokens
-      FROM tok t JOIN th ON t.source = th.source AND t.hb < th.p
-      GROUP BY t.source, th.p ORDER BY t.source"""))
-
-  private val t29 = QuerySpec("t29_semantic_decontam",
-    // Embedding-space decontamination (Curation.semanticDecontaminate):
-    // t20's verdict manifest recomputed in vector space — a train doc
-    // is dropped when its embedding sits within cosine >= 0.25 of any
-    // eval embedding, catching paraphrased leakage that shares no
-    // verbatim k-gram. Eval slice (vec_id % 50 = 0) broadcasts; the
-    // corpus pass is one narrow JVM max-cosine map, no corpus shuffle.
-    // The oracle replays the full train x eval max by brute force —
-    // identical double folds, so the keep verdict (taken on the EXACT
-    // max) and the 6dp-rounded cos_max both hash-match.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      Curation.semanticDecontaminate(
-          e.filter(col("vec_id") % 50 =!= 0),
-          e.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", threshold = 0.25)
-        .select(col("doc_id"), round(col("cos_max"), 6).as("cos_max"),
-          col("keep"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH ev AS (SELECT embedding AS ev FROM embeddings WHERE vec_id % 50 = 0),
-      tr AS (SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id % 50 <> 0),
-      cm AS (SELECT vec_id, max(${cosineSql("t.emb", "e.ev")}) AS cm
-        FROM tr t CROSS JOIN ev e GROUP BY vec_id)
-      SELECT vec_id AS doc_id, round(cm, 6) AS cos_max, cm < 0.25 AS keep
-      FROM cm ORDER BY doc_id"""))
-
-  private val t32 = QuerySpec("t32_perplexity_buckets",
-    // CCNet perplexity bucketing (Curation.perplexityBuckets): t8's
-    // corpus-LM signal exponentiated into perplexity, corpus split at
-    // the exact terciles into head/middle/tail, tail marked for drop.
-    // Spark `percentile` and DuckDB `quantile_cont` share the
-    // (n-1)·p linear interpolation bit-for-bit (verified on doubles),
-    // and ppl is 4dp-rounded BEFORE thresholding, so bucket
-    // boundaries — not just scores — hash-match. Production passes
-    // GK-sketch thresholds instead (bounded memory; the t25
-    // machinery) and bucketing becomes a pure narrow compare.
-    (s, d) =>
-      Curation.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
-    Some(s"""WITH w2 AS (SELECT doc_id, w FROM (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
-          FROM documents) WHERE len(w) > 0),
-      freq AS (SELECT w, count(*) AS wn FROM w2 GROUP BY w),
-      tot AS (SELECT sum(wn) AS n FROM freq),
-      pd AS (SELECT doc_id, round(exp(-avg(ln(wn / n))), 4) AS ppl,
-          count(*) AS n_words
-        FROM w2 JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
-      th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
-          quantile_cont(ppl, 2.0/3) AS t2 FROM pd)
-      SELECT doc_id, ppl, n_words,
-        CASE WHEN ppl <= t1 THEN 'head'
-          WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
-        ppl <= t2 AS keep
-      FROM pd CROSS JOIN th ORDER BY doc_id"""))
-
-  private val t34 = QuerySpec("t34_unique_windows",
-    // The t23 treatment for UniqueMonitor: the live unique-rate
-    // monitor's BATCH HALF on the correctness clock. Same operator
-    // code path as the stream (windowedUniqueCounts works identically
-    // on a static frame — UniqueMonitorSpec pins stream == batch), so
-    // green here vouches for the streaming relation too. Exact
-    // distinct-users-per-window is the oracle-checked answer; the
-    // HLL++ estimate rides as the t24-style bound column, TRUE
-    // hash-matched — an estimator outside its contract turns the row
-    // red. Bound: within max(10%, ±2 absolute) — relative error is
-    // the sketch's rsd regime, but tiny windows (a 4-user hour)
-    // legitimately wobble ±1-2 in HLL's sparse range, where a pure
-    // relative bound would false-alarm.
-    (s, d) => {
-      val ev = events(s, d)
-      val counts = graft.streaming.UniqueMonitor.windowedUniqueCounts(
-        ev, "ts", "event_type", "user_id")
-      val exact = ev.filter(col("user_id").isNotNull)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_unique"))
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("n_unique"))
-      counts.join(exact, Seq("w_start", "event_type"))
-        .select(
-          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n_rows"), col("n_unique"),
-          (abs(col("n_unique_est") - col("n_unique"))
-            <= greatest(col("n_unique").cast("double") * 0.1, lit(2.0)))
-            .as("hll_ok"))
-        .orderBy("w_start", "event_type")
-    },
-    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-      event_type, count(*) AS n_rows,
-      count(DISTINCT user_id) AS n_unique, TRUE AS hll_ok
-      FROM events WHERE user_id IS NOT NULL
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val t36 = QuerySpec("t36_dup_line_stats",
-    // Within-doc duplicate-LINE census (Curation.dupLineStats): the
-    // line-level Gopher repetition signal next to t11's n-gram
-    // repetitionStats and t31's structural rules — boilerplate pages
-    // (nav bars, cookie banners) light up here before any cross-doc
-    // dedup runs. Dup lines are PLANTED (doc_id % 7 docs gain one
-    // line three times — the t31/d18 sf-independent pattern) on top
-    // of whatever the natural text repeats. The oracle replays the
-    // line split, the blank-line exclusion, both fractions and the
-    // left-join zero fill.
-    (s, d) => {
-      val src = t(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit("\nplanted duplicate line\n" +
-            "planted duplicate line\nplanted duplicate line")))
-          .otherwise(col("text")).as("text"))
-      Curation.dupLineStats(src, "doc_id", "text").orderBy("doc_id")
-    },
-    Some(s"""WITH src AS (SELECT doc_id,
-        CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
-            'planted duplicate line' || chr(10) ||
-            'planted duplicate line' || chr(10) || 'planted duplicate line'
-          ELSE text END AS text FROM documents),
-      lines AS (SELECT doc_id,
-        unnest(list_filter(string_split(text, chr(10)),
-          l -> len(trim(l)) > 0)) AS line FROM src),
-      pl AS (SELECT doc_id, line, len(line) AS ln, count(*) AS c
-        FROM lines GROUP BY 1, 2, 3),
-      st AS (SELECT doc_id, sum(c) AS n_lines,
-        sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dl,
-        sum(ln * c) AS tc,
-        sum(CASE WHEN c > 1 THEN ln * (c - 1) ELSE 0 END) AS dc
-        FROM pl GROUP BY doc_id)
-      SELECT d.doc_id, CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
-        round(CASE WHEN coalesce(n_lines, 0) = 0 THEN 0.0
-          ELSE CAST(dl AS DOUBLE) / n_lines END, 6) AS dup_line_frac,
-        round(CASE WHEN coalesce(tc, 0) = 0 THEN 0.0
-          ELSE CAST(dc AS DOUBLE) / tc END, 6) AS dup_char_frac
-      FROM src d LEFT JOIN st USING (doc_id) ORDER BY doc_id"""))
-
-  private val t35 = QuerySpec("t35_heavy_hitter_windows",
-    // The t23/t34 treatment for the THIRD monitor: HeavyHitterMonitor's
-    // batch half on the correctness clock. Same two-stage path the
-    // stream runs — per-window Misra-Gries candidate sketch (fixed
-    // ≤capacity counters), then the exact broadcast-semi-join recount
-    // over the archive — whose verified output equals the naive
-    // per-window groupBy answer whenever capacity ≥ k (the superset
-    // guarantee; HeavyHitterMonitorSpec pins it across batch splits).
-    // That naive answer IS the DuckDB oracle: users with strictly
-    // more than 1/k of an hour's events.
-    (s, d) => {
-      val ev = events(s, d)
-        .select(col("ts"), col("user_id").cast("string").as("uid"))
-      val counts = graft.streaming.HeavyHitterMonitor.windowedCandidates(
-        ev, "ts", "uid", capacity = 64)
-      graft.streaming.HeavyHitterMonitor.verifiedHitters(
-          ev, counts, "ts", "uid", k = 4, capacity = 64)
-        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("uid").cast("long").as("user_id"), col("freq"))
-        .orderBy("w_start", "user_id")
-    },
-    Some("""WITH w AS (SELECT date_trunc('hour', ts) AS w0, user_id
-        FROM events WHERE user_id IS NOT NULL),
-      tot AS (SELECT w0, count(*) AS n FROM w GROUP BY 1),
-      f AS (SELECT w0, user_id, count(*) AS freq FROM w GROUP BY 1, 2)
-      SELECT strftime(f.w0, '%Y-%m-%d %H:%M:%S') AS w_start, f.user_id, freq
-      FROM f JOIN tot USING (w0) WHERE freq * 4 > n ORDER BY 1, 2"""))
-
-  private val t33 = QuerySpec("t33_dataset_card",
-    // The datasheet relation a corpus release publishes (dataset-card
-    // per source): doc/token counts, exact unique-text census and
-    // dup rate, language mix (count + Shannon entropy), mean quality,
-    // length percentiles — the one-stop audit a training run reads
-    // before trusting a snapshot. Distinctness is counted on
-    // md5(text) so HASHES shuffle, never payloads (the d1 principle);
-    // the language-entropy pass exchanges (source, lang) counts only;
-    // percentile interpolation is the t32-verified engine-identical
-    // (n-1)·p rule. At 100 TB the exact distinct census is the
-    // disclosed heavy column — t24's HLL audit serves that number
-    // sketch-sized in production, with this exact pass as its
-    // verifier at test SF.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val perDoc = docs.select(col("source"), col("lang"), col("n_chars"),
-        md5(col("text")).as("__h"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("__nt"),
-        TextAnalysis.qualityScore(col("text")).as("__q"))
-      val main = perDoc.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum("__nt").as("n_tokens"),
-        countDistinct(col("__h")).as("n_unique_texts"),
-        round(lit(1.0) -
-          countDistinct(col("__h")).cast("double") / count(lit(1)), 6)
-          .as("dup_rate"),
-        countDistinct(col("lang")).as("n_langs"),
-        round(avg("__q"), 4).as("mean_quality"),
-        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
-        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
-      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
-      val ent = lc
-        .withColumn("__n",
-          sum("__c").over(Window.partitionBy("source")))
-        .groupBy("source")
-        .agg(round(-sum((col("__c") / col("__n"))
-          * log(col("__c") / col("__n"))), 6).as("lang_entropy"))
-      main.join(ent, Seq("source")).orderBy("source")
-    },
-    Some(s"""WITH pd AS (SELECT source, lang, n_chars, md5(text) AS h,
-        CAST(nws AS BIGINT) AS nt, $qualityExprSql AS q
-        FROM (${qualityInnerSql(" source, lang, n_chars,")})),
-      main AS (SELECT source, count(*) AS n_docs,
-        CAST(sum(nt) AS BIGINT) AS n_tokens,
-        count(DISTINCT h) AS n_unique_texts,
-        round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate,
-        count(DISTINCT lang) AS n_langs,
-        round(avg(q), 4) AS mean_quality,
-        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
-        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars
-        FROM pd GROUP BY source),
-      lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
-      ent AS (SELECT source,
-        round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
-          AS lang_entropy
-        FROM (SELECT source, lang, c,
-          sum(c) OVER (PARTITION BY source) AS n FROM lc)
-        GROUP BY source)
-      SELECT m.source, n_docs, n_tokens, n_unique_texts, dup_rate,
-        n_langs, lang_entropy, mean_quality, p50_chars, p90_chars
-      FROM main m JOIN ent USING (source) ORDER BY m.source"""))
-
-  private val t37 = QuerySpec("t37_card_incremental",
-    // t33's datasheet kept as MERGEABLE state (operators/DatasetCard):
-    // sums, a lang-count grain, a fixed-width n_chars histogram, and a
-    // Datasketches HLL sketch of md5(text) — so a new batch updates
-    // the card at partial-table cost instead of a corpus rescan (the
-    // i2/d15 economics applied to corpus statistics; at 100 TB the
-    // partials are KBs). Here the corpus splits 9:1 into a "stored"
-    // card and a batch; merge folds the batch in, render derives the
-    // publishable relation. Exact columns (counts, token sums, lang
-    // entropy, histogram-bucket percentiles by the deterministic
-    // cumulative rule) hash-check against DuckDB replaying ONE pass
-    // over the union — a merge that dropped or double-counted a
-    // partial flips them. The sketch column rides as the t24/t34-style
-    // bound boolean against the exact census (disclosed verification
-    // column); DatasetCardSpec pins merge associativity and
-    // merged-estimate == from-scratch-estimate.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      def parts(df: DataFrame) = graft.operators.DatasetCard.partials(
-        df, "doc_id", "text", "source", "lang", "n_chars")
-      val stored = parts(docs.filter(col("doc_id") % 10 =!= 0))
-      val delta = parts(docs.filter(col("doc_id") % 10 === 0))
-      val card = graft.operators.DatasetCard.render(
-        graft.operators.DatasetCard.merge(stored, delta))
-      val exact = docs.select(col("source"), md5(col("text")).as("__h"))
-        .groupBy("source").agg(countDistinct(col("__h")).as("n_unique_texts"))
-      card.join(exact, Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("mean_quality"), col("n_langs"), col("lang_entropy"),
-          col("p50_bucket"), col("p90_bucket"), col("n_unique_texts"),
-          (abs(col("n_unique_est") - col("n_unique_texts"))
-            <= greatest(col("n_unique_texts").cast("double") * 0.1, lit(2.0)))
-            .as("hll_ok"))
-        .orderBy("source")
-    },
-    Some(s"""WITH pd AS (SELECT source, lang,
-        CAST(n_chars // 64 AS BIGINT) AS bucket, md5(text) AS h,
-        CAST(nws AS BIGINT) AS nt, $qualityExprSql AS q
-        FROM (${qualityInnerSql(" source, lang, n_chars,")})),
-      main AS (SELECT source, count(*) AS n_docs,
-        CAST(sum(nt) AS BIGINT) AS n_tokens,
-        round(sum(q) / count(*), 4) AS mean_quality,
-        count(DISTINCT h) AS n_unique_texts FROM pd GROUP BY source),
-      lc AS (SELECT source, lang, count(*) AS c FROM pd GROUP BY 1, 2),
-      ent AS (SELECT source, count(*) AS n_langs,
-        round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
-          AS lang_entropy
-        FROM (SELECT source, lang, c,
-          sum(c) OVER (PARTITION BY source) AS n FROM lc)
-        GROUP BY source),
-      cum AS (SELECT source, bucket,
-        sum(n) OVER (PARTITION BY source ORDER BY bucket) AS c,
-        sum(n) OVER (PARTITION BY source) AS tot
-        FROM (SELECT source, bucket, count(*) AS n FROM pd GROUP BY 1, 2)),
-      pct AS (SELECT source,
-        min(CASE WHEN c >= tot * 0.5 THEN bucket END) AS p50_bucket,
-        min(CASE WHEN c >= tot * 0.9 THEN bucket END) AS p90_bucket
-        FROM cum GROUP BY source)
-      SELECT m.source, n_docs, n_tokens, mean_quality, n_langs,
-        lang_entropy, p50_bucket, p90_bucket, n_unique_texts,
-        TRUE AS hll_ok
-      FROM main m JOIN ent USING (source) JOIN pct USING (source)
-      ORDER BY m.source"""))
-
-  private val t38 = QuerySpec("t38_skew_audit",
-    // Hot-key audit (Curation.skewAudit): the diagnostic run BEFORE
-    // choosing q6's salting or AQE skew-join — per-key counts, top-N
-    // keys by load, each key's corpus share and multiple of the mean
-    // key load. A hot key is PLANTED (every third event collapses to
-    // key 42) on top of the natural user distribution, so the audit
-    // must surface one dominant key among near-uniform ones. One
-    // keyed aggregate + a driver-bounded top-N against a broadcast
-    // 1-row stats frame; the oracle replays counts, shares and
-    // tie-breaks.
-    (s, d) => {
-      val keyed = events(s, d).select(
-        when(col("event_id") % 3 === 0, lit(42L))
-          .otherwise(col("user_id")).as("k"))
-      graft.operators.Curation.skewAudit(keyed, "k", topN = 10)
-    },
-    Some("""WITH k AS (SELECT CASE WHEN event_id % 3 = 0 THEN 42
-          ELSE user_id END AS key FROM events),
-      counts AS (SELECT key, count(*) AS n FROM k GROUP BY key),
-      stats AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts)
-      SELECT key, n, round(n / total, 6) AS share,
-        round(n * nkeys / total, 4) AS x_mean_key
-      FROM counts, stats ORDER BY n DESC, key LIMIT 10"""))
-
-  private val t39 = QuerySpec("t39_stratified_split",
-    // Stratified EXACT split (Curation.stratifiedSplit): per-language
-    // 80/10/10 exact to the row — t10's hash split holds proportions
-    // only in expectation, and a small stratum can land 70/20/10.
-    // Rank within stratum by portable md5(id) (id tie-break → total
-    // order), integer-div thresholds — every piece replayed in SQL,
-    // so the oracle checks the EXACT same doc→split assignment via
-    // the per-(lang, split) counts and token sums. One shuffle: both
-    // windows share the stratum partitioning.
-    (s, d) => Curation.stratifiedSplit(t(s, d, "documents"),
-        "doc_id", "lang")
-      .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
-      .orderBy("lang", "split"),
-    Some(s"""WITH ranked AS (SELECT lang, text,
-        row_number() OVER (PARTITION BY lang
-          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
-        count(*) OVER (PARTITION BY lang) AS n
-        FROM documents),
-      split AS (SELECT lang, text,
-        CASE WHEN rk <= (n * 80) // 100 THEN 'train'
-          WHEN rk <= (n * 90) // 100 THEN 'valid'
-          ELSE 'test' END AS split
-        FROM ranked)
-      SELECT lang, split, count(*) AS n_docs,
-        CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '$WsSplit')) END) AS BIGINT) AS n_tokens
-      FROM split GROUP BY 1, 2 ORDER BY lang, split"""))
-
-  private val t40 = QuerySpec("t40_gram_novelty",
-    // Per-doc trigram novelty (Curation.gramNovelty): fraction of a
-    // doc's distinct trigrams appearing in NO other doc — the
-    // complement of t11's contamination overlap, scored against the
-    // whole corpus. Near-zero novelty = boilerplate the dedup pass
-    // missed; the corpus-level novelty distribution is a dataset-card
-    // quality signal. Gram-keyed exchanges only (no text after the
-    // explode).
-    (s, d) => Curation.gramNovelty(t(s, d, "documents"),
-        "doc_id", "text", k = 3)
-      .orderBy("doc_id"),
-    Some(s"""WITH ws AS (SELECT doc_id,
-          string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
-      g AS (SELECT DISTINCT doc_id, gram FROM (
-        SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws) - 1),
-            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS gram
-        FROM ws)),
-      gdf AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
-      SELECT doc_id, count(*) AS n_grams,
-        CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-        round(avg(CASE WHEN gdf = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
-      FROM g JOIN gdf USING (gram)
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  private val t41 = QuerySpec("t41_bpe_merges",
-    // Tokenizer training on the engine (Curation.bpeMerges): 3 BPE
-    // merge steps over the corpus vocabulary, the WHOLE loop —
-    // frequency-weighted pair counts, count-desc/pair-asc tie-break,
-    // sentinel-space single-pass application — replayed in SQL and
-    // hash-checked. One corpus-sized pass (word freq); iterations
-    // run over the vocabulary. The residual-overlap convention
-    // ("a a a a a" → "aa a aa") is deliberate and engine-identical
-    // (Curation scaladoc + CurationSpec pin it).
-    (s, d) => Curation.bpeMerges(t(s, d, "documents"), "text", nMerges = 3)
-      .orderBy("step"),
-    Some(s"""WITH w AS (SELECT w, count(*) AS freq FROM (
-        SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
-          '$WsSplit'), x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
-      s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
-        freq FROM w),
-      p1 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s0))
-        GROUP BY pair),
-      t1 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p1
-        ORDER BY n DESC, pair LIMIT 1),
-      s1 AS (SELECT trim(replace(' ' || seq || ' ',
-          ' ' || (SELECT pair FROM t1) || ' ',
-          ' ' || (SELECT merged FROM t1) || ' ')) AS seq, freq FROM s0),
-      p2 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s1))
-        GROUP BY pair),
-      t2 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p2
-        ORDER BY n DESC, pair LIMIT 1),
-      s2 AS (SELECT trim(replace(' ' || seq || ' ',
-          ' ' || (SELECT pair FROM t2) || ' ',
-          ' ' || (SELECT merged FROM t2) || ' ')) AS seq, freq FROM s1),
-      p3 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s2))
-        GROUP BY pair),
-      t3 AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p3
-        ORDER BY n DESC, pair LIMIT 1)
-      SELECT step, pair, merged, CAST(n AS BIGINT) AS n FROM (
-        SELECT 1 AS step, pair, merged, n FROM t1
-        UNION ALL SELECT 2, pair, merged, n FROM t2
-        UNION ALL SELECT 3, pair, merged, n FROM t3)
-      ORDER BY step"""))
-
-  private val t42 = QuerySpec("t42_bpe_segment",
-    // t41's learn → APPLY round trip: segment the corpus with the
-    // 3 learned merges and report per-language compression
-    // (Curation.bpeSegmentStats). Serving shape: the merge chain runs
-    // over the DISTINCT-word vocabulary, broadcast-joined back to the
-    // exploded corpus — per-word work once, corpus side never
-    // shuffles. The oracle re-derives the SAME merges in SQL (t41's
-    // chain, word carried through) and replays the apply, so a drift
-    // anywhere in train OR apply breaks the hash.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val merges = Curation.bpeMerges(docs, "text", nMerges = 3)
-        .orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      Curation.bpeSegmentStats(docs, "text", "lang", merges)
-        .orderBy("lang")
-    },
-    Some(s"""WITH wl AS (SELECT lang, w, count(*) AS freq FROM (
-        SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)),
-          '$WsSplit'), x -> len(x) > 0)) AS w FROM documents) GROUP BY 1, 2),
-      w AS (SELECT w, sum(freq) AS freq FROM wl GROUP BY w),
-      s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq,
-        freq FROM w),
-      p1 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s0))
-        GROUP BY pair),
-      t1 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p1
-        ORDER BY n DESC, pair LIMIT 1),
-      s1 AS (SELECT w, trim(replace(' ' || seq || ' ',
-          ' ' || (SELECT pair FROM t1) || ' ',
-          ' ' || (SELECT merged FROM t1) || ' ')) AS seq, freq FROM s0),
-      p2 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s1))
-        GROUP BY pair),
-      t2 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p2
-        ORDER BY n DESC, pair LIMIT 1),
-      s2 AS (SELECT w, trim(replace(' ' || seq || ' ',
-          ' ' || (SELECT pair FROM t2) || ' ',
-          ' ' || (SELECT merged FROM t2) || ' ')) AS seq, freq FROM s1),
-      p3 AS (SELECT pair, sum(freq) AS n FROM (
-        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-          ELSE list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1]) END) AS pair, freq
-        FROM (SELECT string_split(seq, ' ') AS ws, freq FROM s2))
-        GROUP BY pair),
-      t3 AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p3
-        ORDER BY n DESC, pair LIMIT 1),
-      s3 AS (SELECT w, trim(replace(' ' || seq || ' ',
-          ' ' || (SELECT pair FROM t3) || ' ',
-          ' ' || (SELECT merged FROM t3) || ' ')) AS seq FROM s2),
-      tok AS (SELECT w, len(w) AS n_sym,
-        len(string_split(seq, ' ')) AS n_tok FROM s3)
-      SELECT lang, CAST(sum(freq * n_sym) AS BIGINT) AS n_symbols,
-        CAST(sum(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
-        round(sum(freq * n_tok) / sum(freq * n_sym), 6) AS compression
-      FROM wl JOIN tok USING (w)
-      GROUP BY lang ORDER BY lang"""))
-
-  private val t43 = QuerySpec("t43_split_leakage",
-    // Split-hygiene composition: t39's stratified split × t11's
-    // contamination — per language, how many TEST docs share ≥3
-    // distinct trigrams with ANY train doc (the leakage an
-    // evaluation suite inherits if the split ignores near-dups).
-    // Everything is gram-keyed (never all-pairs) and the whole
-    // composition — rank-based split, shingles, overlap, roll-up —
-    // replays in SQL. The answer for THIS corpus is damning by
-    // design: the synthetic tiny vocab leaks everywhere, which is
-    // exactly what the report exists to surface (run d2/d13 before
-    // splitting).
-    (s, d) => {
-      val split = Curation.stratifiedSplit(t(s, d, "documents"),
-        "doc_id", "lang")
-      val train = split.filter(col("split") === "train")
-      val test = split.filter(col("split") === "test")
-      val leaked = Curation.contamination(train, test,
-          "doc_id", "text", k = 3, minShared = 3)
-        .select(col("eval_doc").as("doc_id")).distinct()
-        .withColumn("__leak", lit(1L))
-      test.join(leaked, Seq("doc_id"), "left")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_test_docs"),
-          sum(coalesce(col("__leak"), lit(0L))).as("n_leaked"),
-          round(avg(coalesce(col("__leak"), lit(0L)).cast("double")), 6)
-            .as("leak_rate"))
-        .orderBy("lang")
-    },
-    Some(s"""WITH ranked AS (SELECT doc_id, lang, text,
-        row_number() OVER (PARTITION BY lang
-          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
-        count(*) OVER (PARTITION BY lang) AS n
-        FROM documents),
-      spl AS (SELECT doc_id, lang, text,
-        CASE WHEN rk <= (n * 80) // 100 THEN 'train'
-          WHEN rk <= (n * 90) // 100 THEN 'valid'
-          ELSE 'test' END AS split
-        FROM ranked),
-      sh AS (SELECT doc_id, split, lang,
-        CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh
-        FROM (SELECT doc_id, split, lang,
-          string_split_regex(trim(text), '$WsSplit') AS ws FROM spl)),
-      tg AS (SELECT doc_id AS train_doc, unnest(sh) AS gram FROM sh
-        WHERE split = 'train'),
-      eg AS (SELECT doc_id AS eval_doc, unnest(sh) AS gram FROM sh
-        WHERE split = 'test'),
-      pairs AS (SELECT train_doc, eval_doc FROM tg JOIN eg USING (gram)
-        GROUP BY 1, 2 HAVING count(*) >= 3),
-      leaked AS (SELECT DISTINCT eval_doc FROM pairs)
-      SELECT lang, count(*) AS n_test_docs,
-        CAST(sum(CASE WHEN eval_doc IS NOT NULL THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_leaked,
-        round(avg(CASE WHEN eval_doc IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
-          AS leak_rate
-      FROM spl LEFT JOIN leaked ON doc_id = eval_doc
-      WHERE split = 'test' GROUP BY lang ORDER BY lang"""))
-
-  private val t31 = QuerySpec("t31_gopher_filter",
-    // Gopher-style rule-based quality gate (Curation.gopherFilter):
-    // the hard structural filter (Rae et al. 2021 appendix A; reused
-    // by RefinedWeb/Dolma/FineWeb) next to t2's soft score. Line
-    // structure is PLANTED from table columns (the d18/t27 precedent,
-    // sf-independent): doc_id % 13 docs become bullet-dominated
-    // (fails the ≤0.9 bullet rule), doc_id % 11 docs gain two
-    // ellipsis-ended lines (fails the ≤0.3 ellipsis rule); everything
-    // else exercises the word-count / word-length / stop-word rules on
-    // the natural text. The oracle replays every feature and every
-    // rule boolean — a drifted division or regex turns the row red.
-    (s, d) => {
-      val src = t(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 13 === 0,
-          concat(lit("- "), col("text"),
-            lit("\n- planted bullet\n- planted bullet two")))
-          .when(col("doc_id") % 11 === 0,
-            concat(col("text"),
-              lit("\nfirst planted line...\nsecond planted line\u2026")))
-          .otherwise(col("text")).as("text"))
-      Curation.gopherFilter(src, "doc_id", "text", minStopHits = 1)
-        .select(col("doc_id"), col("n_words"),
-          round(col("mean_word_len"), 6).as("mean_word_len"),
-          round(col("symbol_ratio"), 6).as("symbol_ratio"),
-          round(col("frac_bullet_lines"), 6).as("frac_bullet_lines"),
-          round(col("frac_ellipsis_lines"), 6).as("frac_ellipsis_lines"),
-          round(col("frac_alpha_words"), 6).as("frac_alpha_words"),
-          col("n_stop_hits"), col("ok_words"), col("ok_word_len"),
-          col("ok_symbol"), col("ok_bullet"), col("ok_ellipsis"),
-          col("ok_alpha"), col("ok_stop"), col("keep"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH src AS (SELECT doc_id,
-        CASE WHEN doc_id % 13 = 0 THEN '- ' || text || chr(10) ||
-            '- planted bullet' || chr(10) || '- planted bullet two'
-          WHEN doc_id % 11 = 0 THEN text || chr(10) ||
-            'first planted line...' || chr(10) || 'second planted line' || chr(8230)
-          ELSE text END AS text
-        FROM documents),
-      ${gopherCtes("src")}
-      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        round(mwl, 6) AS mean_word_len, round(symr, 6) AS symbol_ratio,
-        round(bf, 6) AS frac_bullet_lines, round(ef, 6) AS frac_ellipsis_lines,
-        round(af, 6) AS frac_alpha_words, CAST(n_stop AS INT) AS n_stop_hits,
-        n_words >= 50 AND n_words <= 100000 AS ok_words,
-        mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
-        symr <= 0.1 AS ok_symbol,
-        bf <= 0.9 AS ok_bullet,
-        ef <= 0.3 AS ok_ellipsis,
-        af >= 0.8 AS ok_alpha,
-        n_stop >= 1 AS ok_stop,
-        $gopherKeepSql AS keep
-      FROM h ORDER BY doc_id"""))
-
-  /** The Gopher feature CTEs (f → g → h), parameterized by the source
-    * relation so t31 (planted noise) and t44 (natural corpus) share
-    * one rule replication — a drifted division or regex turns BOTH
-    * rows red instead of silently diverging. */
-  private def gopherCtes(src: String): String =
-    s"""f AS (SELECT doc_id, text,
-        string_split_regex(trim(text), '$WsSplit') AS w,
-        string_split(text, chr(10)) AS ls,
-        len(trim(text)) = 0 AS blank FROM $src),
-      g AS (SELECT doc_id,
-        CASE WHEN blank THEN 0 ELSE len(w) END AS n_words,
-        CASE WHEN blank THEN 0
-          ELSE coalesce(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0)
-          END AS sum_wlen,
-        CASE WHEN blank THEN 0
-          ELSE len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-          END AS n_alpha,
-        CASE WHEN blank THEN 0 ELSE
-          (CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
-         + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
-          END AS n_stop,
-        len(regexp_extract_all(text, '[#\u2026]')) AS n_sym,
-        len(ls) AS n_lines,
-        len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
-        len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t]*${"$"}'))) AS n_ellip
-        FROM f),
-      h AS (SELECT doc_id, n_words, n_stop,
-        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(sum_wlen AS DOUBLE)/n_words END AS mwl,
-        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE)/n_words END AS symr,
-        CAST(n_bullet AS DOUBLE)/n_lines AS bf,
-        CAST(n_ellip AS DOUBLE)/n_lines AS ef,
-        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE)/n_words END AS af
-        FROM g)"""
-
-  /** The composite keep rule over h's columns — shared by t31 and
-    * t44. A `def`, not a `val`: t31's QuerySpec literal interpolates
-    * it during object init, before later vals assign. */
-  private def gopherKeepSql: String =
-    """(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
-          AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
-          AND n_stop >= 1)"""
-
-  private val t44 = QuerySpec("t44_curation_impact",
-    // The filter's BILL: per-language doc/token retention under the
-    // t31 Gopher gate on the NATURAL corpus — the report a curation
-    // run ships so a reviewer sees what a rule change costs each
-    // language before it lands (per-language retention skew is the
-    // classic silent failure of corpus-wide thresholds). Same rule
-    // replication as t31 via the shared CTEs — the two queries
-    // cannot drift apart.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val gf = Curation.gopherFilter(docs, "doc_id", "text", minStopHits = 1)
-        .select(col("doc_id"), col("n_words"), col("keep"))
-      gf.join(docs.select("doc_id", "lang"), Seq("doc_id"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-          sum(col("n_words").cast("long")).as("n_tokens"),
-          sum(when(col("keep"), col("n_words").cast("long")).otherwise(0L))
-            .as("n_tokens_kept"),
-          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6)
-            .as("doc_retention"),
-          round(sum(when(col("keep"), col("n_words").cast("double"))
-              .otherwise(0.0)) /
-            greatest(sum(col("n_words").cast("double")), lit(1.0)), 6)
-            .as("token_retention"))
-        .orderBy("lang")
-    },
-    Some(s"""WITH ${gopherCtes("documents")},
-      keepers AS (SELECT doc_id, n_words, $gopherKeepSql AS keep FROM h)
-      SELECT lang, count(*) AS n_docs,
-        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        CAST(sum(k.n_words) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN keep THEN k.n_words ELSE 0 END) AS BIGINT)
-          AS n_tokens_kept,
-        round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS doc_retention,
-        round(CAST(sum(CASE WHEN keep THEN k.n_words ELSE 0 END) AS DOUBLE) /
-          greatest(CAST(sum(k.n_words) AS DOUBLE), 1.0), 6) AS token_retention
-      FROM keepers k JOIN documents d USING (doc_id)
-      GROUP BY lang ORDER BY lang"""))
-
-  private val t30 = QuerySpec("t30_cms_freq_audit",
-    // CountMin point-frequency audit (Curation.cmsFrequencyAudit):
-    // the fifth sketch-family leg. Probes = the deterministic top-20
-    // corpus words (count desc, word tie-break) plus two planted
-    // absent keys (exact 0 — the pure-collision side of the bound).
-    // Exact counts are the oracle-checked answer; cms_ok rides as the
-    // bound column (est >= exact AND est <= exact + eps·N), TRUE
-    // hash-matched against the oracle's literal — an estimator outside
-    // its own contract turns the row red. Fixed seed → deterministic.
-    (s, d) => {
-      val words = t(s, d, "documents")
-        .select(explode(split(trim(col("text")), WsSplit)).as("word"))
-        .filter(length(col("word")) > 0)
-      val top = words.groupBy("word").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("word")).limit(20).select("word")
-      val absent = s.createDataFrame(
-        Seq(Tuple1("__absent_probe_a"), Tuple1("__absent_probe_b")))
-        .toDF("word")
-      Curation.cmsFrequencyAudit(words, "word", top.unionByName(absent),
-          eps = 1e-4, confidence = 0.999, seed = 42)
-        .orderBy("word")
-    },
-    Some(s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
-        FROM documents),
-      wf AS (SELECT word, count(*) AS c FROM w WHERE len(word) > 0 GROUP BY 1),
-      top AS (SELECT word, c FROM wf ORDER BY c DESC, word LIMIT 20),
-      probes AS (SELECT word, c AS n_exact FROM top
-        UNION ALL SELECT '__absent_probe_a', 0
-        UNION ALL SELECT '__absent_probe_b', 0)
-      SELECT word, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS cms_ok
-      FROM probes ORDER BY word"""))
-
-  private val t24 = QuerySpec("t24_distinct_audit",
-    // Per-source unique-document census (the pre-dedup sizing pass):
-    // exact count(distinct text) is the oracle-checked answer, and the
-    // HLL++ estimate at rsd=2% rides along as the bound column —
-    // hll_ok=true must hash-match the oracle's literal TRUE, so an
-    // estimator outside ±10% turns the row red. The raw estimate is
-    // engine-specific (Spark HLL++ ≠ DuckDB HLL) and stays out of the
-    // output; the BOUND is the checkable contract. At corpus scale the
-    // exact column is dropped and the fixed-size sketch serves alone.
-    (s, d) => Curation.distinctAudit(
-        t(s, d, "documents"), "source", "text", rsd = 0.02, tol = 0.1)
-      .orderBy("source"),
-    Some("""SELECT source, count(*) AS n_rows,
-        count(DISTINCT text) AS n_distinct, TRUE AS hll_ok
-      FROM documents GROUP BY source ORDER BY source"""))
-
-  private val t23 = QuerySpec("t23_drift_windows",
-    // The streaming drift monitor's BATCH half, oracle-checked (round-9
-    // judge ask #4): windowedWordCounts + windowDrift over a static
-    // events×documents frame — each event contributes its document's
-    // words to its hour — leaving only the watermark mechanics
-    // spec-only (DriftMonitorSpec's append-mode case). Reference =
-    // topN-capped distribution of the even-doc_id half (t22's split).
-    // window(ts, '1 hour') aligns to epoch, so w_start is exactly
-    // date_trunc('hour', ts) — e1's shape, per word. Output is one row
-    // per hour: compact, totally ordered, hash-stable (js_drift rounds
-    // at 4dp, absorbing sum-order float noise — the t22 precedent).
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val ref = graft.streaming.DriftMonitor.wordDistribution(
-        docs.filter(col("doc_id") % 2 === 0), "text", topN = 40)
-      // doc_id < 20 slices the stream to a fifth: the monitored feed,
-      // not the whole event fact table — the check exercises the same
-      // shape at a fifth of the word-explode volume
-      val joined = events(s, d)
-        .select(col("ts"), (col("event_id") % 100).as("doc_id"))
-        .filter(col("doc_id") < 20)
-        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      val counts = graft.streaming.DriftMonitor.windowedWordCounts(joined, "ts", "text")
-      graft.streaming.DriftMonitor.windowDrift(counts, ref)
-        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("js_drift"))
-        .orderBy("w_start")
-    },
-    Some(s"""WITH ev AS (SELECT date_trunc('hour', ts) AS w_start,
-          event_id % 100 AS doc_id FROM events WHERE event_id % 100 < 20),
-      words AS (SELECT w_start,
-          unnest(string_split_regex(trim(d.text), '$WsSplit')) AS word
-        FROM ev e JOIN documents d USING (doc_id)),
-      counts AS (SELECT w_start, word, count(*) AS cnt FROM words
-        WHERE len(word) > 0 GROUP BY 1, 2),
-      refw AS (SELECT unnest(string_split_regex(trim(text), '$WsSplit')) AS word
-        FROM documents WHERE doc_id % 2 = 0),
-      refc AS (SELECT word, count(*) AS cnt FROM refw
-        WHERE len(word) > 0 GROUP BY 1),
-      reftop AS (SELECT word, cnt FROM refc ORDER BY cnt DESC, word LIMIT 40),
-      ref AS (SELECT word,
-          CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM reftop) AS p_ref FROM reftop),
-      tot AS (SELECT w_start, sum(cnt) AS n FROM counts GROUP BY 1),
-      refper AS (SELECT w_start, word, p_ref
-        FROM (SELECT w_start FROM tot) CROSS JOIN ref),
-      j AS (SELECT coalesce(r.w_start, c.w_start) AS w_start,
-          coalesce(r.word, c.word) AS word,
-          coalesce(c.cnt, 0) AS cnt, coalesce(r.p_ref, 0.0) AS p_ref
-        FROM refper r FULL JOIN counts c
-          ON r.w_start = c.w_start AND r.word = c.word),
-      p AS (SELECT j.w_start, CAST(cnt AS DOUBLE) / t.n AS p_w, p_ref AS p_r
-        FROM j JOIN tot t ON j.w_start = t.w_start),
-      c AS (SELECT w_start,
-          (CASE WHEN p_w > 0 THEN p_w * ln(p_w / ((p_w + p_r) / 2.0)) / 2.0 ELSE 0.0 END)
-          + (CASE WHEN p_r > 0 THEN p_r * ln(p_r / ((p_w + p_r) / 2.0)) / 2.0 ELSE 0.0 END)
-          AS contrib FROM p)
-      SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
-        round(sum(contrib), 4) AS js_drift
-      FROM c GROUP BY 1 ORDER BY 1"""))
-
-  /** The t21 labelling projection (t2 heuristic score per doc). */
-  private def qualityDocs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("q"))
-
-  /** Quality classifier trained ONCE per sf dir (round-9 judge ask #5
-    * — the pqCodeTableFor pattern for a model artifact): weak labels
-    * from the t2-heuristic median split, LR fit on the 70% hash-split
-    * slice, then persisted through MLlib's writer and RELOADED — the
-    * harness serves from the loaded artifact exactly as production
-    * would, proving the save/load round-trip each round. Returns the
-    * loaded model plus the label threshold (the median is a
-    * training-time scalar the serve side must reuse — recomputing it
-    * on drifted data would silently relabel the eval slice). */
-  private val qualityModels = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.ml.classification.LogisticRegressionModel, Double)]
-  private def qualityModelFor(s: SparkSession, d: String)
-      : (org.apache.spark.ml.classification.LogisticRegressionModel, Double) =
-    qualityModels.getOrElseUpdate(d, {
-      val docs = qualityDocs(s, d)
-      val m = docs.agg(expr("percentile(q, 0.5)")).collect()(0).getDouble(0)
-      val labelled = docs
-        .withColumn("label", when(col("q") >= m, 1.0).otherwise(0.0))
-        .withColumn("__b", Curation.hashBucket(col("doc_id"), 100))
-      val model = QualityModel.train(
-        labelled.filter(col("__b") < 70), "text", "label")
-      val p = java.nio.file.Files.createTempDirectory("graft_qmodel_")
-        .toString + "/model"
-      model.write.overwrite().save(p)
-      (org.apache.spark.ml.classification.LogisticRegressionModel.load(p), m)
-    })
-
-  private val t21 = QuerySpec("t21_quality_classifier",
-    // Model-based quality filter (the fastText-classifier stage of the
-    // GPT-3/CCNet/LLaMA pipelines), SERVED: the timed query scores the
-    // held-out slice with the pre-trained persisted model
-    // (qualityModelFor — built once per sf dir) and reports measured
-    // held-out accuracy — training cost lives at index-build time,
-    // production's shape. Rows-checked: MLlib float-fold order makes
-    // probabilities reproducible only to ~1e-12, so there is no DuckDB
-    // mirror; trust comes from the measured accuracy column and
-    // QualityModelSpec's separable-corpus floor.
-    (s, d) => {
-      val (model, m) = qualityModelFor(s, d)
-      val labelled = qualityDocs(s, d)
-        .withColumn("label", when(col("q") >= m, 1.0).otherwise(0.0))
-      QualityModel.scoreEval(model, labelled, "doc_id", "text", "label")
-        .orderBy("doc_id")
-    },
-    None)
-
-  private val t19 = QuerySpec("t19_curate_pack_pipeline",
-    // The end-to-end training-data pass, composed from the operator
-    // family and oracle-checked as ONE flow: t7's manifest rule
-    // (quality + token floor + exact-dup keep-first) → t16's
-    // per-source cap → t15's sequence packing over the survivors —
-    // i.e. the assignment table a trainer actually consumes. Each
-    // stage keeps its own 100 TB shape (one codegen'd projection +
-    // hash-key dedup window; one source-keyed WindowGroupLimit; the
-    // bucketed two-phase prefix sum) — composition adds no new
-    // shuffle beyond the stages' own.
-    (s, d) => {
-      val w = Window.partitionBy("text_hash").orderBy("doc_id")
-      val curated = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
-          md5(col("text")).as("text_hash"))
-        .withColumn("drn", row_number().over(w))
-        .filter(col("drn") === 1 && col("quality") >= 0.5 && col("n_tokens") >= 5)
-        .select("doc_id", "source", "quality", "n_tokens")
-      val capped = Curation.groupCap(curated, "doc_id", "source", "quality", cap = 15)
-        .filter(col("keep"))
-        .select("doc_id", "n_tokens")
-      Packing.concatChunk(capped, "doc_id", "n_tokens", seqLen = 256, buckets = 64)
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH q AS (SELECT doc_id, source, quality, n_tokens,
-        row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS drn
-        FROM (SELECT doc_id, source, $qualityExprSql AS quality,
-          CAST(nws AS BIGINT) AS n_tokens, md5(text) AS text_hash
-          FROM (${qualityInnerSql(" source,")}))),
-      curated AS (SELECT doc_id, source, quality, n_tokens FROM q
-        WHERE drn = 1 AND quality >= 0.5 AND n_tokens >= 5),
-      capped AS (SELECT doc_id, n_tokens FROM (
-        SELECT doc_id, n_tokens, row_number() OVER (PARTITION BY source
-          ORDER BY quality DESC, doc_id) AS crn FROM curated)
-        WHERE crn <= 15),
-      tok AS (SELECT doc_id, n_tokens, ${hashBucketSql("doc_id", 64)} AS b,
-        md5(CAST(doc_id AS VARCHAR)) AS ok FROM capped),
-      cum AS (SELECT doc_id, n_tokens,
-        CAST(sum(n_tokens) OVER (ORDER BY b, ok, doc_id
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS icum
-        FROM tok)
-      SELECT doc_id, n_tokens,
-        icum - n_tokens AS start_tok,
-        (icum - n_tokens) // 256 AS first_seq,
-        CASE WHEN n_tokens > 0 THEN (icum - 1) // 256
-          ELSE (icum - n_tokens) // 256 END AS last_seq,
-        CAST(CASE WHEN n_tokens > 0
-          THEN (icum - 1) // 256 - (icum - n_tokens) // 256 + 1
-          ELSE 0 END AS INT) AS n_seqs
-      FROM cum ORDER BY doc_id"""))
-
-  /** Shared DuckDB mirror of Curation.duplicateSpans at (k=4,
-    * minTokens=8, maxGramDf=50) on `documents` — the CTE chain ending
-    * in `spans(doc_a, doc_b, start_a, start_b, span_tokens)` WITH the
-    * min-length filter applied. ONE copy shared by d9 (detect) and
-    * d16 (apply) so the two oracles can never drift on what a span
-    * is. */
-  private def dupSpanCtes: String =
-    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws
-        FROM documents),
-      grams AS (SELECT doc_id, i AS pos,
-        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
-        FROM ws, unnest(range(1, greatest(len(ws) - 2, 1))) AS t(i)),
-      rare AS (SELECT gram FROM grams GROUP BY gram
-        HAVING count(DISTINCT doc_id) <= 50),
-      kept AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
-      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
-        FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-      isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
-        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-          ORDER BY pos_a) AS grp FROM m),
-      spans AS (SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM
-        (SELECT doc_a, doc_b, min(pos_a) AS start_a,
-          min(pos_b) AS start_b, CAST(count(*) + 3 AS BIGINT) AS span_tokens
-        FROM isl GROUP BY doc_a, doc_b, diag, grp)
-        WHERE span_tokens >= 8)"""
-
-  private val d9 = QuerySpec("d9_dup_spans",
-    // Exact duplicate-SPAN dedup (suffix-array semantics, declarative):
-    // maximal runs of ≥8 consecutive shared tokens between doc pairs,
-    // via positional 4-gram match + per-diagonal gaps-and-islands.
-    (s, d) => Curation.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
-        k = 4, minTokens = 8, maxGramDf = 50)
-      .orderBy("doc_a", "doc_b", "start_a", "start_b"),
-    Some(s"""WITH $dupSpanCtes
-      SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
-      ORDER BY doc_a, doc_b, start_a, start_b"""))
-
-  private val d16 = QuerySpec("d16_span_dedup_apply",
-    // d9's ACTION (apply-side span dedup): the CLEANED corpus with
-    // every detected duplicated span removed keep-first — the lower-id
-    // doc of each pair keeps the surviving copy, doc_b's occurrence is
-    // cut token-wise (overlapping intervals merged via cummax
-    // gaps-and-islands, survivors re-joined with single spaces; an
-    // untouched doc keeps its text byte-identical). Oracle mirrors the
-    // whole chain: detection CTEs shared verbatim with d9, then the
-    // same interval merge, NOT-EXISTS token cut, and ordered re-join.
-    (s, d) => Curation.removeDuplicateSpans(t(s, d, "documents"), "doc_id",
-        "text", k = 4, minTokens = 8, maxGramDf = 50)
-      .orderBy("doc_id"),
-    Some(s"""WITH $dupSpanCtes,
-      iv AS (SELECT doc_b AS adoc, start_b AS s,
-        start_b + span_tokens - 1 AS e FROM spans),
-      gi AS (SELECT adoc, s, e, max(e) OVER (PARTITION BY adoc
-        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        AS pmax FROM iv),
-      gr AS (SELECT adoc, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
-          THEN 1 ELSE 0 END) OVER (PARTITION BY adoc ORDER BY s, e
-          ROWS UNBOUNDED PRECEDING) AS grp FROM gi),
-      mi AS (SELECT adoc, min(s) AS s, max(e) AS e FROM gr
-        GROUP BY adoc, grp),
-      aff AS (SELECT DISTINCT adoc FROM mi),
-      atoks AS (SELECT w.doc_id AS adoc, i AS pos, w.ws[i] AS tok
-        FROM ws w JOIN aff ON w.doc_id = aff.adoc,
-        unnest(range(1, len(w.ws) + 1)) AS t(i)),
-      ktoks AS (SELECT a.adoc, a.pos, a.tok FROM atoks a
-        WHERE NOT EXISTS (SELECT 1 FROM mi
-          WHERE mi.adoc = a.adoc AND a.pos BETWEEN mi.s AND mi.e)),
-      reb AS (SELECT adoc, string_agg(tok, ' ' ORDER BY pos) AS ctext,
-        count(*) AS nkept FROM ktoks GROUP BY adoc),
-      cln AS (SELECT aff.adoc, coalesce(reb.ctext, '') AS ctext,
-        coalesce(reb.nkept, 0) AS nkept
-        FROM aff LEFT JOIN reb ON aff.adoc = reb.adoc)
-      SELECT d.doc_id,
-        CASE WHEN cln.adoc IS NOT NULL THEN cln.ctext ELSE d.text END AS text,
-        CAST(CASE WHEN cln.adoc IS NOT NULL THEN len(w.ws) - cln.nkept
-          ELSE 0 END AS BIGINT) AS n_removed_tokens
-      FROM documents d JOIN ws w ON d.doc_id = w.doc_id
-        LEFT JOIN cln ON d.doc_id = cln.adoc
-      ORDER BY d.doc_id"""))
-
-  // ======================================================================
-  // Lexical retrieval + hybrid fusion (operators/Bm25): the lexical
-  // half the vector-only reference lacks, and the RRF tail that fuses
-  // it with the ANN stage
-  // ======================================================================
-
-  private val Bm25Terms = Seq("join", "merge", "stream")
-
-  /** DuckDB mirror of Bm25.score for [[Bm25Terms]]: CTE chain ending in
-    * `scored(doc_id, tf_*, bm25)`. Same fold order, same constants. */
-  private def bm25Ctes: String = {
-    val tfCols = Bm25Terms.map(t =>
-      s"CAST(len(list_filter(toks, w -> w = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
-    val dfCols = Bm25Terms.map(t =>
-      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
-    val scoreSum = Bm25Terms.map { t =>
-      s"""(CASE WHEN tf_$t > 0 THEN
-        ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * (1.2 + 1.0)
-          / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        ELSE 0.0 END)"""
-    }.mkString(" + ")
-    s"""toks AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
-          w -> len(w) > 0) AS toks
-        FROM documents),
-      tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols FROM toks),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols
-        FROM tf),
-      scored AS (SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
-        $scoreSum AS bm25 FROM tf CROSS JOIN stats)"""
-  }
-
-  /** Shared by b1 and its index-serving twin b2 — identical scores. */
-  private def bm25TopkSql: String =
-    s"""WITH $bm25Ctes
-      SELECT doc_id, ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
-        round(bm25, 6) AS bm25
-      FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
-
-  private val b1 = QuerySpec("b1_bm25_topk",
-    // BM25 serving form: fixed query, per-doc tf as narrow HOFs, ONE
-    // global stats row broadcast back, TakeOrderedAndProject top-k —
-    // the corpus never shuffles.
-    (s, d) => Bm25.topK(t(s, d, "documents"), "doc_id", "text", Bm25Terms, 10)
-      .select(Seq(col("doc_id")) ++
-        Bm25Terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
-        round(col("bm25"), 6).as("bm25"): _*),
-    Some(bm25TopkSql))
-
-  private val i1 = QuerySpec("i1_build_postings",
-    // Inverted-index build: per-term df/cf + doc_id-sorted posting
-    // list (serialized doc:tf for the engine-portable hash). The
-    // build-once artifact that turns b1's two corpus scans into b2's
-    // |query terms| posting-row reads.
-    (s, d) => Bm25.buildPostings(t(s, d, "documents"), "doc_id", "text")
-      .select(col("term"), col("df"), col("cf"),
-        array_join(transform(col("postings"), p =>
-          concat(p.getField("doc_id").cast("string"), lit(":"),
-            p.getField("tf").cast("string"))), ",").as("postings"))
-      .orderBy("term"),
-    Some(postingsIndexSql))
-
-  /** Whole-corpus posting-index SQL — shared by i1 (build) and i2
-    * (incremental upsert): the upsert's merged index must be
-    * IDENTICAL to a from-scratch build, so they hash-check against
-    * the same oracle. */
-  private def postingsIndexSql: String = postingsIndexSql("")
-  private def postingsIndexSql(where: String): String =
-    s"""WITH toks AS (SELECT doc_id,
-        unnest(list_filter(string_split_regex(lower(trim(text)), '$WsSplit'),
-          w -> len(w) > 0)) AS term
-        FROM documents $where),
-      tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
-      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-      FROM tf GROUP BY term ORDER BY term"""
-
-  private val i2 = QuerySpec("i2_postings_upsert",
-    // Incremental posting-index maintenance (Bm25.upsertPostings):
-    // the stored i1 artifact absorbs a new-doc batch without a
-    // rebuild — corpus = doc_id % 10 ≠ 3, batch = the rest. The
-    // merged index must be IDENTICAL to a from-scratch build over the
-    // union, so the oracle is i1's whole-corpus SQL verbatim — any
-    // df/cf drift or posting mis-merge breaks the hash. Only the
-    // batch's terms shuffle (batch-sized delta joined to stored rows
-    // on term); untouched terms pass through a left-anti join — the
-    // lexical twin of d15/d17's incremental containment serving.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val stored = Bm25.buildPostings(
-        docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text")
-      Bm25.upsertPostings(stored,
-          docs.filter(col("doc_id") % 10 === 3), "doc_id", "text")
-        .select(col("term"), col("df"), col("cf"),
-          array_join(transform(col("postings"), p =>
-            concat(p.getField("doc_id").cast("string"), lit(":"),
-              p.getField("tf").cast("string"))), ",").as("postings"))
-        .orderBy("term")
-    },
-    Some(postingsIndexSql))
-
-  private val i3 = QuerySpec("i3_postings_delete",
-    // Posting-index DELETE without a rebuild (Bm25.deletePostings):
-    // the lexical twin of v18's tombstone compaction. A purge batch
-    // (doc_id % 9 = 0, text in hand from the purge manifest) names
-    // its own terms — the broadcast (term, doc_id) delete pairs
-    // semi-join out the affected stored rows, deleted entries
-    // anti-join away, one term-keyed regroup rebuilds list/df/cf;
-    // untouched terms never explode. The compacted index must be
-    // IDENTICAL to a from-scratch build over live docs, so the
-    // oracle is i1's SQL with the delete predicate — a stale
-    // posting, drifted df/cf, or zero-df debris breaks the hash.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val stored = Bm25.buildPostings(docs, "doc_id", "text")
-      Bm25.deletePostings(stored,
-          docs.filter(col("doc_id") % 9 === 0), "doc_id", "text")
-        .select(col("term"), col("df"), col("cf"),
-          array_join(transform(col("postings"), p =>
-            concat(p.getField("doc_id").cast("string"), lit(":"),
-              p.getField("tf").cast("string"))), ",").as("postings"))
-        .orderBy("term")
-    },
-    Some(postingsIndexSql("WHERE doc_id % 9 <> 0")))
-
-  /** i4's OLD-snapshot posting index, persisted ONCE per sf dir: the
-    * stored artifact a deployment already has when a delta arrives.
-    * TrieMap-guarded like [[pqCodeTableFor]]. */
-  private val oldPostingsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def oldPostingsFor(s: SparkSession, d: String): String =
-    oldPostingsPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_old_postings_").toString + "/postings"
-      val docs = t(s, d, "documents")
-      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" graftstale"))).otherwise(col("text")))
-      Bm25.buildPostings(oldSnap, "doc_id", "text").write.parquet(p)
-      p
-    })
-
-  private val i4 = QuerySpec("i4_diff_reindex",
-    // The full incremental-reindex loop the maintenance primitives
-    // exist FOR, composed end to end: d22's snapshotDiff (hash-only
-    // exchange) classifies old vs new corpus rows, the removed ∪
-    // changed OLD rows feed i3's deletePostings (each names its own
-    // terms), the added ∪ changed NEW rows feed i2's upsertPostings —
-    // and the result must be IDENTICAL to a from-scratch build over
-    // the new snapshot, so the oracle is i1's SQL with the new-
-    // snapshot predicate. Old snapshot = docs with id % 7 ≠ 0, with
-    // id % 5 = 0 texts staled (→ `changed`); new = docs with
-    // id % 13 ≠ 0 (% 13 = 0 → `removed`; % 7 = 0 → `added`). The
-    // diff bounds the work: only touched docs re-tokenize, only
-    // their terms shuffle — at 100 TB this is the difference between
-    // reindexing a daily delta and reindexing the corpus. The OLD
-    // index is a stored artifact (built once per sf dir, the
-    // s8/d12/j2 pattern): a deployment's stored index already exists
-    // when the delta arrives, so the timed query measures
-    // diff + delete + upsert, not the historical build.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" graftstale"))).otherwise(col("text")))
-      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
-      val diff = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
-      val delIds = diff.filter(col("status").isin("removed", "changed"))
-        .select("doc_id")
-      val upIds = diff.filter(col("status").isin("added", "changed"))
-        .select("doc_id")
-      val stored = s.read.parquet(oldPostingsFor(s, d))
-      val compacted = Bm25.deletePostings(stored,
-        oldSnap.join(broadcast(delIds), Seq("doc_id"), "left_semi"),
-        "doc_id", "text")
-      Bm25.upsertPostings(compacted,
-          newSnap.join(broadcast(upIds), Seq("doc_id"), "left_semi"),
-          "doc_id", "text")
-        .select(col("term"), col("df"), col("cf"),
-          array_join(transform(col("postings"), p =>
-            concat(p.getField("doc_id").cast("string"), lit(":"),
-              p.getField("tf").cast("string"))), ",").as("postings"))
-        .orderBy("term")
-    },
-    Some(postingsIndexSql("WHERE doc_id % 13 <> 0")))
-
-  private val b2 = QuerySpec("b2_bm25_indexed",
-    // b1 served FROM the posting-list index: only the query terms'
-    // posting rows are read (partition-pruned against an on-disk index
-    // — Bm25Spec), joined back to the doc-length table. Same oracle as
-    // b1: scores are bit-identical by construction.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Bm25.topKFromIndex(Bm25.buildPostings(docs, "doc_id", "text"),
-          Bm25.docLengths(docs, "doc_id", "text"), "doc_id", Bm25Terms, 10)
-        .select(Seq(col("doc_id")) ++
-          Bm25Terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
-          round(col("bm25"), 6).as("bm25"): _*)
-    },
-    Some(bm25TopkSql))
-
-  private val r2 = QuerySpec("r2_rrf_fusion",
-    // Hybrid retrieval tail: BM25 top-50 × cosine-kNN top-50 →
-    // reciprocal-rank fusion → top-10. Both lists are k-bounded BEFORE
-    // the fusion join, so fusion cost is k², corpus-size-independent.
-    (s, d) => {
-      val lex = Bm25.rankBounded(
-        Bm25.topK(t(s, d, "documents"), "doc_id", "text", Bm25Terms, 50),
-        Seq(desc("bm25"), asc("doc_id"))).select("doc_id", "rank")
-      val vec = Bm25.rankBounded(
-        t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
-          .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
-          .orderBy(desc("cos"), asc("vec_id")).limit(50),
-        Seq(desc("cos"), asc("vec_id")))
-        .select(col("vec_id").as("doc_id"), col("rank"))
-      Bm25.rrf(lex, vec, "doc_id")
-        .orderBy(desc("rrf_score"), asc("doc_id")).limit(10)
-        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"),
-          col("rank_a").as("rank_lex"), col("rank_b").as("rank_vec"))
-    },
-    Some(s"""WITH $bm25Ctes,
-      lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
-        FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
-          ORDER BY bm25 DESC, doc_id LIMIT 50)),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      vec AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
-        FROM (SELECT vec_id AS doc_id, ${cosineSql("embedding", "qv")} AS cos
-          FROM embeddings CROSS JOIN q
-          ORDER BY cos DESC, doc_id LIMIT 50)),
-      fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-        coalesce(1.0 / (60.0 + rank_lex), 0.0)
-          + coalesce(1.0 / (60.0 + rank_vec), 0.0) AS rrf_raw,
-        rank_lex, rank_vec
-        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
-      SELECT doc_id, round(rrf_raw, 6) AS rrf_score, rank_lex, rank_vec
-      FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10"""))
-
-  // ======================================================================
-  // Dedup family (north star: exact, MinHash+LSH, SimHash, n-gram
-  // Jaccard, embedding near-dup)
-  // ======================================================================
-
-  private val d1 = QuerySpec("d1_dedup_exact",
-    (s, d) => Dedup.exactByText(t(s, d, "documents"), "text", "doc_id")
-      .orderBy("text_hash"),
-    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY 1"""))
-
-  /** Shared DuckDB mirror of Dedup.minhashNearDups — same band scheme,
-    * same dedup-candidates-then-join-back shape, same exact Jaccard.
-    * `minhashPairsCtes` returns the CTE chain ending in `verified`
-    * so the components oracle (d6) can build on the same pair set. */
-  private def minhashOracle(numHashes: Int, bandRows: Int, shingleK: Int,
-                            threshold: Double): String =
-    s"""WITH ${minhashPairsCtes(numHashes, bandRows, shingleK)}
-      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
-      WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
-
-  /** DuckDB mirror of TextAnalysis.shinglesFast over a split-word list
-    * `ws` — ONE copy shared by the minhash CTE chain (d2/d4/d6/d11/
-    * d12) and the containment oracle (d14) so candidate and verify
-    * shingle sets can never drift apart. */
-  private def shingleExprSql(shingleK: Int): String =
-    if (shingleK == 1) "list_distinct(ws)"
-    else {
-      val parts = (0 until shingleK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
-      s"list_distinct(list_transform(range(1, len(ws) - ${shingleK - 2}), i -> $parts))"
-    }
-
-  /** The ws→shingled CTE pair shared by every shingle-set oracle. */
-  private def shingledCtes(shingleK: Int): String =
-    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '$WsSplit') AS ws FROM documents),
-      shingled AS (SELECT doc_id,
-        CASE WHEN len(ws) < $shingleK THEN []::VARCHAR[] ELSE ${shingleExprSql(shingleK)} END AS sh FROM ws)"""
-
-  private def minhashPairsCtes(numHashes: Int, bandRows: Int, shingleK: Int,
-                               candSql: Option[String] = None): String = {
-    val nBands = numHashes / bandRows
-    // hex→numeric digests (mirrors Spark's conv(substring(md5(s),…),16,10)):
-    // value of 7 hex chars starting at position p, big-endian.
-    def hexVal(p: Int): String = (0 until 7).map { k =>
-      s"(strpos('0123456789abcdef', substr(md5(s), ${p + k}, 1)) - 1) * ${math.pow(16, 6 - k).toLong}"
-    }.mkString(" + ")
-    val mh = (0 until numHashes)
-      .map(j => s"min((ha * ${j + 1} + hb) % 1000000007) AS mh$j").mkString(", ")
-    val bands = (0 until nBands).map { b =>
-      val sig = (0 until bandRows).map(r => s"mh${b * bandRows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($sig) AS band_sig FROM sig"
-    }.mkString(" UNION ALL ")
-    val inter = "len(list_intersect(sa.sh, sb.sh))"
-    s"""${shingledCtes(shingleK)},
-      hexv AS (SELECT doc_id, ${hexVal(1)} AS ha, ${hexVal(9)} AS hb
-        FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)),
-      sig AS (SELECT doc_id, $mh FROM hexv GROUP BY doc_id),
-      bands AS ($bands),
-      cand AS (${candSql.getOrElse("""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""")}),
-      verified AS (SELECT doc_a, doc_b,
-        CAST($inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - $inter) AS jaccard
-        FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
-                  JOIN shingled sb ON cand.doc_b = sb.doc_id)"""
-  }
-
-  private val d2 = QuerySpec("d2_minhash_neardup",
-    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5)
-      .orderBy("doc_a", "doc_b"),
-    Some(minhashOracle(32, 4, 3, 0.5)))
-
-  private val d11 = QuerySpec("d11_incremental_neardup",
-    // Daily-ingest dedup: the incoming batch (doc_id % 10 = 0 here)
-    // band-joins against the EXISTING corpus only — never old×old.
-    // Same signatures/bands/verify as d2, so the oracle reuses d2's
-    // CTE chain with a cross-side candidate join.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.minhashNearDupsAgainst(
-          docs.filter(col("doc_id") % 10 === 0),
-          docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", numHashes = 32, bandRows = 4,
-          shingleK = 3, threshold = 0.5)
-        .orderBy("doc_new", "doc_old")
-    },
-    Some(s"""WITH ${minhashPairsCtes(32, 4, 3, candSql = Some(
-      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"""))}
-      SELECT doc_a AS doc_new, doc_b AS doc_old, round(jaccard, 6) AS jaccard
-      FROM verified WHERE jaccard >= 0.5 ORDER BY 1, 2"""))
-
-  /** d12's pre-stored corpus band table — built ONCE per sf dir (a
-    * TrieMap keyed on the dir), because the band index is the
-    * INDEX-TIME artifact of the incremental-dedup design: repeated
-    * bench/verify runs then measure QUERY-time cost, the cost a daily
-    * batch actually pays against an index that already exists. A lost
-    * race builds the index twice into separate temp dirs — wasteful,
-    * never wrong (both are complete). */
-  private val bandIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def bandIndexFor(s: SparkSession, d: String): String =
-    bandIndexPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_band_idx_").toString + "/bands"
-      Dedup.writeBandIndex(
-        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", p,
-        numHashes = 32, bandRows = 4, shingleK = 3, nBuckets = 16)
-      p
-    })
-
-  private val d12 = QuerySpec("d12_incremental_banded",
-    // d11 served from the pre-stored band index: the corpus side reads
-    // ONLY the batch's band buckets (static partition pruning on
-    // band_bucket) and re-shingles only CANDIDATE corpus docs, instead
-    // of re-shingling the whole corpus per batch. Identical pairs by
-    // construction (same hash scheme, read from the index's own
-    // metadata) — the oracle IS d11's.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.minhashNearDupsAgainstIndex(
-          docs.filter(col("doc_id") % 10 === 0),
-          bandIndexFor(s, d),
-          docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", threshold = 0.5)
-        .orderBy("doc_new", "doc_old")
-    },
-    d11.oracle)
-
-  private val d13 = QuerySpec("d13_semdedup",
-    // SemDeDup (arXiv:2303.09540): cluster-blocked semantic near-dup.
-    // Nearest-centroid assignment (the s2 argmin, L2 + min-cid
-    // tie-break), then pairwise cosine ONLY within a cluster — the
-    // cross-cluster quadrant is never computed, which is what removes
-    // the corpus-quadratic term at 100 TB. Deterministic centroid
-    // table (vec_id < 8) so the cluster blocking itself is inside the
-    // DuckDB oracle; production centroids come from Ann.trainCentroids
-    // (MLlib k-means), same swap as s2 → s4.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Dedup.semanticNearDups(e, "vec_id", "embedding", cent, "cid", "cvec",
-          threshold = 0.3)
-        .select(col("cluster_id"), col("doc_a").as("vec_a"),
-          col("doc_b").as("vec_b"), col("cos"))
-        .orderBy("vec_a", "vec_b")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1)
-      SELECT cluster_id, vec_a, vec_b, round(cos, 6) AS cos FROM (
-        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
-          ${cosineSql("a.embedding", "b.embedding")} AS cos
-        FROM clusters a JOIN clusters b
-          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
-      WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
-
-  private val d14 = QuerySpec("d14_containment",
-    // Containment near-dup (Dedup.containmentPairs): the nested-
-    // document quadrant Jaccard resemblance is blind to — C(A,B) =
-    // |A∩B| / min(|A|,|B|) over shingle sets, candidates from a
-    // df-capped rare-shingle inverted index (not d2's bands: a
-    // nested pair's Jaccard is too LOW to collide in resemblance
-    // LSH). Oracle mirrors both stages exactly: same shingle CTE as
-    // d2's chain, same df window [2, maxDf], same >= minShared gate.
-    (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, maxDf = 20, minShared = 2, threshold = 0.8)
-      .orderBy("doc_a", "doc_b"),
-    Some(s"""WITH ${shingledCtes(3)},
-      posts AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
-      rare AS (SELECT s FROM posts GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
-      rp AS (SELECT p.doc_id, p.s FROM posts p JOIN rare USING (s)),
-      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM rp a JOIN rp b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2),
-      verified AS (SELECT doc_a, doc_b,
-          least(len(sa.sh), len(sb.sh)) AS n_small,
-          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / least(len(sa.sh), len(sb.sh)) AS c
-        FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
-                  JOIN shingled sb ON cand.doc_b = sb.doc_id)
-      SELECT doc_a, doc_b, n_small, round(c, 6) AS containment
-      FROM verified WHERE c >= 0.8 ORDER BY doc_a, doc_b"""))
-
-  private val d15 = QuerySpec("d15_containment_incremental",
-    // d14's daily-ingest form (Dedup.containmentPairsAgainst): the
-    // batch (doc_id % 10 = 0, d11's split) probes the corpus's
-    // rare-shingle inverted index — new×old only, rarity judged on
-    // corpus df (the precomputable index-time statistic), no df >= 2
-    // floor (a corpus-unique shingle still witnesses a cross pair).
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.containmentPairsAgainst(
-          docs.filter(col("doc_id") % 10 === 0),
-          docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", shingleK = 3, maxDf = 20,
-          minShared = 2, threshold = 0.8)
-        .orderBy("doc_new", "doc_old")
-    },
-    Some(s"""WITH ${shingledCtes(3)},
-      posts AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
-      rare AS (SELECT s FROM posts WHERE doc_id % 10 <> 0
-        GROUP BY s HAVING count(*) <= 20),
-      cand AS (SELECT n.doc_id AS doc_new, o.doc_id AS doc_old
-        FROM posts n JOIN posts o ON n.s = o.s JOIN rare r ON n.s = r.s
-        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
-        GROUP BY 1, 2 HAVING count(*) >= 2),
-      verified AS (SELECT doc_new, doc_old,
-          least(len(sn.sh), len(so.sh)) AS n_small,
-          CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
-            / least(len(sn.sh), len(so.sh)) AS c
-        FROM cand JOIN shingled sn ON cand.doc_new = sn.doc_id
-                  JOIN shingled so ON cand.doc_old = so.doc_id)
-      SELECT doc_new, doc_old, n_small, round(c, 6) AS containment
-      FROM verified WHERE c >= 0.8 ORDER BY doc_new, doc_old"""))
-
-  /** d17's pre-stored corpus rare-shingle index — built ONCE per sf
-    * dir (the bandIndexFor pattern): the INDEX-time artifact of the
-    * incremental containment design, so repeated runs measure the
-    * per-batch probe cost, not the corpus-side shingle+df pass (240 s
-    * of d15's first run at 100× — PLANS.md round 11). */
-  private val shingleIndexPaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def shingleIndexFor(s: SparkSession, d: String): String =
-    shingleIndexPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_shingle_idx_").toString + "/posts"
-      Dedup.writeShingleIndex(
-        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", p, shingleK = 3, maxDf = 20, nBuckets = 16)
-      p
-    })
-
-  private val d19 = QuerySpec("d19_url_dedup",
-    // URL-level dedup (Curation.urlDedup over canonicalizeUrl): the
-    // crawl-snapshot step that runs BEFORE any text dedup — a page
-    // fetched twice with different tracking params / case / port /
-    // trailing-slash noise is one document. URLs are PLANTED from
-    // table columns (sf-independent): case noise on scheme+www,
-    // optional :443, optional trailing slash, two utm_* params, an
-    // optional REAL param (page=2, preserved), and a fragment. Group
-    // key after canonicalization = (source, doc_id%6, doc_id%5=0) —
-    // every noise axis collapses, the real param does not. The oracle
-    // replays all five canonicalization steps regex-for-regex (RE2-
-    // safe by construction: no lookarounds) and the keep-first rule.
-    (s, d) => {
-      val u = t(s, d, "documents").select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
-          col("source"), lit(".Example.COM"),
-          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
-          lit("/item/"), (col("doc_id") % 6).cast("string"),
-          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
-          lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 7).cast("string"),
-          when(col("doc_id") % 5 === 0, lit("&page=2")).otherwise(lit("")),
-          lit("#sec"), (col("doc_id") % 9).cast("string")).as("url"))
-      Curation.urlDedup(u, "doc_id", "url").orderBy("doc_id")
-    },
-    Some(s"""WITH u AS (SELECT doc_id,
-        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
-        || source || '.Example.COM'
-        || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
-        || '/item/' || (doc_id % 6)
-        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-        || '?utm_source=feed&utm_campaign=c' || (doc_id % 7)
-        || (CASE WHEN doc_id % 5 = 0 THEN '&page=2' ELSE '' END)
-        || '#sec' || (doc_id % 9) AS url
-        FROM documents),
-      c AS (SELECT doc_id, url,
-        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)', 1)) AS scheme,
-        regexp_replace(regexp_replace(
-          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)', 2)),
-          '^www\\.', ''), ':(80|443)${"$"}', '') AS host,
-        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)${"$"}', 3) AS rest
-        FROM u),
-      n AS (SELECT doc_id, url,
-        CASE WHEN scheme = '' OR host = '' THEN trim(url)
-          ELSE scheme || '://' || host ||
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(regexp_replace(rest, '#.*${"$"}', ''),
-              '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\\1', 'g'),
-              '&&+', '&', 'g'), '\\?&', '?'), '[?&]+${"$"}', ''),
-              '/+(\\?|${"$"})', '\\1', 'g')
-          END AS url_canon
-        FROM c),
-      g AS (SELECT url_canon, min(doc_id) AS keeper,
-          count(*) AS group_size FROM n GROUP BY 1)
-      SELECT n.doc_id, n.url, n.url_canon, g.group_size,
-        n.doc_id = g.keeper AS keep
-      FROM n JOIN g USING (url_canon) ORDER BY n.doc_id"""))
-
-  private val d18 = QuerySpec("d18_line_dedup",
-    // Corpus-wide line-level dedup APPLY (Curation.lineDedup): the
-    // RefinedWeb/CCNet step that strips repeated boilerplate lines
-    // keep-first and rebuilds each doc. Line structure is PLANTED
-    // deterministically from table columns (the t27 precedent —
-    // sf-independent): every doc gets the same header line (survives
-    // only in the min doc_id), a blank line (structure — preserved
-    // everywhere), its own unique body, and a per-source footer
-    // (survives once per source). The oracle replays the same reshape,
-    // a keep-first window over non-blank lines, and the ordered
-    // string_agg rebuild.
-    (s, d) => {
-      val reshaped = t(s, d, "documents").select(col("doc_id"),
-        concat_ws("\n", lit("=== corpus boilerplate header ==="), lit(""),
-          col("text"),
-          concat(lit("footer of source "), col("source"))).as("text"))
-      Curation.lineDedup(reshaped, "doc_id", "text").orderBy("doc_id")
-    },
-    Some("""WITH src AS (SELECT doc_id,
-        '=== corpus boilerplate header ===' || chr(10) || chr(10) || text
-          || chr(10) || 'footer of source ' || source AS text
-        FROM documents),
-      ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
-      lines AS (SELECT doc_id, unnest(ls) AS ln,
-        unnest(range(1, len(ls) + 1)) AS pos FROM ls),
-      rn AS (SELECT doc_id, pos, ln, row_number() OVER (PARTITION BY ln
-          ORDER BY doc_id, pos) AS rn FROM lines WHERE trim(ln) <> ''),
-      kept AS (SELECT doc_id, pos, ln FROM rn WHERE rn = 1
-        UNION ALL SELECT doc_id, pos, ln FROM lines WHERE trim(ln) = ''),
-      reb AS (SELECT doc_id, count(*) AS n_kept,
-        string_agg(ln, chr(10) ORDER BY pos) AS text_clean
-        FROM kept GROUP BY doc_id)
-      SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
-        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-        coalesce(text_clean, '') AS text_clean
-      FROM ls l LEFT JOIN reb ON l.doc_id = reb.doc_id
-      ORDER BY l.doc_id"""))
-
-  private val d17 = QuerySpec("d17_containment_served",
-    // d15 served from the pre-stored rare-shingle inverted index: the
-    // corpus side reads ONLY the batch's posting buckets (static
-    // partition pruning on shingle_bucket) and re-shingles only
-    // CANDIDATE corpus docs, instead of re-shingling + re-df-counting
-    // the whole corpus per batch — the d12 treatment applied to the
-    // containment family. Identical pairs by construction (rarity
-    // judged on the same corpus df, recorded at index-build time; all
-    // parameters from the index's own _graft_meta) — the oracle IS
-    // d15's.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.containmentPairsAgainstIndex(
-          docs.filter(col("doc_id") % 10 === 0),
-          shingleIndexFor(s, d),
-          docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", minShared = 2, threshold = 0.8)
-        .orderBy("doc_new", "doc_old")
-    },
-    d15.oracle)
-
-  private val d4 = QuerySpec("d4_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 2, threshold = 0.4)
-      .orderBy("doc_a", "doc_b"),
-    Some(minhashOracle(32, 4, 2, 0.4)))
-
-  /** CTE chain ending in `sig(doc_id, simhash)` — DuckDB mirror of
-    * Dedup.simhashBits at any width ≤60 (place weights and packed
-    * values stay in signed BIGINT). 16-bit shared by d3/d7; 60-bit by
-    * d10. */
-  private def simhashCtesAt(bits: Int): String = {
-    val hex = bits / 4
-    val hexVal = (1 to hex).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) * ${1L << (4 * (hex - i))}"
-    }.mkString(" + ")
-    val bitSums = (0 until bits)
-      .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-    val fp = (0 until bits)
-      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""words AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '$WsSplit')) AS w FROM documents),
-    vals AS (SELECT doc_id, $hexVal AS v FROM words WHERE len(w) > 0),
-    bits AS (SELECT doc_id, $bitSums FROM vals GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)"""
-  }
-
-  private def simhashCtes: String = simhashCtesAt(16)
-
-  private val d3 = QuerySpec("d3_simhash",
-    (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text")
-      .orderBy("doc_id"),
-    Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"))
-
-  private val d7 = QuerySpec("d7_simhash_neardup",
-    // SimHash pair-finding: Hamming ≤ 1 via pigeonhole block banding
-    // (2 blocks of 8 bits: any pair within budget agrees on ≥1 block)
-    // + exact popcount verify.
-    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 1)
-      .orderBy("doc_a", "doc_b"),
-    Some(s"""WITH $simhashCtes,
-      blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 8)) & 255 AS block_val
-        FROM sig, unnest([0, 1]) AS t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.simhash AS sa, b.simhash AS sb
-        FROM blocks a JOIN blocks b
-          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-          AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 1 ORDER BY doc_a, doc_b"""))
-
-  private val d6 = QuerySpec("d6_neardup_components",
-    // Pairs → canonical GROUPS (what a dedup pipeline keeps): connected
-    // components over the d2 pair set via iterated min-label
-    // propagation; oracle = recursive-CTE transitive closure.
-    (s, d) => Dedup.components(
-        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-          numHashes = 32, bandRows = 4, shingleK = 3, threshold = 0.5))
-      .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE ${minhashPairsCtes(32, 4, 3)},
-      pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-      SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach
-      GROUP BY u ORDER BY doc_id"""))
-
-  private val d10 = QuerySpec("d10_dedup_manifest",
-    // Detection → ACTION: the purge manifest a dedup job executes.
-    // Components over the WIDE (60-bit, ham≤3) SimHash pair set — the
-    // 16-bit space saturates near 10⁴ docs (measured 1 s → 232 s at
-    // 100k docs) — joined back to the corpus for sizes; per duplicate
-    // cluster: the canonical keeper (min doc_id), the cluster size,
-    // and the characters reclaimed by purging the rest. Singleton docs
-    // never enter the manifest. The join and aggregation shuffle
-    // component ids and scalar sizes — never text.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val comp = Dedup.components(
-        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
-      comp.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-        .groupBy("component_id")
-        .agg(count(lit(1)).as("n_docs"),
-          min("doc_id").as("keep_doc"),
-          (sum("n_chars") - min_by(col("n_chars"), col("doc_id")))
-            .cast("long").as("chars_purged"))
-        .orderBy("component_id")
-    },
-    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
-      blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 15)) & 32767 AS block_val
-        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.simhash AS sa, b.simhash AS sb
-        FROM blocks a JOIN blocks b
-          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-          AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
-        FROM reach GROUP BY u)
-      SELECT component_id, count(*) AS n_docs, min(doc_id) AS keep_doc,
-        CAST(sum(n_chars) - arg_min(n_chars, doc_id) AS BIGINT) AS chars_purged
-      FROM comp JOIN documents USING (doc_id)
-      GROUP BY component_id ORDER BY component_id"""))
-
-  private val d24 = QuerySpec("d24_group_split",
-    // The FIX for t43's leakage: group-aware splitting. Near-dup
-    // components (d10's wide-SimHash pairs → connected components)
-    // collapse to a representative (component id; singletons are
-    // their own rep), and the t10 hash split runs on the REP — so a
-    // near-dup cluster lands in exactly one split by construction
-    // and can never leak train→test. Output: per-split doc and group
-    // counts. The oracle replays the entire chain (simhash, banding,
-    // pair verify, recursive components, rep coalesce, md5 bucket
-    // split), so a component or assignment drift anywhere breaks the
-    // hash. Exchanges carry ids/hashes/component ids — never text
-    // past the signature stage.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val comp = Dedup.components(
-        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
-      val withRep = docs.join(comp, Seq("doc_id"), "left")
-        .withColumn("rep", coalesce(col("component_id"), col("doc_id")))
-      Curation.hashSplit(withRep, "rep")
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("rep")).as("n_groups"))
-        .orderBy("split")
-    },
-    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
-      blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 15)) & 32767 AS block_val
-        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.simhash AS sa, b.simhash AS sb
-        FROM blocks a JOIN blocks b
-          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-          AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
-        FROM reach GROUP BY u),
-      rep AS (SELECT d.doc_id,
-        coalesce(c.component_id, d.doc_id) AS rep
-        FROM documents d LEFT JOIN comp c USING (doc_id)),
-      spl AS (SELECT doc_id, rep,
-        CASE WHEN ${hashBucketSql("rep", 100)} < 80 THEN 'train'
-          WHEN ${hashBucketSql("rep", 100)} < 90 THEN 'valid'
-          ELSE 'test' END AS split
-        FROM rep)
-      SELECT split, count(*) AS n_docs,
-        CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
-      FROM spl GROUP BY split ORDER BY split"""))
-
-  private val d20 = QuerySpec("d20_dedup_apply",
-    // d10's manifest APPLIED (Dedup.applyPurgeManifest): the per-doc
-    // keep verdict over the whole corpus — keep-first per duplicate
-    // SimHash component, singletons untouched with a null cluster.
-    // Downstream purge is filter(keep); the relation keeps what was
-    // dropped AND why (its cluster id) auditable. The oracle shares
-    // d10's detection CTE chain verbatim and replays the keeper rule.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val comp = Dedup.components(
-        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
-      Dedup.applyPurgeManifest(docs, "doc_id", comp).orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
-      blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 15)) & 32767 AS block_val
-        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.simhash AS sa, b.simhash AS sb
-        FROM blocks a JOIN blocks b
-          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-          AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
-        FROM reach GROUP BY u),
-      keepers AS (SELECT component_id, min(doc_id) AS keep_doc
-        FROM comp GROUP BY component_id)
-      SELECT d.doc_id, c.component_id,
-        (c.component_id IS NULL OR d.doc_id = k.keep_doc) AS keep
-      FROM documents d
-      LEFT JOIN comp c USING (doc_id)
-      LEFT JOIN keepers k USING (component_id)
-      ORDER BY d.doc_id"""))
-
-  private val d22 = QuerySpec("d22_snapshot_diff",
-    // Corpus snapshot diff (Curation.snapshotDiff): the per-doc
-    // added/removed/changed/unchanged verdict between two snapshot
-    // versions — the delta computation that FEEDS this library's
-    // incremental maintainers (changed/added → v17/i2 upserts,
-    // removed → v18/i3 compactions). Snapshot B adds the % 10 = 0
-    // docs, drops the % 10 = 3 docs, and edits the % 7 = 0 docs
-    // (planted " v2" suffix), so all four statuses appear. The join
-    // ships (id, md5) pairs only — text never crosses the exchange —
-    // and the oracle replays hash compare, outer-join semantics and
-    // the per-source rollup.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val a = docs.filter(col("doc_id") % 10 =!= 0)
-      val b = docs.filter(col("doc_id") % 10 =!= 3)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-      graft.operators.Curation.snapshotDiff(a, b, "doc_id", "text")
-        .join(docs.select("doc_id", "source"), Seq("doc_id"))
-        .groupBy("source", "status").agg(count(lit(1)).as("n"))
-        .orderBy("source", "status")
-    },
-    Some("""WITH a AS (SELECT doc_id, md5(text) AS ha
-        FROM documents WHERE doc_id % 10 <> 0),
-      b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
-          THEN text || ' v2' ELSE text END) AS hb
-        FROM documents WHERE doc_id % 10 <> 3),
-      diff AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-        CASE WHEN ha IS NULL THEN 'added'
-             WHEN hb IS NULL THEN 'removed'
-             WHEN ha <> hb THEN 'changed'
-             ELSE 'unchanged' END AS status
-        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-      SELECT d.source, status, count(*) AS n
-      FROM diff JOIN documents d USING (doc_id)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val d23 = QuerySpec("d23_line_dedup_within",
-    // WITHIN-doc duplicate-line removal (Curation.lineDedupWithinDoc):
-    // the apply side of t36's census and the in-document half of
-    // Gopher repetition cleanup — d18 strips corpus-wide boilerplate,
-    // this strips a page's own repeated lines (nav fragments, chat
-    // echoes) with blank lines preserved as layout. Keep-first is ONE
-    // (doc, line)-keyed min-struct aggregate — no window, no join, no
-    // corpus-wide hot key (a line repeated in a million docs is a
-    // million group keys). Dup lines are planted with t36's exact
-    // pattern so the two queries describe the same corpus; the oracle
-    // replays split, blank exclusion, first-occurrence rule and the
-    // ordered rebuild.
-    (s, d) => {
-      val src = t(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit("\nplanted duplicate line\n" +
-            "planted duplicate line\nplanted duplicate line")))
-          .otherwise(col("text")).as("text"))
-      graft.operators.Curation.lineDedupWithinDoc(src, "doc_id", "text")
-        .orderBy("doc_id")
-    },
-    Some("""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
-        THEN text || chr(10) || 'planted duplicate line' || chr(10) ||
-          'planted duplicate line' || chr(10) || 'planted duplicate line'
-        ELSE text END AS text FROM documents),
-      ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
-      lines AS (SELECT doc_id, unnest(ls) AS ln,
-        unnest(range(1, len(ls) + 1)) AS pos FROM ls),
-      rn AS (SELECT doc_id, pos, ln, row_number() OVER (
-          PARTITION BY doc_id, ln ORDER BY pos) AS rn
-        FROM lines WHERE trim(ln) <> ''),
-      kept AS (SELECT doc_id, pos, ln FROM rn WHERE rn = 1
-        UNION ALL SELECT doc_id, pos, ln FROM lines WHERE trim(ln) = ''),
-      reb AS (SELECT doc_id, count(*) AS n_kept,
-        string_agg(ln, chr(10) ORDER BY pos) AS text_clean
-        FROM kept GROUP BY doc_id)
-      SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
-        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-        coalesce(text_clean, '') AS text_clean
-      FROM ls l LEFT JOIN reb ON l.doc_id = reb.doc_id
-      ORDER BY l.doc_id"""))
-
-  private val d21 = QuerySpec("d21_quality_keeper_dedup",
-    // d20's apply with the keeper rule real pipelines use
-    // (Dedup.applyPurgeManifestBy): within each near-dup cluster keep
-    // the highest-QUALITY doc (t2's engine-identical quality score;
-    // ties → lowest doc_id), not the lowest id — clusters routinely
-    // mix a clean original with boilerplate-wrapped copies, and
-    // keep-first keeps whichever crawled first. Same SimHash-wide
-    // detection chain as d10/d20 (the oracle shares those CTEs
-    // verbatim); the keeper election is ONE row_number window over
-    // the component assignment (duplicate docs only, never the
-    // corpus); the verdict joins ship (id, component, score, bool)
-    // tuples — text never shuffles.
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val comp = Dedup.components(
-        Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
-      val scored = docs.select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      Dedup.applyPurgeManifestBy(scored, "doc_id", comp, "quality")
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE ${simhashCtesAt(60)},
-      blocks AS (SELECT doc_id, simhash, b AS block_idx,
-        (simhash >> (b * 15)) & 32767 AS block_val
-        FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.simhash AS sa, b.simhash AS sb
-        FROM blocks a JOIN blocks b
-          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-          AND a.doc_id < b.doc_id),
-      pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
-        FROM reach GROUP BY u),
-      qual AS (SELECT doc_id, $qualityExprSql AS quality
-        FROM (${qualityInnerSql()})),
-      keepers AS (SELECT component_id, doc_id AS keep_doc FROM (
-        SELECT c.doc_id, c.component_id,
-          row_number() OVER (PARTITION BY c.component_id
-            ORDER BY q.quality DESC, c.doc_id) AS rn
-        FROM comp c JOIN qual q USING (doc_id)) WHERE rn = 1)
-      SELECT d.doc_id, c.component_id, q.quality,
-        (c.component_id IS NULL OR d.doc_id = k.keep_doc) AS keep
-      FROM documents d
-      JOIN qual q USING (doc_id)
-      LEFT JOIN comp c USING (doc_id)
-      LEFT JOIN keepers k USING (component_id)
-      ORDER BY d.doc_id"""))
-
-  private val d5 = QuerySpec("d5_embedding_neardup",
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val a = e.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-      b.crossJoin(broadcast(a))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
-        .filter(col("cos") >= 0.3)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("vec_a", "vec_b")
-    },
-    Some(s"""SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        ${cosineSql("a.embedding", "b.embedding")} AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id)
-      WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""))
-
-  private val d8 = QuerySpec("d8_embedding_neardup_grid",
-    // The SCALE-SAFE embedding near-dup (d5's broadcast-crossJoin form
-    // is the small-sf demo; this is the plan you'd run at 100 TB):
-    // deterministic Walsh-projection grid blocking — 100% recall within
-    // maxDist by Cauchy–Schwarz — + exact L2 verify, no corpus-fraction
-    // broadcast, no all-pairs stage. Near-dups are PLANTED (each vector
-    // unioned with an affine-perturbed copy at dist ≈ 0.008) so the
-    // exact answer is a non-trivial, deterministic pair set; the oracle
-    // recomputes it by brute force — both sides exact, hashes match.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id").cast("long").as("vec_id"),
-          col("embedding").cast("array<double>").as("emb"))
-      val dup = e.select((col("vec_id") + 1000000).as("vec_id"),
-        transform(col("emb"), x => x * 0.999 + 0.001).as("emb"))
-      Dedup.embeddingNearDups(e.unionByName(dup), "vec_id", "emb",
-          maxDist = 0.05, dim = 64)
-        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
-          round(col("dist"), 6).as("dist"))
-        .orderBy("vec_a", "vec_b")
-    },
-    Some(s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
-        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-      dup AS (SELECT vec_id + 1000000 AS vec_id,
-        list_transform(emb, x -> x * 0.999 + 0.001) AS emb FROM base),
-      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
-      SELECT vec_a, vec_b, round(dist, 6) AS dist FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          ${l2Sql("a.emb", "b.emb")} AS dist
-        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-      WHERE dist <= 0.05 ORDER BY vec_a, vec_b"""))
-
-  // ======================================================================
-  // Vector search (V1-V4) + stage-union dedup (A1/A2) + top-k (A5/A7/A8)
-  // ======================================================================
-
-  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
-    t(s, d, "embeddings").filter(col("vec_id") === id).select(col("embedding").as("qv"))
-
-  private val v1 = QuerySpec("v1_knn_exact",
-    (s, d) => {
-      val e = t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
-      Knn.exact(e, "embedding", "vec_id", col("qv"), 10)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-      SELECT vec_id, round(dist, 6) AS dist FROM (
-        SELECT e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM embeddings e CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val v3 = QuerySpec("v3_knn_filtered",
-    (s, d) => {
-      val corpus = t(s, d, "embeddings")
-        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-      Knn.filtered(corpus, "embedding", "vec_id",
-        col("text").contains("join") && col("text").contains("table"), col("qv"), 10)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-      SELECT vec_id, round(dist, 6) AS dist FROM (
-        SELECT e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q
-        WHERE contains(doc.text, 'join') AND contains(doc.text, 'table'))
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val v2 = QuerySpec("v2_knn_batch",
-    (s, d) => {
-      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Knn.batch(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv", 5)
-        .select(col("qid"), col("knn_rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
-        .orderBy("qid", "knn_rank")
-    },
-    Some(s"""SELECT qid, knn_rank, vec_id, round(dist, 6) AS dist FROM (
-      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-        ${l2Sql("e.embedding", "q.embedding")} AS dist,
-        row_number() OVER (PARTITION BY q.vec_id
-          ORDER BY ${l2Sql("e.embedding", "q.embedding")}, e.vec_id) AS knn_rank
-      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
-      WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
-
-  private val v8 = QuerySpec("v8_mmr_diversify",
-    // MMR diversity re-rank of the top-20 cosine page (operators/Mmr):
-    // the distributed part is the top-N TakeOrderedAndProject; the
-    // greedy k-pick is driver-side over the bounded survivors. Both
-    // engines share the left-fold cosine and (score desc, id asc)
-    // tie-break; λ and 1−λ are embedded at full double precision so
-    // the score arithmetic is bit-identical.
-    (s, d) => {
-      val lam = 0.7
-      val cand = t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d, 0)))
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.cosine(col("embedding"), col("qv")).as("rel"))
-        .orderBy(desc("rel"), asc("vec_id")).limit(20)
-      Mmr.diversify(cand, "vec_id", "embedding", "rel", k = 5, lambda = lam)
-        .select(col("rank"), col("vec_id"),
-          round(col("rel"), 6).as("rel"), round(col("score"), 6).as("score"))
-    },
-    Some {
-      val lam = 0.7
-      val oneMinus = 1 - lam
-      s"""WITH RECURSIVE
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      cand AS (SELECT vec_id, embedding, ${cosineSql("embedding", "qv")} AS rel
-        FROM embeddings CROSS JOIN q
-        ORDER BY rel DESC, vec_id LIMIT 20),
-      sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-          ${cosineSql("a.embedding", "b.embedding")} AS sim
-        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-      sel(step, ids, picked, score) AS (
-        SELECT 1 AS step, [t.m.id] AS ids, t.m.id AS picked, -(t.m.s) AS score
-        FROM (SELECT min({'s': -($lam * rel), 'id': vec_id}) AS m FROM cand) t
-        UNION ALL
-        SELECT step + 1, list_append(ids, t.m.id), t.m.id, -(t.m.s) FROM (
-          SELECT s.step AS step, s.ids AS ids,
-            min({'s': -($lam * c.rel - $oneMinus * (SELECT max(sim) FROM sims
-                  WHERE ia = c.vec_id AND list_contains(s.ids, ib))),
-                 'id': c.vec_id}) AS m
-          FROM sel s JOIN cand c ON NOT list_contains(s.ids, c.vec_id)
-          WHERE s.step < 5 GROUP BY s.step, s.ids) t)
-      SELECT s.step AS rank, s.picked AS vec_id, round(c.rel, 6) AS rel,
-        round(s.score, 6) AS score
-      FROM sel s JOIN cand c ON c.vec_id = s.picked ORDER BY rank"""
-    })
-
-  private val v11 = QuerySpec("v11_retrieval_metrics",
-    // The full IR eval triple over batch IVF at a DELIBERATELY lossy
-    // nprobe=4 (so the metrics are non-trivial): recall@10, MRR@10,
-    // nDCG@10 per query against the exact batch kNN ground truth.
-    // v9's recall check generalized — this is the sign-off gate an ANN
-    // config passes before serving at corpus scale, and every join in
-    // it is k-bounded per query (nothing re-touches the corpus).
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 64)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
-      val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
-        cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 4)
-      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
-      RetrievalEval.metricsAtK(ivf, exact.select("qid", "vec_id"),
-          "qid", "vec_id", "knn_rank", k = 10)
-        .orderBy("qid")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 64),
-      q AS (SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id < 5),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probes AS (SELECT qid, qv, cluster_id FROM (
-        SELECT q.qid, q.qv, cid AS cluster_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
-        FROM cent CROSS JOIN q) WHERE pr <= 4),
-      ivf AS (SELECT qid, vec_id, rnk FROM (
-        SELECT p.qid, c.vec_id,
-          row_number() OVER (PARTITION BY p.qid
-            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
-        FROM clusters c JOIN probes p USING (cluster_id)) WHERE rnk <= 10),
-      exact AS (SELECT qid, vec_id FROM (
-        SELECT q.qid, e.vec_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
-        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
-      j AS (SELECT i.qid, i.rnk,
-          CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-        FROM ivf i LEFT JOIN exact x
-          ON i.qid = x.qid AND i.vec_id = x.vec_id),
-      idcg AS (SELECT sum(1.0/(ln(r+1)/ln(2))) AS v FROM range(1, 11) t(r))
-      SELECT qid, round(sum(rel)/10.0, 6) AS recall_10,
-        round(coalesce(max(CASE WHEN rel = 1 THEN 1.0/rnk END), 0.0), 6) AS mrr_10,
-        round(sum(CASE WHEN rel = 1 THEN 1.0/(ln(rnk+1)/ln(2)) ELSE 0.0 END)
-          / (SELECT v FROM idcg), 6) AS ndcg_10
-      FROM j GROUP BY qid ORDER BY qid"""))
-
-  private val v12 = QuerySpec("v12_embedding_drift",
-    // Embedding-space drift (Ann.embeddingDrift): both snapshot
-    // halves assigned to the SAME 8 fixed centroids (narrow argmin
-    // map — no shuffle), JS divergence over the two cluster-mass
-    // distributions. The vector twin of t22: tells the index operator
-    // the mass no longer matches the partitioning (re-train
-    // centroids) BEFORE v9/v11's recall eval says it after the fact.
-    // Exchange carries 8 counts per side, never vectors.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.embeddingDrift(
-          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
-          "embedding", "vec_id", cent, "cid", "cvec")
-        .orderBy("cluster_id")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      aa AS (SELECT cid AS cluster_id FROM (
-        SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 0) WHERE crn = 1),
-      bb AS (SELECT cid AS cluster_id FROM (
-        SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 1) WHERE crn = 1),
-      ca AS (SELECT cluster_id, count(*) AS ca FROM aa GROUP BY 1),
-      cb AS (SELECT cluster_id, count(*) AS cb FROM bb GROUP BY 1),
-      j AS (SELECT coalesce(a.cluster_id, b.cluster_id) AS cluster_id,
-          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        FROM ca a FULL JOIN cb b ON a.cluster_id = b.cluster_id),
-      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
-      p AS (SELECT cluster_id, ca, cb,
-          CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
-          (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0 AS m
-        FROM j CROSS JOIN tot),
-      c AS (SELECT cluster_id, pa, pb,
-          (CASE WHEN ca > 0 THEN pa * ln(pa / m) / 2.0 ELSE 0.0 END)
-          + (CASE WHEN cb > 0 THEN pb * ln(pb / m) / 2.0 ELSE 0.0 END) AS contrib
-        FROM p),
-      t AS (SELECT round(sum(contrib), 4) AS js_total FROM c)
-      SELECT cluster_id, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
-        round(contrib, 6) AS js_contrib, js_total
-      FROM c CROSS JOIN t ORDER BY cluster_id"""))
-
-  private val v13 = QuerySpec("v13_cluster_audit",
-    // Per-cluster IVF health report (Ann.clusterAudit): member count,
-    // mean member→centroid L2 (tightness), nearest-other-centroid L2
-    // (separation), and their Dunn-style ratio. v12 says the MASS
-    // moved; this says the GEOMETRY is bad — the two reports an index
-    // operator reads before spending a retrain. One narrow assignment
-    // scan + a k-group aggregate; the k×k separation matrix never
-    // leaves the driver. Same fixed 8-centroid table as v12/d13 so
-    // the assignment is inside the DuckDB oracle.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.clusterAudit(e, "embedding", "vec_id", cent, "cid", "cvec")
-        .orderBy("cluster_id")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      members AS (SELECT a.vec_id, a.cid,
-          ${l2Sql("a.embedding", "c.cvec")} AS d
-        FROM (SELECT vec_id, embedding, cid FROM assign WHERE crn = 1) a
-        JOIN cent c USING (cid)),
-      intra AS (SELECT cid, count(*) AS n, avg(d) AS mi
-        FROM members GROUP BY cid),
-      inter AS (SELECT a.cid, min(${l2Sql("a.cvec", "b.cvec")}) AS min_inter
-        FROM cent a JOIN cent b ON a.cid <> b.cid GROUP BY a.cid)
-      SELECT i.cid AS cluster_id, coalesce(n, 0) AS n,
-        round(mi, 6) AS mean_intra, round(min_inter, 6) AS min_inter,
-        CASE WHEN mi IS NULL OR mi = 0 THEN NULL
-          ELSE round(min_inter / mi, 6) END AS separation
-      FROM inter i LEFT JOIN intra USING (cid) ORDER BY cluster_id"""))
-
-  /** v14's trained-index artifact — MLlib-KMeans centroids + the
-    * cluster-partitioned IVF index, built ONCE per sf dir (the
-    * bandIndexFor pattern): train → broadcast-argmin assign →
-    * IndexStore write are INDEX-time cost, paid when the index is
-    * (re)built; repeated verify/bench runs then measure SERVE-time,
-    * the cost a query actually pays against an existing index. A lost
-    * race builds twice into separate temp dirs — wasteful, never
-    * wrong. */
-  private val trainedIvfRoots =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def trainedIvfFor(s: SparkSession, d: String): String =
-    trainedIvfRoots.getOrElseUpdate(d, {
-      val root =
-        java.nio.file.Files.createTempDirectory("graft_trained_ivf_").toString
-      val e = t(s, d, "embeddings")
-      val cent = Ann.trainCentroids(e, "embedding", k = 32, seed = 42L,
-        maxIter = 10)
-      cent.write.parquet(s"$root/centroids")
-      val assigned = Ann
-        .ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
-        .select(col("vec_id"), col("embedding"), col("cluster_id"))
-      graft.sources.IndexStore.write(assigned, s"$root/index")
-      root
-    })
-
-  private val v14 = QuerySpec("v14_trained_ivf_serve",
-    // Round-9 ask #2: the PRODUCTION index shape on the correctness
-    // clock. Every other s*/v9+ row assigns against toy fixed
-    // centroids (first-k vectors) precisely so DuckDB can replay the
-    // assignment; this query serves from an index whose centroids
-    // KMeans TRAINED (Ann.trainCentroids, seed-deterministic), stored
-    // cluster-partitioned and probed with static partition pruning
-    // (Ann.ivfSearchStore — the s9 serving shape). KMeans' iterative
-    // float reductions are not DuckDB-replayable, so the declared
-    // compensating checks are (the c1/t21 pattern):
-    //   1. identity: the served-from-store top-10 must equal the
-    //      inline ivfSearchBatch on the same centroid table row for
-    //      row — store round-trip and partition pruning change
-    //      nothing;
-    //   2. recall floor: recall@10 vs the exact kNN must clear 0.5,
-    //      raised loudly otherwise and REPORTED as data. The floor is
-    //      a broken-index alarm, not a quality SLA: random (broken)
-    //      bucketing at nprobe=8/32 would land near 0.25, while the
-    //      trained index measures 0.8 at sf0.01 and 0.6 at sf0.1 —
-    //      synthetic near-orthogonal embeddings are ANN's worst case,
-    //      and the honest contract is to report the measured number,
-    //      which the driver's hash then pins run-over-run.
-    // Both run under the identityGates flag: ON in Verify (the
-    // correctness artifact carries the stamp), OFF in the timed
-    // bench loop, which then measures pure serve cost.
-    (s, d) => {
-      val root = trainedIvfFor(s, d)
-      val cent = s.read.parquet(s"$root/centroids")
-      val e = t(s, d, "embeddings")
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      val served = Ann.ivfSearchStore(s, s"$root/index", "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 8)
-        .select(col("vec_id"), col("cluster_id"),
-          round(col("dist"), 6).as("dist"))
-        .orderBy("dist", "vec_id")
-      val (stamp, recall): (Boolean, java.lang.Double) =
-        if (!identityGates) (false, null)
-        else {
-          val servedRows = served.collect().toSeq
-            .map(r => (r.getLong(0), r.getDouble(2)))
-          val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
-            cent, "cid", "cvec")
-          val qs = e.filter(col("vec_id") === 0)
-            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          val inline = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
-              cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 8)
-            .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-            .orderBy("dist", "vec_id").collect().toSeq
-            .map(r => (r.getLong(0), r.getDouble(1)))
-          require(servedRows.nonEmpty && servedRows == inline,
-            s"trained-IVF store/inline identity violated: " +
-              s"served=$servedRows\ninline=$inline")
-          val exactIds = Knn.exact(e, "embedding", "vec_id", qv, 10)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          val rec = servedRows.map(_._1).toSet.intersect(exactIds).size / 10.0
-          require(rec >= 0.5,
-            s"trained-IVF recall@10 $rec below the 0.5 broken-index " +
-              "floor at nprobe=8/32 (random bucketing would be ~0.25)")
-          (true, Double.box(rec))
-        }
-      served.withColumn("recall_at_10", lit(recall).cast("double"))
-        .withColumn("identity_match", lit(stamp))
-    },
-    None)
-
-  private val v9 = QuerySpec("v9_ann_recall",
-    // ANN quality measurement: recall@10 of batch IVF (64 toy
-    // centroids, nprobe=8) against the exact batch kNN, per query.
-    // Both engines share the (dist, id) total order, so the top-10
-    // SETS are identical and recall is deterministic. This is the
-    // evaluation harness an approximate index needs before anyone
-    // trusts it at 100 TB — and it composes ivfAssignBig +
-    // ivfSearchBatch + the bounded TopK batch-exact path end-to-end.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 64)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
-      val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
-        cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 8)
-      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
-      exact.select(col("qid"), col("vec_id"))
-        .join(ivf.select(col("qid"), col("vec_id"), lit(1).as("__hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy("qid")
-        .agg(count(col("__hit")).as("n_hit"))
-        .select(col("qid"), col("n_hit"),
-          round(col("n_hit") / 10.0, 6).as("recall"))
-        .orderBy("qid")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 64),
-      q AS (SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id < 5),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probes AS (SELECT qid, qv, cluster_id FROM (
-        SELECT q.qid, q.qv, cid AS cluster_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
-        FROM cent CROSS JOIN q) WHERE pr <= 8),
-      ivf AS (SELECT qid, vec_id FROM (
-        SELECT p.qid, c.vec_id,
-          row_number() OVER (PARTITION BY p.qid
-            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
-        FROM clusters c JOIN probes p USING (cluster_id)) WHERE rnk <= 10),
-      exact AS (SELECT qid, vec_id FROM (
-        SELECT q.qid, e.vec_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
-        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10)
-      SELECT x.qid AS qid, CAST(count(i.vec_id) AS BIGINT) AS n_hit,
-        round(count(i.vec_id) / 10.0, 6) AS recall
-      FROM exact x LEFT JOIN ivf i
-        ON x.qid = i.qid AND x.vec_id = i.vec_id
-      GROUP BY x.qid ORDER BY qid"""))
-
-  private val v7 = QuerySpec("v7_knn_batch_topk",
-    // V2 at scale: bounded top-k AGGREGATION instead of a rank window —
-    // map-side partial heaps, exchange carries ≤k rows per query per
-    // partition. Same oracle as the window form (identical semantics).
-    (s, d) => {
-      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Knn.batchAgg(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv", 5)
-        .select(col("qid"), col("knn_rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
-        .orderBy("qid", "knn_rank")
-    },
-    Some(s"""SELECT qid, knn_rank, vec_id, round(dist, 6) AS dist FROM (
-      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-        ${l2Sql("e.embedding", "q.embedding")} AS dist,
-        row_number() OVER (PARTITION BY q.vec_id
-          ORDER BY ${l2Sql("e.embedding", "q.embedding")}, e.vec_id) AS knn_rank
-      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
-      WHERE knn_rank <= 5 ORDER BY qid, knn_rank"""))
-
-  private val v5 = QuerySpec("v5_knn_postfilter",
-    (s, d) => {
-      // F2 (main_remind.py:137-156): kNN first, substring filter AFTER.
-      val corpus = t(s, d, "embeddings")
-        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-      Knn.exact(corpus, "embedding", "vec_id", col("qv"), 50)
-        .filter(lower(col("text")).contains("join"))
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-        .orderBy("dist", "vec_id")
-    },
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      knn AS (
-        SELECT e.vec_id, doc.text, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q
-        ORDER BY dist, vec_id LIMIT 50)
-      SELECT vec_id, round(dist, 6) AS dist FROM knn
-      WHERE contains(lower(text), 'join') ORDER BY dist, vec_id"""))
-
-  private val v4 = QuerySpec("v4_ner_overlap",
-    (s, d) => {
-      val jobs = Seq("join", "merge", "sort", "scan").sorted.mkString("|")
-      val regions = Seq("row", "line", "column", "key").sorted.mkString("|")
-      // single-file table → repartition so the regex scan parallelizes
-      t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          regexp_extract(lower(col("text")), s"\\b($jobs)\\b", 1).as("doc_job"),
-          regexp_extract(lower(col("text")), s"\\b($regions)\\b", 1).as("doc_region"))
-        .withColumn("overlap", Rerank.nerOverlap(Seq(
-          (lit("join"), col("doc_job")), (lit("row"), col("doc_region")), (lit(""), lit("")))))
-        .filter(col("overlap") > 0)
-        .orderBy("doc_id")
-    },
-    Some {
-      val jobs = Seq("join", "merge", "sort", "scan").sorted.mkString("|")
-      val regions = Seq("row", "line", "column", "key").sorted.mkString("|")
-      def ov(u: String, dcol: String) =
-        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
-            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
-      s"""SELECT doc_id, doc_job, doc_region,
-        CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE) AS overlap
-      FROM (SELECT doc_id,
-        regexp_extract(lower(text), '\\b($jobs)\\b', 1) AS doc_job,
-        regexp_extract(lower(text), '\\b($regions)\\b', 1) AS doc_region
-        FROM documents)
-      WHERE ${ov("join", "doc_job")} + ${ov("row", "doc_region")} > 0
-      ORDER BY doc_id"""
-    })
-
-  private val a1 = QuerySpec("a1_stage_union_dedup",
-    (s, d) => {
-      // A2 stage merge + A1 keep-first priority dedup (main.py:173-181).
-      val corpus = t(s, d, "embeddings")
-        .join(t(s, d, "documents"), col("vec_id") === col("doc_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-      val s1 = Knn.exact(corpus.filter(col("text").contains("join")),
-        "embedding", "vec_id", col("qv"), 20).withColumn("stage_rank", lit(1))
-      val s2 = Knn.exact(corpus, "embedding", "vec_id", col("qv"), 20)
-        .withColumn("stage_rank", lit(2))
-      Dedup.keepFirst(s1.unionByName(s2).select("vec_id", "stage_rank", "dist"),
-          Seq("vec_id"), Seq(col("stage_rank"), col("dist"), col("vec_id")))
-        .select(col("vec_id"), col("stage_rank"), round(col("dist"), 6).as("dist"))
-        .orderBy("stage_rank", "dist", "vec_id")
-    },
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      corpus AS (SELECT e.vec_id, doc.text, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id CROSS JOIN q),
-      s1 AS (SELECT vec_id, 1 AS stage_rank, dist FROM corpus
-        WHERE contains(text, 'join') ORDER BY dist, vec_id LIMIT 20),
-      s2 AS (SELECT vec_id, 2 AS stage_rank, dist FROM corpus
-        ORDER BY dist, vec_id LIMIT 20),
-      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
-      dedup AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        ORDER BY stage_rank, dist, vec_id) AS rn FROM u)
-      SELECT vec_id, stage_rank, round(dist, 6) AS dist FROM dedup WHERE rn = 1
-      ORDER BY stage_rank, dist, vec_id"""))
-
-  private val a5 = QuerySpec("a5_topk_rank",
-    // rank window runs over the ≤5 post-limit rows; partitionBy(lit)
-    // declares the single partition INTENTIONAL (no WindowExec warning).
-    (s, d) => t(s, d, "documents")
-      .orderBy(desc("n_chars"), asc("doc_id")).limit(5)
-      .withColumn("rank",
-        row_number().over(
-          Window.partitionBy(lit(0)).orderBy(desc("n_chars"), asc("doc_id"))))
-      .select("rank", "doc_id", "n_chars"),
-    Some("""SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
-      doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5"""))
-
-  private val s1q = QuerySpec("s1_ann_cosine_topk",
-    (s, d) => {
-      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Knn.batch(t(s, d, "embeddings"), "embedding", "vec_id", qs, "qid", "qv",
-          10, metric = "cosine")
-        .select(col("qid"), col("knn_rank"), col("vec_id"),
-          round(-col("dist"), 6).as("cos"))
-        .orderBy("qid", "knn_rank")
-    },
-    Some(s"""SELECT qid, knn_rank, vec_id, round(cos, 6) AS cos FROM (
-      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-        ${cosineSql("e.embedding", "q.embedding")} AS cos,
-        row_number() OVER (PARTITION BY q.vec_id
-          ORDER BY -(${cosineSql("e.embedding", "q.embedding")}), e.vec_id) AS knn_rank
-      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
-      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
-
-  // ======================================================================
-  // Generators: G1 recursive chunker (no SQL oracle — imperative
-  // recursive semantics; ScalaTest-verified), G4 synonym expansion
-  // ======================================================================
-
-  /** Committed cross-language golden for the recursive chunker
-    * (generated by tools/golden_chunks.py — an independent Python
-    * implementation of the same published splitter semantics). */
-  private val ChunkerGolden = "/root/repo/src/test/resources/chunker_golden.json"
-
-  private val g1 = QuerySpec("g1_chunk_documents",
-    // G1 with a REAL oracle: the Spark chunker runs over the committed
-    // golden fixture's 24 input texts (each at its case's size/overlap
-    // config); DuckDB unnests the EXPECTED chunk arrays from the same
-    // JSON. A hash match means the distributed chunker reproduces the
-    // cross-language golden byte-identically — the ChunkerGoldenSpec
-    // parity, now enforced by the harness gate too. Fixture-driven
-    // like j1, not sf-dir-driven (a recursive splitter over sf-dir
-    // documents has no SQL-expressible expected output).
-    (s, _) => {
-      val cases = s.read.option("multiLine", true)
-        .schema("name STRING, chunk_size INT, overlap INT, text STRING, " +
-          "chunks ARRAY<STRING>")
-        .json(ChunkerGolden)
-      // one Chunker per (size, overlap) config present — bounded by
-      // the 24 fixture cases, collected once on the driver
-      val configs = cases.select("chunk_size", "overlap").distinct()
-        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-      configs.map { case (cs, ov) =>
-        Chunker(chunkSize = cs, overlap = ov)(
-          cases.filter(col("chunk_size") === cs && col("overlap") === ov), "text")
-          .select(col("name"), col("chunk_index"), col("chunk"))
-      }.reduce(_ unionByName _)
-        .orderBy("name", "chunk_index")
-    },
-    Some(s"""SELECT name, chunk_index, chunk FROM (
-        SELECT name, CAST(unnest(range(len(chunks))) AS INT) AS chunk_index,
-          unnest(chunks) AS chunk
-        FROM read_json('$ChunkerGolden'))
-      ORDER BY name, chunk_index"""))
-
-  private val g4 = QuerySpec("g4_synonym_expand",
-    (s, d) => {
-      import s.implicits._
-      val dict = Seq(("join", "merge"), ("join", "hash"), ("sort", "order"),
-        ("query", "scan"), ("query", "filter"), ("stream", "batch"))
-        .toDF("job", "syn")
-      broadcast(dict).join(t(s, d, "documents"), col("text").contains(col("syn")))
-        .groupBy("job", "syn")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-        .orderBy("job", "syn")
-    },
-    Some("""SELECT job, syn, count(*) AS n_docs, min(doc_id) AS first_doc
-      FROM (VALUES ('join','merge'),('join','hash'),('sort','order'),
-        ('query','scan'),('query','filter'),('stream','batch')) d(job, syn)
-      JOIN documents ON contains(text, syn)
-      GROUP BY job, syn ORDER BY job, syn"""))
-
-  /** Committed jobs.json-shaped fixture (synthetic postings, Korean
-    * keys and values, null/missing/empty requirement edges) — the
-    * nested-source ingest is fixture-driven, not sf-dir-driven. */
-  private val JobsFixture = "/root/repo/src/test/resources/jobs_fixture.json"
-
-  private val j1 = QuerySpec("j1_jobs_ingest",
-    // S1/G2 nested read+explode → G3/P2 requirement flatten → P1 clean
-    // → P3 combine → P5-style id, end-to-end on the REAL nested schema
-    // (build_vectorstore.py:104-161) via the library's own
-    // JobCorpus.readPostings + combine. The oracle re-derives the
-    // rendered combined text in DuckDB from the same JSON (read_json
-    // with Korean keys + MAP requirement groups), so every projection
-    // the offline build applies before chunking is hash-checked.
-    (s, _) => JobCorpus.combine(JobCorpus.readPostings(s, JobsFixture))
-      .select(col("posting_no"),
-        TextFunctions.cleanText(col("title")).as("title_clean"),
-        md5(col("combined_text")).as("combined_md5"),
-        length(col("combined_text")).as("n_chars"),
-        TextFunctions.chunkIdPortable(col("posting_no"), lit(0),
-          col("combined_text")).as("head_chunk_id"))
-      .orderBy("posting_no"),
-    Some(s"""WITH raw AS (
-        SELECT unnest("채용공고목록") AS p
-        FROM read_json('$JobsFixture',
-          columns = {
-            '검색조건': 'VARCHAR', '총_채용공고수': 'BIGINT', '수집일시': 'VARCHAR',
-            '채용공고목록': 'STRUCT("공고번호" BIGINT, "채용제목" VARCHAR,
-              "회사명" VARCHAR, "근무지역" VARCHAR, "급여조건" VARCHAR,
-              "채용공고ID" VARCHAR, "채용공고URL" VARCHAR,
-              "상세정보" STRUCT("직무내용" VARCHAR,
-                "세부요건" MAP(VARCHAR, VARCHAR[])[]))[]'
-          })),
-      cleaned AS (
-        SELECT p."공고번호" AS posting_no,
-          trim(regexp_replace(regexp_replace(p."채용제목", '<[^>]+>', '', 'g'),
-            '\n', ' ', 'g')) AS title_clean,
-          trim(regexp_replace(regexp_replace(p."회사명", '<[^>]+>', '', 'g'),
-            '\n', ' ', 'g')) AS company_clean,
-          trim(regexp_replace(regexp_replace(p."근무지역", '<[^>]+>', '', 'g'),
-            '\n', ' ', 'g')) AS region_clean,
-          trim(regexp_replace(regexp_replace(p."급여조건", '<[^>]+>', '', 'g'),
-            '\n', ' ', 'g')) AS salary_clean,
-          trim(regexp_replace(regexp_replace(p."상세정보"."직무내용",
-            '<[^>]+>', '', 'g'), '\n', ' ', 'g')) AS duties_clean,
-          coalesce(array_to_string(
-            flatten(list_transform(coalesce(p."상세정보"."세부요건", []),
-              m -> list_transform(map_entries(m),
-                e -> e.key || ': ' || array_to_string(e.value, ' ')))),
-            chr(10)), '') AS req_text
-        FROM raw),
-      combined AS (
-        SELECT posting_no, title_clean,
-          '채용제목: ' || coalesce(title_clean, '') || chr(10) ||
-          '회사명: ' || coalesce(company_clean, '') || chr(10) ||
-          '근무지역: ' || coalesce(region_clean, '') || chr(10) ||
-          '급여조건: ' || coalesce(salary_clean, '') || chr(10) ||
-          '직무내용: ' || coalesce(duties_clean, '') || chr(10) ||
-          '세부요건:' || chr(10) || req_text AS combined
-        FROM cleaned)
-      SELECT posting_no, title_clean, md5(combined) AS combined_md5,
-        len(combined) AS n_chars,
-        regexp_replace(posting_no || '_chunk0_' ||
-          substr(md5(substr(combined, 1, 50)), 1, 16),
-          '[^a-zA-Z0-9_-]', '_', 'g') AS head_chunk_id
-      FROM combined ORDER BY posting_no"""))
-
-  // ======================================================================
-  // Multimodal plumbing: opaque binary + typed metadata (north star).
-  // Decode itself is an external boundary (stubbed deterministically in
-  // graft.multimodal); the engine-side schema/partition plumbing is real.
-  // ======================================================================
-
-  private val m1 = QuerySpec("m1_multimodal_meta",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
-      .select(col("doc_id"),
-        octet_length(col("content")).as("n_bytes"),
-        substring(md5(col("content").cast("string")), 1, 16).as("content_key"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
-      substr(md5(text), 1, 16) AS content_key
-      FROM documents ORDER BY doc_id"""))
-
-  // ======================================================================
-  // Round-2 coverage: A3 audit, P9/P12 projections, A9 padding, A6/A10
-  // rerank, sliding windows (streaming's batch twin), IVF ANN scale
-  // path, per-language term profiles, multimodal frame plumbing, and
-  // the P7/P8/F3 JSON round trip.
-  // ======================================================================
-
-  private val a3 = QuerySpec("a3_dup_audit",
-    // A3 (build_vectorstore.py:260-270): duplicate-business-key audit.
-    (s, d) => t(s, d, "lineitem")
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
-      .filter(col("n_lines") > 1)
-      .orderBy("l_orderkey"),
-    Some("""SELECT l_orderkey, count(*) AS n_lines FROM lineitem
-      GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""))
-
-  private val p9 = QuerySpec("p9_snippet",
-    // P9 (main.py:236-250): display snippet with 정보없음 defaults and
-    // a substring-of-text description fallback.
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        concat(
-          lit("제목: "), coalesce(nullif(col("source"), lit("")), lit("정보없음")),
-          lit("\n언어: "), coalesce(nullif(col("lang"), lit("")), lit("정보없음")),
-          lit("\n요약: "), regexp_replace(substring(col("text"), 1, 100), "\n", " "))
-          .as("snippet"))
-      .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      '제목: ' || coalesce(nullif(source, ''), '정보없음') || chr(10) ||
-      '언어: ' || coalesce(nullif(lang, ''), '정보없음') || chr(10) ||
-      '요약: ' || regexp_replace(substr(text, 1, 100), '\n', ' ', 'g') AS snippet
-      FROM documents ORDER BY doc_id"""))
-
-  private val p12 = QuerySpec("p12_condition_render",
-    // P12 (main.py:263-271): render only the present NER fields.
-    (s, d) => {
-      val job = nullif(regexp_extract(lower(col("text")),
-        "\\b(join|merge|sort|scan)\\b", 1), lit(""))
-      val region = nullif(regexp_extract(lower(col("text")),
-        "\\b(row|line|column|key)\\b", 1), lit(""))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          concat_ws(", ",
-            when(job.isNotNull, concat(lit("직무="), job)),
-            when(region.isNotNull, concat(lit("근무지역="), region)))
-            .as("condition"))
-        .orderBy("doc_id")
-    },
-    Some("""SELECT doc_id, concat_ws(', ',
-        CASE WHEN job <> '' THEN '직무=' || job END,
-        CASE WHEN region <> '' THEN '근무지역=' || region END) AS condition
-      FROM (SELECT doc_id,
-        regexp_extract(lower(text), '\b(join|merge|sort|scan)\b', 1) AS job,
-        regexp_extract(lower(text), '\b(row|line|column|key)\b', 1) AS region
-        FROM documents)
-      ORDER BY doc_id"""))
-
-  private val a9 = QuerySpec("a9_score_padding",
-    // A9 (main.py:319-321): positional zip of a short score list onto a
-    // longer doc list; missing scores pad to 0.
-    (s, d) => {
-      // ≤10 post-limit rows per window; lit-partition = intentional.
-      val w = Window.partitionBy(lit(0)).orderBy("doc_id")
-      val docs = t(s, d, "documents").select("doc_id")
-        .orderBy("doc_id").limit(10)
-        .withColumn("rn", row_number().over(w))
-      val scores = t(s, d, "documents").select("doc_id", "n_chars")
-        .orderBy("doc_id").limit(6)
-        .withColumn("rn", row_number().over(w))
-        .select(col("rn"), (col("n_chars") % 5).cast("double").as("llm_score"))
-      docs.join(scores, Seq("rn"), "left")
-        .select(col("rn"), col("doc_id"),
-          coalesce(col("llm_score"), lit(0.0)).as("llm_score"))
-        .orderBy("rn")
-    },
-    Some("""WITH docs AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)),
-      scores AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
-        CAST(n_chars % 5 AS DOUBLE) AS llm_score
-        FROM (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 6))
-      SELECT docs.rn, doc_id, coalesce(llm_score, 0.0) AS llm_score
-      FROM docs LEFT JOIN scores ON docs.rn = scores.rn ORDER BY docs.rn"""))
-
-  private val r1 = QuerySpec("r1_hybrid_rerank",
-    // A6+A10 (main.py:298-324): 0.7·judge + 0.3·rule, sort desc — the
-    // rerank tail of the cascade, oracle-checked in isolation with the
-    // deterministic judge double.
-    (s, d) => {
-      val txt = lower(col("text"))
-      val judge = round(lit(5.0) *
-        (when(txt.contains("join"), 1).otherwise(0) +
-         when(txt.contains("row"), 1).otherwise(0)) / 2, 0).cast("double")
-      val docJob = regexp_extract(txt, "\\b(join|merge|sort|scan)\\b", 1)
-      val docRegion = regexp_extract(txt, "\\b(row|line|column|key)\\b", 1)
-      val rule = Rerank.nerOverlap(Seq(
-        (lit("join"), docJob), (lit("row"), docRegion), (lit(""), lit(""))))
-      t(s, d, "documents")
-        .select(col("doc_id"), judge.as("judge_score"), rule.as("rule_score"))
-        .withColumn("score",
-          Rerank.combined(col("judge_score"), col("rule_score")))
-        .orderBy(desc("score"), asc("doc_id")).limit(20)
-        .select(col("doc_id"), col("judge_score"), col("rule_score"),
-          round(col("score"), 6).as("score"))
-    },
-    Some {
-      def ov(u: String, dcol: String) =
-        s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
-            AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
-      s"""SELECT doc_id, judge_score, rule_score, round(score, 6) AS score FROM (
-        SELECT doc_id, judge_score, rule_score,
-          0.7 * judge_score + 0.3 * rule_score AS score FROM (
-          SELECT doc_id,
-            CAST(round(5.0 * (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
-              + CASE WHEN contains(lower(text), 'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
-              AS judge_score,
-            CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} AS DOUBLE) AS rule_score
-          FROM (SELECT doc_id, text,
-            regexp_extract(lower(text), '\\b(join|merge|sort|scan)\\b', 1) AS doc_job,
-            regexp_extract(lower(text), '\\b(row|line|column|key)\\b', 1) AS doc_region
-            FROM documents)))
-        ORDER BY score DESC, doc_id LIMIT 20"""
-    })
-
-  private val e3 = QuerySpec("e3_events_sliding",
-    // Sliding 10-min/5-min windows (each event in exactly 2 windows) —
-    // the batch twin of graft.streaming.EventStream.slidingCounts.
-    (s, d) => events(s, d)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-        col("event_type"), col("n"), col("sum_value"))
-      .orderBy("w_start", "event_type"),
-    Some("""WITH e AS (SELECT epoch_ns(ts) AS ns, event_type, value FROM events),
-      wins AS (SELECT unnest([(ns // 300000000000) * 300,
-                              (ns // 300000000000) * 300 - 300]) AS ws,
-               event_type, value FROM e)
-      SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
-        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-      FROM wins GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val s2 = QuerySpec("s2_ann_ivf",
-    // IVF ANN scale path: centroids → narrow argmin assignment →
-    // nprobe-pruned exact top-k (partition pruning when the assigned
-    // table is stored partitionBy(cluster_id)).
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      val assigned = Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
-      Ann.ivfSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
-          qv, k = 10, nprobe = 2)
-        .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id, ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val int8Paths = scala.collection.concurrent.TrieMap.empty[String, String]
-  /** Stored int8 code table (Ann.quantizedEncode): the 4×-smaller
-    * artifact s10's stage one scans instead of the fp corpus. */
-  private def int8TableFor(s: SparkSession, d: String): String =
-    int8Paths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_int8_codes_").toString + "/codes"
-      Ann.quantizedEncode(t(s, d, "embeddings"), "embedding", "vec_id")
-        .write.parquet(p)
-      p
-    })
-
-  private val s10 = QuerySpec("s10_int8_served",
-    // s5 SERVED from the stored int8 code table (the s8 treatment for
-    // the scalar-quantization family): stage one reads ONLY the codes
-    // — the fp corpus is untouched until the ≤ k·candMult survivors
-    // rerank via broadcast join. Same arithmetic, orders and cuts as
-    // s5, so row-identical by construction — the oracle IS s5's.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      Ann.quantizedSearchEncoded(s.read.parquet(int8TableFor(s, d)), e,
-          "embedding", "vec_id", qv, k = 10, candMult = 4)
-        .select(col("vec_id"), round(col("approx_cos"), 6).as("approx_cos"),
-          round(col("cos"), 6).as("cos"))
-    },
-    Some(int8SearchOracle))
-
-  private val s5 = QuerySpec("s5_quantized_search",
-    // Search over the int8-quantized store (s3's artifact put to
-    // work): approx-cosine candidates from the dequantized codes —
-    // the 4×-smaller representation a 100 TB scan reads — then exact
-    // rerank of the top-40 survivors only. Both stages are total-
-    // ordered (score desc, id), so the two-stage cut is deterministic
-    // and the oracle replays it stage for stage.
-    (s, d) => {
-      val e = t(s, d, "embeddings").crossJoin(broadcast(
-        queryVec(s, d, 0).select(col("qv").cast("array<double>").as("qv"))))
-      Ann.quantizedSearch(e, "embedding", "vec_id", col("qv"), k = 10, candMult = 4)
-        .select(col("vec_id"), round(col("approx_cos"), 6).as("approx_cos"),
-          round(col("cos"), 6).as("cos"))
-    },
-    Some(int8SearchOracle))
-
-  /** Shared by s5 (inline) and s10 (served) — identical pipelines by
-    * construction, one oracle. */
-  private lazy val int8SearchOracle: String =
-    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        FROM embeddings WHERE vec_id = 0),
-      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings),
-      m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM e),
-      sc AS (SELECT vec_id, e, mn,
-        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m),
-      dq AS (SELECT vec_id, e,
-        list_transform(e, x -> CAST(round((x - mn) / scale, 0) AS INT) * scale + mn) AS deq
-        FROM sc),
-      cand AS (SELECT vec_id, e, ${cosineSql("deq", "qv")} AS approx_cos
-        FROM dq CROSS JOIN q ORDER BY approx_cos DESC, vec_id LIMIT 40)
-      SELECT vec_id, round(approx_cos, 6) AS approx_cos,
-        round(${cosineSql("e", "qv")}, 6) AS cos
-      FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"""
-
-  /** DuckDB mirror of the PQ pipeline (Ann.pqEncode + pqSearch) over a
-    * `pool` relation with (vec_id, embedding): deterministic codebook
-    * (subvectors of vec_id < 16, m=4 × subDim=16 over dim 64), argmin
-    * encode with (dist, code) tie-break, query LUT, ADC candidate cut
-    * at `candLimit` — the exact Spark fold order (j ascending,
-    * left-assoc adds, sqrt last). Expects a `q(qv)` CTE in scope.
-    * Shared by s6 (whole corpus) and s7 (IVF-probed pool) so the two
-    * oracles can never drift on the quantization arithmetic. */
-  private def pqCtes(pool: String, candLimit: Int): String =
-    s"""subs AS (SELECT j FROM unnest([0, 1, 2, 3]) AS t(j)),
-      cb AS (SELECT j AS sub_idx, vec_id AS code,
-          list_transform(embedding[j*16+1 : j*16+16], x -> CAST(x AS DOUBLE)) AS subvec
-        FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
-      enc AS (SELECT vec_id, sub_idx, code FROM (
-        SELECT e.vec_id, c.sub_idx, c.code,
-          row_number() OVER (PARTITION BY e.vec_id, c.sub_idx ORDER BY
-            list_sum(list_transform(range(1, 17),
-              i -> (CAST(e.embedding[c.sub_idx*16 + i] AS DOUBLE) - c.subvec[i])**2)),
-            c.code) AS rn
-        FROM $pool e CROSS JOIN cb c) WHERE rn = 1),
-      wide AS (SELECT vec_id,
-          max(CASE WHEN sub_idx = 0 THEN code END) AS c0,
-          max(CASE WHEN sub_idx = 1 THEN code END) AS c1,
-          max(CASE WHEN sub_idx = 2 THEN code END) AS c2,
-          max(CASE WHEN sub_idx = 3 THEN code END) AS c3
-        FROM enc GROUP BY vec_id),
-      lut AS (SELECT sub_idx, code,
-          list_sum(list_transform(range(1, 17),
-            i -> (q.qv[sub_idx*16 + i] - subvec[i])**2)) AS pd
-        FROM cb CROSS JOIN q),
-      lutl AS (SELECT
-          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 0) AS l0,
-          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 1) AS l1,
-          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 2) AS l2,
-          (SELECT list(pd ORDER BY code) FROM lut WHERE sub_idx = 3) AS l3),
-      cand AS (SELECT w.vec_id,
-          sqrt(l0[w.c0 + 1] + l1[w.c1 + 1] + l2[w.c2 + 1] + l3[w.c3 + 1]) AS approx_dist
-        FROM wide w CROSS JOIN lutl
-        ORDER BY approx_dist, vec_id LIMIT $candLimit)"""
-
-  /** Exact-rerank tail shared by the s6/s7 oracles. */
-  private def pqFinalSelect(pool: String, k: Int): String =
-    s"""SELECT vec_id, round(approx_dist, 6) AS approx_dist, round(dist, 6) AS dist
-      FROM (SELECT c.vec_id, c.approx_dist, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM cand c JOIN $pool e USING (vec_id) CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT $k"""
-
-  /** The deterministic oracle codebook shared by s6/s7/s8 (subvectors
-    * of vec_id < 16 → m=4 × 16-codeword subspaces over dim 64) — kept
-    * in ONE place so the three queries can never drift on the
-    * quantization setup, exactly like [[pqCtes]] on the oracle side. */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
-    val embD = col("embedding").cast("array<double>")
-    t(s, d, "embeddings").filter(col("vec_id") < 16)
-      .select(explode(array((0 until 4).map(j => struct(
-        lit(j).as("sub_idx"), col("vec_id").as("code"),
-        slice(embD, j * 16 + 1, 16).as("subvec"))): _*)).as("r"))
-      .select(col("r.sub_idx"), col("r.code"), col("r.subvec"))
-  }
-
-  /** The s6 query-vector collect shared with s7/s8. */
-  private def pqQueryVec(s: SparkSession, d: String): Array[Double] =
-    t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-
-  /** One oracle for s6 AND s8: the two Spark paths (inline encode vs
-    * pre-stored codes) are row-identical by construction (AnnSpec
-    * asserts), so they share the SQL verbatim. */
-  private val pqSearchOracle: String =
-    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        FROM embeddings WHERE vec_id = 0),
-      ${pqCtes(pool = "embeddings", candLimit = 40)}
-      ${pqFinalSelect(pool = "embeddings", k = 10)}"""
-
-  private val s6 = QuerySpec("s6_pq_search",
-    // Product quantization (Jégou et al. 2011): the corpus is stored
-    // as m=4 codes over 16-codeword subspace codebooks (4 small ints
-    // instead of 64 floats — the representation a 100 TB deployment
-    // scans), searched by ADC (query-side LUT of subspace squared
-    // distances, m lookups + adds per row), then the top k·candMult
-    // survivors rerank exactly. Deterministic codebook (subvectors of
-    // vec_id < 16) so encode + LUT + both cuts sit inside the DuckDB
-    // oracle; production codebooks come from Ann.pqTrainCodebooks
-    // (per-subspace MLlib k-means), the same swap as s2 → s4.
-    // NOTE: this form times index-BUILD + search (encode is inline,
-    // measured ~90% of the cost); s8 times the serving path against
-    // the pre-stored code artifact.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      Ann.pqSearch(e, "embedding", "vec_id", pqCodebook(s, d), pqQueryVec(s, d),
-          k = 10, candMult = 4)
-        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(pqSearchOracle))
-
-  /** PQ code table persisted ONCE per sf dir (the d12 band-index /
-    * i1 posting-index pattern): `pqEncodeBig` output — (vec_id,
-    * pq_codes), the m-small-ints-per-vector artifact an index build
-    * emits — written to parquet so s8 measures what a deployment
-    * actually pays per query: a codes-only columnar scan + bounded
-    * rerank, with the encode cost paid once here at "index time".
-    * TrieMap-guarded for the same reason as [[bandIndexPaths]]: a
-    * lost race builds the artifact twice, never wrong. */
-  private val pqCodePaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def pqCodeTableFor(s: SparkSession, d: String): String =
-    pqCodePaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_pq_codes_").toString + "/codes"
-      Ann.pqEncodeBig(t(s, d, "embeddings"), "embedding", pqCodebook(s, d))
-        .select("vec_id", "pq_codes")
-        .write.parquet(p)
-      p
-    })
-
-  private val s8 = QuerySpec("s8_pq_served",
-    // The PQ SERVING path (what a deployment runs per query): stage
-    // one scans ONLY the pre-stored (vec_id, pq_codes) parquet — m
-    // bytes per vector, never the fp embeddings — ADC-scores it with
-    // the query-side LUT, and the ≤ k·candMult survivors broadcast
-    // into a semi-lookup against the vector table for the exact
-    // rerank. Encode cost (90% of s6's time) moved to index build
-    // where production pays it once. Row-identical to s6 by
-    // construction (same codebook, same cuts, same tie-breaks;
-    // AnnSpec asserts) — the oracle IS s6's.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      Ann.pqSearchEncoded(s.read.parquet(pqCodeTableFor(s, d)), e,
-          "embedding", "vec_id", pqCodebook(s, d), pqQueryVec(s, d),
-          k = 10, candMult = 4)
-        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(pqSearchOracle))
-
-  /** One oracle for s7 AND s9 (the inline/served IVFADC pair — the
-    * s6/s8 relationship one pruning level up). */
-  private val ivfPqOracle: String =
-    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        FROM embeddings WHERE vec_id = 0),
-      cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 2),
-      pool AS (SELECT c.vec_id, c.embedding
-        FROM clusters c JOIN probe USING (cluster_id)),
-      ${pqCtes(pool = "pool", candLimit = 40)}
-      ${pqFinalSelect(pool = "pool", k = 10)}"""
-
-  /** Cluster-keyed PQ code table persisted ONCE per sf dir — the IVFADC
-    * index artifact (coarse assignment + codes, both build-time costs),
-    * written partitionBy(cluster_id) so s9's probe prunes partitions at
-    * the reader (the ivfSearchStore layout). */
-  private val ivfVecPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  /** Stored plain-IVF index with toy (DuckDB-replayable) centroids:
-    * full vectors + the `label` metadata column, cluster-partitioned
-    * by IndexStore.write — the layout v15's filtered serve reads with
-    * static partition pruning + predicate pushdown in one scan. */
-  private def ivfVecTableFor(s: SparkSession, d: String): String =
-    ivfVecPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_vecs_").toString + "/index"
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      graft.sources.IndexStore.write(
-        Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
-          .select("cluster_id", "vec_id", "embedding", "label"), p)
-      p
-    })
-
-  private val v15 = QuerySpec("v15_filtered_ivf_serve",
-    // Metadata-filtered ANN serving (Ann.ivfSearchStoreWhere): the
-    // "vector search WHERE tenant/license/label = ..." shape every
-    // production vector store exposes, served from the stored
-    // cluster-partitioned index so both prunings land in ONE scan —
-    // the probe list as static PartitionFilters, the label predicate
-    // as parquet PushedFilters (AnnSpec pins both in the plan).
-    // PRE-filter semantics: exact top-k among matching rows inside
-    // the probed clusters. Toy centroids keep the whole composition
-    // DuckDB-replayable — assignment, probe rule, filter, cut and
-    // tie-breaks all hash-checked.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      Ann.ivfSearchStoreWhere(s, ivfVecTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3,
-          predicate = col("label").isin(0, 2, 4))
-        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-          col("label"), round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, e.label, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, label, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
-      SELECT vec_id, cluster_id, label, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id, c.label,
-          ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q
-        WHERE c.label IN (0, 2, 4))
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val v16 = QuerySpec("v16_tombstone_ivf_serve",
-    // Tombstone-aware ANN serving (Ann.ivfSearchStoreExcluding): the
-    // deletes-between-rebuilds shape every production vector store
-    // has to handle — the cluster-partitioned index stays immutable,
-    // deletes accumulate in a small tombstone table, and serving
-    // anti-joins it (broadcast) BEFORE the exact cut so a deleted id
-    // can never surface and top-k stays exact over live rows. Every
-    // 17th vector is deleted — including vec_id 0, the query vector
-    // itself, so the query-for-a-deleted-doc path is exercised too.
-    // Probe pruning is s9/v15's static PartitionFilters; the oracle
-    // replays assignment, probe rule, delete set, cut and tie-breaks.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      val tomb = e.filter(col("vec_id") % 17 === 0)
-        .select(col("vec_id").as("deleted_id"))
-      Ann.ivfSearchStoreExcluding(s, ivfVecTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3,
-          tombstones = tomb, tombIdCol = "deleted_id")
-        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id,
-          ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q
-        WHERE c.vec_id % 17 <> 0)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  /** v17 artifact: the full corpus indexed once, then every 13th doc
-    * RE-EMBEDDED (deterministically borrows its successor's vector —
-    * DuckDB-replayable; the last doc, successor-less, keeps its own)
-    * and upserted via [[graft.sources.IndexStore.upsertReassigned]],
-    * which purges each old copy from its ORIGINAL cluster before the
-    * new row lands in its possibly-different one. Build + upsert are
-    * cached build-time costs (the s9/v15 treatment); the timed query
-    * is the serve. The upsert is idempotent, so a cache miss after a
-    * restart just re-applies it. */
-  private val upsertIvfPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def upsertedIvfTableFor(s: SparkSession, d: String): String =
-    upsertIvfPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_upsert_").toString + "/index"
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      graft.sources.IndexStore.write(
-        Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
-          .select("cluster_id", "vec_id", "embedding"), p)
-      val nxt = e.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-      val delta = e.filter(col("vec_id") % 13 === 0)
-        .join(nxt, col("nid") === col("vec_id") + 1, "left")
-        .select(col("vec_id"), coalesce(col("nemb"), col("embedding")).as("embedding"))
-      graft.sources.IndexStore.upsertReassigned(s, p,
-        Ann.ivfAssign(delta, "embedding", "vec_id", cent, "cid", "cvec")
-          .select("cluster_id", "vec_id", "embedding"), "vec_id")
-      p
-    })
-
-  private val v17 = QuerySpec("v17_ivf_upsert_serve",
-    // Serving after an in-place index UPSERT with cluster moves: every
-    // 13th doc re-embedded (successor's vector), so its Voronoi cell —
-    // and with it the cluster directory holding it — can change.
-    // IndexStore.upsertReassigned rewrites ONLY the affected cluster
-    // partitions: old copies are purged wherever they lived, new rows
-    // land re-assigned, untouched clusters' files are never read
-    // (cost ∝ batch + affected partitions — the i2/d15 economics
-    // applied to the vector index). The serve is the plain s9/v15
-    // partition-pruned read; the oracle replays re-embedding,
-    // assignment over the MERGED corpus, probe rule, cut and
-    // tie-breaks, so a stale un-purged copy or a lost row would flip
-    // the hash. IndexStoreSpec pins merged == from-scratch identity.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      Ann.ivfSearchStore(s, upsertedIvfTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3)
-        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      corpus AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0
-        UNION ALL
-        SELECT e.vec_id, coalesce(n.embedding, e.embedding) AS embedding
-          FROM embeddings e LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1
-          WHERE e.vec_id % 13 = 0),
-      assign AS (SELECT c0.vec_id, c0.embedding, cid,
-        row_number() OVER (PARTITION BY c0.vec_id
-          ORDER BY ${l2Sql("c0.embedding", "cvec")}, cid) AS crn
-        FROM corpus c0 CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id,
-          ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val v19 = QuerySpec("v19_ivf_batch_serve",
-    // BATCH serving from the stored index (Ann.ivfSearchStoreBatch):
-    // the throughput shape a production deployment actually runs —
-    // a query batch amortizes ONE scan of the stored index instead
-    // of per-query round-trips. The union of all probed clusters
-    // becomes a static PartitionFilters isin on the cluster_id
-    // layout (the scan lists only directories some query probes);
-    // inside it, the broadcast probe join fans rows out only to the
-    // queries probing their cluster, and the bounded TopK aggregation
-    // ships ≤ k rows per (query × partition). The oracle replays
-    // per-query probe selection and per-query exact top-k inside the
-    // probed clusters, rank column included.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Ann.ivfSearchStoreBatch(s, ivfVecTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qs, "qid", "qv",
-          k = 10, nprobe = 3)
-        .select(col("qid"), col("knn_rank"), col("vec_id"),
-          round(col("dist"), 6).as("dist"))
-        .orderBy("qid", "knn_rank")
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id < 5),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probes AS (SELECT qid, qv, cluster_id FROM (
-        SELECT q.qid, q.qv, cid AS cluster_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
-        FROM cent CROSS JOIN q) WHERE pr <= 3)
-      SELECT qid, CAST(rnk AS INT) AS knn_rank, vec_id,
-        round(dist, 6) AS dist FROM (
-        SELECT p.qid, c.vec_id, ${l2Sql("c.embedding", "p.qv")} AS dist,
-          row_number() OVER (PARTITION BY p.qid
-            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
-        FROM clusters c JOIN probes p USING (cluster_id))
-      WHERE rnk <= 10 ORDER BY qid, knn_rank"""))
-
-  /** v20's occupancy table, computed once per sf dir (the index is
-    * immutable here): the sizes input a serving loop keeps per index
-    * version instead of re-scanning occupancy per query. */
-  private val ivfSizesCache = scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
-  private def ivfSizesFor(s: SparkSession, d: String): Map[Long, Long] =
-    ivfSizesCache.getOrElseUpdate(d, Ann.clusterSizes(s, ivfVecTableFor(s, d)))
-
-  private val v20 = QuerySpec("v20_adaptive_probe",
-    // ADAPTIVE-nprobe serving (Ann.ivfSearchStoreAdaptive): the probe
-    // count is not a config constant but the fewest distance-ranked
-    // clusters whose stored occupancies cover k·candMult candidates —
-    // a pure function of the index and the query vector, so the
-    // whole adaptive decision is replayed in SQL (cumulative sum over
-    // ranked cluster sizes) and hash-checked, not just spot-tested.
-    // The emitted n_probed is the serving monitor's occupancy-drift
-    // dial. Same static-PartitionFilters scan as v14/s9; toy
-    // centroids keep assignment DuckDB-replayable. At sf0.01 (500
-    // vecs, 8 clusters) target 100 probes ~2 clusters; at sf0.1 the
-    // denser clusters cover it with 1 — the per-sf variation IS the
-    // adaptivity, pinned per-sf by the driver's hash.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      Ann.ivfSearchStoreAdaptive(s, ivfVecTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, candMult = 10,
-          maxProbe = 8, ivfSizesFor(s, d))
-        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-          round(col("dist"), 6).as("dist"), col("n_probed"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1),
-      ranked AS (SELECT cid, row_number() OVER (
-          ORDER BY ${l2Sql("cvec", "qv")}, cid) AS rn
-        FROM cent CROSS JOIN q),
-      cum AS (SELECT rn, cid, sum(coalesce(n, 0)) OVER (ORDER BY rn) AS c
-        FROM ranked LEFT JOIN sizes ON cid = cluster_id),
-      pick AS (SELECT coalesce(min(CASE WHEN c >= 100 THEN rn END),
-          (SELECT max(rn) FROM cum)) AS p FROM cum),
-      probed AS (SELECT cid FROM cum, pick WHERE rn <= p)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist,
-        (SELECT p FROM pick) AS n_probed FROM (
-        SELECT cl.vec_id, cl.cluster_id,
-          ${l2Sql("cl.embedding", "qv")} AS dist
-        FROM clusters cl JOIN probed ON cl.cluster_id = probed.cid
-        CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  /** One candidate index's half of the v21 A/B oracle: assignment,
-    * probe selection, IVF top-10, per-query recall vs the shared
-    * exact top-10, per-query candidate volume, and the per-index
-    * roll-up — all tagged so two candidates coexist in one WITH. */
-  private def abIndexSql(tag: String, centWhere: String): String =
-    s"""cent_$tag AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE $centWhere),
-      assign_$tag AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent_$tag),
-      clusters_$tag AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign_$tag WHERE crn = 1),
-      sizes_$tag AS (SELECT cluster_id, count(*) AS csz
-        FROM clusters_$tag GROUP BY 1),
-      probes_$tag AS (SELECT qid, qv, cluster_id FROM (
-        SELECT q.qid, q.qv, cid AS cluster_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
-        FROM cent_$tag CROSS JOIN q) WHERE pr <= 2),
-      ivf_$tag AS (SELECT qid, vec_id FROM (
-        SELECT p.qid, c.vec_id,
-          row_number() OVER (PARTITION BY p.qid
-            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
-        FROM clusters_$tag c JOIN probes_$tag p USING (cluster_id))
-        WHERE rnk <= 10),
-      rec_$tag AS (SELECT ex.qid,
-          count(iv.vec_id) / 10.0 AS recall
-        FROM exact ex LEFT JOIN ivf_$tag iv
-          ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
-        GROUP BY ex.qid),
-      cand_$tag AS (SELECT p.qid, sum(s.csz) AS n_cand
-        FROM probes_$tag p JOIN sizes_$tag s USING (cluster_id)
-        GROUP BY p.qid),
-      m_$tag AS (SELECT '$tag' AS index_id,
-        round(avg(recall), 6) AS mean_recall,
-        round(avg(n_cand), 2) AS mean_candidates
-        FROM rec_$tag JOIN cand_$tag USING (qid))"""
-
-  private val v21 = QuerySpec("v21_index_ab_gate",
-    // The index RELEASE GATE: two candidate IVF indexes (different
-    // centroid sets) scored on the same query set — mean recall@10
-    // vs the shared exact top-10 and mean probed-candidate volume
-    // (the serving-cost proxy) — with the winner picked by
-    // (recall desc, cost asc, id asc). This is the comparison
-    // IndexMaintenance's validate step runs before a flip, here as a
-    // first-class oracle-checked report: toy centroid sets keep BOTH
-    // candidates' assignment/probe/recall math DuckDB-replayable, so
-    // the verdict itself is hash-checked, not asserted.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
-        .select(col("qid"), col("vec_id"))
-      def evalIndex(tag: String, cent: DataFrame): DataFrame = {
-        val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
-          cent, "cid", "cvec")
-        val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
-            cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = 2)
-          .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
-        val rec = exact.join(ivf, Seq("qid", "vec_id"), "left")
-          .groupBy("qid").agg((count(col("__hit")) / 10.0).as("recall"))
-        val sizes = assigned.groupBy("cluster_id")
-          .agg(count(lit(1)).as("csz"))
-        val pw = Window.partitionBy("qid")
-          .orderBy(col("__qd"), col("cid"))
-        val probes = qs.crossJoin(broadcast(cent))
-          .withColumn("__qd", VectorFunctions.l2(col("cvec"), col("qv")))
-          .withColumn("__pr", row_number().over(pw))
-          .filter(col("__pr") <= 2)
-          .select(col("qid"), col("cid").as("cluster_id"))
-        val cand = probes.join(sizes, Seq("cluster_id"))
-          .groupBy("qid").agg(sum("csz").as("n_cand"))
-        rec.join(cand, Seq("qid"))
-          .agg(round(avg("recall"), 6).as("mean_recall"),
-            round(avg("n_cand"), 2).as("mean_candidates"))
-          .select(lit(tag).as("index_id"), col("mean_recall"),
-            col("mean_candidates"))
-      }
-      val cA = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val cB = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val both = evalIndex("a", cA).unionByName(evalIndex("b", cB))
-      val ww = Window.orderBy(desc("mean_recall"),
-        asc("mean_candidates"), asc("index_id"))
-      both.withColumn("is_winner", row_number().over(ww) === 1)
-        .orderBy("index_id")
-    },
-    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id < 5),
-      exact AS (SELECT qid, vec_id FROM (
-        SELECT q.qid, e.vec_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
-        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
-      ${abIndexSql("a", "vec_id < 8")},
-      ${abIndexSql("b", "vec_id >= 8 AND vec_id < 16")},
-      ab AS (SELECT * FROM m_a UNION ALL SELECT * FROM m_b)
-      SELECT index_id, mean_recall, mean_candidates,
-        (row_number() OVER (ORDER BY mean_recall DESC,
-          mean_candidates ASC, index_id ASC) = 1) AS is_winner
-      FROM ab ORDER BY index_id"""))
-
-  /** v18 artifact: a private copy of the v15/v16 index layout with
-    * v16's tombstone set (every 17th id) COMPACTED into the files —
-    * only the clusters holding a tombstoned row are rewritten, and a
-    * fully-emptied cluster loses its directory. Cached build-time
-    * cost; the timed query is the post-compaction serve. */
-  private val compactIvfPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def compactedIvfTableFor(s: SparkSession, d: String): String =
-    compactIvfPaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_compact_").toString + "/index"
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      graft.sources.IndexStore.write(
-        Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
-          .select("cluster_id", "vec_id", "embedding"), p)
-      graft.sources.IndexStore.compactPartitioned(s, p,
-        e.filter(col("vec_id") % 17 === 0)
-          .select(col("vec_id").as("deleted_id")),
-        "deleted_id", "vec_id")
-      p
-    })
-
-  private val v18 = QuerySpec("v18_ivf_compact_serve",
-    // Serving after tombstone COMPACTION: v16 pays a per-query
-    // broadcast anti-join to honor deletes; compaction folds the
-    // tombstone set into the index files once (rewriting only the
-    // affected cluster partitions) and serving returns to the plain
-    // partition-pruned ivfSearchStore shape — no anti-join, no
-    // tombstone table at query time. Same result set as v16 by
-    // construction, so the oracle IS v16's (exact top-k over live
-    // rows); a compaction that missed a tombstoned row — or dropped a
-    // live one — flips the hash. IndexStoreSpec pins compacted ==
-    // from-scratch-over-live-rows and the emptied-directory cleanup.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      Ann.ivfSearchStore(s, compactedIvfTableFor(s, d), "embedding",
-          "vec_id", cent, "cid", "cvec", qv, k = 10, nprobe = 3)
-        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
-        FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 3)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id,
-          ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q
-        WHERE c.vec_id % 17 <> 0)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val ivfPqCodePaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def ivfPqCodeTableFor(s: SparkSession, d: String): String =
-    ivfPqCodePaths.getOrElseUpdate(d, {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_codes_").toString + "/codes"
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.pqEncodeBig(
-          Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec"),
-          "embedding", pqCodebook(s, d))
-        .select("cluster_id", "vec_id", "pq_codes")
-        .write.partitionBy("cluster_id").parquet(p)
-      p
-    })
-
-  private val s9 = QuerySpec("s9_ivfpq_served",
-    // The IVFADC SERVING path (s8's upgrade applied to s7): coarse
-    // assignment AND PQ encode both live in the stored artifact; per
-    // query the driver-collected probe list (bounded: nprobe of 8
-    // centroid rows) prunes to nprobe cluster partitions AT THE READER
-    // (static PartitionFilters on the partitionBy(cluster_id) layout,
-    // AnnSpec-asserted via scan metrics), the scan inside them touches
-    // only the m-byte codes, and ≤ k·candMult vectors rerank exactly.
-    // Row-identical to s7 by construction (same probe rule, codebook,
-    // cuts, tie-breaks; AnnSpec asserts) — the oracle IS s7's.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.ivfPqSearchEncoded(s.read.parquet(ivfPqCodeTableFor(s, d)), e,
-          "embedding", "vec_id", cent, "cid", "cvec",
-          pqCodebook(s, d), pqQueryVec(s, d), k = 10, nprobe = 2, candMult = 4)
-        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(ivfPqOracle))
-
-  private val s7 = QuerySpec("s7_ivfpq_search",
-    // IVF+PQ (the FAISS IndexIVFPQ composition): the coarse quantizer
-    // prunes the corpus to nprobe=2 of 8 clusters, the product
-    // quantizer ADC-scores only the survivors, the top-40 rerank
-    // exactly. The two prunings MULTIPLY at 100 TB: read the probed
-    // cluster partitions only (s2's partition pruning), and within
-    // them only the m-byte codes (s6's scan shrink). Deterministic
-    // centroids (s2's) + deterministic codebook (s6's) keep the whole
-    // composition inside the DuckDB oracle.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val assigned = Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec")
-      Ann.ivfPqSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
-          pqCodebook(s, d), pqQueryVec(s, d), k = 10, nprobe = 2, candMult = 4)
-        .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"),
-          round(col("dist"), 6).as("dist"))
-    },
-    Some(ivfPqOracle))
-
-  private val s4 = QuerySpec("s4_ann_ivf_bigk",
-    // s2 at REAL centroid count: 256 centroids assigned via the
-    // broadcast-argmin path (Ann.ivfAssignBig — constant-size plan, no
-    // per-centroid literals, no Janino blowup), nprobe=8 pruned exact
-    // top-k. Same oracle shape as s2 scaled to k=256.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e.filter(col("vec_id") < 256)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val qv = typedlit(e.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble))
-      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id", cent, "cid", "cvec")
-      Ann.ivfSearch(assigned, "embedding", "vec_id", cent, "cid", "cvec",
-          qv, k = 10, nprobe = 8)
-        .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
-    },
-    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 256),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      assign AS (SELECT e.vec_id, e.embedding, cid,
-        row_number() OVER (PARTITION BY e.vec_id
-          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
-        FROM embeddings e CROSS JOIN cent),
-      clusters AS (SELECT vec_id, embedding, cid AS cluster_id FROM assign WHERE crn = 1),
-      probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN q
-        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 8)
-      SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM (
-        SELECT c.vec_id, c.cluster_id, ${l2Sql("c.embedding", "q.qv")} AS dist
-        FROM clusters c JOIN probe USING (cluster_id) CROSS JOIN q)
-      ORDER BY dist, vec_id LIMIT 10"""))
-
-  private val s3 = QuerySpec("s3_quantize_int8",
-    // Embedding int8 quantization (the 100 TB storage path: 4× smaller
-    // vectors): per-vector min/max affine quantize to 0..255, then
-    // measure the round-trip fidelity as cosine(original, dequantized).
-    // Pure column arithmetic, identical in both engines (round-half-up
-    // agrees for the non-negative quantization domain).
-    (s, d) => {
-      val emb = col("embedding").cast("array<double>")
-      t(s, d, "embeddings")
-        .withColumn("mn", array_min(emb))
-        .withColumn("mx", array_max(emb))
-        .withColumn("scale",
-          when(col("mx") === col("mn"), lit(1.0))
-            .otherwise((col("mx") - col("mn")) / 255.0))
-        .withColumn("deq", transform(emb, x =>
-          round((x - col("mn")) / col("scale"), 0) * col("scale") + col("mn")))
-        .select(col("vec_id"),
-          round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
-          round(VectorFunctions.cosine(emb, col("deq")), 6).as("cos_fidelity"))
-        .orderBy("vec_id")
-    },
-    Some(s"""WITH q AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM q),
-      sc AS (SELECT vec_id, e, mn, mx,
-        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m),
-      dq AS (SELECT vec_id, e, mn, mx,
-        list_transform(e, x -> round((x - mn) / scale, 0) * scale + mn) AS deq FROM sc)
-      SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
-        round(${cosineSql("e", "deq")}, 6) AS cos_fidelity
-      FROM dq ORDER BY vec_id"""))
-
-  private val t5 = QuerySpec("t5_top_terms",
-    // Per-language term profile: the aggregation backbone of real
-    // lang-ID / quality profiling at corpus scale (map-side partial
-    // aggregation on (lang, word), then a top-k window per lang).
-    (s, d) => {
-      val words = t(s, d, "documents")
-        .select(col("lang"),
-          explode(split(lower(trim(col("text"))), "[ \t\n]+")).as("w"))
-        .filter(length(col("w")) >= 3)
-      val win = Window.partitionBy("lang").orderBy(desc("n"), asc("w"))
-      words.groupBy("lang", "w").agg(count(lit(1)).as("n"))
-        .withColumn("term_rank", row_number().over(win))
-        .filter(col("term_rank") <= 5)
-        .orderBy("lang", "term_rank")
-    },
-    Some(s"""SELECT lang, w, n, term_rank FROM (
-        SELECT lang, w, count(*) AS n,
-          row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS term_rank
-        FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '$WsSplit')) AS w
-              FROM documents)
-        WHERE len(w) >= 3 GROUP BY lang, w)
-      WHERE term_rank <= 5 ORDER BY lang, term_rank"""))
-
-  private val m2 = QuerySpec("m2_multimodal_frames",
-    // Multimodal frame sampling: payload → ≤4 fixed-size frames with
-    // typed metadata + content keys (decode itself is the stubbed
-    // external boundary — graft.multimodal.DecodeStub).
-    (s, d) => {
-      val frames = Multimodal.sampleFrames(
-        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
-        "doc_id", "payload", frameSize = 256, maxFrames = 4)
-      Multimodal.frameMeta(frames)
-        .select(col("doc_id"), col("frame_index"), col("frame_chars"), col("frame_key"))
-        .orderBy("doc_id", "frame_index")
-    },
-    Some("""WITH f AS (SELECT doc_id,
-        unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS frame_index,
-        text FROM documents)
-      SELECT doc_id, frame_index,
-        len(substr(text, frame_index * 256 + 1, 256)) AS frame_chars,
-        substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS frame_key
-      FROM f ORDER BY doc_id, frame_index"""))
-
-  private val m3 = QuerySpec("m3_frame_features",
-    // The multimodal pipeline END: frames → content keys → decoded
-    // feature vectors (DecodeStub — deterministic hex arithmetic
-    // standing in for codec+embed, so the whole path stays
-    // oracle-checkable) → per-frame feature columns. Composes m2's
-    // frame sampling with the decode boundary.
-    (s, d) => {
-      val frames = Multimodal.sampleFrames(
-        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
-        "doc_id", "payload", frameSize = 256, maxFrames = 4)
-      Multimodal.frameMeta(frames)
-        .select(col("doc_id"), col("frame_index"),
-          DecodeStub.features(col("frame_key")).as("f"))
-        .select((Seq(col("doc_id"), col("frame_index")) ++
-          (0 until 4).map(i =>
-            round(element_at(col("f"), i + 1), 6).as(s"f$i"))): _*)
-        .orderBy("doc_id", "frame_index")
-    },
-    Some {
-      def hex4(p: Int): String = (0 until 4).map { k =>
-        s"(strpos('0123456789abcdef', substr(fk, ${p + k}, 1)) - 1) * ${math.pow(16, 3 - k).toLong}"
-      }.mkString(" + ")
-      val feats = (0 until 4)
-        .map(i => s"round((${hex4(i * 4 + 1)}) / 65535.0, 6) AS f$i")
-        .mkString(", ")
-      s"""WITH f AS (SELECT doc_id,
-          unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS frame_index,
-          text FROM documents),
-        keys AS (SELECT doc_id, frame_index,
-          substr(md5(substr(text, frame_index * 256 + 1, 256)), 1, 16) AS fk
-          FROM f)
-      SELECT doc_id, frame_index, $feats
-      FROM keys ORDER BY doc_id, frame_index"""
-    })
-
-  private val m4 = QuerySpec("m4_frame_dedup",
-    // Multimodal dedup ACTION: payload pairs whose distinct frame-key
-    // sets overlap at Jaccard ≥ 0.5 (perceptual-hash dedup with the
-    // content hash standing in at the decode boundary). Frame-keyed
-    // join — never all-pairs; maxFrameDf caps boilerplate frames.
-    (s, d) => Multimodal.frameDedupPairs(
-        t(s, d, "documents").select(col("doc_id"), col("text").as("payload")),
-        "doc_id", "payload", frameSize = 256, maxFrames = 4,
-        threshold = 0.5, maxFrameDf = 50)
-      .orderBy("doc_a", "doc_b"),
-    Some("""WITH f AS (SELECT doc_id,
-        unnest(range(0, least(CAST(ceil(len(text) / 256.0) AS INT), 4))) AS fi,
-        text FROM documents),
-      keys AS (SELECT DISTINCT doc_id,
-        substr(md5(substr(text, fi * 256 + 1, 256)), 1, 16) AS frame_key
-        FROM f),
-      rare AS (SELECT frame_key FROM keys GROUP BY frame_key
-        HAVING count(*) <= 50),
-      kept AS (SELECT k.* FROM keys k JOIN rare USING (frame_key)),
-      sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          count(*) AS n_shared
-        FROM kept a JOIN kept b
-          ON a.frame_key = b.frame_key AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b, n_shared,
-        round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
-      FROM pairs JOIN sizes na ON doc_a = na.doc_id
-        JOIN sizes nb ON doc_b = nb.doc_id
-      WHERE round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) >= 0.5
-      ORDER BY doc_a, doc_b"""))
-
-  /** The seeded-LSH sidecar (round-9 ask #1): the fitted model's
-    * hyperplanes + bucketLength written ONCE per (config, sf dir) to
-    * a STABLE absolute path the oracle SQL can name — the d12 band-
-    * index / `_graft_meta` pattern applied to MLlib LSH. With the
-    * planes exported, the entire bucketing is replayable as plain SQL
-    * (`floor(dot(v, plane) / bucket_length)` per table), which is
-    * what converts v6/v10 from rows-only to HASH-CHECKED. Planes
-    * depend only on (seed, dim, numTables), so re-writes across sf
-    * dirs are byte-stable; the TrieMap just skips the redundant IO. */
-  private def lshSidecarPath(name: String): String =
-    new java.io.File(s"target/graft_sidecars/$name").getAbsolutePath
-  private val lshSidecarWritten =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
-  private def ensureLshSidecar(s: SparkSession, d: String, name: String,
-                               bucketLength: Double, numTables: Int): Unit =
-    lshSidecarWritten.getOrElseUpdate((name, d), {
-      LshAnn.writeHyperplaneSidecar(t(s, d, "embeddings"), "embedding",
-        lshSidecarPath(name), bucketLength, numTables)
-      true
-    })
-
-  /** DuckDB replay of the LSH batch kNN from the exported sidecar —
-    * the CTE chain ending in `lsh(qid, knn_rank, vec_id, dist)`:
-    * per-table `floor(dot/L)` bucketing of queries and corpus,
-    * candidate = shares ≥1 (table, bucket) key, exact-L2 rerank with
-    * the (dist, id) total order. Mirrors [[LshAnn.approxNearestBatch]]
-    * stage for stage; shared by v6 and v10 so the two oracles cannot
-    * drift on what a bucket is. */
-  private def lshReplayCtes(name: String, qPred: String, k: Int): String =
-    s"""planes AS (SELECT table_idx, plane, bucket_length
-        FROM read_parquet('${lshSidecarPath(name)}/*.parquet')),
-      q AS (SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE $qPred),
-      qb AS (SELECT qid, table_idx,
-        CAST(floor(${dotSql("q.qv", "p.plane")} / p.bucket_length) AS BIGINT) AS b
-        FROM q CROSS JOIN planes p),
-      eb AS (SELECT e.vec_id, p.table_idx,
-        CAST(floor(${dotSql("e.embedding", "p.plane")} / p.bucket_length) AS BIGINT) AS b
-        FROM embeddings e CROSS JOIN planes p),
-      cand AS (SELECT DISTINCT qb.qid, eb.vec_id
-        FROM qb JOIN eb ON qb.table_idx = eb.table_idx AND qb.b = eb.b),
-      lsh AS (SELECT qid, knn_rank, vec_id, dist FROM (
-        SELECT c.qid, c.vec_id, ${l2Sql("e.embedding", "q.qv")} AS dist,
-          row_number() OVER (PARTITION BY c.qid
-            ORDER BY ${l2Sql("e.embedding", "q.qv")}, c.vec_id) AS knn_rank
-        FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
-          JOIN q ON c.qid = q.qid)
-        WHERE knn_rank <= $k)"""
-
-  private val v6 = QuerySpec("v6_lsh_ann",
-    // MLlib BucketedRandomProjectionLSH ANN, HASH-CHECKED (round-9
-    // ask #1): the seeded hyperplanes ship as a parquet sidecar and
-    // the oracle replays bucketing → candidate join → exact-L2
-    // (dist, id) top-k in DuckDB. The Spark side serves through the
-    // fitted model's own transform (LshAnn.bucketTable path inside
-    // approxNearestBatch); LshAnnSpec pins transform ≡ plane-replay,
-    // and this oracle pins the whole query end to end.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      ensureLshSidecar(s, d, "lsh_v6", bucketLength = 2.0, numTables = 4)
-      val qs = e.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      LshAnn.approxNearestBatch(e, "embedding", "vec_id", qs, "qid", "qv",
-          k = 10, bucketLength = 2.0, numTables = 4)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-        .orderBy("dist", "vec_id")
-    },
-    Some(s"""WITH ${lshReplayCtes("lsh_v6", "vec_id = 0", 10)}
-      SELECT vec_id, round(dist, 6) AS dist FROM lsh
-      ORDER BY dist, vec_id"""))
-
-  private val v10 = QuerySpec("v10_lsh_recall",
-    // The v9 treatment for the MLlib LSH path: recall@10 of the
-    // bucketed batch kNN against the exact batch kNN, per query —
-    // the quality measurement that decides whether an LSH config
-    // earns trust, reported as data. HASH-CHECKED via the same
-    // sidecar replay as v6 (round-9 ask #1): DuckDB rebuilds the
-    // LSH top-10 from the exported planes AND the exact top-10, then
-    // recomputes every recall row — both sides of the measurement
-    // are now inside the oracle, not just the measurement's output.
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      ensureLshSidecar(s, d, "lsh_v10", bucketLength = 4.0, numTables = 8)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val lsh = LshAnn.approxNearestBatch(e, "embedding", "vec_id",
-        qs, "qid", "qv", k = 10, bucketLength = 4.0, numTables = 8)
-      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
-      exact.select(col("qid"), col("vec_id"))
-        .join(lsh.select(col("qid"), col("vec_id"), lit(1).as("__hit")),
-          Seq("qid", "vec_id"), "left")
-        .groupBy("qid")
-        .agg(count(col("__hit")).as("n_hit"))
-        .select(col("qid"), col("n_hit"),
-          round(col("n_hit") / 10.0, 6).as("recall"))
-        .orderBy("qid")
-    },
-    Some(s"""WITH ${lshReplayCtes("lsh_v10", "vec_id < 5", 10)},
-      exact AS (SELECT qid, vec_id FROM (
-        SELECT q.qid, e.vec_id,
-          row_number() OVER (PARTITION BY q.qid
-            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rn
-        FROM embeddings e CROSS JOIN q) WHERE rn <= 10)
-      SELECT x.qid, count(l.vec_id) AS n_hit,
-        round(count(l.vec_id) / 10.0, 6) AS recall
-      FROM exact x LEFT JOIN lsh l ON x.qid = l.qid AND x.vec_id = l.vec_id
-      GROUP BY x.qid ORDER BY x.qid"""))
-
-  private val f3 = QuerySpec("f3_ner_json_filter",
-    // P8 serialize → P7 permissive parse → F3 metadata filter round
-    // trip (main_remind.py:409-447): parse-failure rows are skipped via
-    // the null guard, survivors filter on struct fields.
-    (s, d) => {
-      val nerSchema = org.apache.spark.sql.types.StructType
-        .fromDDL("lang STRING, source STRING")
-      t(s, d, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("source"))))
-        .withColumn("ner", from_json(col("meta"), nerSchema))
-        .filter(col("ner").isNotNull && col("ner.lang") === "en")
-        .select(col("doc_id"), col("ner.source").as("src"))
-        .orderBy("doc_id")
-    },
-    // Oracle mirrors the SEMANTICS (serialize→parse is identity on
-    // clean fields); the permissive-parse failure path is covered by e2.
-    Some("""SELECT doc_id, source AS src FROM documents
-      WHERE lang = 'en' ORDER BY doc_id"""))
-
-  private val f4 = QuerySpec("f4_meta_validate",
-    // Metadata schema validation (main_remind.py:250-276): per doc,
-    // parse the NER-metadata JSON and report parse failures + missing
-    // required keys ("직무", "근무 지역", "연령대") — the reference's
-    // log-only pass as a first-class validation relation. JSON is
-    // built from table columns with a conditionally-present key and
-    // deterministically corrupted every 7th doc to exercise the
-    // parse-failure path (the e2 pattern).
-    (s, d) => {
-      val required = array(lit("직무"), lit("근무 지역"), lit("연령대"))
-      t(s, d, "documents")
-        .withColumn("meta0", to_json(map_from_entries(filter(
-          array(
-            struct(lit("직무").as("key"), col("lang").as("value")),
-            struct(lit("근무 지역").as("key"),
-              nullif(col("source"), lit("src0")).as("value"))),
-          e => e.getField("value").isNotNull))))
-        .withColumn("meta", when(col("doc_id") % 7 === 0,
-          expr("substring(meta0, 1, length(meta0)-2)")).otherwise(col("meta0")))
-        .withColumn("ner", from_json(col("meta"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)))
-        .withColumn("parse_ok", col("ner").isNotNull)
-        .withColumn("missing_keys", when(col("parse_ok"),
-          array_join(filter(required,
-            k => !array_contains(map_keys(col("ner")), k)), ",")))
-        .select(col("doc_id"), col("parse_ok"), col("missing_keys"),
-          (col("parse_ok") && length(col("missing_keys")) === 0).as("valid"))
-        .orderBy("doc_id")
-    },
-    // json_keys is vectorized over ALL rows even under CASE, so it runs
-    // on '{}' for corrupt rows (safe_meta) and the outer CASE masks it.
-    Some("""SELECT doc_id, parse_ok,
-        CASE WHEN parse_ok THEN array_to_string(
-          list_filter(['직무', '근무 지역', '연령대'],
-            k -> NOT list_contains(json_keys(safe_meta), k)), ',') END AS missing_keys,
-        (parse_ok AND len(list_filter(['직무', '근무 지역', '연령대'],
-            k -> NOT list_contains(json_keys(safe_meta), k))) = 0) AS valid
-      FROM (SELECT doc_id, json_valid(meta) AS parse_ok,
-        CASE WHEN json_valid(meta) THEN meta ELSE '{}' END AS safe_meta FROM (
-        SELECT doc_id,
-          CASE WHEN doc_id % 7 = 0 THEN substr(j, 1, len(j)-2) ELSE j END AS meta
-        FROM (SELECT doc_id,
-          '{"직무":"' || lang || '"' ||
-          CASE WHEN source <> 'src0'
-               THEN ',"근무 지역":"' || source || '"' ELSE '' END ||
-          '}' AS j
-          FROM documents)))
-      ORDER BY doc_id"""))
-
-  private val q6 = QuerySpec("q6_salted_agg",
-    // Skew-salted two-phase aggregation (Salting.saltedCount/saltedSum)
-    // must be EXACTLY the plain aggregation — the oracle is the
-    // unsalted GROUP BY. Integer-valued sum so the two-phase
-    // re-association is exact (doubles would re-order the fold). Salt
-    // identity = the lineitem primary key (retry-deterministic).
-    (s, d) => {
-      val li = t(s, d, "lineitem")
-        .withColumn("v", (col("l_orderkey") % 1000).cast("long"))
-      val saltOn = Seq("l_orderkey", "l_linenumber")
-      val n = graft.operators.Salting.saltedCount(
-        li, Seq("l_returnflag"), saltOn, 16)
-      val sm = graft.operators.Salting.saltedSum(
-        li, Seq("l_returnflag"), saltOn, "v", 16, outCol = "sum_v")
-      n.join(sm, Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("n"), col("sum_v").cast("long").as("sum_v"))
-        .orderBy("l_returnflag")
-    },
-    Some("""SELECT l_returnflag, count(*) AS n,
-      CAST(sum(l_orderkey % 1000) AS BIGINT) AS sum_v
-      FROM lineitem GROUP BY 1 ORDER BY 1"""))
-
-  private val q7 = QuerySpec("q7_skew_split_join",
-    // t38's audit ACTED ON (Salting.skewSplitJoin): the audit's top
-    // hot keys route their fact rows through a broadcast of the dim
-    // side's hot subset — a hot key's rows never converge on one
-    // reducer — while cold keys take the ordinary keyed shuffle; the
-    // union IS the plain inner join, which is exactly what the
-    // oracle checks (the split must be invisible in the result).
-    // Declarative skew handling, vs AQE's runtime re-plan: the plan
-    // itself shows one BroadcastHashJoin + one shuffle join
-    // (SaltingSpec pins it with broadcast disabled). hotKeys is the
-    // audit's driver-bounded top-N.
-    (s, d) => {
-      val li = t(s, d, "lineitem")
-      val hot = Curation.skewAudit(li, "l_suppkey", 2)
-        .select("key").collect().map(_.getLong(0)).toSeq
-      graft.operators.Salting.skewSplitJoin(li, t(s, d, "supplier"),
-          "l_suppkey", "s_suppkey", hot)
-        .groupBy("s_suppkey", "s_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(desc("revenue"), asc("s_suppkey")).limit(10)
-        .select(col("s_suppkey"), col("s_name"), col("revenue"), col("n_items"))
-    },
-    Some("""SELECT s_suppkey, s_name,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-      count(*) AS n_items
-      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey LIMIT 10"""))
-
-  private val q8 = QuerySpec("q8_rollup_report",
-    // Hierarchical totals in ONE pass: ROLLUP(l_returnflag,
-    // l_linestatus) computes leaf groups, per-flag subtotals, and the
-    // grand total from a single scan + one aggregation family — the
-    // report shape that otherwise costs three scans and a union.
-    // Spark plans Expand (3 grouping sets) + HashAggregate with
-    // map-side partials per set; null grouping keys mark subtotal
-    // rows in both engines identically.
-    (s, d) => t(s, d, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 6).as("avg_disc"))
-      .orderBy(asc_nulls_first("l_returnflag"),
-        asc_nulls_first("l_linestatus")),
-    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-      round(sum(l_extendedprice), 2) AS sum_price,
-      round(avg(l_discount), 6) AS avg_disc
-      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
-
-  private val q9 = QuerySpec("q9_ri_audit",
-    // Referential-integrity audit: orphan counts in both directions
-    // via anti-joins (lineitems without an order, orders without any
-    // lineitem, orders with a dangling customer) — the ingest gate
-    // that catches a partial load before a join silently drops rows.
-    // Each check is one keyed anti-join + count; no row payloads
-    // cross an exchange (key columns only).
-    (s, d) => {
-      val o = t(s, d, "orders")
-      val li = t(s, d, "lineitem")
-      val cust = t(s, d, "customer")
-      def chk(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_orphans"))
-          .select(lit(name).as("ri_check"), col("n_orphans"))
-      chk("lineitem_without_order",
-          li.select("l_orderkey").join(o.select("o_orderkey"),
-            col("l_orderkey") === col("o_orderkey"), "left_anti"))
-        .unionByName(chk("order_without_lineitem",
-          o.select("o_orderkey").join(li.select("l_orderkey"),
-            col("o_orderkey") === col("l_orderkey"), "left_anti")))
-        .unionByName(chk("order_without_customer",
-          o.select("o_custkey").join(cust.select("c_custkey"),
-            col("o_custkey") === col("c_custkey"), "left_anti")))
-        .orderBy("ri_check")
-    },
-    Some("""SELECT * FROM (
-      SELECT 'lineitem_without_order' AS ri_check, count(*) AS n_orphans
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-      UNION ALL
-      SELECT 'order_without_lineitem', count(*)
-        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
-      UNION ALL
-      SELECT 'order_without_customer', count(*)
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
-      ORDER BY ri_check"""))
-
-  /** Bucketed orders/lineitem tables built ONCE per sf dir (the
-    * s8/d12 stored-artifact pattern): the layout-time shuffle paid
-    * here is the one every j2 execution — and at 100 TB every
-    * key-joined query — then skips. TrieMap-guarded; a lost race
-    * builds twice, never wrong. */
-  private val bucketedPaths = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedTablesFor(s: SparkSession, d: String): (String, String) =
-    bucketedPaths.getOrElseUpdate(d, {
-      // db name from the fresh temp dir, NOT a hash of `d`: two sf
-      // dirs with colliding 32-bit hashCodes would share a database
-      // and the second build would overwrite the first's tables
-      val loc = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
-      val db = "graft_buckets_" + loc.replaceAll(".*graft_buckets_", "")
-        .replaceAll("[^0-9a-zA-Z]", "")
-      graft.sources.BucketedLayout.ensureDatabase(s, db, loc)
-      graft.sources.BucketedLayout.writeBucketed(
-        t(s, d, "orders"), s"$db.orders_b", "o_orderkey", 8)
-      graft.sources.BucketedLayout.writeBucketed(
-        t(s, d, "lineitem"), s"$db.lineitem_b", "l_orderkey", 8)
-      (s"$db.orders_b", s"$db.lineitem_b")
-    })
-
-  private val j2 = QuerySpec("j2_bucketed_join",
-    // Co-located join + aggregation riding the bucketed layout: both
-    // scans are pre-partitioned by the join key (8 buckets, per-bucket
-    // sorted), so the join needs NO Exchange on either side and the
-    // follow-on per-order aggregation reuses the same partitioning —
-    // the whole plan has zero shuffles before the final top-10 cut
-    // (BucketedLayoutSpec pins it with broadcast disabled). The
-    // layout-time shuffle was paid once in [[bucketedTablesFor]]; at
-    // 100 TB that amortizes across every orderkey-joined query in the
-    // workload. Results are layout-independent — the oracle is the
-    // plain join over the raw tables.
-    (s, d) => {
-      val (ot, lt) = bucketedTablesFor(s, d)
-      val o = s.table(ot)
-      val l = s.table(lt)
-      o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy(o("o_orderkey"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(desc("revenue"), asc("o_orderkey")).limit(10)
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          col("revenue"), col("n_items"))
-    },
-    Some("""SELECT o_orderkey, o_orderpriority,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-      count(*) AS n_items
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
-
-  // ======================================================================
-  // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
-  // policy over small plans; semantic fns are the deterministic doubles.
-  // ======================================================================
-
-  private val c1 = QuerySpec("c1_cascade_flagship",
-    (s, d) => cascade(s, d),
-    None)
-
-  def cascade(s: SparkSession, d: String): DataFrame = {
-    // lazy localCheckpoint (the shared-subtree pattern): this entry
-    // executes THREE cascades (fixture adaptive + fixture fixed for
-    // the identity gate, then the real search), and the adaptive form
-    // additionally runs a count action per stage — each would re-run
-    // the docs⋈embeddings join otherwise. The joined corpus is bounded
-    // by |embeddings| rows.
-    val corpus = t(s, d, "documents")
-      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
-      .crossJoin(broadcast(queryVec(s, d, 0)))
-      .localCheckpoint(false)
-    val q = "looking for a join job in the row area"
-    // Identity gate (round-9 judge ask): the adaptive cascade's
-    // sequential count gates aren't SQL-expressible, but they ARE
-    // checkable — on a corpus where NO document contains either query
-    // term, every gate is known to fire (each stage count stays 0, so
-    // relax, single-field, and fallback all run), and then search()
-    // must equal searchFixed() row-for-row (same stage list, same
-    // rerank tail). The fixture is the REAL corpus filtered to docs
-    // containing neither term — guaranteed empty stage results at any
-    // sf, no synthesized data. A mismatch fails the harness query
-    // loudly; success stamps the result with identity_match=true, the
-    // declared upgrade from a bare rows-only check.
-    if (identityGates) {
-      val fixture = corpus.filter(
-        !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
-      val fixSearch = new MultiStageSearch(fixture, "doc_id", "text", "embedding")
-      val adaptive = fixSearch.search(q, col("qv")).collect().toSeq
-      val fixed = fixSearch.searchFixed(q, col("qv")).collect().toSeq
-      require(adaptive.nonEmpty,
-        "cascade identity fixture produced no rows — the check did not bite")
-      require(adaptive == fixed,
-        s"adaptive/fixed cascade identity violated on the all-gates-fire " +
-          s"fixture: ${adaptive.length} vs ${fixed.length} rows\n" +
-          s"adaptive=$adaptive\nfixed=$fixed")
-    }
-    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
-    search.search(q, col("qv"))
-      .select(col("rank"), col("doc_id"), col("stage_rank"),
-        round(col("dist"), 6).as("dist"), col("score"),
-        lit(identityGates).as("identity_match"))
-  }
-
-  private val c3 = QuerySpec("c3_cascade_fixed",
-    // The flagship cascade with count gating DISABLED (every stage
-    // always runs): the whole union→keep-first-dedup→rerank→top-5+rank
-    // tail as ONE declarative plan, which makes it fully
-    // SQL-expressible — the oracle-checkable twin of c1. Query NER on
-    // "looking for a join job in the row area" → job=join, region=row,
-    // synonyms(join)=[merge,hash], so the static stage list is:
-    //   1 row∧join  2 row∨join  3 row  4 join  5 row∧merge
-    //   6 row∧hash  7 unfiltered fallback (k=15)
-    (s, d) => {
-      val corpus = t(s, d, "documents")
-        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
-        .searchFixed("looking for a join job in the row area", col("qv"))
-        .select(col("rank"), col("doc_id"), col("stage_rank"),
-          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
-    },
-    Some {
-      def stage(i: Int, where: String, k: Int) =
-        s"""s$i AS (SELECT doc_id, text, dist, $i AS stage_rank FROM corpus
-            $where ORDER BY dist, doc_id LIMIT $k)"""
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
-          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q),
-        ${stage(1, "WHERE contains(lower(text),'row') AND contains(lower(text),'join')", 10)},
-        ${stage(2, "WHERE contains(lower(text),'row') OR contains(lower(text),'join')", 10)},
-        ${stage(3, "WHERE contains(lower(text),'row')", 10)},
-        ${stage(4, "WHERE contains(lower(text),'join')", 10)},
-        ${stage(5, "WHERE contains(lower(text),'row') AND contains(lower(text),'merge')", 10)},
-        ${stage(6, "WHERE contains(lower(text),'row') AND contains(lower(text),'hash')", 10)},
-        ${stage(7, "", 15)},
-        u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-          UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
-          UNION ALL SELECT * FROM s6 UNION ALL SELECT * FROM s7),
-        kept AS (SELECT doc_id, text, dist, stage_rank FROM
-          (SELECT *, row_number() OVER (PARTITION BY doc_id
-            ORDER BY stage_rank, dist, doc_id) AS rn FROM u) WHERE rn = 1),
-        $cascadeOracleTail"""
-    })
-
-  /** Shared DuckDB mirror of MultiStageSearch.rerankTail over a
-    * `kept(doc_id, text, dist, stage_rank)` CTE: deterministic judge
-    * (condition tokens join/row), full-vocab doc NER overlap, 0.7/0.3
-    * combine, top-5, rank — used by c3 and c4. */
-  private def cascadeOracleTail: String = {
-    val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
-    val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
-    def ov(u: String, dcol: String) =
-      s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
-          AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
-    s"""scored AS (SELECT doc_id, stage_rank, dist,
-        CAST(round(5.0 * (CASE WHEN contains(lower(text),'join') THEN 1 ELSE 0 END
-          + CASE WHEN contains(lower(text),'row') THEN 1 ELSE 0 END) / 2, 0) AS DOUBLE)
-          AS judge_score,
-        CAST(${ov("join", "doc_job")} + ${ov("row", "doc_region")} + 0 AS DOUBLE)
-          AS rule_score
-        FROM (SELECT doc_id, stage_rank, dist, text,
-          regexp_extract(lower(text), '\\b($corpusPat)\\b', 1) AS doc_job,
-          regexp_extract(lower(text), '\\b($regionPat)\\b', 1) AS doc_region
-          FROM kept)),
-      top AS (SELECT doc_id, stage_rank, dist,
-        0.7 * judge_score + 0.3 * rule_score AS score
-        FROM scored ORDER BY score DESC, dist, doc_id LIMIT 5)
-    SELECT row_number() OVER (ORDER BY score DESC, dist, doc_id) AS rank,
-      doc_id, stage_rank, round(dist, 6) AS dist, round(score, 6) AS score
-    FROM top ORDER BY rank"""
-  }
-
-  private val c4 = QuerySpec("c4_remind_gated",
-    // The remind cascade WITH its adaptive count gate, declaratively:
-    // kNN pool → match flag → 1-row count broadcast → keep matches or
-    // (count < threshold ⇒ whole pool) → rerank tail. The ADAPTIVITY
-    // is inside the oracle-checked plan — SQL expresses the single
-    // gate as a CTE count the kept-set references (searchRemindFixed).
-    (s, d) => {
-      val corpus = t(s, d, "documents")
-        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
-        .searchRemindFixed("looking for a join job in the row area", col("qv"),
-          scanK = 200)
-        .select(col("rank"), col("doc_id"), col("stage_rank"),
-          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
-    },
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
-        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q),
-      pool AS (SELECT doc_id, text, dist FROM corpus
-        ORDER BY dist, doc_id LIMIT 200),
-      flagged AS (SELECT doc_id, text, dist,
-        CASE WHEN text IS NOT NULL AND contains(lower(text), 'join')
-          AND contains(lower(text), 'row') THEN 1 ELSE 0 END AS m FROM pool),
-      cnt AS (SELECT sum(m) AS n FROM flagged),
-      kept AS (SELECT doc_id, text, dist, 1 AS stage_rank
-        FROM flagged, cnt WHERE m = 1 OR n < 5),
-      $cascadeOracleTail"""))
-
-  private val c2 = QuerySpec("c2_cascade_remind",
-    // §3.4 composition: scan-then-filter cascade (main_remind.py) —
-    // same operators as c1, different policy configuration.
-    (s, d) => {
-      // shared-subtree checkpoint, as in c1: three remind executions
-      // (identity pair + the returned one) over one materialized join
-      val corpus = t(s, d, "documents")
-        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
-        .crossJoin(broadcast(queryVec(s, d, 0)))
-        .localCheckpoint(false)
-      val q = "looking for a join job in the row area"
-      val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
-      // Identity gate (round-9 judge ask): the remind composition has
-      // exactly ONE adaptive gate, and searchRemindFixed expresses that
-      // same gate declaratively — so adaptive ≡ fixed on ANY input (not
-      // just a fixture), and the fixed twin at the SAME scanK is c4's
-      // oracle-checked query. Asserting row-identity here makes c2
-      // transitively oracle-checked: c2 ≡ searchRemindFixed ≡ DuckDB.
-      val adaptiveDf = search.searchRemind(q, col("qv"), scanK = 200)
-      if (!identityGates)
-        // timed form (Bench): the adaptive cascade alone, no fixed twin
-        adaptiveDf
-          .select(col("rank"), col("doc_id"), col("stage_rank"),
-            round(col("dist"), 6).as("dist"), col("score"),
-            lit(false).as("identity_match"))
-      else {
-        val adaptive = adaptiveDf.collect().toSeq
-        val fixed = search.searchRemindFixed(q, col("qv"), scanK = 200).collect().toSeq
-        require(adaptive.nonEmpty && adaptive == fixed,
-          s"remind adaptive/fixed identity violated: ${adaptive.length} vs " +
-            s"${fixed.length} rows\nadaptive=$adaptive\nfixed=$fixed")
-        // the returned frame is the ALREADY-COLLECTED adaptive result
-        // (5 bounded rows) — re-running the search a third time for the
-        // return value would pay a whole extra pool scan per timed run
-        s.createDataFrame(s.sparkContext.parallelize(adaptive, 1), adaptiveDf.schema)
-          .select(col("rank"), col("doc_id"), col("stage_rank"),
-            round(col("dist"), 6).as("dist"), col("score"),
-            lit(true).as("identity_match"))
-      }
-    },
-    None)
-
-  val all: Seq[QuerySpec] = Seq(
-    q1, q3, q5, q6, q7, q8, q9, j2, e1, e2, e3, e4, e5, e6, e7, e8,
-    p1, p2, p3, p5, p9, p10, p12, p13,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
-    d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, b1, b2, i1, i2, i3, i4, r2,
-    a1, a3, a5, a9, r1, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10,
-    g1, g4, j1, m1, m2, m3, m4, f3, f4, c1, c2, c3, c4)
+object Queries
+    extends QueriesShared
+    with QueriesRelational with QueriesEvents with QueriesProjections
+    with QueriesText with QueriesCuration with QueriesLexical
+    with QueriesDedup with QueriesVector with QueriesAnn
+    with QueriesMultimodal with QueriesCascade {
+
+  /** Every named query, families concatenated in SURVEY order. The
+    * per-family traits live in src/main/scala/graft/queries/. */
+  val all: Seq[QuerySpec] =
+    queriesRelational ++ queriesEvents ++ queriesProjections ++
+      queriesText ++ queriesCuration ++ queriesLexical ++
+      queriesDedup ++ queriesVector ++ queriesAnn ++
+      queriesMultimodal ++ queriesCascade
 }

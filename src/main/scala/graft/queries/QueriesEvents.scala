@@ -1,0 +1,242 @@
+package graft
+
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.multimodal.{DecodeStub, Multimodal}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
+import graft.sources.JobCorpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Events: windowed aggregation + permissive JSON (P7; streaming's
+  * batch twin — the same plans run under readStream, see graft.streaming).
+  */
+private[graft] trait QueriesEvents { self: QueriesShared =>
+
+
+  private val e1 = QuerySpec("e1_events_hourly",
+    (s, d) => events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n, round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  private val e2 = QuerySpec("e2_events_props_json",
+    (s, d) => events(s, d)
+      .withColumn("p", when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props)-2)")).otherwise(col("props")))
+      .withColumn("k",
+        from_json(col("p"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+      .groupBy("event_type")
+      .agg(sum("k").cast("bigint").as("sum_k"),
+        count(when(col("k").isNull, 1)).as("n_bad"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+      count(CASE WHEN k IS NULL THEN 1 END) AS n_bad, count(*) AS n FROM (
+      SELECT event_type,
+        CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
+      FROM (SELECT event_type,
+        CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props)-2) ELSE props END AS p
+        FROM events))
+      GROUP BY event_type ORDER BY event_type"""))
+
+
+  private val e4 = QuerySpec("e4_sessionize",
+    // Gap-based sessionization (30-min inactivity): lag + cumulative
+    // sum of session-start flags per user — the standard windowed
+    // formulation, identical in both engines. Nanos-integer gap math
+    // avoids float drift.
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .groupBy("user_id")
+        .agg(max("session_idx").cast("bigint").as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          round(max("session_value"), 2).as("max_session_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, value,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
+          us, event_id
+        FROM (SELECT user_id, value, event_id, epoch_ns(ts) // 1000 AS us,
+          -- order by the MICROS-truncated ts (not raw TIMESTAMP_NS): Spark's
+          -- ts is micros, so the tie-break domain must match exactly or two
+          -- same-user events within one micro could order differently
+          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+          FROM events)),
+      sessions AS (
+        SELECT user_id, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, session_idx, count(*) AS n_events,
+          round(sum(value), 2) AS session_value
+        FROM sessions GROUP BY user_id, session_idx)
+      SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
+        max(n_events) AS max_session_events,
+        round(max(session_value), 2) AS max_session_value
+      FROM per_session GROUP BY user_id ORDER BY user_id"""))
+
+
+  private val e5 = QuerySpec("e5_asof_join",
+    // As-of join (AsOfJoin.lastBefore): every click event gets the
+    // user's latest prior purchase value — the temporal join Spark
+    // lacks, via the union + last(ignoreNulls) window (one shuffle by
+    // user, zero joins). Timestamps compare in MICROS on both sides
+    // (same tie-break domain as e4); the right side pre-aggregates to
+    // one row per (user, ts) so ties are deterministic — the same
+    // contract DuckDB's native ASOF JOIN (the oracle here) has.
+    (s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "us").agg(max("value").as("pval"))
+      graft.operators.AsOfJoin.lastBefore(
+          clicks, purchases, "user_id", "us", "us", "pval",
+          outCol = "last_purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("last_purchase"), 2).as("last_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us
+          FROM events WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_ns(ts)//1000 AS us, max(value) AS pval
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, round(r.pval, 2) AS last_purchase
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+      ORDER BY event_id"""))
+
+
+  private val e7 = QuerySpec("e7_attribution_join",
+    // Stream-stream attribution (EventStream.attributionJoin): every
+    // purchase paired with the same user's clicks in the preceding
+    // hour — the canonical Structured Streaming interval join, run
+    // here on the STATIC events table where withWatermark is a no-op
+    // and the same code is the batch twin (the t23/t34/t35 pattern;
+    // StreamingSpec pins stream == batch with two MemoryStreams).
+    // Batch plan: one user_id-keyed equality shuffle with the time
+    // range as a post-join filter; streaming plan: both join-state
+    // stores bounded by the 2×gap watermarks. The oracle mirrors the
+    // micros-truncate-then-compare arithmetic exactly (the e4
+    // precedent for nanos-generation data).
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.EventStream.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), gapMinutes = 60)
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        c.user_id, p.us - c.us AS lag_us
+      FROM c JOIN p ON c.user_id = p.user_id
+      WHERE p.us >= c.us AND p.us <= c.us + 3600000000
+      ORDER BY purchase_id, click_id"""))
+
+
+  private val e8 = QuerySpec("e8_session_window",
+    // e4's sessionization via the NATIVE session_window operator —
+    // the merging-sessions aggregation whose streaming form is
+    // state-store-backed and watermark-bounded (EventStream scaladoc;
+    // EventStreamSpec pins stream == batch and the gap boundary).
+    // Run on the static events table the same code is the batch twin,
+    // hash-checked here. Boundary semantics: candidate windows
+    // [ts, ts+gap) merge when they overlap OR touch (spec-pinned), so
+    // a successor exactly gap later continues the session — the
+    // oracle's new-session flag is `> gap`, e4's convention, making
+    // e8 the operator-level twin of e4's windowed formulation.
+    (s, d) => graft.streaming.EventStream
+      .sessionWindowAgg(events(s, d), gapMinutes = 30)
+      .orderBy("user_id", "session_start_us"),
+    Some("""WITH e AS (SELECT user_id, value, event_id,
+          epoch_ns(ts) // 1000 AS us FROM events),
+      flagged AS (SELECT user_id, value, us, event_id,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, value, us, event_id,
+          lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS prev_us FROM e)),
+      sess AS (SELECT user_id, value, us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(us) AS session_start_us,
+        max(us) + 1800000000 AS session_end_us,
+        count(*) AS n_events, round(sum(value), 2) AS session_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
+
+  private val e6 = QuerySpec("e6_range_join",
+    // Keyless range join (RangeJoin.pairsWithin): click/purchase pairs
+    // within 60s of each other across ALL users — no equi key, so the
+    // naive form is a BroadcastNestedLoopJoin; the bucketed form
+    // shuffles integer bucket keys and compares candidates only.
+    // Oracle is the plain inequality join (exact same pair set).
+    (s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("us").as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("us").as("purchase_us"))
+      graft.operators.RangeJoin.pairsWithin(
+          clicks, purchases, "click_us", "purchase_us", 60000000L)
+        .select(col("click_id"), col("purchase_id"),
+          (col("purchase_us") - col("click_us")).as("delta_us"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""WITH l AS (SELECT event_id AS click_id, epoch_ns(ts)//1000 AS click_us
+          FROM events WHERE event_type = 'click'),
+      r AS (SELECT event_id AS purchase_id, epoch_ns(ts)//1000 AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+      SELECT click_id, purchase_id, purchase_us - click_us AS delta_us
+      FROM l JOIN r ON abs(click_us - purchase_us) <= 60000000
+      ORDER BY click_id, purchase_id"""))
+
+  // ======================================================================
+  // Scalar text transforms (P1/P5/P6/P9/P10/P11)
+  // ======================================================================
+
+
+  private val e3 = QuerySpec("e3_events_sliding",
+    // Sliding 10-min/5-min windows (each event in exactly 2 windows) —
+    // the batch twin of graft.streaming.EventStream.slidingCounts.
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type"),
+    Some("""WITH e AS (SELECT epoch_ns(ts) AS ns, event_type, value FROM events),
+      wins AS (SELECT unnest([(ns // 300000000000) * 300,
+                              (ns // 300000000000) * 300 - 300]) AS ws,
+               event_type, value FROM e)
+      SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM wins GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  final def queriesEvents: Seq[QuerySpec] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
+}

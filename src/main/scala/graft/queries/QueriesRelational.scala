@@ -1,0 +1,268 @@
+package graft
+
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.multimodal.{DecodeStub, Multimodal}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
+import graft.sources.JobCorpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational baseline (bench headliners; SURVEY §2.6 aggregation/sort)
+  * plus skew tools (q6/q7), rollup (q8), RI audit (q9) and the
+  * bucketed co-located layout (j2).
+  */
+private[graft] trait QueriesRelational { self: QueriesShared =>
+
+
+  private val q1 = QuerySpec("q1_pricing_summary",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(avg(l_discount),6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+
+  private val q3 = QuerySpec("q3_top_orders",
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+      SELECT l_orderkey, o_orderdate,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate)
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+
+  private val q5 = QuerySpec("q5_nation_revenue",
+    (s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // ======================================================================
+  // Events: windowed aggregation + permissive JSON (P7; streaming's batch
+  // twin — the same plan runs under readStream, see graft.streaming)
+  // ======================================================================
+
+
+  private val q6 = QuerySpec("q6_salted_agg",
+    // Skew-salted two-phase aggregation (Salting.saltedCount/saltedSum)
+    // must be EXACTLY the plain aggregation — the oracle is the
+    // unsalted GROUP BY. Integer-valued sum so the two-phase
+    // re-association is exact (doubles would re-order the fold). Salt
+    // identity = the lineitem primary key (retry-deterministic).
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("v", (col("l_orderkey") % 1000).cast("long"))
+      val saltOn = Seq("l_orderkey", "l_linenumber")
+      val n = graft.operators.Salting.saltedCount(
+        li, Seq("l_returnflag"), saltOn, 16)
+      val sm = graft.operators.Salting.saltedSum(
+        li, Seq("l_returnflag"), saltOn, "v", 16, outCol = "sum_v")
+      n.join(sm, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("sum_v").cast("long").as("sum_v"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+      CAST(sum(l_orderkey % 1000) AS BIGINT) AS sum_v
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+
+  private val q7 = QuerySpec("q7_skew_split_join",
+    // t38's audit ACTED ON (Salting.skewSplitJoin): the audit's top
+    // hot keys route their fact rows through a broadcast of the dim
+    // side's hot subset — a hot key's rows never converge on one
+    // reducer — while cold keys take the ordinary keyed shuffle; the
+    // union IS the plain inner join, which is exactly what the
+    // oracle checks (the split must be invisible in the result).
+    // Declarative skew handling, vs AQE's runtime re-plan: the plan
+    // itself shows one BroadcastHashJoin + one shuffle join
+    // (SaltingSpec pins it with broadcast disabled). hotKeys is the
+    // audit's driver-bounded top-N.
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val hot = Curation.skewAudit(li, "l_suppkey", 2)
+        .select("key").collect().map(_.getLong(0)).toSeq
+      graft.operators.Salting.skewSplitJoin(li, t(s, d, "supplier"),
+          "l_suppkey", "s_suppkey", hot)
+        .groupBy("s_suppkey", "s_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("s_suppkey")).limit(10)
+        .select(col("s_suppkey"), col("s_name"), col("revenue"), col("n_items"))
+    },
+    Some("""SELECT s_suppkey, s_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey LIMIT 10"""))
+
+
+  private val q8 = QuerySpec("q8_rollup_report",
+    // Hierarchical totals in ONE pass: ROLLUP(l_returnflag,
+    // l_linestatus) computes leaf groups, per-flag subtotals, and the
+    // grand total from a single scan + one aggregation family — the
+    // report shape that otherwise costs three scans and a union.
+    // Spark plans Expand (3 grouping sets) + HashAggregate with
+    // map-side partials per set; null grouping keys mark subtotal
+    // rows in both engines identically.
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      round(sum(l_extendedprice), 2) AS sum_price,
+      round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+
+  private val q9 = QuerySpec("q9_ri_audit",
+    // Referential-integrity audit: orphan counts in both directions
+    // via anti-joins (lineitems without an order, orders without any
+    // lineitem, orders with a dangling customer) — the ingest gate
+    // that catches a partial load before a join silently drops rows.
+    // Each check is one keyed anti-join + count; no row payloads
+    // cross an exchange (key columns only).
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val cust = t(s, d, "customer")
+      def chk(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("ri_check"), col("n_orphans"))
+      chk("lineitem_without_order",
+          li.select("l_orderkey").join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(chk("order_without_lineitem",
+          o.select("o_orderkey").join(li.select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(chk("order_without_customer",
+          o.select("o_custkey").join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .orderBy("ri_check")
+    },
+    Some("""SELECT * FROM (
+      SELECT 'lineitem_without_order' AS ri_check, count(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'order_without_lineitem', count(*)
+        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+      UNION ALL
+      SELECT 'order_without_customer', count(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      ORDER BY ri_check"""))
+
+
+  /** Bucketed orders/lineitem tables built ONCE per sf dir (the
+    * s8/d12 stored-artifact pattern): the layout-time shuffle paid
+    * here is the one every j2 execution — and at 100 TB every
+    * key-joined query — then skips. TrieMap-guarded; a lost race
+    * builds twice, never wrong. */
+  private val bucketedPaths = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def bucketedTablesFor(s: SparkSession, d: String): (String, String) =
+    bucketedPaths.getOrElseUpdate(d, {
+      // db name from the fresh temp dir, NOT a hash of `d`: two sf
+      // dirs with colliding 32-bit hashCodes would share a database
+      // and the second build would overwrite the first's tables
+      val loc = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+      val db = "graft_buckets_" + loc.replaceAll(".*graft_buckets_", "")
+        .replaceAll("[^0-9a-zA-Z]", "")
+      graft.sources.BucketedLayout.ensureDatabase(s, db, loc)
+      graft.sources.BucketedLayout.writeBucketed(
+        t(s, d, "orders"), s"$db.orders_b", "o_orderkey", 8)
+      graft.sources.BucketedLayout.writeBucketed(
+        t(s, d, "lineitem"), s"$db.lineitem_b", "l_orderkey", 8)
+      (s"$db.orders_b", s"$db.lineitem_b")
+    })
+
+
+  private val j2 = QuerySpec("j2_bucketed_join",
+    // Co-located join + aggregation riding the bucketed layout: both
+    // scans are pre-partitioned by the join key (8 buckets, per-bucket
+    // sorted), so the join needs NO Exchange on either side and the
+    // follow-on per-order aggregation reuses the same partitioning —
+    // the whole plan has zero shuffles before the final top-10 cut
+    // (BucketedLayoutSpec pins it with broadcast disabled). The
+    // layout-time shuffle was paid once in [[bucketedTablesFor]]; at
+    // 100 TB that amortizes across every orderkey-joined query in the
+    // workload. Results are layout-independent — the oracle is the
+    // plain join over the raw tables.
+    (s, d) => {
+      val (ot, lt) = bucketedTablesFor(s, d)
+      val o = s.table(ot)
+      val l = s.table(lt)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("revenue"), col("n_items"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  // ======================================================================
+  // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
+  // policy over small plans; semantic fns are the deterministic doubles.
+  // ======================================================================
+
+  final def queriesRelational: Seq[QuerySpec] = Seq(q1, q3, q5, q6, q7, q8, q9, j2)
+}

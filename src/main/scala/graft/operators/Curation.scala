@@ -149,6 +149,13 @@ object Curation {
     * counts, tie-breaks, application — replays in SQL and
     * hash-checks (t41), which a canonical greedy re-scan would break
     * (it needs a per-word loop no engine-portable SQL expresses).
+    * Portability caveat: the `pair asc` tie-break compares strings —
+    * Spark orders by UTF-16 code units, DuckDB by UTF-8 bytes. The two
+    * orders agree on all BMP text (every codepoint < U+10000, which
+    * includes all of ASCII/Latin/CJK) and diverge only when
+    * supplementary-plane characters (emoji, rare ideographs) tie at
+    * the same count; train on such corpora with the oracle replay in
+    * mind, or pre-strip non-BMP codepoints.
     * Returns the merge table (step, pair, merged, n) — the artifact
     * a tokenizer ships. Driver work per step: one 1-row collect. */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
@@ -1295,6 +1302,10 @@ object Curation {
         round(col("n") / col("__total"), 6).as("share"),
         round(col("n") * col("__nkeys") / col("__total"), 4)
           .as("x_mean_key"))
+      // Terminal sort: the pre-limit orderBy bounds the rows but the
+      // crossJoin+select above it would otherwise leave row ORDER to
+      // physical-plan order preservation — make it contractual.
+      .orderBy(desc("n"), asc("key"))
   }
 
   /** Corpus snapshot diff: per-doc status (added / removed / changed /

@@ -84,12 +84,20 @@ object Salting {
     val hot = hotKeys.filterNot(_ == null)
     require(hot.nonEmpty,
       "hotKeys: empty (or all-null) split is a plain join — supply skewAudit's top non-null keys")
+    // Reserved rename of the small side's key (the batchProbes __q*
+    // pattern): with identical key names on both sides an unattached
+    // col(bigKey) === col(smallKey) resolves ambiguously and the join
+    // throws. Renamed back (or dropped when the names collide) after.
+    val sk = "__graft_sk"
+    val smallR = small.withColumnRenamed(smallKey, sk)
     val hotBig = big.filter(col(bigKey).isin(hot: _*))
     val coldBig = big.filter(!col(bigKey).isin(hot: _*))
-    val hotSmall = small.filter(col(smallKey).isin(hot: _*))
-    val coldSmall = small.filter(!col(smallKey).isin(hot: _*))
-    hotBig.join(broadcast(hotSmall), col(bigKey) === col(smallKey))
-      .unionByName(coldBig.join(coldSmall, col(bigKey) === col(smallKey)))
+    val hotSmall = smallR.filter(col(sk).isin(hot: _*))
+    val coldSmall = smallR.filter(!col(sk).isin(hot: _*))
+    val joined = hotBig.join(broadcast(hotSmall), col(bigKey) === col(sk))
+      .unionByName(coldBig.join(coldSmall, col(bigKey) === col(sk)))
+    if (bigKey == smallKey) joined.drop(sk)
+    else joined.withColumnRenamed(sk, smallKey)
   }
 
   /** Salted broadcast-side replication for a skewed join: replicate

@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedLayout {
 
-  /** Create `db` at `location` if absent (idempotent). */
-  def ensureDatabase(spark: SparkSession, db: String, location: String): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+  /** Create `db` at `location` if absent (idempotent). The identifier
+    * is backtick-quoted and the location's quotes escaped — both are
+    * interpolated into SQL, so an apostrophe-bearing temp path (or a
+    * keyword-named db) must not break the statement. */
+  def ensureDatabase(spark: SparkSession, db: String, location: String): Unit = {
+    require(!db.contains("`"), s"db name must not contain backticks: $db")
+    val loc = location.replace("'", "''")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
+  }
 
   /** Write `df` as `db.table` bucketed AND per-bucket-sorted by
     * `key` — the layout-time shuffle every later key-joined query

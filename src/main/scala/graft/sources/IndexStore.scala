@@ -235,6 +235,21 @@ object IndexStore {
       .join(broadcast(rm), Seq(idCol), "left_anti")
     val merged = addBatch.fold(survivors)(survivors.unionByName(_))
       .localCheckpoint(true) // break the read-then-overwrite cycle
+    if (merged.isEmpty) {
+      // The delta empties every affected cluster. Benign while
+      // unaffected clusters remain (the dir cleanup below removes the
+      // emptied ones), but emptying the WHOLE index would leave a
+      // layout later load()s die on (parquet schema inference over
+      // zero files) — fail loudly instead of writing it.
+      val allClusters = existing.select(col("cluster_id").cast("long"))
+        .distinct().collect().map(_.getLong(0))
+      if (allClusters.forall(affected.contains))
+        throw new IllegalStateException(
+          s"delta would empty the whole index at $path " +
+            s"(${affected.length} affected clusters, no survivors, no " +
+            "additions) — refusing to leave an unloadable layout; " +
+            "delete the index directory explicitly instead")
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy("cluster_id").parquet(path)

@@ -64,6 +64,16 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ensureDatabase survives an apostrophe-bearing location and quotes the db") {
+    val loc = Files.createTempDirectory("graft_bl_q_").resolve("it's a dir")
+    Files.createDirectory(loc)
+    BucketedLayout.ensureDatabase(spark, "graft_bltest_q", loc.toString)
+    assert(spark.catalog.databaseExists("graft_bltest_q"))
+    intercept[IllegalArgumentException] {
+      BucketedLayout.ensureDatabase(spark, "bad`name", "/tmp/x")
+    }
+  }
+
   test("per-bucket sort is recorded: scan carries the bucket spec") {
     val meta = spark.sql(s"DESCRIBE EXTENDED $ordersTbl")
       .as[(String, String, String)].collect()

@@ -255,4 +255,26 @@ class JobCorpusSpec extends SparkSpec {
     assert(IndexStore.compactPartitioned(spark, dir,
       Seq(999L).toDF("deleted_id"), "deleted_id", "id") == Seq.empty)
   }
+
+  test("compactPartitioned refuses to empty the WHOLE index (unloadable layout)") {
+    val dir = Files.createTempDirectory("graft_index_empty").toString + "/idx"
+    IndexStore.write(Seq((1L, 0L, "a"), (2L, 1L, "b"))
+      .toDF("id", "cluster_id", "payload"), dir)
+    // tombstoning every id would leave zero data files — load() would
+    // then die on parquet schema inference; the store fails loudly first
+    val ex = intercept[IllegalStateException] {
+      IndexStore.compactPartitioned(spark, dir,
+        Seq(1L, 2L).toDF("deleted_id"), "deleted_id", "id")
+    }
+    assert(ex.getMessage.contains("empty the whole index"))
+    // the refusal left the index intact and loadable
+    assert(IndexStore.load(spark, dir).orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // emptying all but one cluster is still allowed (benign-empty path)
+    assert(IndexStore.compactPartitioned(spark, dir,
+      Seq(2L).toDF("deleted_id"), "deleted_id", "id") == Seq(1L))
+    assert(IndexStore.load(spark, dir).select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
 }

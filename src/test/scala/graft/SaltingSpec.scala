@@ -103,6 +103,19 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("skewSplitJoin: identical key names on both sides resolve (reserved rename)") {
+    // col(bigKey) === col(smallKey) with the SAME name used to throw
+    // AnalysisException (ambiguous reference); the operator now renames
+    // the small side's key to a reserved name and drops it post-join.
+    val big = Seq((1L, "HOT"), (2L, "cold"), (3L, "miss")).toDF("id", "k")
+    val dim = Seq(("HOT", 1), ("cold", 2)).toDF("k", "attr")
+    val split = Salting.skewSplitJoin(big, dim, "k", "k", Seq("HOT"))
+    assert(split.columns.toSeq == Seq("id", "k", "attr"),
+      "collided key column appears once, reserved name never leaks")
+    assert(split.orderBy("id").as[(Long, String, Int)].collect().toSeq ==
+      Seq((1L, "HOT", 1), (2L, "cold", 2)))
+  }
+
   test("skewSplitJoin plan: hot half broadcasts, cold half shuffles") {
     val big = (0 until 100).map(i => (i.toLong, if (i < 90) "HOT" else s"c$i"))
       .toDF("id", "k")

@@ -44,6 +44,20 @@ object QualityModel {
       .drop("__tokens")
   }
 
+  /** The scoring input in exportable form: each row's hashed
+    * bag-of-tokens as a DENSE double array (`feats`, length
+    * `numFeatures`) alongside the caller's columns. This is the
+    * sidecar the t21 oracle replays scoring over: a dense left-to-right
+    * Σ feats(i)·w(i) sums the SAME nonzero products in the same
+    * ascending-index order as MLlib's sparse BLAS.dot (interleaved
+    * +0.0 terms leave IEEE partial sums bit-identical), so
+    * margin/probability replay exactly from exported weights. */
+  def featurized(docs: DataFrame, textCol: String,
+                 numFeatures: Int = 4096): DataFrame =
+    featurize(docs, textCol, numFeatures)
+      .withColumn("feats", vector_to_array(col("__features")))
+      .drop("__features")
+
   /** Train the quality classifier on labelled docs (`labelCol` ∈
     * {0.0, 1.0}; weak labels from a heuristic or a reference-corpus
     * membership both work — the latter is the fastText-filter recipe). */

@@ -521,6 +521,26 @@ private[graft] trait QueriesText { self: QueriesShared =>
   private val qualityModels = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.ml.classification.LogisticRegressionModel, Double)]
 
+  /** t21's oracle sidecars (the v14-centroid pattern for a MODEL
+    * artifact): the persisted model's dense weight vector + intercept
+    * + the label threshold in one 1-row table, and the held-out
+    * slice's featurized rows (HashingTF's murmur3 is not
+    * SQL-expressible, so the hashed bag-of-tokens ships as data) —
+    * with both, DuckDB replays margin → sigmoid → threshold →
+    * accuracy roll-up exactly. Keyed by a documents-content
+    * fingerprint both engines compute identically (Σ of each text's
+    * first-8-hex md5 as int64), since the artifacts are
+    * corpus-dependent and sf0.001/sf0.01 share row counts. */
+  private def t21SidecarBase(which: String): String =
+    new java.io.File(s"target/graft_sidecars/qmodel_t21_$which").getAbsolutePath
+
+  private val t21CorpusKeySql: String =
+    "(SELECT sum(CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)) FROM documents)"
+
+  private def t21CorpusKey(docs: DataFrame): Long =
+    docs.agg(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long"))).collect()(0).getLong(0)
+
   private def qualityModelFor(s: SparkSession, d: String)
       : (org.apache.spark.ml.classification.LogisticRegressionModel, Double) =
     qualityModels.getOrElseUpdate(d, {
@@ -534,7 +554,22 @@ private[graft] trait QueriesText { self: QueriesShared =>
       val p = java.nio.file.Files.createTempDirectory("graft_qmodel_")
         .toString + "/model"
       model.write.overwrite().save(p)
-      (org.apache.spark.ml.classification.LogisticRegressionModel.load(p), m)
+      val loaded =
+        org.apache.spark.ml.classification.LogisticRegressionModel.load(p)
+      // Oracle sidecars: weights/intercept/threshold from the LOADED
+      // artifact (what t21 serves from), held-out featurized rows.
+      val key = t21CorpusKey(t(s, d, "documents"))
+      import s.implicits._
+      Seq((key, loaded.intercept, loaded.coefficients.toArray.toSeq, m))
+        .toDF("corpus_key", "intercept", "weights", "threshold")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${t21SidecarBase("weights")}/key_$key")
+      QualityModel.featurized(
+          labelled.filter(col("__b") >= 70).select("doc_id", "text"), "text")
+        .select(lit(key).as("corpus_key"), col("doc_id"), col("feats"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${t21SidecarBase("feats")}/key_$key")
+      (loaded, m)
     })
 
 
@@ -544,10 +579,16 @@ private[graft] trait QueriesText { self: QueriesShared =>
     // held-out slice with the pre-trained persisted model
     // (qualityModelFor — built once per sf dir) and reports measured
     // held-out accuracy — training cost lives at index-build time,
-    // production's shape. Rows-checked: MLlib float-fold order makes
-    // probabilities reproducible only to ~1e-12, so there is no DuckDB
-    // mirror; trust comes from the measured accuracy column and
-    // QualityModelSpec's separable-corpus floor.
+    // production's shape. HASH-CHECKED since round 12 (the v14
+    // centroid-sidecar pattern): weights/intercept/threshold and the
+    // held-out featurized rows ship as parquet sidecars, and the
+    // oracle replays margin (dense Σ feats·w, bit-identical to MLlib's
+    // sparse BLAS.dot — see QualityModel.featurized) → sigmoid →
+    // threshold-at-0 prediction → heuristic-label join → accuracy
+    // roll-up. TRAINING stays spec-checked (QualityModelSpec's
+    // separable-corpus floor) — like KMeans in v14, the iterative fit
+    // is not SQL-replayable and doesn't need to be: both engines score
+    // from the SAME exported weights.
     (s, d) => {
       val (model, m) = qualityModelFor(s, d)
       val labelled = qualityDocs(s, d)
@@ -555,7 +596,28 @@ private[graft] trait QueriesText { self: QueriesShared =>
       QualityModel.scoreEval(model, labelled, "doc_id", "text", "label")
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""WITH w AS (SELECT intercept, weights, threshold
+        FROM read_parquet('${t21SidecarBase("weights")}/*/*.parquet')
+        WHERE corpus_key = $t21CorpusKeySql),
+      f AS (SELECT doc_id, feats
+        FROM read_parquet('${t21SidecarBase("feats")}/*/*.parquet')
+        WHERE corpus_key = $t21CorpusKeySql),
+      lab AS (SELECT doc_id, $qualityExprSql AS q FROM (${qualityInnerSql()})),
+      scored AS (SELECT f.doc_id,
+          list_sum(list_transform(range(1, len(f.feats) + 1),
+            i -> f.feats[i] * w.weights[i])) + w.intercept AS margin
+        FROM f CROSS JOIN w),
+      verdicts AS (SELECT s.doc_id,
+          round(1.0 / (1.0 + exp(-margin)), 4) AS quality_prob,
+          margin > 0 AS quality_pred,
+          CAST(l.q >= w.threshold AS INT) AS label,
+          (margin > 0) = (l.q >= w.threshold) AS correct
+        FROM scored s JOIN lab l USING (doc_id) CROSS JOIN w),
+      acc AS (SELECT round(avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 4)
+          AS heldout_accuracy FROM verdicts)
+      SELECT doc_id, quality_prob, quality_pred, label, correct,
+        heldout_accuracy
+      FROM verdicts CROSS JOIN acc ORDER BY doc_id"""))
 
 
   private val t19 = QuerySpec("t19_curate_pack_pipeline",

@@ -37,7 +37,14 @@ final case class CascadeConfig(
 final class MultiStageSearch(
     corpus: DataFrame, idCol: String, textCol: String, embCol: String,
     cfg: CascadeConfig = CascadeConfig(),
-    profile: UserProfile = UserProfile.empty) {
+    profile: UserProfile = UserProfile.empty,
+    // Pluggable candidate source for the per-stage kNN (stage pred,
+    // query vector, k) → (idCol, textCol, dist). Default: exact scan
+    // over `corpus`. A served deployment passes an ANN-index reader
+    // here (c5: IVF-probed partitions of the stored index) — the
+    // cascade POLICY (stage list, gates, dedup, rerank) is identical
+    // either way, which is exactly what c5's identity gate pins.
+    knnBackend: Option[(Option[Column], Column, Int) => DataFrame] = None) {
 
   private val (queryNer, synonyms, _) = SemanticSuite.default
 
@@ -90,9 +97,12 @@ final class MultiStageSearch(
 
   private def knnStage(pred: Option[Column], queryVec: Column, k: Int,
                        stage: Int): DataFrame = {
-    val base = pred.fold(corpus)(corpus.filter)
-    Knn.exact(base, embCol, idCol, queryVec, k)
-      .withColumn("stage_rank", lit(stage))
+    val hits = knnBackend match {
+      case Some(backend) => backend(pred, queryVec, k)
+      case None =>
+        Knn.exact(pred.fold(corpus)(corpus.filter), embCol, idCol, queryVec, k)
+    }
+    hits.withColumn("stage_rank", lit(stage))
   }
 
   /** Run the cascade. `queryVec` is the embedded query (the embedding

@@ -22,7 +22,7 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
     * the cost a query actually pays against an existing index. A lost
     * race builds twice into separate temp dirs — wasteful, never
     * wrong. */
-  private val trainedIvfRoots =
+  val trainedIvfRoots =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Stable sidecar root for v14's trained centroids — the v6/v10
@@ -36,17 +36,17 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
     * arithmetic — sum(floor(first_component·1e6)) — and the oracle
     * selects the set matching the corpus it queries (sf0.001/sf0.01
     * share a row COUNT, so count alone would collide). */
-  private def v14SidecarBase: String =
+  def v14SidecarBase: String =
     new java.io.File("target/graft_sidecars/ivf_v14_centroids").getAbsolutePath
 
-  private val v14CorpusKeySql: String =
+  val v14CorpusKeySql: String =
     "(SELECT CAST(sum(floor(CAST(embedding[1] AS DOUBLE) * 1000000)) AS BIGINT) FROM embeddings)"
 
-  private def v14CorpusKey(e: DataFrame): Long =
+  def v14CorpusKey(e: DataFrame): Long =
     e.agg(sum(floor(col("embedding").getItem(0).cast("double") * 1e6)))
       .collect()(0).getLong(0)
 
-  private def trainedIvfFor(s: SparkSession, d: String): String =
+  def trainedIvfFor(s: SparkSession, d: String): String =
     trainedIvfRoots.getOrElseUpdate(d, {
       val root =
         java.nio.file.Files.createTempDirectory("graft_trained_ivf_").toString

@@ -108,6 +108,58 @@ class CascadeSpec extends SparkSpec {
     assert(adaptive.forall(_.getAs[Int]("stage_rank") == 7))
   }
 
+  test("knnBackend: injected candidate source feeds every stage; policy unchanged") {
+    // The c5 serving shape in miniature: a backend serving from a
+    // stored cluster-partitioned index whose probe keeps clusters
+    // {0, 1} — doc 5 (cluster 9) must be invisible to EVERY stage,
+    // and the stage plan must prune to the probed partitions
+    // (PartitionFilters), not scan-then-filter.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cascade_idx_").toString + "/idx"
+    graft.sources.IndexStore.write(
+      corpus.withColumn("cluster_id",
+        when(col("doc_id") === 5, 9L).otherwise(col("doc_id") % 2)), dir)
+    val probed = Seq(0L, 1L)
+    val backend = (pred: Option[org.apache.spark.sql.Column],
+                   qv: org.apache.spark.sql.Column, k: Int) => {
+      val pool = graft.sources.IndexStore.load(spark, dir)
+        .filter(col("cluster_id").isin(probed: _*))
+      graft.operators.Knn.exact(
+        pred.fold(pool)(pool.filter), "embedding", "doc_id", qv, k)
+    }
+    val stagePlan = backend(None, col("qv"), 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r
+        .findFirstIn(stagePlan).isDefined,
+      s"served stage must prune to probed partitions:\n${stagePlan.take(2000)}")
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(topK = 3, finalN = 5), knnBackend = Some(backend))
+    val q = "looking for a join job in the row area"
+    val served = search.search(q, col("qv")).collect().toSeq
+    assert(served.nonEmpty)
+    assert(!served.exists(_.getAs[Long]("doc_id") == 5L),
+      "a doc outside the probed clusters leaked into the cascade")
+    // adaptive ≡ fixed holds for the served backend too (same policy)
+    val fixture = corpus.filter(
+      !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
+    // fixture narrows the POOL (before the top-k cut), as c5 does
+    val fixBackend = (pred: Option[org.apache.spark.sql.Column],
+                      qv: org.apache.spark.sql.Column, k: Int) => {
+      val pool = graft.sources.IndexStore.load(spark, dir)
+        .filter(col("cluster_id").isin(probed: _*))
+        .filter(!lower(col("text")).contains("join") &&
+          !lower(col("text")).contains("row"))
+      graft.operators.Knn.exact(
+        pred.fold(pool)(pool.filter), "embedding", "doc_id", qv, k)
+    }
+    val fixSearch = new MultiStageSearch(fixture, "doc_id", "text",
+      "embedding", CascadeConfig(topK = 3, finalN = 5),
+      knnBackend = Some(fixBackend))
+    val a = fixSearch.search(q, col("qv")).collect().toSeq
+    val f = fixSearch.searchFixed(q, col("qv")).collect().toSeq
+    assert(a.nonEmpty && a == f)
+  }
+
   test("F4: blank query returns the typed empty response without running any stage") {
     // Poisoned corpus: ANY stage execution (even the unfiltered S1
     // fallback) would evaluate the throwing udf and fail the collect.

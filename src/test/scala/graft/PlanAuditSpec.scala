@@ -29,6 +29,63 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian products (or planning failures) in: ${offenders.mkString(", ")}")
   }
 
+  test("every unpartitioned window in the suite sits above a bounded input (sweep)") {
+    // An unpartitioned WindowExec moves its WHOLE input to one
+    // partition (the Verify log's WindowExec warnings) — benign only
+    // when that input is bounded by construction. Sweep every harness
+    // query and prove it structurally: below each such window there
+    // must be a global limit (TakeOrderedAndProject / GlobalLimit /
+    // CollectLimit — k·stage rows), a driver-materialized local
+    // relation (the cascade's collected ≤Σk rows), a global aggregate
+    // (1 row), or a union/join of only such inputs. The ONE shape that
+    // is bounded by an argument the plan can't carry — a window over
+    // group-summary rows whose grouping key is a hash-mod-B bucket
+    // (cardinality ≤ B regardless of corpus size) — is whitelisted BY
+    // QUERY NAME, so a new query with an unpartitioned window over an
+    // unbounded input fails here until justified.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // t15/t19: the packing prefix-sum's bucket-offset window rides a
+    //   groupBy(__b = hashBucket(id) % buckets) aggregate — ≤ buckets
+    //   rows (Packing.scala's two-phase design, B = 32 there).
+    val groupSummaryBounded = Set("t15_seq_packing", "t19_curate_pack_pipeline")
+    def bounded(p: SparkPlan, groupAggOk: Boolean): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec => true
+      case _: LocalTableScanExec | _: RDDScanExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: BaseAggregateExec => groupAggOk
+      case u: UnionExec => u.children.forall(bounded(_, groupAggOk))
+      case j: BaseJoinExec => j.children.forall(bounded(_, groupAggOk))
+      case other if other.children.length == 1 =>
+        bounded(other.children.head, groupAggOk)
+      case _ => false
+    }
+    val prior = Queries.identityGates
+    Queries.identityGates = false
+    val offenders =
+      try Queries.all.flatMap { q =>
+        try {
+          val plan = q.impl(spark, sf).queryExecution.sparkPlan
+          plan.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => w
+            }
+            .filterNot(w =>
+              bounded(w.child, groupSummaryBounded.contains(q.name)))
+            .map(w => s"${q.name}: unpartitioned window over " +
+              s"${w.child.getClass.getSimpleName}")
+        } catch {
+          case e: Throwable =>
+            Seq(s"${q.name} failed to plan: ${e.toString.take(120)}")
+        }
+      }
+      finally Queries.identityGates = prior
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+  }
+
   test("v1 kNN: TakeOrderedAndProject, native distance, zero shuffles") {
     // executedPlan, not sparkPlan: exchanges are inserted by
     // EnsureRequirements during preparation, so only the executed plan

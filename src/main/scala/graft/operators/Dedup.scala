@@ -988,15 +988,23 @@ object Dedup {
     * score, bool) tuples. Text never shuffles. */
   def applyPurgeManifestBy(docs: DataFrame, idCol: String,
                            comp: DataFrame, scoreCol: String): DataFrame = {
+    // Shared-subtree checkpoint: the (id, score) pair feeds BOTH the
+    // keeper election and the returned verdicts. scoreCol is typically
+    // an expensive per-row featurization (d21: the regex-heavy quality
+    // score) — without the checkpoint each consumer re-runs it over
+    // the whole corpus (measured 2× the probe time at 100× sf0.1).
+    // Only the two scalar columns materialize, never the text.
+    val scored = docs.select(col(idCol).as("doc_id"), col(scoreCol))
+      .localCheckpoint(false)
     val w = Window.partitionBy("component_id")
       .orderBy(col("__s").desc, col("doc_id"))
     val keepers = comp
-      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
+      .join(scored.select(col("doc_id"), col(scoreCol).as("__s")),
         Seq("doc_id"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("component_id"), col("doc_id").as("__keep_doc"))
-    docs.select(col(idCol).as("doc_id"), col(scoreCol))
+    scored
       .join(comp, Seq("doc_id"), "left")
       .join(keepers, Seq("component_id"), "left")
       .select(col("doc_id"), col("component_id"), col(scoreCol),

@@ -1043,5 +1043,107 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
         round(${cosineSql("e", "deq")}, 6) AS cos_fidelity
       FROM dq ORDER BY vec_id"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  /** One nprobe setting's half of the v22 sweep oracle — shares the
+    * single cent/assign/clusters/sizes chain (built once in the WITH
+    * prologue), so the per-setting CTEs are probe/cut/recall/cost
+    * only. The abIndexSql pattern with nprobe as the parameter
+    * instead of the centroid set. */
+  private def sweepNprobeSql(n: Int): String =
+    s"""probes_$n AS (SELECT qid, qv, cluster_id FROM (
+        SELECT q.qid, q.qv, cid AS cluster_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("cvec", "q.qv")}, cid) AS pr
+        FROM cent CROSS JOIN q) WHERE pr <= $n),
+      ivf_$n AS (SELECT qid, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY ${l2Sql("c.embedding", "p.qv")}, c.vec_id) AS rnk
+        FROM clusters c JOIN probes_$n p USING (cluster_id))
+        WHERE rnk <= 10),
+      rec_$n AS (SELECT ex.qid, count(iv.vec_id) / 10.0 AS recall
+        FROM exact ex LEFT JOIN ivf_$n iv
+          ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+        GROUP BY ex.qid),
+      cand_$n AS (SELECT p.qid, sum(s.csz) AS n_cand
+        FROM probes_$n p JOIN sizes s USING (cluster_id)
+        GROUP BY p.qid),
+      m_$n AS (SELECT $n AS nprobe,
+        round(avg(recall), 6) AS mean_recall,
+        round(avg(n_cand), 2) AS mean_candidates
+        FROM rec_$n JOIN cand_$n USING (qid))"""
+
+  private val SweepProbes = Seq(1, 2, 4, 8)
+
+  private val v22 = QuerySpec("v22_nprobe_sweep",
+    // The recall/cost TUNING CURVE every IVF deployment reads before
+    // picking nprobe: one index, the same query set, mean recall@10
+    // vs the exact top-10 and mean probed-candidate volume (the
+    // serving-cost proxy) at each probe width. v21 compares two
+    // indexes at a fixed nprobe; this sweeps nprobe on one index —
+    // together they are the two dials of index release. Toy centroids
+    // keep every point on the curve DuckDB-replayable, so the CURVE
+    // hash-checks. Scale shape: assignment is computed once and
+    // checkpointed ((id, cluster) pairs only); each sweep point adds
+    // probe selection over the k-row centroid table and a candidate
+    // join bounded by the probed clusters — the corpus is never
+    // rescanned per point beyond its probed slice.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(false)
+      val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
+        cent, "cid", "cvec").localCheckpoint(false)
+      val sizes = assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("csz")).localCheckpoint(false)
+      val points = SweepProbes.map { n =>
+        val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
+            cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = n)
+          .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
+        val rec = exact.join(ivf, Seq("qid", "vec_id"), "left")
+          .groupBy("qid").agg((count(col("__hit")) / 10.0).as("recall"))
+        val pw = Window.partitionBy("qid").orderBy(col("__qd"), col("cid"))
+        val probes = qs.crossJoin(broadcast(cent))
+          .withColumn("__qd", VectorFunctions.l2(col("cvec"), col("qv")))
+          .withColumn("__pr", row_number().over(pw))
+          .filter(col("__pr") <= n)
+          .select(col("qid"), col("cid").as("cluster_id"))
+        val cand = probes.join(sizes, Seq("cluster_id"))
+          .groupBy("qid").agg(sum("csz").as("n_cand"))
+        rec.join(cand, Seq("qid"))
+          .agg(round(avg("recall"), 6).as("mean_recall"),
+            round(avg("n_cand"), 2).as("mean_candidates"))
+          .select(lit(n).as("nprobe"), col("mean_recall"),
+            col("mean_candidates"))
+      }
+      points.reduce(_ unionByName _).orderBy("nprobe")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+      cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, e.embedding, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, embedding, cid AS cluster_id
+        FROM assign WHERE crn = 1),
+      sizes AS (SELECT cluster_id, count(*) AS csz
+        FROM clusters GROUP BY 1),
+      ${SweepProbes.map(sweepNprobeSql).mkString(",\n      ")},
+      curve AS (${SweepProbes.map(n => s"SELECT * FROM m_$n")
+        .mkString(" UNION ALL ")})
+      SELECT nprobe, mean_recall, mean_candidates
+      FROM curve ORDER BY nprobe"""))
+
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }

@@ -238,5 +238,63 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM wins GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  final def queriesEvents: Seq[QuerySpec] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
+  private val e9 = QuerySpec("e9_funnel",
+    // Ordered funnel (view → click → purchase): for each user, the
+    // first view, the first click AFTER that view, the first purchase
+    // AFTER that click — then stage counts and conversion rates. The
+    // sequential dependency (stage N's window starts at stage N-1's
+    // timestamp) is what separates a funnel from three independent
+    // counts, and it is expressible as THREE chained whole-partition
+    // window minimums over ONE user-keyed exchange: t_view is
+    // constant per user, so t_click's conditional min can reference
+    // it in the same pass, and t_purchase likewise — no self-joins,
+    // no per-stage corpus re-scan (the join formulation pays three).
+    // Per-user frames are event-count bounded; only (user, 3
+    // timestamps) survive into the distinct + 1-row roll-up.
+    (s, d) => {
+      val wq = Window.partitionBy("user_id")
+      val staged = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wq))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view"), col("ts"))).over(wq))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(wq))
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
+      staged.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click")).as("n_clicked_after_view"),
+        count(col("t_purchase")).as("n_purchased_after_click"),
+        round(count(col("t_click")) / count(col("t_view")), 6)
+          .as("view_to_click"),
+        round(count(col("t_purchase")) / count(col("t_click")), 6)
+          .as("click_to_purchase"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id),
+      c AS (SELECT e.user_id, min(ts) AS t_click
+        FROM events e JOIN u USING (user_id)
+        WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id),
+      f AS (SELECT u.user_id, u.t_view, c.t_click, p.t_purchase
+        FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+      SELECT count(*) AS n_users, count(t_view) AS n_viewed,
+        count(t_click) AS n_clicked_after_view,
+        count(t_purchase) AS n_purchased_after_click,
+        round(count(t_click) / CAST(count(t_view) AS DOUBLE), 6)
+          AS view_to_click,
+        round(count(t_purchase) / CAST(count(t_click) AS DOUBLE), 6)
+          AS click_to_purchase
+      FROM f"""))
+
+  final def queriesEvents: Seq[QuerySpec] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }

@@ -264,5 +264,64 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
   // policy over small plans; semantic fns are the deterministic doubles.
   // ======================================================================
 
-  final def queriesRelational: Seq[QuerySpec] = Seq(q1, q3, q5, q6, q7, q8, q9, j2)
+  private val q10 = QuerySpec("q10_priority_exists",
+    // TPC-H Q4's shape: EXISTS as a LEFT-SEMI join. Orders in a date
+    // window counted by priority when at least one of their lines
+    // shipped > 60 days after the order date. The semi join is the
+    // scale point: it never duplicates an order row no matter how
+    // many lines match (a plain join + distinct would explode
+    // line-count-fold and then pay a dedup shuffle), the date filter
+    // prunes the orders scan (PushedFilters), and the extra non-equi
+    // condition rides the equi-keyed join as a post-probe predicate —
+    // no second pass.
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+      val li = t(s, d, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1995-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+
+  private val q11 = QuerySpec("q11_argmin_supplier",
+    // Top-1-per-group WITHOUT a window: the cheapest (price, suppkey)
+    // line per part via min(struct(...)) — a map-side-combinable
+    // aggregate, so a part with a million lines sends ONE partial
+    // struct per input partition instead of shipping every line to a
+    // window sort (TPC-H Q2's min-cost-supplier shape on the tables
+    // this corpus has). Struct min orders lexicographically: min
+    // price first, then min suppkey — the total tie-break for free
+    // (the ivfAssign trick applied to a relational query). The oracle
+    // replays it as the row_number form — same rows, so the
+    // hash-compare doubles as an aggregate≡window equivalence proof.
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"),
+          round(col("m.l_extendedprice"), 2).as("best_price"),
+          col("m.l_suppkey").as("best_supp"))
+        .orderBy("l_partkey"),
+    Some("""SELECT l_partkey, round(l_extendedprice, 2) AS best_price,
+        l_suppkey AS best_supp
+      FROM (SELECT l_partkey, l_extendedprice, l_suppkey,
+          row_number() OVER (PARTITION BY l_partkey
+            ORDER BY l_extendedprice, l_suppkey) AS rn
+        FROM lineitem) WHERE rn = 1 ORDER BY l_partkey"""))
+
+
+  final def queriesRelational: Seq[QuerySpec] =
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, j2)
 }

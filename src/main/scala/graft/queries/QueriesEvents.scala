@@ -252,19 +252,9 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
     // Per-user frames are event-count bounded; only (user, 3
     // timestamps) survive into the distinct + 1-row roll-up.
     (s, d) => {
-      val wq = Window.partitionBy("user_id")
-      val staged = events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("t_view",
-          min(when(col("event_type") === "view", col("ts"))).over(wq))
-        .withColumn("t_click",
-          min(when(col("event_type") === "click" &&
-            col("ts") > col("t_view"), col("ts"))).over(wq))
-        .withColumn("t_purchase",
-          min(when(col("event_type") === "purchase" &&
-            col("ts") > col("t_click"), col("ts"))).over(wq))
-        .select("user_id", "t_view", "t_click", "t_purchase")
-        .distinct()
+      // per-user stages shared with the streaming twin
+      // (EventStream.funnelStream; FunnelSpec pins stream ≡ batch)
+      val staged = graft.streaming.EventStream.funnelStages(events(s, d))
       staged.agg(
         count(lit(1)).as("n_users"),
         count(col("t_view")).as("n_viewed"),

@@ -4,6 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Funnel event/state/update types for [[EventStream.funnelStream]]. */
+final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+final case class FunnelProgress(viewUs: Option[Long], clickUs: Option[Long],
+                                purchaseUs: Option[Long])
+final case class FunnelUpdate(user_id: Long, t_view_us: Option[Long],
+                              t_click_us: Option[Long],
+                              t_purchase_us: Option[Long], stage: Int)
+
 /** Session event/state/result types for [[EventStream.sessionizeStream]]. */
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
@@ -155,6 +163,85 @@ object EventStream {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Per-user funnel stage frame — the BATCH half of the funnel pair,
+    * shared by the e9 harness query (which rolls it up to stage
+    * counts + conversion rates) and the streaming twin's spec. The
+    * sequential stage dependency (first click AFTER the first view,
+    * first purchase AFTER that click) runs as three chained
+    * whole-partition window minimums over ONE user-keyed exchange:
+    * t_view is constant within a user's partition, so later stages
+    * reference it in the same pass — no per-stage self-joins. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wq))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(wq))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(wq))
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .distinct()
+  }
+
+  /** Streaming funnel monitor — the stateful twin of [[funnelStages]]:
+    * per-user (first view, first click after it, first purchase after
+    * that) maintained in mapGroupsWithState, one updated row per user
+    * per micro-batch it changes in (Update semantics — the sink
+    * upserts by user_id). State is THREE epoch-micro slots per user —
+    * bounded by user cardinality, not event volume (the dataset-card
+    * t37 argument: KBs of state per million users), and a slot only
+    * ever fills once, so a batch with no stage progress emits nothing.
+    * Honest ordering contract: within a batch events are processed in
+    * ts order; ACROSS batches the state machine is exact when a
+    * user's events arrive in event-time order (the usual log-shipping
+    * case). A view arriving AFTER a later-stage slot filled cannot
+    * retroactively re-run the click matching — that reprocessing is
+    * the batch twin's job, which is why the pair exists (the d1 /
+    * dedupStream split applied to funnels). FunnelSpec pins
+    * stream ≡ batch on in-order delivery. */
+  def funnelStream(events: DataFrame): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(uid: Long, it: Iterator[FunnelEvent],
+               state: GroupState[FunnelProgress]): Iterator[FunnelUpdate] = {
+      val evs = it.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption.getOrElse(FunnelProgress(None, None, None))
+      val before = cur
+      evs.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        e.event_type match {
+          case "view" if cur.viewUs.isEmpty =>
+            cur = cur.copy(viewUs = Some(us))
+          case "click" if cur.clickUs.isEmpty &&
+              cur.viewUs.exists(us > _) =>
+            cur = cur.copy(clickUs = Some(us))
+          case "purchase" if cur.purchaseUs.isEmpty &&
+              cur.clickUs.exists(us > _) =>
+            cur = cur.copy(purchaseUs = Some(us))
+          case _ => ()
+        }
+      }
+      if (cur == before) Iterator.empty
+      else {
+        state.update(cur)
+        val stage = Seq(cur.viewUs, cur.clickUs, cur.purchaseUs).count(_.isDefined)
+        Iterator.single(
+          FunnelUpdate(uid, cur.viewUs, cur.clickUs, cur.purchaseUs, stage))
+      }
+    }
+
+    events
+      .selectExpr("user_id", "ts", "event_type")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Streaming ingest dedup — the streaming twin of the exact-dedup

@@ -951,4 +951,167 @@ object Ann {
           .otherwise(round(col("__min_inter") / col("__mi"), 6))
           .as("separation"))
   }
+
+  // ---------------------------------------------------------------------
+  // Binary (sign) quantization — 1 bit per dimension, Hamming ranking.
+  // The coarsest point on the compression ladder the engine already
+  // climbs (int8 4×, PQ 16-32×): sign-bit packing is 32× smaller than
+  // fp32, and candidate ranking degrades to XOR + popcount — the
+  // cheapest per-vector arithmetic any stage-one scan can do. The
+  // standard two-stage recipe (rank by Hamming on the packed codes,
+  // exact rerank of the bounded survivor set) follows the binary-
+  // hashing literature (Charikar STOC'02 sign-random-projection;
+  // FAISS's IndexBinaryFlat serving shape). Here the projection is the
+  // identity — the sign pattern of the raw embedding — which keeps the
+  // whole path exactly SQL-replayable.
+  // ---------------------------------------------------------------------
+
+  /** Pack the sign pattern of `embCol` (bit b of word w set ⟺
+    * component w·64+b is strictly positive) into ceil(dim/64) longs.
+    * The stored artifact a 100 TB stage-one scan reads INSTEAD of the
+    * fp corpus: dim×4 bytes → dim/8 bytes (32×). The packing
+    * expression is a static OR-tree over 64 `when`s per word — plain
+    * codegen'd conditionals, no higher-order functions — and this is
+    * index-BUILD cost, paid once per corpus. A vector of the wrong
+    * length fails loudly (a silent zero-bit tail would quietly rank
+    * everything near it). */
+  def signEncode(corpus: DataFrame, embCol: String, idCol: String,
+                 dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val emb = col(embCol).cast("array<double>")
+    val words = (dim + 63) / 64
+    val packed = (0 until words).map { w =>
+      (0 until 64).flatMap { b =>
+        val i = w * 64 + b
+        if (i >= dim) None
+        else Some(when(element_at(emb, i + 1) > 0, lit(1L << b))
+          .otherwise(lit(0L)))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+    corpus.filter(col(embCol).isNotNull)
+      .select(
+        when(size(col(embCol)) =!= dim,
+          raise_error(concat(
+            lit(s"signEncode: expected dim $dim, got "),
+            size(col(embCol)).cast("string"), lit(" for id "),
+            col(idCol).cast("string"))))
+          .otherwise(col(idCol)).as(idCol),
+        array(packed: _*).as("sign_code"))
+  }
+
+  /** Driver-side twin of [[signEncode]] for the (1-row) query vector. */
+  def signCode(vec: Array[Double]): Array[Long] = {
+    val out = new Array[Long]((vec.length + 63) / 64)
+    var i = 0
+    while (i < vec.length) {
+      if (vec(i) > 0) out(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    out
+  }
+
+  /** Two-stage search served from a stored [[signEncode]] table: stage
+    * one scans ONLY the packed codes and ranks by Hamming distance —
+    * per word one XOR against the broadcast-constant query code and
+    * one `bit_count`, all codegen'd, summed statically across words
+    * (no HOF) — keeping a (hamming, id)-ordered k·candMult heap per
+    * partition (TakeOrderedAndProject; only k·candMult rows ever leave
+    * the executors). Stage two broadcast-joins the survivors back to
+    * the fp corpus and reranks by exact cosine. Both stages are
+    * total-ordered ((hamming, id) then (cos desc, id)), so the cuts
+    * are deterministic and the oracle replays them stage for stage.
+    * Hamming ties are MASSIVE by construction (integer distances on a
+    * 64-bit code) — the id tie-break is what makes the candidate cut
+    * an exact contract rather than a races-with-the-scheduler one. */
+  def signSearchEncoded(encoded: DataFrame, vectors: DataFrame,
+                        embCol: String, idCol: String,
+                        queryVec: Array[Double], k: Int,
+                        candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    val q = signCode(queryVec)
+    val ham = q.indices.map { w =>
+      bit_count(element_at(col("sign_code"), w + 1).bitwiseXOR(lit(q(w))))
+    }.reduce(_ + _).cast("long")
+    val survivors = encoded
+      .filter(col("sign_code").isNotNull)
+      .select(col(idCol),
+        when(ham.isNull,
+          raise_error(concat(
+            lit("signSearchEncoded: null hamming (word-count mismatch) for id "),
+            col(idCol).cast("string"))))
+          .otherwise(ham).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * candMult)
+    broadcast(survivors)
+      .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("cos", VectorFunctions.cosine(
+        col(embCol).cast("array<double>"),
+        typedlit(queryVec.toSeq)))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Matryoshka (prefix-dimension) serving — Kusupati et al. 2022,
+  // "Matryoshka Representation Learning" (NeurIPS): MRL-trained
+  // embeddings concentrate coarse similarity in the leading
+  // dimensions, so a stage-one scan over just the first m components
+  // reads m/dim of the bytes (16/64 = 4× here) and the full vector is
+  // only touched for the bounded rerank set. Same two-stage contract
+  // as the int8/PQ/sign families — the prefix column is the stored
+  // artifact, column pruning never reads the fp corpus in stage one.
+  // ---------------------------------------------------------------------
+
+  /** The prefix artifact: (id, first-`prefixDim`-components) as its
+    * own stored table. A too-short vector fails loudly — `slice`
+    * would otherwise silently hand stage one a truncated prefix that
+    * ranks the vector closer than it is. */
+  def prefixEncode(corpus: DataFrame, embCol: String, idCol: String,
+                   prefixDim: Int): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    corpus.filter(col(embCol).isNotNull)
+      .select(
+        when(size(col(embCol)) < prefixDim,
+          raise_error(concat(
+            lit(s"prefixEncode: embedding shorter than prefixDim $prefixDim for id "),
+            col(idCol).cast("string"))))
+          .otherwise(col(idCol)).as(idCol),
+        slice(col(embCol).cast("array<double>"), 1, prefixDim)
+          .as("prefix_vec"))
+  }
+
+  /** Two-stage search served from a stored [[prefixEncode]] table:
+    * stage one ranks by L2 over the prefix (narrow scan of the small
+    * artifact; per-partition k·candMult heap), stage two broadcast-
+    * joins survivors to the fp corpus and reranks by full-dimension
+    * L2. Total orders ((prefix_dist, id), then (dist, id)) make both
+    * cuts deterministic; the oracle replays them over array slices. */
+  def prefixSearchEncoded(encoded: DataFrame, vectors: DataFrame,
+                          embCol: String, idCol: String,
+                          queryVec: Array[Double], prefixDim: Int,
+                          k: Int, candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    require(queryVec.length >= prefixDim,
+      s"query vector shorter than prefixDim $prefixDim")
+    val pd = VectorFunctions.l2(col("prefix_vec"),
+      typedlit(queryVec.take(prefixDim).toSeq))
+    val survivors = encoded
+      .filter(col("prefix_vec").isNotNull)
+      .select(col(idCol),
+        when(pd.isNull,
+          raise_error(concat(
+            lit("prefixSearchEncoded: null prefix distance for id "),
+            col(idCol).cast("string"))))
+          .otherwise(pd).as("prefix_dist"))
+      .orderBy(col("prefix_dist"), col(idCol))
+      .limit(k * candMult)
+    broadcast(survivors)
+      .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
+      .withColumn("dist", VectorFunctions.l2(
+        col(embCol).cast("array<double>"), typedlit(queryVec.toSeq)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("prefix_dist"), col("dist"))
+  }
 }

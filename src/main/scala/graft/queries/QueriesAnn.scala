@@ -244,6 +244,100 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
     Some(int8SearchOracle))
 
 
+  private val signPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stored sign-bit code table (Ann.signEncode): the 32×-smaller
+    * artifact s11's stage one scans instead of the fp corpus. */
+  private def signTableFor(s: SparkSession, d: String): String =
+    signPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sign_codes_").toString + "/codes"
+      Ann.signEncode(t(s, d, "embeddings"), "embedding", "vec_id", dim = 64)
+        .write.parquet(p)
+      p
+    })
+
+
+  private val s11 = QuerySpec("s11_sign_hamming_served",
+    // The coarsest rung of the compression ladder (int8 4× → PQ
+    // 16-32× → sign bits 32× with popcount ranking): stage one scans
+    // ONLY the stored 1-long-per-vector code table, ranks by
+    // XOR+bit_count Hamming distance against the broadcast-constant
+    // query code, and keeps a (hamming, id)-ordered 40-row heap per
+    // partition; stage two broadcast-joins the survivors to the fp
+    // corpus for the exact-cosine top-10. The oracle replays the sign
+    // rule (component > 0), the integer Hamming sum, the heavily-tied
+    // (hamming, id) candidate cut and the exact rerank — Hamming ties
+    // are massive by construction, so the id tie-break is what makes
+    // the 40-cut a contract instead of a scheduler race.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Ann.signSearchEncoded(s.read.parquet(signTableFor(s, d)), e,
+          "embedding", "vec_id", qv, k = 10, candMult = 4)
+        .select(col("vec_id"), col("hamming"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      ham AS (SELECT e.vec_id,
+          CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0) != (qv[i] > 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM embeddings e CROSS JOIN q),
+      cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 40)
+      SELECT c.vec_id, c.hamming, round(${cosineSql("e.embedding", "qv")}, 6) AS cos
+      FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+      ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+
+  private val prefixPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stored 16-dim prefix table (Ann.prefixEncode): the 4×-smaller
+    * artifact s12's stage one scans instead of the fp corpus. */
+  private def prefixTableFor(s: SparkSession, d: String): String =
+    prefixPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_prefix_codes_").toString + "/codes"
+      Ann.prefixEncode(t(s, d, "embeddings"), "embedding", "vec_id",
+          prefixDim = 16)
+        .write.parquet(p)
+      p
+    })
+
+
+  private val s12 = QuerySpec("s12_matryoshka_served",
+    // Matryoshka/prefix-dimension serving (Kusupati et al. 2022):
+    // stage one ranks by L2 over the stored FIRST-16-components table
+    // (4× fewer bytes than the fp corpus; per-partition 40-row heap),
+    // stage two reranks the survivors by full-64-dim L2 via broadcast
+    // join. The oracle replays both stages over array slices —
+    // embedding[1:16] against qv[1:16], then the full vectors.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+        .map(_.toDouble).toArray
+      Ann.prefixSearchEncoded(s.read.parquet(prefixTableFor(s, d)), e,
+          "embedding", "vec_id", qv, prefixDim = 16, k = 10, candMult = 4)
+        .select(col("vec_id"),
+          round(col("prefix_dist"), 6).as("prefix_dist"),
+          round(col("dist"), 6).as("dist"))
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT e.vec_id,
+          ${l2Sql("e.embedding[1:16]", "qv[1:16]")} AS prefix_dist
+        FROM embeddings e CROSS JOIN q
+        ORDER BY prefix_dist, vec_id LIMIT 40)
+      SELECT c.vec_id, round(c.prefix_dist, 6) AS prefix_dist,
+        round(${l2Sql("e.embedding", "qv")}, 6) AS dist
+      FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+      ORDER BY dist, vec_id LIMIT 10"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1145,5 +1239,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
 }

@@ -657,4 +657,94 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"non-broadcast join in:\n$plan")
   }
+
+  // ---- binary (sign) quantization ----
+
+  // 64-dim deterministic fixture with varied sign patterns: component
+  // j of vector i is ((i*31 + j*17) % 7 - 3) — hits negatives, zero
+  // (NOT set: strictly-positive rule) and positives.
+  private def signCorpus = (0 until 24).map { i =>
+    (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 17) % 7 - 3).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("signEncode packs the strictly-positive pattern into the right bits") {
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1.0f; v(5) = 0.5f; v(63) = 2.0f; v(7) = 0.0f // zero NOT set
+    val code = Ann.signEncode(Seq((1L, v)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dim = 64)
+      .select("sign_code").as[Array[Long]].head()
+    assert(code.toSeq == Seq(1L | (1L << 5) | (1L << 63)))
+    // driver twin agrees with the distributed packer
+    assert(Ann.signCode(v.map(_.toDouble)).toSeq == code.toSeq)
+  }
+
+  test("signEncode fails loudly on a wrong-length vector") {
+    val short = Seq((1L, Array(1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.signEncode(short, "embedding", "vec_id", dim = 64).collect()
+    }
+    assert(e.getMessage.contains("expected dim 64"))
+  }
+
+  test("signSearchEncoded equals the brute-force two-stage ranking") {
+    val rows = signCorpus.as[(Long, Array[Float])].collect()
+    val qv = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    val qCode = Ann.signCode(qv)
+    val k = 3; val candMult = 2
+    // brute force: hamming → (ham, id) cut → exact cosine rerank
+    val expected = rows.map { case (id, emb) =>
+        val c = Ann.signCode(emb.map(_.toDouble))
+        val ham = c.zip(qCode).map { case (a, b) =>
+          java.lang.Long.bitCount(a ^ b).toLong }.sum
+        (id, ham, emb)
+      }.sortBy { case (id, ham, _) => (ham, id) }.take(k * candMult)
+      .map { case (id, ham, emb) =>
+        val e = emb.map(_.toDouble)
+        val dot = e.zip(qv).map { case (a, b) => a * b }.sum
+        val nn = math.sqrt(e.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+        (id, ham, if (nn == 0) 0.0 else dot / nn)
+      }.sortBy { case (id, _, cos) => (-cos, id) }.take(k)
+    val encoded = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
+    val got = Ann.signSearchEncoded(encoded, signCorpus, "embedding", "vec_id",
+        qv, k = k, candMult = candMult)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12, s"cos mismatch at id ${g._1}") }
+  }
+
+  // ---- matryoshka (prefix-dimension) serving ----
+
+  test("prefixSearchEncoded reranks survivors by full distance; prefix cut is contractual") {
+    // prefix (first 2 dims) ordering differs from full ordering:
+    // id 1 is prefix-near/full-far, id 2 prefix-far/full-near.
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // the query
+      (1L, Array(0.1f, 0.1f, 9.0f, 9.0f)),   // prefix-near, full-far
+      (2L, Array(3.0f, 3.0f, 0.0f, 0.0f)),   // prefix-far, full-near
+      (3L, Array(0.2f, 0.2f, 0.1f, 0.1f)),
+      (4L, Array(8.0f, 8.0f, 8.0f, 8.0f))
+    ).toDF("vec_id", "embedding")
+    val enc = Ann.prefixEncode(vecs, "embedding", "vec_id", prefixDim = 2)
+    val qv = Array(0.0, 0.0, 0.0, 0.0)
+    // candMult*k = 3 candidates by prefix: ids 0, 1, 3 (id 2 cut away
+    // despite being full-nearer than 1) — the disclosed approximation.
+    val got = Ann.prefixSearchEncoded(enc, vecs, "embedding", "vec_id",
+        qv, prefixDim = 2, k = 3, candMult = 1)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 3L, 1L)) // full-dist order within survivors
+    assert(got.map(_._1).toSet.intersect(Set(2L)).isEmpty)
+    // prefix_dist is over dims 1-2 only; dist over all 4
+    val r1 = got.find(_._1 == 1L).get
+    assert(math.abs(r1._2 - math.sqrt(0.02)) < 1e-6)
+    assert(r1._3 > 12.0)
+  }
+
+  test("prefixEncode fails loudly on an embedding shorter than prefixDim") {
+    val short = Seq((7L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.prefixEncode(short, "embedding", "vec_id", prefixDim = 2).collect()
+    }
+    assert(e.getMessage.contains("shorter than prefixDim"))
+  }
 }

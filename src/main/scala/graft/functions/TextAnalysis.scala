@@ -153,4 +153,42 @@ object TextAnalysis {
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Per-line language segmentation: split each document on newlines,
+    * run [[langId]] per non-empty line, and roll up a per-document
+    * routing profile — majority line language (count desc, lang asc —
+    * the q11 min(struct) argmax, so the winner is an aggregate, not a
+    * window over the full corpus), the whole-document [[langId]] for
+    * comparison, and a `mixed` flag (>1 distinct non-'und' line
+    * language) marking documents that need language-aware splitting
+    * before they hit per-language pipelines. Documents with no
+    * non-empty line (empty/whitespace text) drop out, loudly absent
+    * rather than silently 'und'.
+    *
+    * 100 TB shape: explode lines → narrow regex maps → ONE
+    * (doc, lang)-keyed partial count (map-side combinable; the
+    * exchange carries counts per (doc, lang) — ≤ 6 rows per doc —
+    * never line text) → doc-keyed final roll-up. */
+  def lineLangProfile(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      langId(col(textCol)).as("doc_lang"),
+      explode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0)).as("__line"))
+    val perLang = lines
+      .groupBy(col("doc_id"), col("doc_lang"),
+        langId(col("__line")).as("line_lang"))
+      .agg(count(lit(1)).as("__cnt"))
+    perLang.groupBy("doc_id", "doc_lang")
+      .agg(
+        min(struct((-col("__cnt")).as("nc"), col("line_lang").as("l")))
+          .as("__m"),
+        sum("__cnt").as("n_lines"),
+        count(when(col("line_lang") =!= "und", lit(1))).as("__n_langs"))
+      .select(col("doc_id"), col("doc_lang"),
+        col("__m.l").as("line_major"),
+        (-col("__m.nc")).as("n_major"),
+        col("n_lines"),
+        (col("__n_langs") > 1).as("mixed"))
+  }
 }

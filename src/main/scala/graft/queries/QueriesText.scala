@@ -698,5 +698,62 @@ private[graft] trait QueriesText { self: QueriesShared =>
         WHERE len(w) >= 3 GROUP BY lang, w)
       WHERE term_rank <= 5 ORDER BY lang, term_rank"""))
 
-  final def queriesText: Seq[QuerySpec] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+  /** t1's score→greatest→CASE lang-id construction over an arbitrary
+    * relation/source column — shared by the t45 oracle's doc-level and
+    * line-level replays so they can never drift from each other.
+    * `keep` = passthrough columns (comma list, must include whatever
+    * downstream CTEs key on). */
+  private def langCaseSql(rel: String, keep: String, src: String,
+                          out: String): String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+      s"len(regexp_extract_all(lower($src), '$pat')) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'")
+      .mkString(" ")
+    s"""SELECT $keep, CASE $cases ELSE 'und' END AS $out
+      FROM (SELECT $keep, $best AS best, ${langs.map("s_" + _).mkString(", ")}
+            FROM (SELECT $keep, $src AS __src, $scores FROM $rel))"""
+  }
+
+
+  private val t45 = QuerySpec("t45_line_lang_segments",
+    // Per-line language segmentation (TextAnalysis.lineLangProfile):
+    // the multilingual routing report — majority line language vs the
+    // whole-document call, line census, and the mixed-document flag
+    // that says "split before the per-language pipelines". The argmax
+    // is the q11 min(struct(-cnt, lang)) aggregate (count desc, lang
+    // asc), so the oracle's row_number replay and Spark's aggregate
+    // pick identical winners on ties. Whitespace-only documents drop
+    // out of BOTH engines (no non-empty line).
+    (s, d) => TextAnalysis
+      .lineLangProfile(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val docLang = langCaseSql("documents", "doc_id", "text", "doc_lang")
+      val lineLang = langCaseSql("lines", "doc_id, line", "line", "line_lang")
+      s"""WITH dl AS ($docLang),
+        lines AS (SELECT doc_id, trim(l) AS line
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents)
+          WHERE len(trim(l)) > 0),
+        ll AS ($lineLang),
+        cnt AS (SELECT doc_id, line_lang, count(*) AS cnt
+          FROM ll GROUP BY doc_id, line_lang),
+        ranked AS (SELECT doc_id, line_lang, cnt, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, line_lang) AS rn
+          FROM cnt),
+        agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+            count(CASE WHEN line_lang != 'und' THEN 1 END) AS n_langs
+          FROM cnt GROUP BY doc_id)
+        SELECT a.doc_id, dl.doc_lang, r.line_lang AS line_major,
+          r.cnt AS n_major, a.n_lines, (a.n_langs > 1) AS mixed
+        FROM agg a
+        JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
+        JOIN dl ON a.doc_id = dl.doc_id
+        ORDER BY a.doc_id"""
+    })
+
+  final def queriesText: Seq[QuerySpec] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t45)
 }

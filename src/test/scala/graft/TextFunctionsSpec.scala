@@ -127,4 +127,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.forall(s => s >= 0.0 && s <= 1.0))
     assert(out(0) > out(1))
   }
+
+  test("lineLangProfile: majority vote, tie-break, mixed flag, whitespace dropout") {
+    val docs = Seq(
+      // 2 en lines, 1 de, 1 fr → major en, mixed
+      (1L, "the and of\nder und ist\nle et est\nthe is to"),
+      // no markers at all → single 'und' line, not mixed
+      (2L, "hola mundo"),
+      // 1 en line vs 1 de line → count tie → lang asc picks 'de'
+      (3L, "the and\nder und"),
+      // whitespace-only: no non-empty line → absent from the output
+      (4L, "   \n \n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineLangProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    val r1 = out(0)
+    assert(r1._3 == "en" && r1._4 == 2L && r1._5 == 4L && r1._6)
+    val r2 = out(1)
+    assert(r2._3 == "und" && r2._5 == 1L && !r2._6)
+    val r3 = out(2)
+    assert(r3._3 == "de" && r3._4 == 1L && r3._5 == 2L && r3._6)
+  }
 }

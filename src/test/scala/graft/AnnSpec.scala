@@ -747,4 +747,62 @@ class AnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shorter than prefixDim"))
   }
+
+  test("property: sign serving equals exact cosine top-k when the cut covers the corpus") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      dim <- Gen.oneOf(4, 8)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5))
+    } yield (n, dim, vals)
+    PropHelper.forAll(gen, n = 8) { case (n, dim, vals) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => vals(i * dim + j).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+      val qv = rows.head._2.map(_.toDouble)
+      val k = 3
+      // candMult*k >= n → stage two reranks the WHOLE corpus exactly
+      val enc = Ann.signEncode(df, "embedding", "vec_id", dim)
+      val got = Ann.signSearchEncoded(enc, df, "embedding", "vec_id",
+          qv, k = k, candMult = n)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = rows.map { case (id, emb) =>
+          val e = emb.map(_.toDouble)
+          val dot = e.zip(qv).map { case (a, b) => a * b }.sum
+          val nn = math.sqrt(e.map(x => x * x).sum) *
+            math.sqrt(qv.map(x => x * x).sum)
+          (id, if (nn == 0) 0.0 else dot / nn)
+        }.sortBy { case (id, cos) => (-cos, id) }.take(k).map(_._1)
+      assert(got == exact, s"n=$n dim=$dim")
+    }
+  }
+
+  test("property: prefix serving at prefixDim = dim equals exact L2 top-k even at candMult = 1") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      dim <- Gen.oneOf(4, 8)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5))
+    } yield (n, dim, vals)
+    PropHelper.forAll(gen, n = 8) { case (n, dim, vals) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => vals(i * dim + j).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+      val qv = rows.head._2.map(_.toDouble)
+      val k = 3
+      // full-dim prefix: stage one IS the exact ranking, so the
+      // candMult=1 cut loses nothing — the matryoshka contract's
+      // degenerate-end sanity check
+      val enc = Ann.prefixEncode(df, "embedding", "vec_id", dim)
+      val got = Ann.prefixSearchEncoded(enc, df, "embedding", "vec_id",
+          qv, prefixDim = dim, k = k, candMult = 1)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = rows.map { case (id, emb) =>
+          val d = math.sqrt(emb.map(_.toDouble).zip(qv)
+            .map { case (a, b) => (a - b) * (a - b) }.sum)
+          (id, d)
+        }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+      assert(got == exact, s"n=$n dim=$dim")
+    }
+  }
 }

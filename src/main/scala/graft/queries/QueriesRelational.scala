@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, IncrementalAgg, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -322,6 +322,54 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
         FROM lineitem) WHERE rn = 1 ORDER BY l_partkey"""))
 
 
+  private val q12 = QuerySpec("q12_incremental_mv",
+    // Materialized-view maintenance (operators/IncrementalAgg): the
+    // lineitem pricing rollup kept as per-group algebraic STATE,
+    // refreshed by aggregating only the post-cutoff delta and merging
+    // two state tables (|groups| rows each) — the full corpus is
+    // never re-aggregated. The oracle recomputes from the WHOLE table
+    // in one pass, so the hash-compare IS the merge ≡ recompute
+    // proof. Money flows as exact integer cents (l_extendedprice has
+    // two decimals by construction) so the merged sums are bit-exact
+    // under any batch boundary — the portable exact-sum idiom;
+    // quantities are integer-valued doubles, equally exact.
+    (s, d) => {
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val vals = Seq("l_quantity", "price_cents")
+      val li = t(s, d, "lineitem").withColumn("price_cents",
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      val oldState = IncrementalAgg.partials(
+        li.filter(col("l_shipdate") < lit("1997-06-01")), keys, vals)
+      val deltaState = IncrementalAgg.partials(
+        li.filter(col("l_shipdate") >= lit("1997-06-01")), keys, vals)
+      IncrementalAgg.render(keys, vals,
+          IncrementalAgg.merge(keys, vals, Seq(oldState, deltaState)))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          col("cnt_l_quantity").as("n_lines"),
+          round(col("avg_l_quantity"), 6).as("avg_qty"),
+          round(col("min_l_quantity"), 2).as("min_qty"),
+          round(col("max_l_quantity"), 2).as("max_qty"),
+          col("sum_price_cents").as("sum_price_cents"),
+          round(col("avg_price_cents"), 6).as("avg_price_cents"),
+          col("min_price_cents"), col("max_price_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      count(l_quantity) AS n_lines,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(min(l_quantity), 2) AS min_qty,
+      round(max(l_quantity), 2) AS max_qty,
+      CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+      round(sum(price_cents) / count(price_cents), 6) AS avg_price_cents,
+      min(price_cents) AS min_price_cents,
+      max(price_cents) AS max_price_cents
+      FROM (SELECT *, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+            FROM lineitem)
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, j2)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, j2)
 }

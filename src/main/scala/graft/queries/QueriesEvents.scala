@@ -285,6 +285,53 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
           AS click_to_purchase
       FROM f"""))
 
+  private val e10 = QuerySpec("e10_cohort_retention",
+    // Weekly cohort retention: users grouped by first-active week,
+    // then for each (cohort, week-offset) the fraction of the cohort
+    // active that week — the product-analytics staple next to the e9
+    // funnel. Scale shape: ONE distinct over (user, week) pairs (the
+    // exchange carries 16-byte pairs, never event payloads), a
+    // user-keyed min for the cohort, a user-keyed join of the two
+    // (both sides already hash-partitioned by user), a
+    // (cohort, offset)-keyed count where rows are ALREADY unique per
+    // (user, week) — so count(1), no second distinct — and a
+    // broadcast join of the ≤ #weeks cohort-size table. Week
+    // arithmetic: both engines truncate to Monday and both offsets
+    // are exact-multiple-of-7 day diffs, integer-divided.
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = first.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(first, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(
+          date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("cohort_size"),
+          round(col("n_active") / col("cohort_size"), 6).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events),
+      firstw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      sizes AS (SELECT cohort_wk, count(*) AS cohort_size
+        FROM firstw GROUP BY cohort_wk),
+      act AS (SELECT f.cohort_wk,
+          CAST(date_diff('day', f.cohort_wk, e.wk) // 7 AS BIGINT) AS week_offset,
+          count(*) AS n_active
+        FROM ev e JOIN firstw f USING (user_id) GROUP BY 1, 2)
+      SELECT strftime(a.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        a.week_offset, a.n_active, s.cohort_size,
+        round(a.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+      FROM act a JOIN sizes s USING (cohort_wk)
+      ORDER BY cohort_week, week_offset"""))
+
   final def queriesEvents: Seq[QuerySpec] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }

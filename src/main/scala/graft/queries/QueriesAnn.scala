@@ -338,6 +338,96 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       ORDER BY dist, vec_id LIMIT 10"""))
 
 
+  private val s13 = QuerySpec("s13_quantizer_ladder",
+    // The v22 treatment for the quantizer axis: one query emitting the
+    // compression ladder's quality/size trade-off as data — per method
+    // (sign 8 B/vec, fp32 prefix-16 64 B, int8 80 B incl. the mn/scale
+    // pair; fp32 baseline is 256 B) the recall@10 of its two-stage
+    // serve against the EXACT top-10 in the method's own rerank metric
+    // (cosine for sign/int8, L2 for prefix). Recall measures what the
+    // stage-one CUT loses — the rerank itself is exact — so this is
+    // the number an operator reads before choosing a rung. Every
+    // stage is total-ordered and ≤ 40 rows leave any scan, and the
+    // oracle replays all three ladders plus both exact baselines.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val qcol = typedlit(qv.toSeq)
+      val emb = col("embedding").cast("array<double>")
+      val exactCos = e.select(col("vec_id"),
+          graft.functions.VectorFunctions.cosine(emb, qcol).as("s"))
+        .orderBy(desc("s"), col("vec_id")).limit(10).select("vec_id")
+      val exactL2 = e.select(col("vec_id"),
+          graft.functions.VectorFunctions.l2(emb, qcol).as("s"))
+        .orderBy(col("s"), col("vec_id")).limit(10).select("vec_id")
+      val sign = Ann.signSearchEncoded(s.read.parquet(signTableFor(s, d)),
+        e, "embedding", "vec_id", qv, k = 10, candMult = 4).select("vec_id")
+      val pref = Ann.prefixSearchEncoded(s.read.parquet(prefixTableFor(s, d)),
+        e, "embedding", "vec_id", qv, prefixDim = 16, k = 10, candMult = 4)
+        .select("vec_id")
+      val int8 = Ann.quantizedSearchEncoded(s.read.parquet(int8TableFor(s, d)),
+        e, "embedding", "vec_id", qcol, k = 10, candMult = 4).select("vec_id")
+      def row(name: String, got: org.apache.spark.sql.DataFrame,
+              truth: org.apache.spark.sql.DataFrame, bytes: Int) =
+        got.join(truth, "vec_id")
+          .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+          .select(lit(name).as("method"), col("recall_at_10"),
+            lit(bytes).as("bytes_per_vec"))
+      row("int8", int8, exactCos, 80)
+        .unionByName(row("prefix16", pref, exactL2, 64))
+        .unionByName(row("sign", sign, exactCos, 8))
+        .orderBy("method")
+    },
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      exact_cos AS (SELECT vec_id FROM (SELECT vec_id,
+          ${cosineSql("e", "qv")} AS s FROM ed CROSS JOIN q
+        ORDER BY s DESC, vec_id LIMIT 10)),
+      exact_l2 AS (SELECT vec_id FROM (SELECT vec_id,
+          ${l2Sql("e", "qv")} AS s FROM ed CROSS JOIN q
+        ORDER BY s, vec_id LIMIT 10)),
+      sign_cand AS (SELECT vec_id FROM (SELECT ed.vec_id,
+          list_sum(list_transform(range(1, len(e) + 1),
+            i -> CASE WHEN (e[i] > 0) != (qv[i] > 0) THEN 1 ELSE 0 END)) AS h
+        FROM ed CROSS JOIN q ORDER BY h, vec_id LIMIT 40)),
+      sign_top AS (SELECT vec_id FROM (SELECT c.vec_id,
+          ${cosineSql("e", "qv")} AS s
+        FROM sign_cand c JOIN ed USING (vec_id) CROSS JOIN q
+        ORDER BY s DESC, vec_id LIMIT 10)),
+      pref_cand AS (SELECT vec_id FROM (SELECT ed.vec_id,
+          ${l2Sql("e[1:16]", "qv[1:16]")} AS s FROM ed CROSS JOIN q
+        ORDER BY s, vec_id LIMIT 40)),
+      pref_top AS (SELECT vec_id FROM (SELECT c.vec_id,
+          ${l2Sql("e", "qv")} AS s
+        FROM pref_cand c JOIN ed USING (vec_id) CROSS JOIN q
+        ORDER BY s, vec_id LIMIT 10)),
+      m8 AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM ed),
+      sc8 AS (SELECT vec_id, e, mn,
+        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m8),
+      dq8 AS (SELECT vec_id, e,
+        list_transform(e, x -> CAST(round((x - mn) / scale, 0) AS INT) * scale + mn) AS deq
+        FROM sc8),
+      int8_cand AS (SELECT vec_id, e FROM (SELECT vec_id, e,
+          ${cosineSql("deq", "qv")} AS s FROM dq8 CROSS JOIN q
+        ORDER BY s DESC, vec_id LIMIT 40)),
+      int8_top AS (SELECT vec_id FROM (SELECT vec_id,
+          ${cosineSql("e", "qv")} AS s FROM int8_cand CROSS JOIN q
+        ORDER BY s DESC, vec_id LIMIT 10))
+      SELECT * FROM (
+        SELECT 'int8' AS method,
+          round((SELECT count(*) FROM int8_top JOIN exact_cos USING (vec_id)) / 10.0, 6) AS recall_at_10,
+          80 AS bytes_per_vec
+        UNION ALL SELECT 'prefix16',
+          round((SELECT count(*) FROM pref_top JOIN exact_l2 USING (vec_id)) / 10.0, 6), 64
+        UNION ALL SELECT 'sign',
+          round((SELECT count(*) FROM sign_top JOIN exact_cos USING (vec_id)) / 10.0, 6), 8
+      ) ORDER BY method"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1239,5 +1329,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
 }

@@ -1028,6 +1028,7 @@ object Ann {
                         queryVec: Array[Double], k: Int,
                         candMult: Int = 4): DataFrame = {
     require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    require(queryVec.nonEmpty, "query vector must be non-empty")
     val q = signCode(queryVec)
     val ham = q.indices.map { w =>
       bit_count(element_at(col("sign_code"), w + 1).bitwiseXOR(lit(q(w))))

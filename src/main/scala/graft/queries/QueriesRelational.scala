@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
 import graft.multimodal.{DecodeStub, Multimodal}
-import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, IncrementalAgg, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval}
+import graft.operators.{Ann, Bm25, Chunker, Curation, Dedup, HeavyHitters, IncrementalAgg, Knn, LshAnn, Mmr, MultiStageSearch, Packing, QualityModel, Rerank, RetrievalEval, Scd}
 import graft.sources.JobCorpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -370,6 +370,82 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  private val q13 = QuerySpec("q13_scd2_merge",
+    // SCD Type-2 dimension maintenance (operators/Scd): the customer
+    // dim reconciled against a derived snapshot that deletes every
+    // 7th key, bumps every 5th key's balance, and inserts shifted
+    // copies of every 11th — so all four outcomes (kept / closed /
+    // closed+opened / opened) appear and the oracle replays the
+    // whole merge. Status travels as (key, md5-of-tracked) pairs;
+    // each leg is a key-keyed left-semi join. Money is integer cents
+    // (the q12 idiom), so the change-hash render can never diverge
+    // between engines. Cross-engine note: md5 values are only
+    // compared WITHIN each engine (old render vs new render), so the
+    // status sets agree as long as each engine is self-consistent —
+    // formatting is not load-bearing, but cents keep it exact anyway.
+    (s, d) => {
+      val cust = t(s, d, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("c_acctbal_cents"))
+      val dim = cust
+        .withColumn("valid_from", lit("2020-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val snap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_acctbal_cents",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal_cents") + 10000L)
+            .otherwise(col("c_acctbal_cents")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Scd.scd2Merge(dim, snap, "c_custkey",
+          Seq("c_name", "c_mktsegment", "c_nationkey", "c_acctbal_cents"),
+          "2026-01-01")
+        .orderBy("c_custkey", "is_current")
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c_acctbal_cents
+        FROM customer),
+      snap AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_acctbal_cents + 10000
+               ELSE c_acctbal_cents END AS c_acctbal_cents
+        FROM cust WHERE c_custkey % 7 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_mktsegment, c_nationkey,
+          c_acctbal_cents
+        FROM cust WHERE c_custkey % 11 = 0),
+      oh AS (SELECT c_custkey, md5(concat_ws(chr(1),
+          coalesce(c_name, chr(0)), coalesce(c_mktsegment, chr(0)),
+          coalesce(CAST(c_nationkey AS VARCHAR), chr(0)),
+          coalesce(CAST(c_acctbal_cents AS VARCHAR), chr(0)))) AS h
+        FROM cust),
+      nh AS (SELECT c_custkey, md5(concat_ws(chr(1),
+          coalesce(c_name, chr(0)), coalesce(c_mktsegment, chr(0)),
+          coalesce(CAST(c_nationkey AS VARCHAR), chr(0)),
+          coalesce(CAST(c_acctbal_cents AS VARCHAR), chr(0)))) AS h
+        FROM snap),
+      st AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+          CASE WHEN n.c_custkey IS NULL THEN 'deleted'
+               WHEN o.c_custkey IS NULL THEN 'inserted'
+               WHEN o.h = n.h THEN 'unchanged'
+               ELSE 'changed' END AS s
+        FROM oh o FULL OUTER JOIN nh n ON o.c_custkey = n.c_custkey)
+      SELECT * FROM (
+        SELECT c.*, '2020-01-01' AS valid_from,
+          CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+        FROM cust c WHERE c_custkey IN
+          (SELECT c_custkey FROM st WHERE s = 'unchanged')
+        UNION ALL
+        SELECT c.*, '2020-01-01', '2026-01-01', false
+        FROM cust c WHERE c_custkey IN
+          (SELECT c_custkey FROM st WHERE s IN ('changed', 'deleted'))
+        UNION ALL
+        SELECT n.*, '2026-01-01', CAST(NULL AS VARCHAR), true
+        FROM snap n WHERE c_custkey IN
+          (SELECT c_custkey FROM st WHERE s IN ('changed', 'inserted')))
+      ORDER BY c_custkey, is_current"""))
+
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, j2)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, j2)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Scd
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 merge: four outcomes, history passthrough, null
+  * sentinel semantics, loud contract guards. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim = Seq(
+    (1L, "alice", 100L, "2020-01-01", Option.empty[String], true),
+    (2L, "bob", 200L, "2020-01-01", Option.empty[String], true),
+    (3L, "carol", 300L, "2020-01-01", Option.empty[String], true),
+    (9L, "old-hist", 900L, "2018-01-01", Option("2019-01-01"), false)
+  ).toDF("id", "name", "bal", "valid_from", "valid_to", "is_current")
+
+  // 1 unchanged, 2 changed, 3 absent (deleted), 4 inserted
+  private def snap = Seq(
+    (1L, "alice", 100L), (2L, "bob", 250L), (4L, "dave", 400L)
+  ).toDF("id", "name", "bal")
+
+  test("scd2Merge emits all four outcomes and passes history through") {
+    val out = Scd.scd2Merge(dim, snap, "id", Seq("name", "bal"), "2026-01-01")
+      .orderBy("id", "is_current")
+      .select("id", "name", "bal", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, String, Option[String], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "alice", 100L, "2020-01-01", None, true),
+      (2L, "bob", 200L, "2020-01-01", Some("2026-01-01"), false),
+      (2L, "bob", 250L, "2026-01-01", None, true),
+      (3L, "carol", 300L, "2020-01-01", Some("2026-01-01"), false),
+      (4L, "dave", 400L, "2026-01-01", None, true),
+      (9L, "old-hist", 900L, "2018-01-01", Some("2019-01-01"), false)))
+  }
+
+  test("null tracked values hash via the sentinel: null==null is unchanged, null!=value is changed") {
+    val d0 = Seq((1L, Option.empty[String], "2020-01-01",
+        Option.empty[String], true))
+      .toDF("id", "name", "valid_from", "valid_to", "is_current")
+    val same = Scd.scd2Merge(d0,
+      Seq((1L, Option.empty[String])).toDF("id", "name"),
+      "id", Seq("name"), "2026-01-01")
+    assert(same.count() == 1 && same.filter(col("is_current")).count() == 1)
+    val diff = Scd.scd2Merge(d0,
+      Seq((1L, Option("x"))).toDF("id", "name"),
+      "id", Seq("name"), "2026-01-01")
+    assert(diff.count() == 2)
+    assert(diff.filter(!col("is_current"))
+      .select("valid_to").as[String].head() == "2026-01-01")
+  }
+
+  test("guards: missing dim metadata and metadata-bearing snapshot fail loudly") {
+    intercept[IllegalArgumentException] {
+      Scd.scd2Merge(dim.drop("is_current"), snap, "id", Seq("name"), "2026-01-01")
+    }
+    intercept[IllegalArgumentException] {
+      Scd.scd2Merge(dim, snap.withColumn("is_current", lit(true)),
+        "id", Seq("name"), "2026-01-01")
+    }
+    intercept[IllegalArgumentException] {
+      Scd.scd2Merge(dim, snap, "id", Seq.empty, "2026-01-01")
+    }
+  }
+}

@@ -286,4 +286,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"no stage of containment may collapse to one partition:\n$plan")
   }
+
+  test("s11/s12 serving: stage one scans ONLY the stored code table, never fp embeddings") {
+    // the compression families' whole scale claim is that the ranking
+    // scan reads the small artifact (8 B/vec sign codes, 16-dim
+    // prefixes) INSTEAD of the fp corpus — pin it: the scan that
+    // carries the code column must not also read `embedding`, and the
+    // candidate cut must be a per-partition heap (TakeOrderedAndProject)
+    def codeScans(plan: String, codeCol: String): Seq[String] =
+      plan.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains(codeCol)).toSeq
+    val p11 = SparkEntry.queries("s11_sign_hamming_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val s11Scans = codeScans(p11, "sign_code")
+    assert(s11Scans.nonEmpty, s"no sign_code scan found:\n$p11")
+    assert(s11Scans.forall(!_.contains("embedding")),
+      s"sign stage one must never read fp embeddings:\n$p11")
+    assert(p11.contains("TakeOrderedAndProject"),
+      s"hamming cut must be a bounded per-partition heap:\n$p11")
+    val p12 = SparkEntry.queries("s12_matryoshka_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val s12Scans = codeScans(p12, "prefix_vec")
+    assert(s12Scans.nonEmpty, s"no prefix_vec scan found:\n$p12")
+    assert(s12Scans.forall(!_.contains("embedding")),
+      s"prefix stage one must never read fp embeddings:\n$p12")
+    assert(p12.contains("TakeOrderedAndProject"),
+      s"prefix cut must be a bounded per-partition heap:\n$p12")
+  }
 }

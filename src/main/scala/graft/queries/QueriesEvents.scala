@@ -332,6 +332,45 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
       FROM act a JOIN sizes s USING (cohort_wk)
       ORDER BY cohort_week, week_offset"""))
 
+  private val e11 = QuerySpec("e11_rolling_features",
+    // Trailing-interval features per event — the feature-engineering
+    // staple (how active was this user in the hour BEFORE this
+    // event?): a RANGE frame over epoch seconds, the one window
+    // surface (value-based frames) the suite didn't yet exercise.
+    // RANGE semantics are pinned portable: both engines include
+    // same-timestamp peers in the frame, and ordering on truncated
+    // epoch SECONDS (Spark's timestamp→long cast FLOORS; DuckDB must
+    // replay with CAST(floor(epoch(ts)) AS BIGINT) because its
+    // double→BIGINT cast ROUNDS — sf0.1's fractional-second events
+    // land one frame off otherwise, caught by the gate) keeps frame
+    // membership identical. Summed value rides as exact integer cents
+    // (the q12 idiom) so frame sums are bit-exact regardless of
+    // intra-frame fold order. ONE user-keyed exchange; frames are
+    // bounded by an hour of per-user activity.
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("__tsec"))
+        .rangeBetween(-3600, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("__tsec"),
+          round(col("value") * 100, 0).cast("long").as("__vc"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum("__vc").over(w).as("sum_cents_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, n_1h, sum_cents_1h FROM (
+        SELECT user_id, event_id,
+          count(*) OVER w AS n_1h,
+          CAST(sum(value_cents) OVER w AS BIGINT) AS sum_cents_1h
+        FROM (SELECT user_id, event_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+              CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+      ORDER BY user_id, event_id"""))
+
   final def queriesEvents: Seq[QuerySpec] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
 }

@@ -1053,6 +1053,65 @@ object Ann {
       .select(col(idCol), col("hamming"), col("cos"))
   }
 
+  /** Batch form of [[signSearchEncoded]] (the v19 treatment): ONE scan
+    * of the stored code table serves a whole query set. The bounded
+    * query set packs driver-side and broadcasts as (qid, code-words);
+    * Hamming stays the static codegen'd XOR+bit_count sum (the word
+    * count comes from `dim`, not per-row data); the per-query
+    * candidate cut is the bounded TopK aggregation (map-side partial
+    * heaps — only nq·k·candMult (hamming, id) entries cross the
+    * exchange, never one row per (query, vector) pair); the exact
+    * rerank joins the ≤ nq·k·candMult survivors back to the fp corpus
+    * by broadcast and cuts per query with the same (cos desc, id)
+    * total order as the single-query form. */
+  def signSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
+                             embCol: String, idCol: String,
+                             queries: DataFrame, qidCol: String,
+                             qvecCol: String, dim: Int, k: Int,
+                             candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1 && dim >= 1,
+      "k, candMult and dim must be >= 1")
+    val sp = encoded.sparkSession
+    import sp.implicits._
+    val qrows: Seq[(Long, Seq[Long])] = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        require(v.length == dim,
+          s"query ${r.getLong(0)}: expected dim $dim, got ${v.length}")
+        (r.getLong(0), signCode(v).toSeq)
+      }
+    require(qrows.nonEmpty, "query set must be non-empty")
+    val qdf = broadcast(qrows.toDF(qidCol, "__qcode"))
+    val words = (dim + 63) / 64
+    val ham = (0 until words).map { w =>
+      bit_count(element_at(col("sign_code"), w + 1)
+        .bitwiseXOR(element_at(col("__qcode"), w + 1)))
+    }.reduce(_ + _).cast("double")
+    val survivors = encoded.filter(col("sign_code").isNotNull)
+      .crossJoin(qdf)
+      .select(col(qidCol), ham.as("__h"), col(idCol).cast("long").as("__id"))
+      .groupBy(qidCol)
+      .agg(TopK.topK(k * candMult)(col("__h"), col("__id")).as("__cand"))
+      .select(col(qidCol), explode(col("__cand")).as("__e"))
+      .select(col(qidCol), col("__e.id").as(idCol),
+        col("__e.dist").cast("long").as("hamming"))
+    val qvecs = broadcast(queries.select(col(qidCol),
+      col(qvecCol).cast("array<double>").as("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(desc("cos"), col(idCol))
+    broadcast(survivors)
+      .join(vectors.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(qvecs, Seq(qidCol))
+      .withColumn("cos", VectorFunctions.cosine(
+        col(embCol).cast("array<double>"), col("__qv")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col(qidCol), col("knn_rank"), col(idCol),
+        col("hamming"), col("cos"))
+  }
+
   // ---------------------------------------------------------------------
   // Matryoshka (prefix-dimension) serving — Kusupati et al. 2022,
   // "Matryoshka Representation Learning" (NeurIPS): MRL-trained

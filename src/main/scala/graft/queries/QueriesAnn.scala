@@ -428,6 +428,49 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       ) ORDER BY method"""))
 
 
+  private val s14 = QuerySpec("s14_sign_batch_served",
+    // s11's batch form (the v19 treatment): one scan of the stored
+    // sign-code table serves 5 queries — the broadcast query set
+    // rides as packed code words, per-query candidate cuts come from
+    // the bounded TopK aggregation (map-side partial heaps; only
+    // nq·40 entries cross the exchange), and the exact-cosine rerank
+    // joins the bounded survivor set back by broadcast. The oracle
+    // replays every query's ladder with per-qid row_number twins of
+    // both cuts.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.signSearchEncodedBatch(s.read.parquet(signTableFor(s, d)), e,
+          "embedding", "vec_id", qs, "qid", "qv", dim = 64, k = 10,
+          candMult = 4)
+        .select(col("qid"), col("knn_rank"), col("vec_id"), col("hamming"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5),
+      ham AS (SELECT q.qid, e.vec_id,
+          CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0) != (qv[i] > 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM embeddings e CROSS JOIN q),
+      cand AS (SELECT qid, vec_id, hamming FROM (
+        SELECT qid, vec_id, hamming, row_number() OVER (
+            PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+        FROM ham) WHERE rn <= 40),
+      rr AS (SELECT c.qid, c.vec_id, c.hamming,
+          ${cosineSql("e.embedding", "qv")} AS cos
+        FROM cand c JOIN embeddings e USING (vec_id)
+          JOIN q ON c.qid = q.qid)
+      SELECT qid, knn_rank, vec_id, hamming, round(cos, 6) AS cos FROM (
+        SELECT qid, vec_id, hamming, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS knn_rank
+        FROM rr)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1329,5 +1372,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
 }

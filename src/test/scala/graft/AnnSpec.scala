@@ -713,6 +713,24 @@ class AnnSpec extends SparkSpec {
       assert(math.abs(g._3 - e._3) < 1e-12, s"cos mismatch at id ${g._1}") }
   }
 
+  test("signSearchEncodedBatch is row-identical to per-query signSearchEncoded") {
+    val enc = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
+    val qs = signCorpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Ann.signSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", qs, "qid", "qv", dim = 64, k = 4, candMult = 2)
+      .orderBy("qid", "knn_rank")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    val fixture = signCorpus.as[(Long, Array[Float])].collect().toMap
+    val singles = (0L until 3L).flatMap { q =>
+      Ann.signSearchEncoded(enc, signCorpus, "embedding", "vec_id",
+          fixture(q).map(_.toDouble), k = 4, candMult = 2)
+        .as[(Long, Long, Double)].collect().toSeq.zipWithIndex
+        .map { case ((id, h, c), i) => (q, i + 1, id, h, c) }
+    }
+    assert(batch == singles)
+  }
+
   // ---- matryoshka (prefix-dimension) serving ----
 
   test("prefixSearchEncoded reranks survivors by full distance; prefix cut is contractual") {

@@ -446,6 +446,27 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
           (SELECT c_custkey FROM st WHERE s IN ('changed', 'inserted')))
       ORDER BY c_custkey, is_current"""))
 
+  private val q14 = QuerySpec("q14_pivot_report",
+    // Cross-tab reporting via pivot — the last relational surface the
+    // suite hadn't exercised. The 100 TB detail that matters: the
+    // pivot VALUES are passed explicitly, which keeps this ONE
+    // aggregation pass with map-side partials; omitting them makes
+    // Spark run a whole extra distinct scan just to discover the
+    // column set before it can aggregate. A (flag, status) combination
+    // with no rows stays null in both engines (no silent zero-fill).
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2).as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F_qty,
+      count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+      round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O_qty,
+      count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, j2)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2)
 }

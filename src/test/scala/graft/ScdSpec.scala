@@ -51,6 +51,22 @@ class ScdSpec extends SparkSpec {
       .select("valid_to").as[String].head() == "2026-01-01")
   }
 
+  test("scd2Merge is idempotent: re-merging the same snapshot changes nothing") {
+    // after one merge the dim agrees with the snapshot (closed rows are
+    // history, current rows match), so a second merge at a LATER batch
+    // date must emit byte-identical rows — the property that makes a
+    // retried daily job harmless
+    val cols = Seq("id", "name", "bal", "valid_from", "valid_to", "is_current")
+    val once = Scd.scd2Merge(dim, snap, "id", Seq("name", "bal"), "2026-01-01")
+    val again = Scd.scd2Merge(once, snap, "id", Seq("name", "bal"), "2026-02-01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "is_current", "valid_from")
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, String, Long, String, Option[String], Boolean)]
+        .collect().toSeq
+    assert(rows(again) == rows(once))
+  }
+
   test("guards: missing dim metadata and metadata-bearing snapshot fail loudly") {
     intercept[IllegalArgumentException] {
       Scd.scd2Merge(dim.drop("is_current"), snap, "id", Seq("name"), "2026-01-01")

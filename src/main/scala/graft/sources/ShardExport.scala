@@ -91,6 +91,46 @@ object ShardExport {
     spark.read.parquet(s"$outDir/_graft_manifest")
   }
 
+  /** JSONL export — the same shard/order contract as [[writeShards]],
+    * emitted as the newline-delimited-JSON shards most LLM training
+    * stacks ingest directly (one compressed `.json.gz` part per shard
+    * directory). The deterministic md5 read order and
+    * one-file-per-shard layout carry over unchanged, and the manifest
+    * is computed from a READ-BACK of the written files, so the
+    * recorded counts describe what landed on disk — a truncated write
+    * cannot report healthy counts (the read-back pays JSON schema
+    * inference; acceptable at export time, disclosed here). JSON
+    * erases physical types (ints come back as longs): the contract is
+    * (id, text)-shaped curation output, not arbitrary schemas, and
+    * binary columns are rejected loudly rather than silently
+    * base64-inflated 4/3×. */
+  def writeShardsJsonl(df: DataFrame, idCol: String, textCol: String,
+                       outDir: String, nShards: Int,
+                       compression: String = "gzip"): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    require(!df.schema.fields.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType),
+      "writeShardsJsonl: binary columns would be silently base64-inflated; " +
+        "export binary payloads via writeShards (parquet) instead")
+    val spark = df.sparkSession
+    withShard(df, idCol, nShards)
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", compression).json(outDir)
+    val written = spark.read.json(outDir)
+    // JSON read-back widens the shard partition value to long; pin the
+    // manifest to writeShards' schema so the two sinks' manifests are
+    // interchangeable
+    countsByShard(written, textCol)
+      .withColumn("shard", col("shard").cast("int"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_graft_manifest")
+    spark.read.parquet(s"$outDir/_graft_manifest")
+  }
+
   /** Incremental re-export: merge `delta` (new or changed docs,
     * overwrite-by-id) into an existing export, rewriting ONLY the
     * shard directories the delta's ids hash into — the point of the

@@ -235,4 +235,37 @@ class ShardExportSpec extends SparkSpec {
     Files.createDirectory(Paths.get(out, "_graft_tmp_upsert"))
     assert(spark.read.parquet(out).count() == 500)
   }
+
+  test("writeShardsJsonl: one gz part per shard, content round-trips, manifest true to files") {
+    val out = Files.createTempDirectory("graft_jsonl").toString + "/export"
+    val mf = ShardExport.writeShardsJsonl(docs, "doc_id", "text", out, 4)
+      .orderBy("shard")
+      .select(col("shard").cast("long"), col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // manifest equals the declarative twin — files describe the data
+    val twin = ShardExport.manifest(docs, "doc_id", "text", 4)
+      .orderBy("shard")
+      .select(col("shard").cast("long"), col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(mf == twin)
+    // one compressed part per shard dir
+    (0 until 4).foreach { s =>
+      val parts = new java.io.File(s"$out/shard=$s").listFiles
+        .filter(_.getName.endsWith(".json.gz"))
+      assert(parts.length == 1, s"shard $s: ${parts.length} gz parts")
+    }
+    // every (id, text) round-trips through JSON
+    val back = spark.read.json(out)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(back == docs.as[(Long, String)].collect().toSet)
+  }
+
+  test("writeShardsJsonl rejects binary columns loudly") {
+    val withBin = docs.withColumn("payload", col("text").cast("binary"))
+    val e = intercept[IllegalArgumentException] {
+      ShardExport.writeShardsJsonl(withBin, "doc_id", "text", "/tmp/never", 2)
+    }
+    assert(e.getMessage.contains("base64"))
+  }
 }

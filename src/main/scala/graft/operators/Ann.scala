@@ -1022,13 +1022,23 @@ object Ann {
     * are deterministic and the oracle replays them stage for stage.
     * Hamming ties are MASSIVE by construction (integer distances on a
     * 64-bit code) — the id tie-break is what makes the candidate cut
-    * an exact contract rather than a races-with-the-scheduler one. */
+    * an exact contract rather than a races-with-the-scheduler one.
+    *
+    * `dim` is the ENCODED dimension (what [[signEncode]] was built
+    * with) and the query must match it exactly: deriving the word
+    * count from the query instead would let a SHORT query silently
+    * ignore the stored codes' trailing words (only the too-long case
+    * would trip the null-hamming raise_error). */
   def signSearchEncoded(encoded: DataFrame, vectors: DataFrame,
                         embCol: String, idCol: String,
-                        queryVec: Array[Double], k: Int,
+                        queryVec: Array[Double], dim: Int, k: Int,
                         candMult: Int = 4): DataFrame = {
-    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
-    require(queryVec.nonEmpty, "query vector must be non-empty")
+    require(k >= 1 && candMult >= 1 && dim >= 1,
+      "k, candMult and dim must be >= 1")
+    require(queryVec.length == dim,
+      s"signSearchEncoded: query vector has ${queryVec.length} components " +
+        s"but the encoded dimension is $dim — a shorter query would " +
+        "silently ignore the stored codes' trailing dimensions")
     val q = signCode(queryVec)
     val ham = q.indices.map { w =>
       bit_count(element_at(col("sign_code"), w + 1).bitwiseXOR(lit(q(w))))
@@ -1071,6 +1081,22 @@ object Ann {
                              candMult: Int = 4): DataFrame = {
     require(k >= 1 && candMult >= 1 && dim >= 1,
       "k, candMult and dim must be >= 1")
+    // The bounded TopK aggregator carries ids as long, so the id and
+    // qid columns are CAST — under non-ANSI casts a non-numeric id
+    // would become null and its rows silently vanish from the heap.
+    // Require integral ids loudly instead (the single-query form keeps
+    // arbitrary id types; use it for non-numeric ids).
+    def requireIntegral(df: DataFrame, c: String, role: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"signSearchEncodedBatch: $role column $c is $dt — non-integral " +
+          "ids would be nulled by the internal long cast and their rows " +
+          "silently dropped from TopK; use signSearchEncoded (which keeps " +
+          "the id column untyped) for non-numeric ids")
+    }
+    requireIntegral(encoded, idCol, "id")
+    requireIntegral(queries, qidCol, "query id")
     val sp = encoded.sparkSession
     import sp.implicits._
     val qrows: Seq[(Long, Seq[Long])] = queries

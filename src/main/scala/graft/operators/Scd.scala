@@ -45,6 +45,15 @@ object Scd {
     meta.foreach(c => require(!snapshot.columns.contains(c),
       s"snapshot must not carry SCD metadata column $c"))
 
+    // Stamp closes/opens in the dim's OWN validity types: a bare
+    // string lit would let unionByName silently coerce a DATE-typed
+    // dim's whole valid_from/valid_to columns to string ("output
+    // schema = dim's" would be broken exactly where it matters).
+    val vfType = dim.schema("valid_from").dataType
+    val vtType = dim.schema("valid_to").dataType
+    val batchFrom = lit(batchDate).cast(vfType)
+    val batchTo = lit(batchDate).cast(vtType)
+
     val cur = dim.filter(col("is_current"))
     val hist = dim.filter(!col("is_current"))
     val oldKeys = cur.select(col(keyCol), changeHash(tracked).as("__oh"))
@@ -61,12 +70,12 @@ object Scd {
       status.filter(col("__st").isin(sts: _*)).select(keyCol)
     val kept = cur.join(keysWhere("unchanged"), Seq(keyCol), "left_semi")
     val closed = cur.join(keysWhere("changed", "deleted"), Seq(keyCol), "left_semi")
-      .withColumn("valid_to", lit(batchDate))
+      .withColumn("valid_to", batchTo)
       .withColumn("is_current", lit(false))
     val opened = snapshot
       .join(keysWhere("changed", "inserted"), Seq(keyCol), "left_semi")
-      .withColumn("valid_from", lit(batchDate))
-      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("valid_from", batchFrom)
+      .withColumn("valid_to", lit(null).cast(vtType))
       .withColumn("is_current", lit(true))
     hist.unionByName(kept).unionByName(closed)
       .unionByName(opened.select(dim.columns.map(col): _*))

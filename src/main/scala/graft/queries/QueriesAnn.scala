@@ -276,7 +276,7 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
         .select("embedding").collect()(0).getSeq[Float](0)
         .map(_.toDouble).toArray
       Ann.signSearchEncoded(s.read.parquet(signTableFor(s, d)), e,
-          "embedding", "vec_id", qv, k = 10, candMult = 4)
+          "embedding", "vec_id", qv, dim = 64, k = 10, candMult = 4)
         .select(col("vec_id"), col("hamming"),
           round(col("cos"), 6).as("cos"))
     },
@@ -363,7 +363,8 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
           graft.functions.VectorFunctions.l2(emb, qcol).as("s"))
         .orderBy(col("s"), col("vec_id")).limit(10).select("vec_id")
       val sign = Ann.signSearchEncoded(s.read.parquet(signTableFor(s, d)),
-        e, "embedding", "vec_id", qv, k = 10, candMult = 4).select("vec_id")
+        e, "embedding", "vec_id", qv, dim = 64, k = 10, candMult = 4)
+        .select("vec_id")
       val pref = Ann.prefixSearchEncoded(s.read.parquet(prefixTableFor(s, d)),
         e, "embedding", "vec_id", qv, prefixDim = 16, k = 10, candMult = 4)
         .select("vec_id")

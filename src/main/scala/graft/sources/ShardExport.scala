@@ -98,12 +98,15 @@ object ShardExport {
     * one-file-per-shard layout carry over unchanged, and the manifest
     * is computed from a READ-BACK of the written files, so the
     * recorded counts describe what landed on disk — a truncated write
-    * cannot report healthy counts (the read-back pays JSON schema
-    * inference; acceptable at export time, disclosed here). JSON
-    * erases physical types (ints come back as longs): the contract is
-    * (id, text)-shaped curation output, not arbitrary schemas, and
-    * binary columns are rejected loudly rather than silently
-    * base64-inflated 4/3×. */
+    * cannot report healthy counts. The read-back PINS the writer's
+    * schema (`spark.read.schema(...)`) instead of paying JSON schema
+    * inference: inference over text shards would re-type an
+    * all-numeric text column as numbers BEFORE token counting (and
+    * widen ints to longs), silently skewing the manifest. The same
+    * `_graft_meta` modulus sidecar as [[writeShards]] is recorded, so
+    * the two sinks' exports are interchangeable to tooling that
+    * checks it. Binary columns are rejected loudly rather than
+    * silently base64-inflated 4/3×. */
   def writeShardsJsonl(df: DataFrame, idCol: String, textCol: String,
                        outDir: String, nShards: Int,
                        compression: String = "gzip"): DataFrame = {
@@ -113,17 +116,21 @@ object ShardExport {
       "writeShardsJsonl: binary columns would be silently base64-inflated; " +
         "export binary payloads via writeShards (parquet) instead")
     val spark = df.sparkSession
-    withShard(df, idCol, nShards)
+    val assigned = withShard(df, idCol, nShards)
+    assigned
       .withColumn("__ord", md5(col(idCol).cast("string")))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard")
       .option("compression", compression).json(outDir)
-    val written = spark.read.json(outDir)
-    // JSON read-back widens the shard partition value to long; pin the
-    // manifest to writeShards' schema so the two sinks' manifests are
-    // interchangeable
+    spark.range(1).select(lit(nShards).cast("int").as("n_shards"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_graft_meta")
+    // pinned-schema read-back: data columns keep the writer's types
+    // (no inference); the json source still types the shard PARTITION
+    // value as long regardless of the pinned schema, so it is cast
+    // back to int to match writeShards' manifest exactly
+    val written = spark.read.schema(assigned.schema).json(outDir)
     countsByShard(written, textCol)
       .withColumn("shard", col("shard").cast("int"))
       .coalesce(1).write.mode("overwrite")

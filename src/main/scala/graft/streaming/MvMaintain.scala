@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   * double-count its rows into the running sums — silently, because
   * merged state looks plausible at any value. Every committed version
   * therefore stamps the batch id it absorbed (`__mv_batch_id`,
-  * constant per version); the sink skips any batchId ≤ the newest
-  * committed stamp. This is the ShardExport journal pattern applied
-  * to aggregate state: the commit artifact itself records how far the
-  * stream got, so recovery needs no side channel.
+  * constant per version); the sink skips a batchId EQUAL to the
+  * newest committed stamp. This is the ShardExport journal pattern
+  * applied to aggregate state: the commit artifact itself records how
+  * far the stream got, so recovery needs no side channel.
+  *
+  * A batchId BELOW the stamp is not a replay — Structured Streaming
+  * replays only the last unacknowledged batch, and batch ids within
+  * one checkpoint are monotone — it means a query with a FRESH
+  * checkpoint (batch ids restarted at 0) was pointed at an EXISTING
+  * state root. Silently ≤-skipping there would drop every early batch
+  * of the new query as "already absorbed"; the sink fails loudly
+  * instead, and the operator either restores the original checkpoint
+  * or starts a fresh state root.
   *
   * An empty batch commits nothing — no version churn, and the stamp
   * stays behind; a later replay of it is ≤-skipped or harmlessly
@@ -47,7 +56,15 @@ object MvMaintain {
   def absorbSink(root: String, keys: Seq[String], vals: Seq[String])
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastAbsorbedBatch(spark, root)) return // replayed: absorbed
+    val last = lastAbsorbedBatch(spark, root)
+    if (batchId == last) return // replayed: absorbed
+    require(batchId > last,
+      s"MvMaintain: batchId $batchId is behind the committed stamp $last " +
+        s"at $root — batch ids within one checkpoint are monotone and only " +
+        "the last batch replays, so this state root was built by a " +
+        "DIFFERENT streaming checkpoint (a fresh checkpoint restarts ids " +
+        "at 0). Skipping would silently drop the new query's early " +
+        "batches; restore the original checkpoint or use a fresh state root.")
     if (batch.isEmpty) return // nothing to absorb, no version churn
     val delta = IncrementalAgg.partials(batch, keys, vals)
     val merged = IndexStore.committedVersions(spark, root) match {

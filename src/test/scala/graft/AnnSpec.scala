@@ -706,7 +706,7 @@ class AnnSpec extends SparkSpec {
       }.sortBy { case (id, _, cos) => (-cos, id) }.take(k)
     val encoded = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
     val got = Ann.signSearchEncoded(encoded, signCorpus, "embedding", "vec_id",
-        qv, k = k, candMult = candMult)
+        qv, dim = 64, k = k, candMult = candMult)
       .as[(Long, Long, Double)].collect().toSeq
     assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)).toSeq)
     got.zip(expected).foreach { case (g, e) =>
@@ -724,11 +724,48 @@ class AnnSpec extends SparkSpec {
     val fixture = signCorpus.as[(Long, Array[Float])].collect().toMap
     val singles = (0L until 3L).flatMap { q =>
       Ann.signSearchEncoded(enc, signCorpus, "embedding", "vec_id",
-          fixture(q).map(_.toDouble), k = 4, candMult = 2)
+          fixture(q).map(_.toDouble), dim = 64, k = 4, candMult = 2)
         .as[(Long, Long, Double)].collect().toSeq.zipWithIndex
         .map { case ((id, h, c), i) => (q, i + 1, id, h, c) }
     }
     assert(batch == singles)
+  }
+
+  test("signSearchEncoded rejects a query shorter (or longer) than the encoded dim") {
+    val enc = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
+    // a 32-component query would sum fewer Hamming words and silently
+    // ignore the stored codes' trailing dimensions — refused up front
+    val short = intercept[IllegalArgumentException] {
+      Ann.signSearchEncoded(enc, signCorpus, "embedding", "vec_id",
+        Array.fill(32)(1.0), dim = 64, k = 3)
+    }
+    assert(short.getMessage.contains("32 components"))
+    intercept[IllegalArgumentException] {
+      Ann.signSearchEncoded(enc, signCorpus, "embedding", "vec_id",
+        Array.fill(80)(1.0), dim = 64, k = 3)
+    }
+  }
+
+  test("signSearchEncodedBatch rejects non-integral id columns loudly") {
+    // string ids would be nulled by the internal long cast and their
+    // rows silently dropped from the TopK heap
+    val enc = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
+      .withColumn("vec_id", concat(lit("doc-"), $"vec_id"))
+    val qs = signCorpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.signSearchEncodedBatch(enc, signCorpus, "embedding", "vec_id",
+        qs, "qid", "qv", dim = 64, k = 3)
+    }
+    assert(e.getMessage.contains("non-integral"))
+    val badQ = intercept[IllegalArgumentException] {
+      Ann.signSearchEncodedBatch(
+        Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64),
+        signCorpus, "embedding", "vec_id",
+        qs.withColumn("qid", concat(lit("q-"), $"qid")), "qid", "qv",
+        dim = 64, k = 3)
+    }
+    assert(badQ.getMessage.contains("query id"))
   }
 
   // ---- matryoshka (prefix-dimension) serving ----
@@ -782,7 +819,7 @@ class AnnSpec extends SparkSpec {
       // candMult*k >= n → stage two reranks the WHOLE corpus exactly
       val enc = Ann.signEncode(df, "embedding", "vec_id", dim)
       val got = Ann.signSearchEncoded(enc, df, "embedding", "vec_id",
-          qv, k = k, candMult = n)
+          qv, dim = dim, k = k, candMult = n)
         .select("vec_id").as[Long].collect().toSeq
       val exact = rows.map { case (id, emb) =>
           val e = emb.map(_.toDouble)

@@ -68,6 +68,24 @@ class MvMaintainSpec extends SparkSpec {
       .orderBy("k").collect().toSeq == whole)
   }
 
+  test("a batch id BEHIND the stamp fails loudly (fresh checkpoint vs existing state)") {
+    // only the last batch ever replays, so batchId < stamp means a
+    // query with a FRESH checkpoint (ids restarted at 0) was pointed
+    // at an existing state root — ≤-skipping would silently drop every
+    // early batch of the new query as "already absorbed"
+    val root = freshRoot()
+    MvMaintain.absorbSink(root, keys, vals)(rows.take(3).toDF("k", "x"), 5L)
+    val before = MvMaintain.currentReport(spark, root, keys, vals)
+      .orderBy("k").collect().toSeq
+    val e = intercept[IllegalArgumentException] {
+      MvMaintain.absorbSink(root, keys, vals)(rows.drop(3).toDF("k", "x"), 0L)
+    }
+    assert(e.getMessage.contains("behind the committed stamp"))
+    // state untouched by the refused absorb
+    assert(MvMaintain.currentReport(spark, root, keys, vals)
+      .orderBy("k").collect().toSeq == before)
+  }
+
   test("an empty batch commits no version; report before any state fails loudly") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

@@ -67,6 +67,28 @@ class ScdSpec extends SparkSpec {
     assert(rows(again) == rows(once))
   }
 
+  test("DATE-typed validity columns keep their types; stamps parse as dates") {
+    // a bare string lit for valid_from/valid_to would let unionByName
+    // coerce the whole DATE column to string — "output schema = dim's"
+    // must hold for typed validity columns too
+    val dDim = dim
+      .withColumn("valid_from", col("valid_from").cast("date"))
+      .withColumn("valid_to", col("valid_to").cast("date"))
+    val out = Scd.scd2Merge(dDim, snap, "id", Seq("name", "bal"), "2026-01-01")
+    assert(out.schema("valid_from").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(out.schema("valid_to").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val stamped = out.filter(!col("is_current") && col("id") === 2L)
+      .select(col("valid_to").cast("string")).as[String].collect().toSeq
+    assert(stamped == Seq("2026-01-01"))
+    // opened rows: typed null valid_to, typed date valid_from
+    val openedRow = out.filter(col("is_current") && col("id") === 4L)
+      .select(col("valid_from").cast("string"), col("valid_to").isNull)
+      .as[(String, Boolean)].collect().toSeq
+    assert(openedRow == Seq(("2026-01-01", true)))
+  }
+
   test("guards: missing dim metadata and metadata-bearing snapshot fail loudly") {
     intercept[IllegalArgumentException] {
       Scd.scd2Merge(dim.drop("is_current"), snap, "id", Seq("name"), "2026-01-01")

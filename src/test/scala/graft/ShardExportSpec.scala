@@ -261,6 +261,30 @@ class ShardExportSpec extends SparkSpec {
     assert(back == docs.as[(Long, String)].collect().toSet)
   }
 
+  test("writeShardsJsonl records the _graft_meta modulus and pins the read-back schema") {
+    // an ALL-NUMERIC text column is the inference trap: schema
+    // inference would re-type it as bigint before token counting;
+    // the pinned-schema read-back must keep it string and count its
+    // whitespace tokens faithfully
+    val numericTexts = (0L until 40L).map(i => (i, s"${i * 11} ${i * 7}"))
+      .toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_jsonl_meta").toString + "/export"
+    val mf = ShardExport.writeShardsJsonl(numericTexts, "doc_id", "text", out, 3)
+    // same modulus sidecar as the parquet sink
+    val meta = spark.read.parquet(s"$out/_graft_meta")
+    assert(meta.schema("n_shards").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(meta.select("n_shards").as[Int].head() == 3)
+    // every doc has exactly 2 whitespace tokens; inference-typed
+    // bigint text would have broken the token count
+    val counted = mf.agg(sum("n_docs"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert(counted == ((40L, 80L)))
+    // manifest shard column stays int — interchangeable with writeShards'
+    assert(mf.schema("shard").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("writeShardsJsonl rejects binary columns loudly") {
     val withBin = docs.withColumn("payload", col("text").cast("binary"))
     val e = intercept[IllegalArgumentException] {

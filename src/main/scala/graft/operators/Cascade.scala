@@ -248,6 +248,114 @@ final class MultiStageSearch(
     rerankTail(deduped, ner)
   }
 
+  /** [[search]] WITH its count gates, as one declarative plan — the
+    * c4 single-gate idiom generalized to the flagship's full gate
+    * ladder. The key observation making this expressible: a stage's
+    * RESULT never depends on earlier stages (each is an independent
+    * filter ∘ distance ∘ top-k over the corpus) — only a stage's
+    * INCLUSION does, through the running distinct-id count. So every
+    * stage plan is built unconditionally, each gate becomes a 1-row
+    * count aggregate over the (bounded, ≤k-row) earlier stage frames,
+    * and a gated stage keeps or drops ALL its rows by broadcast-
+    * crossing that count in — `adaptive ≡ gated` on ANY corpus, which
+    * is exactly the identity c1 pins (and the gated plan itself is
+    * DuckDB-replayable: stage CTEs + gates as scalar-subquery
+    * predicates — c7).
+    *
+    * Stage numbering is the one adaptivity left: [[search]] numbers
+    * only the stages that RAN. Mirrored declaratively — each stage's
+    * `stage_rank` is 1 + the number of included stages before it,
+    * computed from the same broadcast gate flags (a skipped gate
+    * contributes 0), so the output is row-identical to [[search]]'s
+    * including the rank column.
+    *
+    * Scale shape: per-stage TakeOrderedAndProject keeps ≤k rows; each
+    * stage frame is localCheckpointed (bounded ≤15 rows) because the
+    * count ladder and the final union reference it up to 3× — one
+    * corpus scan per stage, same as the adaptive form. The gate
+    * aggregates and flag frame are 1-row broadcasts. */
+  def searchGated(queryText: String, queryVec: Column): DataFrame = {
+    if (isBlank(queryText)) return emptyResponse
+    val ner = resolvedNer(queryText)
+    val region = ner.region
+    val job = ner.job
+    def contains(term: String): Column =
+      lower(col(textCol)).contains(term.toLowerCase)
+
+    def stageFrame(pred: Option[Column], k: Int): DataFrame =
+      knnStage(pred, queryVec, k, 0)
+        .select(col(idCol), col(textCol), col("dist"))
+        .localCheckpoint(false) // ≤k rows; reused by counts + union
+    def distinctIds(dfs: Seq[DataFrame]): DataFrame =
+      dfs.map(_.select(col(idCol))).reduce(_ unionByName _)
+        .agg(count_distinct(col(idCol)).as("__n"))
+
+    // S1 (always): strict AND, or the best available single field
+    val st1 = stageFrame((region, job) match {
+      case (Some(r), Some(j)) => Some(contains(r) && contains(j))
+      case (Some(r), None)    => Some(contains(r))
+      case (None, Some(j))    => Some(contains(j))
+      case _                  => None
+    }, cfg.topK)
+    // gate g2 = |ids after S1| < relaxThreshold (S2 exists only when
+    // both fields resolved — a STATIC fact of the query, not a gate)
+    val n1 = distinctIds(Seq(st1))
+    val st2 = (for { r <- region; j <- job } yield contains(r) || contains(j))
+      .map(p => stageFrame(Some(p), cfg.topK)
+        .crossJoin(broadcast(n1)).filter(col("__n") < cfg.relaxThreshold)
+        .drop("__n"))
+    // gate g3 = |ids after S1 ∪ gated S2| < relaxThreshold; it admits
+    // BOTH single-field stages (search() checks the count once)
+    val n2 = distinctIds(Seq(st1) ++ st2.toSeq)
+    def g3(df: DataFrame) = df.crossJoin(broadcast(n2))
+      .filter(col("__n") < cfg.relaxThreshold).drop("__n")
+    val st3 = region.map(r => g3(stageFrame(Some(contains(r)), cfg.topK)))
+    val st4 = job.map(j => g3(stageFrame(Some(contains(j)), cfg.topK)))
+    // synonym stages: ungated
+    val syn = job.toSeq.flatMap { j =>
+      synonyms(j).map { sy =>
+        val p = region.map(r => contains(r) && contains(sy))
+          .getOrElse(contains(sy))
+        stageFrame(Some(p), cfg.topK)
+      }
+    }
+    // gate g5 = |ids after everything included so far| < fallbackThreshold
+    val n6 = distinctIds(Seq(st1) ++ st2.toSeq ++ st3.toSeq ++ st4.toSeq ++ syn)
+    val st7 = stageFrame(None, cfg.fallbackK)
+      .crossJoin(broadcast(n6)).filter(col("__n") < cfg.fallbackThreshold)
+      .drop("__n")
+
+    // dynamic stage ranks from one broadcast 1-row flag frame: a
+    // stage's rank = 1 + included stages before it
+    val gflags = broadcast(
+      n1.select((col("__n") < cfg.relaxThreshold).as("__g2"))
+        .crossJoin(n2.select((col("__n") < cfg.relaxThreshold).as("__g3")))
+        .crossJoin(n6.select((col("__n") < cfg.fallbackThreshold).as("__g5"))))
+    val s2exists = st2.isDefined
+    val nSingle = st3.size + st4.size
+    val g2i: Column =
+      if (s2exists) when(col("__g2"), 1).otherwise(0) else lit(0)
+    val g3i: Column =
+      if (nSingle > 0) when(col("__g3"), nSingle).otherwise(0) else lit(0)
+    def at(df: DataFrame, rank: Column): DataFrame =
+      df.crossJoin(gflags)
+        .withColumn("stage_rank", rank.cast("int"))
+        .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
+    val parts =
+      Seq(at(st1, lit(1))) ++
+        st2.map(at(_, lit(2))).toSeq ++
+        st3.map(at(_, lit(2) + g2i)).toSeq ++
+        st4.map(at(_, lit(2) + g2i + lit(st3.size))).toSeq ++
+        syn.zipWithIndex.map { case (df, m) =>
+          at(df, lit(2 + m) + g2i + g3i)
+        } ++
+        Seq(at(st7, lit(2 + syn.size) + g2i + g3i))
+    val unioned = parts.reduce(_ unionByName _)
+    val deduped = Dedup.keepFirst(unioned, Seq(idCol),
+      Seq(col("stage_rank"), col("dist"), col(idCol)))
+    rerankTail(deduped, ner)
+  }
+
   /** The main_remind.py composition (SURVEY.md §3.4): stage 0 scans a
     * large candidate pool (k≈corpus) and POST-filters on the parsed
     * NER metadata (F3/F2 — /root/reference/main_remind.py:409-474),

@@ -108,6 +108,49 @@ class CascadeSpec extends SparkSpec {
     assert(adaptive.forall(_.getAs[Int]("stage_rank") == 7))
   }
 
+  test("searchGated equals search on the all-gates-fire fixture AND on a no-gate corpus") {
+    val q = "looking for a join job in the row area"
+    // all gates fire: no doc contains either term → every filtered
+    // stage is empty, relax + single-field + fallback all included,
+    // and the declarative gate ladder must reproduce that
+    val noTerms = corpus.filter(
+      !lower(col("text")).contains("join") && !lower(col("text")).contains("row"))
+    val starved = new MultiStageSearch(noTerms, "doc_id", "text", "embedding",
+      CascadeConfig(topK = 3, finalN = 5))
+    val a1 = starved.search(q, col("qv")).collect().toSeq
+    assert(a1.nonEmpty && a1 == starved.searchGated(q, col("qv")).collect().toSeq)
+    assert(a1 == starved.searchFixed(q, col("qv")).collect().toSeq)
+    // gates DON'T all fire on the full corpus (strict stage matches
+    // docs 0/1) — the gated plan must then skip exactly the stages
+    // search() skipped, including the ran-only stage numbering
+    val full = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(topK = 3, finalN = 6, relaxThreshold = 3,
+        fallbackThreshold = 4))
+    val a2 = full.search(q, col("qv")).collect().toSeq
+    val g2 = full.searchGated(q, col("qv")).collect().toSeq
+    assert(a2.nonEmpty && a2 == g2)
+    // and the two corpora exercise DIFFERENT gate outcomes: the
+    // starved run ends at stage 7 (everything included), the full run
+    // must have renumbered at least one stage below 7
+    assert(a1.forall(_.getAs[Int]("stage_rank") == 7))
+    assert(a2.exists(_.getAs[Int]("stage_rank") < 7))
+  }
+
+  test("searchGated renumbers stages exactly as search() under partial gating") {
+    // relaxThreshold high enough that g2/g3 fire but data exists in
+    // the single-field stages: stage ranks must match ran-only
+    // numbering in both forms, row for row, across a sweep of configs
+    val q = "looking for a join job in the row area"
+    for (relax <- Seq(1, 2, 4, 8); fb <- Seq(2, 6, 20)) {
+      val ms = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+        CascadeConfig(topK = 2, finalN = 6, relaxThreshold = relax,
+          fallbackThreshold = fb))
+      val a = ms.search(q, col("qv")).collect().toSeq
+      val g = ms.searchGated(q, col("qv")).collect().toSeq
+      assert(a == g, s"relax=$relax fb=$fb\nadaptive=$a\ngated=$g")
+    }
+  }
+
   test("knnBackend: injected candidate source feeds every stage; policy unchanged") {
     // The c5 serving shape in miniature: a backend serving from a
     // stored cluster-partitioned index whose probe keeps clusters

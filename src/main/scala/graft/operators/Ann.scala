@@ -1027,8 +1027,11 @@ object Ann {
     * `dim` is the ENCODED dimension (what [[signEncode]] was built
     * with) and the query must match it exactly: deriving the word
     * count from the query instead would let a SHORT query silently
-    * ignore the stored codes' trailing words (only the too-long case
-    * would trip the null-hamming raise_error). */
+    * ignore the stored codes' trailing words. The stored width is
+    * ALSO asserted inside the plan (size(sign_code) == word count),
+    * so a table encoded at a different dimension than the caller's
+    * `dim` fails loudly at scan time in both directions — the
+    * contract does not rest on the caller passing the right dim. */
   def signSearchEncoded(encoded: DataFrame, vectors: DataFrame,
                         embCol: String, idCol: String,
                         queryVec: Array[Double], dim: Int, k: Int,
@@ -1043,10 +1046,23 @@ object Ann {
     val ham = q.indices.map { w =>
       bit_count(element_at(col("sign_code"), w + 1).bitwiseXOR(lit(q(w))))
     }.reduce(_ + _).cast("long")
+    // Plan-level width contract: the stored code must pack to EXACTLY
+    // the query's word count. The null-hamming guard below only trips
+    // when the query is LONGER than the stored code (element_at past
+    // the end); a stored code with MORE words (encoded at dim=128,
+    // searched at dim=64) would otherwise silently ignore its trailing
+    // Hamming words — so the width itself is asserted first.
     val survivors = encoded
       .filter(col("sign_code").isNotNull)
       .select(col(idCol),
-        when(ham.isNull,
+        when(size(col("sign_code")) =!= q.length,
+          raise_error(concat(
+            lit("signSearchEncoded: stored sign_code has "),
+            size(col("sign_code")).cast("string"),
+            lit(s" words but dim=$dim packs to ${q.length} — the table " +
+              "was encoded at a different dimension; id "),
+            col(idCol).cast("string"))))
+        .when(ham.isNull,
           raise_error(concat(
             lit("signSearchEncoded: null hamming (word-count mismatch) for id "),
             col(idCol).cast("string"))))
@@ -1115,9 +1131,21 @@ object Ann {
       bit_count(element_at(col("sign_code"), w + 1)
         .bitwiseXOR(element_at(col("__qcode"), w + 1)))
     }.reduce(_ + _).cast("double")
+    // Same stored-width contract as the single-query form: a code
+    // table encoded at a wider dim than `dim` would silently drop its
+    // trailing Hamming words, so the width is asserted in the plan.
+    val hamChecked =
+      when(size(col("sign_code")) =!= words,
+        raise_error(concat(
+          lit("signSearchEncodedBatch: stored sign_code has "),
+          size(col("sign_code")).cast("string"),
+          lit(s" words but dim=$dim packs to $words — the table was " +
+            "encoded at a different dimension; id "),
+          col(idCol).cast("string"))))
+        .otherwise(ham)
     val survivors = encoded.filter(col("sign_code").isNotNull)
       .crossJoin(qdf)
-      .select(col(qidCol), ham.as("__h"), col(idCol).cast("long").as("__id"))
+      .select(col(qidCol), hamChecked.as("__h"), col(idCol).cast("long").as("__id"))
       .groupBy(qidCol)
       .agg(TopK.topK(k * candMult)(col("__h"), col("__id")).as("__cand"))
       .select(col(qidCol), explode(col("__cand")).as("__e"))

@@ -337,19 +337,29 @@ final class MultiStageSearch(
       if (s2exists) when(col("__g2"), 1).otherwise(0) else lit(0)
     val g3i: Column =
       if (nSingle > 0) when(col("__g3"), nSingle).otherwise(0) else lit(0)
-    def at(df: DataFrame, rank: Column): DataFrame =
-      df.crossJoin(gflags)
-        .withColumn("stage_rank", rank.cast("int"))
+    // Only stages whose rank actually reads a gate indicator pay the
+    // gflags crossJoin — st1/st2 (and st3+ when the relevant gates
+    // collapse to lit(0)) carry pure-literal ranks and join nothing.
+    // A rank reads gflags exactly when one of its indicator terms is
+    // non-literal: g2i when st2 exists, g3i when any single-term stage
+    // exists — decided here statically (the ranks are built right
+    // below) rather than by introspecting the Column's expression.
+    val g2Reads = s2exists
+    val g3Reads = nSingle > 0
+    def at(df: DataFrame, rank: Column, readsGate: Boolean): DataFrame = {
+      val base = if (readsGate) df.crossJoin(gflags) else df
+      base.withColumn("stage_rank", rank.cast("int"))
         .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
+    }
     val parts =
-      Seq(at(st1, lit(1))) ++
-        st2.map(at(_, lit(2))).toSeq ++
-        st3.map(at(_, lit(2) + g2i)).toSeq ++
-        st4.map(at(_, lit(2) + g2i + lit(st3.size))).toSeq ++
+      Seq(at(st1, lit(1), readsGate = false)) ++
+        st2.map(at(_, lit(2), readsGate = false)).toSeq ++
+        st3.map(at(_, lit(2) + g2i, g2Reads)).toSeq ++
+        st4.map(at(_, lit(2) + g2i + lit(st3.size), g2Reads)).toSeq ++
         syn.zipWithIndex.map { case (df, m) =>
-          at(df, lit(2 + m) + g2i + g3i)
+          at(df, lit(2 + m) + g2i + g3i, g2Reads || g3Reads)
         } ++
-        Seq(at(st7, lit(2 + syn.size) + g2i + g3i))
+        Seq(at(st7, lit(2 + syn.size) + g2i + g3i, g2Reads || g3Reads))
     val unioned = parts.reduce(_ unionByName _)
     val deduped = Dedup.keepFirst(unioned, Seq(idCol),
       Seq(col("stage_rank"), col("dist"), col(idCol)))

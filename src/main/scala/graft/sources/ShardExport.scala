@@ -100,9 +100,13 @@ object ShardExport {
     * recorded counts describe what landed on disk — a truncated write
     * cannot report healthy counts. The read-back PINS the writer's
     * schema (`spark.read.schema(...)`) instead of paying JSON schema
-    * inference: inference over text shards would re-type an
-    * all-numeric text column as numbers BEFORE token counting (and
-    * widen ints to longs), silently skewing the manifest. The same
+    * inference: pinning skips the inference pass entirely (an extra
+    * decompress+parse of every gz shard just to guess types) and
+    * keeps the writer's integer widths, which inference would widen
+    * to long. (String columns are safe either way — the JSON writer
+    * quotes them, so inference keeps even an all-numeric text column
+    * as string; the pin's value is cost and width, not quoting.)
+    * The same
     * `_graft_meta` modulus sidecar as [[writeShards]] is recorded, so
     * the two sinks' exports are interchangeable to tooling that
     * checks it. Binary columns are rejected loudly rather than

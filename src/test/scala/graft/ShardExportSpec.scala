@@ -262,10 +262,13 @@ class ShardExportSpec extends SparkSpec {
   }
 
   test("writeShardsJsonl records the _graft_meta modulus and pins the read-back schema") {
-    // an ALL-NUMERIC text column is the inference trap: schema
-    // inference would re-type it as bigint before token counting;
-    // the pinned-schema read-back must keep it string and count its
-    // whitespace tokens faithfully
+    // the pinned-schema read-back keeps the writer's types WITHOUT
+    // paying an inference pass (an extra decompress+parse of every gz
+    // shard). An all-numeric text column stays string either way —
+    // the JSON writer quotes strings, so inference could not mis-type
+    // it — the pin buys cost and integer widths, not quoting safety;
+    // the all-numeric text below just proves the token count rides
+    // through the pinned read-back faithfully
     val numericTexts = (0L until 40L).map(i => (i, s"${i * 11} ${i * 7}"))
       .toDF("doc_id", "text")
     val out = Files.createTempDirectory("graft_jsonl_meta").toString + "/export"
@@ -275,8 +278,8 @@ class ShardExportSpec extends SparkSpec {
     assert(meta.schema("n_shards").dataType ==
       org.apache.spark.sql.types.IntegerType)
     assert(meta.select("n_shards").as[Int].head() == 3)
-    // every doc has exactly 2 whitespace tokens; inference-typed
-    // bigint text would have broken the token count
+    // every doc has exactly 2 whitespace tokens, counted off the
+    // pinned string column
     val counted = mf.agg(sum("n_docs"), sum("n_tokens"))
       .as[(Long, Long)].head()
     assert(counted == ((40L, 80L)))

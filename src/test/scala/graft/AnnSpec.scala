@@ -860,4 +860,85 @@ class AnnSpec extends SparkSpec {
       assert(got == exact, s"n=$n dim=$dim")
     }
   }
+
+  test("property: int8 serving equals exact cosine top-k when the cut covers the corpus") {
+    import org.scalacheck.Gen
+    // dim-agnosticism for the int8 rung: the (mn, scale) pair and the
+    // per-component affine codes are derived element-wise, so nothing
+    // should care about width — swept at dims 4 and 8 like the
+    // sign/prefix rungs (s13's ladder runs it only at the corpus's 64)
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      dim <- Gen.oneOf(4, 8)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5))
+    } yield (n, dim, vals)
+    PropHelper.forAll(gen, n = 8) { case (n, dim, vals) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => vals(i * dim + j).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+      val qv = rows.head._2.map(_.toDouble)
+      val k = 3
+      // candMult*k >= n → stage two reranks the WHOLE corpus exactly,
+      // so any stage-one dequantize loss is reranked away
+      val enc = Ann.quantizedEncode(df, "embedding", "vec_id")
+      val got = Ann.quantizedSearchEncoded(enc, df, "embedding", "vec_id",
+          typedlit(qv.toSeq), k = k, candMult = n)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = rows.map { case (id, emb) =>
+          val e = emb.map(_.toDouble)
+          val dot = e.zip(qv).map { case (a, b) => a * b }.sum
+          val nn = math.sqrt(e.map(x => x * x).sum) *
+            math.sqrt(qv.map(x => x * x).sum)
+          (id, if (nn == 0) 0.0 else dot / nn)
+        }.sortBy { case (id, cos) => (-cos, id) }.take(k).map(_._1)
+      assert(got == exact, s"n=$n dim=$dim")
+    }
+  }
+
+  test("property: IVF assign + search at nprobe = #centroids equals exact L2 top-k") {
+    import org.scalacheck.Gen
+    // dim-agnosticism for the IVF path (the fixture tests above run it
+    // only at dim 2): assignment argmin and probe ranking are swept at
+    // dims 4 and 8 with centroids DRAWN FROM the corpus, and probing
+    // every centroid must recover the exact answer regardless of how
+    // the argmin scattered the vectors
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      dim <- Gen.oneOf(4, 8)
+      nCents <- Gen.choose(2, 3)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5))
+    } yield (n, dim, nCents, vals)
+    PropHelper.forAll(gen, n = 8) { case (n, dim, nCents, vals) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => vals(i * dim + j).toFloat)))
+      val df = rows.toDF("vec_id", "embedding")
+      val centRows = (0 until nCents).map(c =>
+        (c.toLong, rows(c % n)._2.map(_.toDouble)))
+      val centDf = centRows.toDF("cid", "cvec")
+      val qv = rows.head._2.map(_.toDouble)
+      val k = 3
+      val assigned = Ann.ivfAssign(df, "embedding", "vec_id",
+        centDf, "cid", "cvec")
+      // every assignment is the scala-side argmin (L2, ties min cid)
+      val gotAssign = assigned.select("vec_id", "cluster_id")
+        .as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, emb) =>
+        val e = emb.map(_.toDouble)
+        val want = centRows.map { case (cid, cv) =>
+            (cid, e.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }.minBy { case (cid, d) => (d, cid) }._1
+        assert(gotAssign(id) == want, s"assign id=$id n=$n dim=$dim")
+      }
+      // probing ALL centroids = exact search over the whole corpus
+      val got = Ann.ivfSearch(assigned, "embedding", "vec_id",
+          centDf, "cid", "cvec", typedlit(qv.toSeq), k = k, nprobe = nCents)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = rows.map { case (id, emb) =>
+          val d = math.sqrt(emb.map(_.toDouble).zip(qv)
+            .map { case (a, b) => (a - b) * (a - b) }.sum)
+          (id, d)
+        }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+      assert(got == exact, s"search n=$n dim=$dim nCents=$nCents")
+    }
+  }
 }

@@ -359,7 +359,13 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
           sum("__vc").over(w).as("sum_cents_1h"))
         .orderBy("user_id", "event_id")
     },
-    Some("""SELECT user_id, event_id, n_1h, sum_cents_1h FROM (
+    Some(rollingFeaturesSql))
+
+  // Shared by e11 (plain window) and e12 (chunked window): the two
+  // plans are row-identical by construction, so ONE oracle checks both
+  // and cannot drift between them.
+  private def rollingFeaturesSql: String =
+    """SELECT user_id, event_id, n_1h, sum_cents_1h FROM (
         SELECT user_id, event_id,
           count(*) OVER w AS n_1h,
           CAST(sum(value_cents) OVER w AS BIGINT) AS sum_cents_1h
@@ -369,8 +375,32 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
               FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY tsec
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
-      ORDER BY user_id, event_id"""))
+      ORDER BY user_id, event_id"""
+
+  private val e12 = QuerySpec("e12_rolling_features_chunked",
+    // e11's trailing-hour features through [[WindowChunk.trailingRange]]
+    // — the hot-key-proof plan: the per-user RANGE window is chunked
+    // along the ORDER axis (hour buckets, previous bucket's tail
+    // duplicated in as non-emitting context), so one hot user's
+    // history spreads over |range|/chunk tasks instead of serializing
+    // into one. Row-identical to e11 by construction; the shared
+    // oracle hash-checks exactly that. Same portability pins as e11
+    // (floored epoch seconds, exact integer cents).
+    (s, d) => {
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("__tsec"),
+          round(col("value") * 100, 0).cast("long").as("__vc"))
+      graft.operators.WindowChunk.trailingRange(
+          base, Seq("user_id"), "__tsec", lookback = 3600L,
+          aggs = Seq((count(lit(1)), "n_1h"),
+            (sum(col("__vc")), "sum_cents_1h")))
+        .select(col("user_id"), col("event_id"),
+          col("n_1h"), col("sum_cents_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(rollingFeaturesSql))
 
   final def queriesEvents: Seq[QuerySpec] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }

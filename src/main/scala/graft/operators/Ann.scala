@@ -1200,7 +1200,17 @@ object Ann {
     * artifact; per-partition k·candMult heap), stage two broadcast-
     * joins survivors to the fp corpus and reranks by full-dimension
     * L2. Total orders ((prefix_dist, id), then (dist, id)) make both
-    * cuts deterministic; the oracle replays them over array slices. */
+    * cuts deterministic; the oracle replays them over array slices.
+    *
+    * Recall caveat, measured (round-14 candMult sweep, PLANS.md): the
+    * prefix cut only ranks well when the embedding model concentrates
+    * information in the leading components (matryoshka/MRL-trained
+    * embeddings — Kusupati et al. 2022). On embeddings WITHOUT that
+    * training the prefix rung can trail even the 8× smaller sign rung
+    * (0.16→0.57 recall@10 over candMult 1→16 on the synthetic corpus,
+    * vs sign's 0.19→0.69 and int8's 1.00 at candMult=2) — pick this
+    * rung for its bytes only when the model is MRL-trained, and prefer
+    * the int8 rung when 80 B/vec is affordable. */
   def prefixSearchEncoded(encoded: DataFrame, vectors: DataFrame,
                           embCol: String, idCol: String,
                           queryVec: Array[Double], prefixDim: Int,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import graft.semantic.{QueryNer, SemanticSuite, UserProfile}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
@@ -364,6 +365,202 @@ final class MultiStageSearch(
     val deduped = Dedup.keepFirst(unioned, Seq(idCol),
       Seq(col("stage_rank"), col("dist"), col(idCol)))
     rerankTail(deduped, ner)
+  }
+
+  /** [[searchGated]] for a BATCH of queries, as ONE data-parallel
+    * plan — queries are rows, not driver round-trips. The per-query
+    * form scans the corpus once per stage per query (7·|Q| scans for a
+    * query log); this form scans it TWICE TOTAL regardless of |Q|:
+    *
+    *  1. candidates: corpus ⨯ broadcast(queries) computes each pair's
+    *     distance ONCE, tags it with the stage slots whose predicate
+    *     it satisfies (slot masks are per-pair boolean expressions over
+    *     the query's terms, carried as columns), and feeds ONE
+    *     (qid, slot)-keyed bounded [[TopK]] aggregation — partial
+    *     k-heaps map-side, so the single shuffle carries ≤ k rows per
+    *     (partition × query × slot), never the corpus;
+    *  2. text fetch: the surviving ≤ Σk·|Q| candidate ids broadcast-
+    *     join back to the corpus for the rerank text.
+    *
+    * The gate ladder runs per query as ARRAY expressions over the
+    * pivoted stage heaps (one row per qid): running distinct-id counts
+    * via array_distinct/concat, gated stages kept or emptied by
+    * when(), ran-only stage renumbering from the same gate indicators
+    * — the exact algebra of [[searchGated]], evaluated |Q| times in
+    * one narrow map instead of |Q| driver plans. Per-query results are
+    * row-identical to [[searchGated]] (CascadeBatchSpec pins the
+    * identity across all four query structures; c9 hash-checks the
+    * batch against per-query DuckDB replays).
+    *
+    * The semantic boundary stays driver-side: ONLY (qid, text) strings
+    * are collected for NER/synonyms (L2/L3 are external calls — the
+    * same per-query cost [[search]] pays); vectors never leave the
+    * cluster. Blank queries contribute zero rows (the F4 guard,
+    * batch-shaped). Requires integral ids on both sides (the TopK heap
+    * entry is (double, long)); not available with a custom
+    * `knnBackend` — the batch plan IS the candidate source. */
+  def searchGatedBatch(queries: DataFrame, qidCol: String,
+                       qtextCol: String, qvecCol: String): DataFrame = {
+    require(knnBackend.isEmpty,
+      "searchGatedBatch builds its own batched candidate plan and cannot " +
+        "honor a custom knnBackend — use per-query searchGated for served " +
+        "backends, or serve the batch from a partitioned corpus directly")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // -- semantic boundary: (qid, text) → NER + synonyms, driver-side
+    val qmeta = queries
+      .select(col(qidCol).cast("long").as("__qid"), col(qtextCol).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    require(qmeta.map(_._1).distinct.length == qmeta.length,
+      s"searchGatedBatch: duplicate $qidCol values in the query batch")
+    val resolved = qmeta.toSeq.filterNot { case (_, t) => isBlank(t) }
+      .map { case (qid, t) =>
+        val ner = resolvedNer(t)
+        (qid, ner.job.orNull, ner.region.orNull, ner.ageGroup.orNull,
+          ner.job.toSeq.flatMap(synonyms(_)))
+      }
+    val outCols = Seq(col("__qid").as(qidCol), col(idCol), col(textCol),
+      col("dist"), col("stage_rank"), col("judge_score"), col("rule_score"),
+      col("score"), col("rank"))
+    if (resolved.isEmpty)
+      return emptyResponse.crossJoin(
+          spark.range(0).select(col("id").as("__qid")))
+        .select(outCols: _*)
+    val maxSyn = resolved.map(_._5.length).max
+    val nerDf = broadcast(
+      resolved.toDF("__qid", "__job", "__region", "__age", "__syns"))
+
+    // -- pass 1: corpus ⨯ queries → slot-tagged distances → TopK heaps
+    val qframe = queries
+      .select(col(qidCol).cast("long").as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .join(nerDf, "__qid") // inner join drops blank queries
+    val lt = lower(col(textCol))
+    def cterm(t: Column): Column = lt.contains(lower(t))
+    val cr = col("__region").isNotNull && cterm(col("__region"))
+    val cj = col("__job").isNotNull && cterm(col("__job"))
+    val s1ok = when(col("__region").isNotNull && col("__job").isNotNull, cr && cj)
+      .when(col("__region").isNotNull, cr)
+      .when(col("__job").isNotNull, cj)
+      .otherwise(lit(true))
+    val s2ok = col("__region").isNotNull && col("__job").isNotNull && (cr || cj)
+    val synOks = (0 until maxSyn).map { i =>
+      val sy = get(col("__syns"), lit(i)) // null-safe past the end
+      sy.isNotNull &&
+        when(col("__region").isNotNull, cr && cterm(sy)).otherwise(cterm(sy))
+    }
+    val fallbackSlot = 5 + maxSyn
+    val slots = Seq((1, s1ok), (2, s2ok), (3, cr), (4, cj)) ++
+      synOks.zipWithIndex.map { case (ok, i) => (5 + i, ok) } :+
+      ((fallbackSlot, lit(true): Column))
+    val maxK = math.max(cfg.topK, cfg.fallbackK)
+    // null-embedding rows carry a null distance and are excluded from
+    // every slot (the single-query form only ever surfaces them when a
+    // stage underfills, with a null dist no rerank can use)
+    val pairs = corpus.crossJoin(broadcast(qframe))
+      .select(col("__qid"),
+        col(idCol).cast("long").as("__id"),
+        VectorFunctions.l2(col(embCol), col("__qv")).as("__dist"),
+        array(slots.map { case (s, ok) =>
+          struct(lit(s).as("slot"), ok.as("ok"))
+        }: _*).as("__slots"))
+      .filter(col("__dist").isNotNull)
+      .select(col("__qid"), col("__id"), col("__dist"),
+        explode(col("__slots")).as("__e"))
+      .filter(col("__e").getField("ok"))
+      .select(col("__qid"), col("__e").getField("slot").as("__slot"),
+        col("__dist"), col("__id"))
+    val grouped = pairs.groupBy("__qid", "__slot")
+      .agg(TopK.topK(maxK)(col("__dist"), col("__id")).as("__cand"))
+      .withColumn("__cand", slice(col("__cand"), lit(1),
+        when(col("__slot") === fallbackSlot, cfg.fallbackK)
+          .otherwise(cfg.topK)))
+
+    // -- pivot to one row per qid; absent slots coalesce to empty
+    val slotAgg = (1 to fallbackSlot).map(s =>
+      first(when(col("__slot") === s, col("__cand")), ignoreNulls = true)
+        .as(s"__a$s"))
+    val emptyArr = typedlit(Seq.empty[TopK.Entry])
+    def nn(c: Column): Column = coalesce(c, emptyArr)
+    def ids(c: Column): Column = transform(c, _.getField("id"))
+    val perQ = grouped.groupBy("__qid")
+      .agg(slotAgg.head, slotAgg.tail: _*)
+      .join(nerDf, "__qid")
+
+    // -- the gate ladder, per qid, as array expressions (searchGated's
+    //    exact algebra: counts over gated unions, ran-only renumbering)
+    val s2exists = col("__job").isNotNull && col("__region").isNotNull
+    val n1 = size(array_distinct(ids(nn(col("__a1")))))
+    val g2 = s2exists && (n1 < cfg.relaxThreshold)
+    val inc2 = when(g2, nn(col("__a2"))).otherwise(emptyArr)
+    val n2 = size(array_distinct(
+      concat(ids(nn(col("__a1"))), ids(inc2))))
+    val g3 = n2 < cfg.relaxThreshold
+    val inc3 = when(col("__region").isNotNull && g3, nn(col("__a3")))
+      .otherwise(emptyArr)
+    val inc4 = when(col("__job").isNotNull && g3, nn(col("__a4")))
+      .otherwise(emptyArr)
+    val incSyn = (0 until maxSyn).map(i =>
+      when(size(col("__syns")) > i, nn(col(s"__a${5 + i}")))
+        .otherwise(emptyArr))
+    val n6 = size(array_distinct(
+      (Seq(ids(nn(col("__a1"))), ids(inc2), ids(inc3), ids(inc4)) ++
+        incSyn.map(ids)).reduce(concat(_, _))))
+    val g5 = n6 < cfg.fallbackThreshold
+    val inc7 = when(g5, nn(col(s"__a$fallbackSlot"))).otherwise(emptyArr)
+    val i2 = when(g2, 1).otherwise(0)
+    val nSingle = when(col("__region").isNotNull, 1).otherwise(0) +
+      when(col("__job").isNotNull, 1).otherwise(0)
+    val i3 = when(g3, nSingle).otherwise(0)
+    def fr(rank: Column, arr: Column) =
+      struct(rank.cast("int").as("sr"), arr.as("arr"))
+    val frames = array(
+      Seq(fr(lit(1), nn(col("__a1"))),
+        fr(lit(2), inc2),
+        fr(lit(2) + i2, inc3),
+        fr(lit(2) + i2 + when(col("__region").isNotNull, 1).otherwise(0), inc4)) ++
+        incSyn.zipWithIndex.map { case (a, m) => fr(lit(2 + m) + i2 + i3, a) } :+
+        fr(lit(2) + size(col("__syns")) + i2 + i3, inc7): _*)
+    val cand = perQ
+      .select(col("__qid"), explode(frames).as("__f"))
+      .select(col("__qid"), col("__f").getField("sr").as("stage_rank"),
+        explode(col("__f").getField("arr")).as("__e"))
+      .select(col("__qid"), col("stage_rank"),
+        col("__e").getField("dist").as("dist"),
+        col("__e").getField("id").as("__id"))
+
+    // -- keep-first dedup per (qid, id), then pass 2 (text) + rerank
+    val deduped = Dedup.keepFirst(cand, Seq("__qid", "__id"),
+      Seq(col("stage_rank"), col("dist"), col("__id")))
+    val withText = broadcast(deduped)
+      .join(corpus.select(col(idCol).cast("long").as("__id"),
+        col(textCol)), "__id")
+      .join(nerDf, "__qid")
+    val jb = lower(col("__job"))
+    val rg = lower(col("__region"))
+    val hits = when(col("__job").isNotNull && lt.contains(jb), 1).otherwise(0) +
+      when(col("__region").isNotNull && lt.contains(rg), 1).otherwise(0)
+    val nTok = when(col("__job").isNotNull, 1).otherwise(0) +
+      when(col("__region").isNotNull, 1).otherwise(0)
+    val (dJob, dRegion) = docNer(col(textCol))
+    val scored = withText
+      .withColumn("judge_score",
+        when(nTok === 0, lit(0.0))
+          .otherwise(round(lit(5.0) * hits / nTok, 0).cast("double")))
+      .withColumn("rule_score", Rerank.nerOverlap(Seq(
+        (coalesce(col("__job"), lit("")), dJob),
+        (coalesce(col("__region"), lit("")), dRegion),
+        (coalesce(col("__age"), lit("")), lit("")))))
+      .withColumn("score",
+        Rerank.combined(col("judge_score"), col("rule_score"),
+          cfg.wJudge, cfg.wRule))
+    val wq = Window.partitionBy("__qid")
+      .orderBy(desc("score"), asc("dist"), asc("__id"))
+    scored.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= cfg.finalN)
+      .withColumn(idCol, col("__id").cast(corpus.schema(idCol).dataType))
+      .select(outCols: _*)
   }
 
   /** The main_remind.py composition (SURVEY.md §3.4): stage 0 scans a

@@ -485,6 +485,162 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     },
     Some(gatedCascadeSql(servedCorpusCtes)))
 
+  /** c9's query batch: one query per structure the cascade's stage
+    * list can take — full (job+region+synonyms), region-only,
+    * job-only-with-synonym, no-terms. Vectors are embeddings 0-3. */
+  private val batchQueryMeta: Seq[(Long, String)] = Seq(
+    0L -> "looking for a join job in the row area",
+    1L -> "column stuff",
+    2L -> "sort pipelines",
+    3L -> "hello world")
+
+  /** DuckDB replay of [[MultiStageSearch.searchGatedBatch]]: ONE
+    * gated-cascade block per query (the [[gatedCascadeSql]] algebra,
+    * namespaced per qid and specialized to that query's NER structure
+    * — stages that don't exist for the query are simply not emitted,
+    * exactly as the batch plan's slot masks never admit them), UNION
+    * ALL'd with the qid. The builder computes each query's NER with
+    * the SAME deterministic double the engine uses, so the stage
+    * structure cannot drift between the plan and its oracle. */
+  private def gatedCascadeBatchSql: String = {
+    val (qner, syn, _) = graft.semantic.SemanticSuite.default
+    val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
+    val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
+    def ov(u: String, dcol: String) =
+      s"""(CASE WHEN len('$u') > 0 AND len($dcol) > 0
+          AND (contains($dcol, '$u') OR contains('$u', $dcol)) THEN 1 ELSE 0 END)"""
+    def hit(term: String) =
+      s"CASE WHEN contains(lower(text),'$term') THEN 1 ELSE 0 END"
+    val blocks = batchQueryMeta.map { case (qid, text) =>
+      val ner = qner(text)
+      val j = ner.job
+      val r = ner.region
+      val syns = j.toSeq.flatMap(syn(_))
+      val p = s"b$qid"
+      def ctn(t: String) = s"contains(lower(text),'$t')"
+      def stage(name: String, where: String, k: Int) =
+        s"""${p}$name AS (SELECT doc_id, text, dist FROM ${p}corpus
+            $where ORDER BY dist, doc_id LIMIT $k)"""
+      val s1Where = (r, j) match {
+        case (Some(rr), Some(jj)) => s"WHERE ${ctn(rr)} AND ${ctn(jj)}"
+        case (Some(rr), None)     => s"WHERE ${ctn(rr)}"
+        case (None, Some(jj))     => s"WHERE ${ctn(jj)}"
+        case _                    => ""
+      }
+      val both = r.isDefined && j.isDefined
+      val nSingle = r.size + j.size
+      val synStages = syns.zipWithIndex.map { case (sy, i) =>
+        val w = r.map(rr => s"WHERE ${ctn(rr)} AND ${ctn(sy)}")
+          .getOrElse(s"WHERE ${ctn(sy)}")
+        stage(s"y$i", w, 10)
+      }
+      // running distinct-id counts over the GATED earlier frames
+      val n2From =
+        if (both) s"(SELECT doc_id FROM ${p}r1 UNION SELECT doc_id FROM ${p}s2)"
+        else s"(SELECT doc_id FROM ${p}r1)"
+      val n6Legs = Seq(s"SELECT doc_id FROM ${p}r1") ++
+        (if (both) Seq(s"SELECT doc_id FROM ${p}s2") else Nil) ++
+        (if (r.isDefined) Seq(s"SELECT doc_id FROM ${p}s3") else Nil) ++
+        (if (j.isDefined) Seq(s"SELECT doc_id FROM ${p}s4") else Nil) ++
+        syns.indices.map(i => s"SELECT doc_id FROM ${p}y$i")
+      val i2 = if (both) s"CASE WHEN (SELECT n FROM ${p}n1) < 5 THEN 1 ELSE 0 END"
+        else "0"
+      val i3 = s"CASE WHEN (SELECT n FROM ${p}n2) < 5 THEN $nSingle ELSE 0 END"
+      val uLegs = Seq(
+        s"SELECT doc_id, text, dist, 1 AS stage_rank FROM ${p}r1") ++
+        (if (both) Seq(s"SELECT doc_id, text, dist, 2 FROM ${p}s2") else Nil) ++
+        (if (r.isDefined) Seq(
+          s"SELECT doc_id, text, dist, 2 + (SELECT i2 FROM ${p}gi) FROM ${p}s3") else Nil) ++
+        (if (j.isDefined) Seq(
+          s"SELECT doc_id, text, dist, ${2 + r.size} + (SELECT i2 FROM ${p}gi) FROM ${p}s4") else Nil) ++
+        syns.indices.map(i =>
+          s"SELECT doc_id, text, dist, ${2 + i} + (SELECT i2 FROM ${p}gi) + (SELECT i3 FROM ${p}gi) FROM ${p}y$i") ++
+        Seq(s"SELECT doc_id, text, dist, ${2 + syns.size} + (SELECT i2 FROM ${p}gi) + (SELECT i3 FROM ${p}gi) FROM ${p}s7")
+      val judgeSql = (j, r) match {
+        case (Some(jj), Some(rr)) =>
+          s"CAST(round(5.0 * (${hit(jj)} + ${hit(rr)}) / 2, 0) AS DOUBLE)"
+        case (Some(jj), None) => s"CAST(round(5.0 * (${hit(jj)}), 0) AS DOUBLE)"
+        case (None, Some(rr)) => s"CAST(round(5.0 * (${hit(rr)}), 0) AS DOUBLE)"
+        case _                => "CAST(0.0 AS DOUBLE)"
+      }
+      val ctes = Seq(
+        s"${p}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)",
+        s"""${p}corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN ${p}q q)""",
+        stage("r1", s1Where, 10)) ++
+        (if (both) Seq(stage("r2",
+          s"WHERE ${ctn(r.get)} OR ${ctn(j.get)}", 10)) else Nil) ++
+        (if (r.isDefined) Seq(stage("r3", s"WHERE ${ctn(r.get)}", 10)) else Nil) ++
+        (if (j.isDefined) Seq(stage("r4", s"WHERE ${ctn(j.get)}", 10)) else Nil) ++
+        synStages ++
+        Seq(stage("r7", "", 15),
+          s"${p}n1 AS (SELECT count(DISTINCT doc_id) AS n FROM ${p}r1)") ++
+        (if (both) Seq(
+          s"${p}s2 AS (SELECT * FROM ${p}r2 WHERE (SELECT n FROM ${p}n1) < 5)") else Nil) ++
+        Seq(s"${p}n2 AS (SELECT count(DISTINCT doc_id) AS n FROM $n2From)") ++
+        (if (r.isDefined) Seq(
+          s"${p}s3 AS (SELECT * FROM ${p}r3 WHERE (SELECT n FROM ${p}n2) < 5)") else Nil) ++
+        (if (j.isDefined) Seq(
+          s"${p}s4 AS (SELECT * FROM ${p}r4 WHERE (SELECT n FROM ${p}n2) < 5)") else Nil) ++
+        Seq(
+          s"${p}n6 AS (SELECT count(DISTINCT doc_id) AS n FROM (${n6Legs.mkString(" UNION ")}))",
+          s"${p}s7 AS (SELECT * FROM ${p}r7 WHERE (SELECT n FROM ${p}n6) < 15)",
+          s"${p}gi AS (SELECT $i2 AS i2, $i3 AS i3)",
+          s"${p}u AS (${uLegs.mkString(" UNION ALL ")})",
+          s"""${p}kept AS (SELECT doc_id, text, dist, stage_rank FROM
+              (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY stage_rank, dist, doc_id) AS rn FROM ${p}u) WHERE rn = 1)""",
+          s"""${p}scored AS (SELECT doc_id, stage_rank, dist,
+              $judgeSql AS judge_score,
+              CAST(${ov(j.getOrElse(""), "doc_job")} +
+                   ${ov(r.getOrElse(""), "doc_region")} + 0 AS DOUBLE) AS rule_score
+              FROM (SELECT doc_id, stage_rank, dist, text,
+                regexp_extract(lower(text), '\\b($corpusPat)\\b', 1) AS doc_job,
+                regexp_extract(lower(text), '\\b($regionPat)\\b', 1) AS doc_region
+                FROM ${p}kept))""",
+          s"""${p}top AS (SELECT doc_id, stage_rank, dist,
+              0.7 * judge_score + 0.3 * rule_score AS score
+              FROM ${p}scored ORDER BY score DESC, dist, doc_id LIMIT 5)""",
+          s"""${p}final AS (SELECT $qid AS qid,
+              row_number() OVER (ORDER BY score DESC, dist, doc_id) AS rank,
+              doc_id, stage_rank, round(dist, 6) AS dist,
+              round(score, 6) AS score FROM ${p}top)""")
+      (ctes.mkString(",\n"), s"SELECT * FROM ${p}final")
+    }
+    s"""WITH ${blocks.map(_._1).mkString(",\n")}
+      SELECT qid, rank, doc_id, stage_rank, dist, score
+      FROM (${blocks.map(_._2).mkString(" UNION ALL ")})
+      ORDER BY qid, rank"""
+  }
+
+  private val c9 = QuerySpec("c9_cascade_batch_gated",
+    // The flagship's gate ladder for a BATCH of queries as ONE
+    // data-parallel plan (searchGatedBatch): queries are rows — the
+    // corpus is scanned twice TOTAL (slot-tagged distances into one
+    // (qid, slot)-keyed bounded-TopK aggregation, then the text fetch)
+    // instead of 7 stage scans per query, and the whole gate algebra
+    // runs per qid as array expressions. The batch holds one query of
+    // EVERY structure (full/region-only/job-only/no-terms), so the
+    // oracle — per-query gated blocks UNION ALL'd — hash-checks every
+    // slot-mask shape, the per-structure gate ladders, and the
+    // ran-only renumbering in one row set. CascadeBatchSpec separately
+    // pins batch == per-query searchGated row-for-row.
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = batchQueryMeta.toDF("qid", "qtext")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+        .searchGatedBatch(queries, "qid", "qtext", "qvec")
+        .select(col("qid"), col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(gatedCascadeBatchSql))
+
   final def queriesCascade: Seq[QuerySpec] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
 }

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{CascadeConfig, MultiStageSearch}
+import org.apache.spark.sql.functions._
+
+/** Batch cascade == per-query searchGated, row for row, across every
+  * query STRUCTURE (both terms + synonyms, region-only, job-only,
+  * no-terms) and across gate-fired and gate-closed configs; blank
+  * queries contribute zero rows; guards are loud. */
+class CascadeBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Varied corpus: term-dense docs near the origin, term-sparse far
+  // ones, an exact distance tie (ids 7/8), a null-text row.
+  private def corpus = Seq(
+    (0L, "join job in the row district", Array(0.0f, 0.0f)),
+    (1L, "join work near the row area", Array(0.1f, 0.0f)),
+    (2L, "merge position in the row zone", Array(0.2f, 0.0f)),
+    (3L, "hash role in the row sector", Array(0.3f, 0.0f)),
+    (4L, "sort role in the key sector", Array(1.0f, 1.0f)),
+    (5L, "order handling in the column space", Array(1.5f, 0.5f)),
+    (6L, "column store essay, no job terms", Array(2.0f, 0.0f)),
+    (7L, "stream processing in the value tier", Array(3.0f, 0.0f)),
+    (8L, "batch processing in the value tier", Array(0.0f, 3.0f)),
+    (9L, "filter opening in the line region", Array(4.0f, 1.0f)),
+    (10L, "totally unrelated prose", Array(5.0f, 5.0f)),
+    (11L, null.asInstanceOf[String], Array(0.05f, 0.0f)),
+    (12L, "join row join row twice over", Array(6.0f, 0.0f)),
+    (13L, "sort order sort order column", Array(0.0f, 6.0f)),
+    (14L, "spark table scan merge hash", Array(7.0f, 0.0f))
+  ).toDF("doc_id", "text", "embedding")
+
+  private val qtexts = Seq(
+    1L -> "looking for a join job in the row area", // job+region, syns merge/hash
+    2L -> "column stuff",                           // region only
+    3L -> "sort pipelines",                         // job only, syn order
+    4L -> "nothing relevant here",                  // no terms → unfiltered + gate
+    5L -> "stream handling in the value tier",      // job stream (syn batch) + region value
+    6L -> "")                                       // blank → zero rows
+
+  private def queriesDf = qtexts.zipWithIndex.map { case ((qid, t), i) =>
+    (qid, t, Seq(0.1 * i, 0.05 * i)) // distinct query vectors
+  }.toDF("qid", "qtext", "qvec")
+
+  private def identityCheck(cfg: CascadeConfig): Unit = {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding", cfg)
+    val batch = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+      .collect().groupBy(_.getAs[Long]("qid"))
+    qtexts.foreach { case (qid, t) =>
+      val qv = typedlit((0 until 2).map(j =>
+        Seq(0.1, 0.05)(j) * qtexts.indexWhere(_._1 == qid)))
+      val single = search.searchGated(t, qv)
+        .select("rank", "doc_id", "text", "dist", "stage_rank",
+          "judge_score", "rule_score", "score")
+        .collect().toSeq.sortBy(_.getAs[Int]("rank"))
+      val got = batch.getOrElse(qid, Array.empty).toSeq
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => org.apache.spark.sql.Row(
+          r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Double]("dist"),
+          r.getAs[Int]("stage_rank"), r.getAs[Double]("judge_score"),
+          r.getAs[Double]("rule_score"), r.getAs[Double]("score")))
+      assert(got == single, s"qid=$qid cfg=$cfg\nbatch=$got\nsingle=$single")
+    }
+  }
+
+  test("batch == per-query searchGated under the default config") {
+    identityCheck(CascadeConfig())
+  }
+
+  test("batch == per-query searchGated when the gates actually fire") {
+    // tight thresholds: relax/fallback gates open and close differently
+    // per query structure; small k keeps stages underfilled
+    identityCheck(CascadeConfig(topK = 3, relaxThreshold = 3,
+      fallbackThreshold = 6, fallbackK = 5, finalN = 4))
+  }
+
+  test("batch == per-query searchGated when every gate is closed") {
+    // thresholds at 0: no gate ever admits its stage — only st1 and the
+    // (never-admitted) fallback's absence shape the result
+    identityCheck(CascadeConfig(topK = 4, relaxThreshold = 0,
+      fallbackThreshold = 0, finalN = 5))
+  }
+
+  test("a blank query contributes zero rows; an all-blank batch is the typed empty") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    val out = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+    assert(out.filter(col("qid") === 6L).isEmpty)
+    val allBlank = Seq((1L, "", Seq(0.0, 0.0)), (2L, "   ", Seq(0.0, 0.0)))
+      .toDF("qid", "qtext", "qvec")
+    val empty = search.searchGatedBatch(allBlank, "qid", "qtext", "qvec")
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("qid", "doc_id", "text", "dist",
+      "stage_rank", "judge_score", "rule_score", "score", "rank"))
+  }
+
+  test("guards are loud: duplicate qids, custom knnBackend") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    val dup = Seq((1L, "join row", Seq(0.0, 0.0)), (1L, "sort", Seq(0.0, 0.0)))
+      .toDF("qid", "qtext", "qvec")
+    val e = intercept[IllegalArgumentException] {
+      search.searchGatedBatch(dup, "qid", "qtext", "qvec")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    val served = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      knnBackend = Some((_, qv, k) =>
+        graft.operators.Knn.exact(corpus, "embedding", "doc_id", qv, k)))
+    val e2 = intercept[IllegalArgumentException] {
+      served.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+    }
+    assert(e2.getMessage.contains("knnBackend"))
+  }
+}

@@ -471,8 +471,23 @@ final class MultiStageSearch(
       .filter(col("__e").getField("ok"))
       .select(col("__qid"), col("__e").getField("slot").as("__slot"),
         col("__dist"), col("__id"))
-    val grouped = pairs.groupBy("__qid", "__slot")
-      .agg(TopK.topK(maxK)(col("__dist"), col("__id")).as("__cand"))
+    // Per-(qid, slot) top-k via a rank-limit window rather than the
+    // TopK Aggregator: the `row_number <= k` filter triggers Spark's
+    // InferWindowGroupLimit, which inserts a PARTIAL group-limit
+    // before the exchange — a map-side native top-k with none of the
+    // Aggregator's per-row object/encoder cost (measured ~3µs/row vs
+    // the codegen'd sort's ~0.1µs; on a |corpus|×|Q| pair stream that
+    // constant IS the batch's wall-clock). The shuffle then carries
+    // ≤ maxK rows per (map partition × qid × slot). array_sort on
+    // (dist, id) structs keeps the stored order total, as TopK did.
+    val wTop = Window.partitionBy("__qid", "__slot")
+      .orderBy(col("__dist"), col("__id"))
+    val grouped = pairs
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= maxK)
+      .groupBy("__qid", "__slot")
+      .agg(array_sort(collect_list(
+        struct(col("__dist").as("dist"), col("__id").as("id")))).as("__cand"))
       .withColumn("__cand", slice(col("__cand"), lit(1),
         when(col("__slot") === fallbackSlot, cfg.fallbackK)
           .otherwise(cfg.topK)))

@@ -404,38 +404,107 @@ final class MultiStageSearch(
     require(knnBackend.isEmpty,
       "searchGatedBatch builds its own batched candidate plan and cannot " +
         "honor a custom knnBackend — use per-query searchGated for served " +
-        "backends, or serve the batch from a partitioned corpus directly")
+        "backends, or searchGatedBatchServed over a cluster-assigned index")
+    batchPrelude("searchGatedBatch", queries, qidCol, qtextCol, qvecCol) match {
+      case Left(empty) => empty
+      case Right((nerDf, maxSyn, qframe)) =>
+        gatedBatchCore(qidCol, nerDf, maxSyn,
+          corpus.crossJoin(broadcast(qframe)))
+    }
+  }
+
+  /** [[searchGatedBatch]] over a cluster-assigned (IVF) index — the
+    * high-QPS serving shape: the exact batch's pair stream touches
+    * |corpus|·|Q| rows, this one touches only the pairs whose corpus
+    * row lives in a cluster the query PROBES. The per-query probe list
+    * (nprobe nearest centroids, ties by centroid id — the c5/c8 rule,
+    * columnar) becomes a (qid, cluster_id) map; joining the index on
+    * cluster_id against it REPLACES the cross join, so each index row
+    * meets only the queries probing its cluster — the pair stream
+    * shrinks by ~nprobe/k and, over a stored partitioned index, the
+    * scan itself prunes to the union of probed clusters. Per-query
+    * results are row-identical to [[searchGated]] with the equivalent
+    * served backend (CascadeBatchSpec pins it); the gate ladder,
+    * dedup, and rerank are [[gatedBatchCore]]'s, unchanged. */
+  def searchGatedBatchServed(queries: DataFrame, qidCol: String,
+                             qtextCol: String, qvecCol: String,
+                             centroids: DataFrame, cidCol: String,
+                             cvecCol: String, nprobe: Int): DataFrame = {
+    require(knnBackend.isEmpty,
+      "searchGatedBatchServed probes the cluster-assigned corpus itself " +
+        "and cannot honor a custom knnBackend")
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    require(corpus.columns.contains("cluster_id"),
+      "searchGatedBatchServed needs a cluster-assigned corpus " +
+        "(cluster_id column, from Ann.ivfAssign*)")
+    batchPrelude("searchGatedBatchServed", queries, qidCol, qtextCol,
+        qvecCol) match {
+      case Left(empty) => empty
+      case Right((nerDf, maxSyn, qframe)) =>
+        val cent = centroids.select(col(cidCol).cast("long").as("__cid"),
+          col(cvecCol).cast("array<double>").as("__cvec"))
+        val wp = Window.partitionBy("__qid")
+          .orderBy(col("__cd"), col("__cid"))
+        val probeMap = qframe.select(col("__qid"), col("__qv"))
+          .crossJoin(broadcast(cent))
+          .withColumn("__cd", VectorFunctions.l2(col("__cvec"), col("__qv")))
+          .withColumn("__pr", row_number().over(wp))
+          .filter(col("__pr") <= nprobe)
+          .select(col("__qid"), col("__cid"))
+        val qprobe = qframe.join(probeMap, "__qid")
+        gatedBatchCore(qidCol, nerDf, maxSyn,
+          corpus.join(broadcast(qprobe),
+            col("cluster_id").cast("long") === col("__cid")))
+    }
+  }
+
+  /** Shared batch prelude: the driver-side semantic boundary. Collects
+    * ONLY (qid, text), resolves NER + synonyms per query, and returns
+    * the broadcastable ner frame, the batch's synonym-slot width, and
+    * the query frame (vectors stay distributed); Left(typed empty)
+    * when every query is blank. */
+  private def batchPrelude(op: String, queries: DataFrame, qidCol: String,
+                           qtextCol: String, qvecCol: String)
+      : Either[DataFrame, (DataFrame, Int, DataFrame)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    // -- semantic boundary: (qid, text) → NER + synonyms, driver-side
     val qmeta = queries
       .select(col(qidCol).cast("long").as("__qid"), col(qtextCol).cast("string"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     require(qmeta.map(_._1).distinct.length == qmeta.length,
-      s"searchGatedBatch: duplicate $qidCol values in the query batch")
+      s"$op: duplicate $qidCol values in the query batch")
     val resolved = qmeta.toSeq.filterNot { case (_, t) => isBlank(t) }
       .map { case (qid, t) =>
         val ner = resolvedNer(t)
         (qid, ner.job.orNull, ner.region.orNull, ner.ageGroup.orNull,
           ner.job.toSeq.flatMap(synonyms(_)))
       }
-    val outCols = Seq(col("__qid").as(qidCol), col(idCol), col(textCol),
-      col("dist"), col("stage_rank"), col("judge_score"), col("rule_score"),
-      col("score"), col("rank"))
     if (resolved.isEmpty)
-      return emptyResponse.crossJoin(
+      return Left(emptyResponse.crossJoin(
           spark.range(0).select(col("id").as("__qid")))
-        .select(outCols: _*)
-    val maxSyn = resolved.map(_._5.length).max
+        .select(batchOutCols(qidCol): _*))
     val nerDf = broadcast(
       resolved.toDF("__qid", "__job", "__region", "__age", "__syns"))
-
-    // -- pass 1: corpus ⨯ queries → slot-tagged distances → TopK heaps
     val qframe = queries
       .select(col(qidCol).cast("long").as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"))
       .join(nerDf, "__qid") // inner join drops blank queries
+    Right((nerDf, resolved.map(_._5.length).max, qframe))
+  }
+
+  private def batchOutCols(qidCol: String): Seq[Column] =
+    Seq(col("__qid").as(qidCol), col(idCol), col(textCol),
+      col("dist"), col("stage_rank"), col("judge_score"), col("rule_score"),
+      col("score"), col("rank"))
+
+  /** The batched gate-ladder pipeline over an already-joined
+    * (corpus row × query) pair stream: slot masks → windowed top-k per
+    * (qid, slot) → per-qid gate algebra → keep-first dedup → text
+    * fetch → rerank. Shared verbatim by the exact and the served batch
+    * — only the pair stream differs, which is exactly the
+    * backend-independence the single-query identity gates pin. */
+  private def gatedBatchCore(qidCol: String, nerDf: DataFrame, maxSyn: Int,
+                             paired: DataFrame): DataFrame = {
     val lt = lower(col(textCol))
     def cterm(t: Column): Column = lt.contains(lower(t))
     val cr = col("__region").isNotNull && cterm(col("__region"))
@@ -458,7 +527,7 @@ final class MultiStageSearch(
     // null-embedding rows carry a null distance and are excluded from
     // every slot (the single-query form only ever surfaces them when a
     // stage underfills, with a null dist no rerank can use)
-    val pairs = corpus.crossJoin(broadcast(qframe))
+    val pairs = paired
       .select(col("__qid"),
         col(idCol).cast("long").as("__id"),
         VectorFunctions.l2(col(embCol), col("__qv")).as("__dist"),
@@ -575,7 +644,7 @@ final class MultiStageSearch(
     scored.withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= cfg.finalN)
       .withColumn(idCol, col("__id").cast(corpus.schema(idCol).dataType))
-      .select(outCols: _*)
+      .select(batchOutCols(qidCol): _*)
   }
 
   /** The main_remind.py composition (SURVEY.md §3.4): stage 0 scans a

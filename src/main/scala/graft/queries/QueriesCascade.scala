@@ -502,7 +502,8 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     * ALL'd with the qid. The builder computes each query's NER with
     * the SAME deterministic double the engine uses, so the stage
     * structure cannot drift between the plan and its oracle. */
-  private def gatedCascadeBatchSql: String = {
+  private def gatedCascadeBatchSql(shared: Seq[String],
+      corpusCteFor: (String, Long) => Seq[String]): String = {
     val (qner, syn, _) = graft.semantic.SemanticSuite.default
     val corpusPat = graft.semantic.SemanticSuite.CorpusVocab.toSeq.sorted.mkString("|")
     val regionPat = graft.semantic.SemanticSuite.RegionVocab.toSeq.sorted.mkString("|")
@@ -563,10 +564,7 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
         case (None, Some(rr)) => s"CAST(round(5.0 * (${hit(rr)}), 0) AS DOUBLE)"
         case _                => "CAST(0.0 AS DOUBLE)"
       }
-      val ctes = Seq(
-        s"${p}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)",
-        s"""${p}corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
-            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN ${p}q q)""",
+      val ctes = corpusCteFor(p, qid) ++ Seq(
         stage("r1", s1Where, 10)) ++
         (if (both) Seq(stage("r2",
           s"WHERE ${ctn(r.get)} OR ${ctn(j.get)}", 10)) else Nil) ++
@@ -607,11 +605,42 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
               round(score, 6) AS score FROM ${p}top)""")
       (ctes.mkString(",\n"), s"SELECT * FROM ${p}final")
     }
-    s"""WITH ${blocks.map(_._1).mkString(",\n")}
+    s"""WITH ${(shared ++ blocks.map(_._1)).mkString(",\n")}
       SELECT qid, rank, doc_id, stage_rank, dist, score
       FROM (${blocks.map(_._2).mkString(" UNION ALL ")})
       ORDER BY qid, rank"""
   }
+
+  /** c9's corpus CTEs: per-query exact scan (documents ⋈ embeddings,
+    * distance to that query's vector). */
+  private def exactBatchCorpusCtes(p: String, qid: Long): Seq[String] = Seq(
+    s"${p}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)",
+    s"""${p}corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN ${p}q q)""")
+
+  /** c10's shared prelude (trained centroid sidecar + argmin
+    * assignment — query-independent, emitted ONCE) and per-query
+    * corpus CTEs (that query's nprobe=8 probe rule, then the corpus
+    * restricted to its probed clusters — the servedCorpusCtes algebra
+    * per qid). */
+  private def servedBatchSharedCtes: Seq[String] = Seq(
+    s"""cent AS (SELECT cid, cvec
+        FROM read_parquet('$v14SidecarBase/*/*.parquet')
+        WHERE corpus_key = $v14CorpusKeySql)""",
+    s"""assign AS (SELECT e.vec_id, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent)""",
+    "cl AS (SELECT vec_id, cid AS cluster_id FROM assign WHERE crn = 1)")
+
+  private def servedBatchCorpusCtes(p: String, qid: Long): Seq[String] = Seq(
+    s"${p}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)",
+    s"""${p}probe AS (SELECT cid AS cluster_id FROM cent CROSS JOIN ${p}q q
+        ORDER BY ${l2Sql("cvec", "q.qv")}, cid LIMIT 8)""",
+    s"""${p}corpus AS (SELECT d.doc_id, d.text, ${l2Sql("e.embedding", "q.qv")} AS dist
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        JOIN cl ON cl.vec_id = e.vec_id
+        JOIN ${p}probe pr ON cl.cluster_id = pr.cluster_id CROSS JOIN ${p}q q)""")
 
   private val c9 = QuerySpec("c9_cascade_batch_gated",
     // The flagship's gate ladder for a BATCH of queries as ONE
@@ -639,8 +668,37 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
           round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
         .orderBy("qid", "rank")
     },
-    Some(gatedCascadeBatchSql))
+    Some(gatedCascadeBatchSql(Seq.empty, exactBatchCorpusCtes)))
+
+  private val c10 = QuerySpec("c10_cascade_batch_served_gated",
+    // The batch cascade over the trained stored IVF index
+    // (searchGatedBatchServed) — c9's data-parallel gate ladder where
+    // the pair stream is pruned by a per-query (qid, cluster_id) probe
+    // map instead of crossing the whole corpus: the high-QPS serving
+    // shape end-to-end (one plan, |Q| queries, each index row meeting
+    // only the queries that probe its cluster). The oracle replays the
+    // trained-centroid assignment ONCE (shared CTEs) and, per query,
+    // the nprobe=8 probe rule + the gated block for that query's
+    // structure — the c8 serving algebra × the c9 batch algebra in one
+    // hash-checked row set.
+    (s, d) => {
+      import s.implicits._
+      val root = trainedIvfFor(s, d)
+      val path = cascadeIvfFor(s, d)
+      val cent = s.read.parquet(s"$root/centroids")
+      val queries = batchQueryMeta.toDF("qid", "qtext")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      new MultiStageSearch(graft.sources.IndexStore.load(s, path), "doc_id",
+          "text", "embedding")
+        .searchGatedBatchServed(queries, "qid", "qtext", "qvec",
+          cent, "cid", "cvec", nprobe = 8)
+        .select(col("qid"), col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(gatedCascadeBatchSql(servedBatchSharedCtes, servedBatchCorpusCtes)))
 
   final def queriesCascade: Seq[QuerySpec] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
 }

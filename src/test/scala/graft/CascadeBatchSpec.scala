@@ -94,6 +94,77 @@ class CascadeBatchSpec extends SparkSpec {
       "stage_rank", "judge_score", "rule_score", "score", "rank"))
   }
 
+  test("served batch == per-query searchGated with the equivalent served backend") {
+    // cluster the corpus with 3 hand-placed centroids, then compare
+    // searchGatedBatchServed against per-query searchGated wired to
+    // the c5-style served backend (probe nprobe nearest centroids,
+    // pool = probed clusters, exact kNN inside) — for a probing that
+    // PRUNES (nprobe=2 of 3) and one that covers everything (nprobe=3)
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)),
+      (2L, Array(0.0, 6.0))).toDF("cid", "cvec")
+    val assigned = graft.operators.Ann.ivfAssign(
+      corpus, "embedding", "doc_id", cents, "cid", "cvec")
+    val centArr = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)),
+      (2L, Array(0.0, 6.0)))
+    for (nprobe <- Seq(2, 3); cfg <- Seq(CascadeConfig(),
+        CascadeConfig(topK = 3, relaxThreshold = 3, fallbackThreshold = 6,
+          fallbackK = 5, finalN = 4))) {
+      val servedBatch = new MultiStageSearch(assigned, "doc_id", "text",
+          "embedding", cfg)
+        .searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+          cents, "cid", "cvec", nprobe)
+        .collect().groupBy(_.getAs[Long]("qid"))
+      qtexts.foreach { case (qid, t) =>
+        val qvSeq = (0 until 2).map(j =>
+          Seq(0.1, 0.05)(j) * qtexts.indexWhere(_._1 == qid))
+        val qvArr = qvSeq.toArray
+        val probed = centArr.map { case (cid, cv) =>
+            (cid, math.sqrt(cv.zip(qvArr).map { case (a, b) =>
+              (a - b) * (a - b) }.sum))
+          }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+        val backend: (Option[org.apache.spark.sql.Column],
+            org.apache.spark.sql.Column, Int) =>
+            org.apache.spark.sql.DataFrame = (pred, qvec, k) => {
+          val pool = assigned.filter(col("cluster_id").isin(probed: _*))
+          graft.operators.Knn.exact(pred.fold(pool)(pool.filter),
+            "embedding", "doc_id", qvec, k)
+        }
+        val single = new MultiStageSearch(assigned, "doc_id", "text",
+            "embedding", cfg, knnBackend = Some(backend))
+          .searchGated(t, typedlit(qvSeq))
+          .select("rank", "doc_id", "text", "dist", "stage_rank",
+            "judge_score", "rule_score", "score")
+          .collect().toSeq.sortBy(_.getAs[Int]("rank"))
+        val got = servedBatch.getOrElse(qid, Array.empty).toSeq
+          .sortBy(_.getAs[Int]("rank"))
+          .map(r => org.apache.spark.sql.Row(
+            r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+            r.getAs[String]("text"), r.getAs[Double]("dist"),
+            r.getAs[Int]("stage_rank"), r.getAs[Double]("judge_score"),
+            r.getAs[Double]("rule_score"), r.getAs[Double]("score")))
+        assert(got == single,
+          s"served qid=$qid nprobe=$nprobe cfg=$cfg\nbatch=$got\nsingle=$single")
+      }
+    }
+  }
+
+  test("served batch guards: missing cluster_id, bad nprobe") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    val cents = Seq((0L, Array(0.0, 0.0))).toDF("cid", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      search.searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+        cents, "cid", "cvec", 1)
+    }
+    assert(e.getMessage.contains("cluster_id"))
+    val clustered = corpus.withColumn("cluster_id", lit(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      new MultiStageSearch(clustered, "doc_id", "text", "embedding")
+        .searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+          cents, "cid", "cvec", 0)
+    }
+    assert(e2.getMessage.contains("nprobe"))
+  }
+
   test("guards are loud: duplicate qids, custom knnBackend") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     val dup = Seq((1L, "join row", Seq(0.0, 0.0)), (1L, "sort", Seq(0.0, 0.0)))

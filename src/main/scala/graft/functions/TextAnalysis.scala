@@ -94,6 +94,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), (col("pos0") + 1).as("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
 
+  /** The whole winnowing selection ([[charGramHashes]] + sliding-window
+    * min + distinct) as ONE narrow per-document expression — the shape
+    * a 100 TB fingerprinting pass actually wants. Winnowing is a
+    * per-document function, yet the exploded-gram formulation pays an
+    * exchange to reunite gram rows that started co-located (partition
+    * the ~1000·|docs| gram stream by doc_id, sort, window, then a
+    * second distinct exchange). Here the grams never leave the row:
+    * hash array → sliding min as `w` shifted slices folded with
+    * elementwise least → array_distinct, zero shuffles.
+    *
+    * Two deliberate mechanics: the hash array is materialized in its
+    * OWN projection and referenced `w` times by the slices — multiple
+    * references to a non-cheap expression stop CollapseProject from
+    * inlining the md5 transform into each slice (the O(n·w)→O(n²)
+    * re-evaluation trap the shinglesFast scaladoc documents); and the
+    * shifted-slice fold avoids nesting `array_min(slice(...))` inside
+    * a lambda, where the array child would be evaluated per element.
+    * Same hash arithmetic and full-windows-only trim as the windowed
+    * form (docs with fewer than w full windows drop out); t6's DuckDB
+    * oracle is unchanged, so the rewrite is hash-checked rather than
+    * trusted. Returns (doc_id, fps array<long> — the distinct
+    * fingerprints, window order). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val text = col(textCol)
+    val hashes = transform(
+      sequence(lit(1), length(text) - (k - 1)),
+      i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    val base = df
+      .filter(length(text) >= k + w - 1) // at least one full window
+      .select(col(idCol).as("doc_id"), hashes.as("__h"),
+        (length(text) - (k - 1) - (w - 1)).cast("int").as("__m"))
+    val slid = (0 until w)
+      .map(j => slice(col("__h"), lit(j + 1), col("__m")))
+      .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    base.select(col("doc_id"), array_distinct(slid).as("fps"))
+  }
+
   /** Distinct word k-shingles (word n-grams) — the unit for MinHash /
     * Jaccard dedup. Empty array when the text has fewer than k words. */
   def shingles(text: Column, k: Int): Column = {

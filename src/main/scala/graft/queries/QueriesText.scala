@@ -67,22 +67,22 @@ private[graft] trait QueriesText { self: QueriesShared =>
 
   private val t6 = QuerySpec("t6_winnowing",
     // Rolling-hash document fingerprinting (winnowing/MOSS): min gram
-    // hash per sliding w-window — both engines express the roll as a
-    // ROWS window frame; full windows only.
+    // hash per sliding w-window, full windows only. Round 14: the
+    // whole selection runs as TextAnalysis.winnowFingerprints — one
+    // narrow per-document expression (hash array → w shifted slices
+    // folded with least → array_distinct), ZERO shuffles where the
+    // exploded formulation exchanged the ~1000·|docs| gram stream
+    // twice (window partition + distinct). The DuckDB oracle still
+    // expresses the roll as a ROWS window frame, so the narrow
+    // rewrite is hash-checked against the windowed semantics.
     (s, d) => {
       val (k, w) = (8, 4)
-      val grams = TextAnalysis.charGramHashes(
-        t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", k)
-      val roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-      // full-windows trim uses the generation-time n_grams constant —
-      // no second (whole-partition max) window over the exploded grams
-      grams
-        .withColumn("fp", min("gram_hash").over(roll))
-        .filter(col("pos") <= col("n_grams") - (w - 1))
-        .select("doc_id", "fp").distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fps"), min("fp").as("fp_min"), max("fp").as("fp_max"))
+      TextAnalysis.winnowFingerprints(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k, w)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
         .orderBy("doc_id")
     },
     Some {

@@ -150,4 +150,38 @@ class TextFunctionsSpec extends SparkSpec {
     val r3 = out(2)
     assert(r3._3 == "de" && r3._4 == 1L && r3._5 == 2L && r3._6)
   }
+
+  test("property: narrow winnowFingerprints == the exploded windowed formulation") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.expressions.Window
+    // random texts spanning every length regime (below k, exactly one
+    // full window, many windows) plus a low-alphabet generator so
+    // repeated grams produce hash ties inside windows
+    val gen = for {
+      k <- Gen.oneOf(3, 5)
+      w <- Gen.oneOf(2, 4)
+      texts <- Gen.listOfN(12, for {
+        n <- Gen.choose(0, 40)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield (k, w, texts)
+    PropHelper.forAll(gen, n = 6) { case (k, w, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val narrow = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n"),
+          array_min(col("fps")).as("mn"), array_max(col("fps")).as("mx"))
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val roll = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, w - 1)
+      val windowed = TextAnalysis.charGramHashes(df, "doc_id", "text", k)
+        .withColumn("fp", min("gram_hash").over(roll))
+        .filter(col("pos") <= col("n_grams") - (w - 1))
+        .select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), min("fp").as("mn"), max("fp").as("mx"))
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(narrow == windowed, s"k=$k w=$w texts=$texts")
+    }
+  }
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.{CascadeConfig, MultiStageSearch}
+import graft.sources.IndexStore
+import org.apache.spark.sql.DataFrame
+
+/** The flagship cascade as a STREAMING service — the Spark-first
+  * replacement for the reference's per-request REST loop: queries
+  * arrive as a stream `(qid, qtext, qvec)`, each micro-batch is served
+  * in ONE plan by [[MultiStageSearch.searchGatedBatchServed]] against
+  * the newest COMMITTED index version, and results land
+  * batch-partitioned so at-least-once replay is idempotent.
+  *
+  * Three serving concerns this composition settles:
+  *
+  *  - **Index freshness.** A stream-static join snapshots the static
+  *    side's file listing at plan time ([[QueryServe]]'s scaladoc), so
+  *    a rebuilt index would not be seen — and an overwritten one can
+  *    invalidate the snapshot mid-query. Reading
+  *    [[IndexStore.loadCurrent]] INSIDE foreachBatch re-resolves per
+  *    micro-batch: a `_SUCCESS`-gated version flip
+  *    ([[IndexStore.writeVersioned]]) is picked up at the next batch,
+  *    and a crashed build is invisible (no marker, not current).
+  *  - **Throughput.** The whole micro-batch is one
+  *    [[MultiStageSearch.searchGatedBatchServed]] plan — the per-query
+  *    fixed cost (7 stage plans + gate actions) is paid once per
+  *    BATCH, and the pair stream is probe-pruned to each query's
+  *    nprobe clusters (the round-14 batch-cascade measurements).
+  *  - **Replay.** foreachBatch delivers at-least-once after recovery.
+  *    Results are written `mode=overwrite` into a `batch=<id>`
+  *    directory, so a replayed batch REPLACES its own output instead
+  *    of appending duplicates — idempotent without a journal, because
+  *    serving output (unlike [[MvMaintain]]'s running aggregate) has
+  *    no cross-batch state to double-absorb. Readers see the result
+  *    log as one partitioned table ([[results]]).
+  *
+  * An empty micro-batch writes nothing (no empty batch=N debris). A
+  * batch whose queries are ALL blank writes the typed empty schema's
+  * zero rows — also skipped, same reason.
+  */
+object CascadeServe {
+
+  /** foreachBatch body. Wire as
+    * `.writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch(CascadeServe.sink(root, centPath, out, ...) _)`.
+    * `indexRoot` is a versioned [[IndexStore]] root whose current
+    * version is the cluster-assigned cascade index (doc id, text,
+    * embedding, cluster_id); `centroidPath` holds the centroid table
+    * (`cid`, `cvec`) the index was assigned with. */
+  def sink(indexRoot: String, centroidPath: String, outPath: String,
+           idCol: String, textCol: String, embCol: String,
+           qidCol: String, qtextCol: String, qvecCol: String,
+           nprobe: Int, cfg: CascadeConfig = CascadeConfig())
+          (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val index = IndexStore.loadCurrent(spark, indexRoot)
+    val cent = spark.read.parquet(centroidPath)
+    val served = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
+      .searchGatedBatchServed(batch, qidCol, qtextCol, qvecCol,
+        cent, "cid", "cvec", nprobe)
+    if (served.isEmpty) return // all-blank batch: nothing to record
+    served.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
+
+  /** The accumulated result log as one table: every served batch's
+    * rows plus the `batch` partition column (which micro-batch
+    * answered the query). */
+  def results(spark: org.apache.spark.sql.SparkSession,
+              outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+}

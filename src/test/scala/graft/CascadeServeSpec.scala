@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Ann, CascadeConfig, MultiStageSearch}
+import graft.sources.IndexStore
+import graft.streaming.CascadeServe
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming cascade serving: stream == batch searchGatedBatchServed
+  * per micro-batch, version flips picked up between batches, replayed
+  * batches overwrite (not duplicate), empty batches write nothing. */
+class CascadeServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusRows = Seq(
+    (0L, "join job in the row district", Array(0.0f, 0.0f)),
+    (1L, "join work near the row area", Array(0.1f, 0.0f)),
+    (2L, "merge position in the row zone", Array(0.2f, 0.0f)),
+    (3L, "sort role in the key sector", Array(1.0f, 1.0f)),
+    (4L, "order handling in the column space", Array(1.5f, 0.5f)),
+    (5L, "stream processing in the value tier", Array(3.0f, 0.0f)),
+    (6L, "totally unrelated prose", Array(5.0f, 5.0f)))
+
+  private def cents = Seq(
+    (0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)), (2L, Array(5.0, 5.0)))
+    .toDF("cid", "cvec")
+
+  private val cfg = CascadeConfig(topK = 3, relaxThreshold = 3,
+    fallbackThreshold = 6, fallbackK = 5, finalN = 4)
+
+  private def setup(): (String, String, String) = {
+    val base = Files.createTempDirectory("graft_cserve_").toString
+    val root = s"$base/index"
+    val centPath = s"$base/cents"
+    cents.write.parquet(centPath)
+    val assigned = Ann.ivfAssign(corpusRows.toDF("doc_id", "text", "embedding"),
+      "embedding", "doc_id", cents, "cid", "cvec")
+    IndexStore.writeVersioned(assigned, root)
+    (root, centPath, s"$base/out")
+  }
+
+  private def mkSink(root: String, centPath: String, out: String) =
+    CascadeServe.sink(root, centPath, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg) _
+
+  private def queries(ids: (Long, String)*): Seq[(Long, String, Seq[Double])] =
+    ids.zipWithIndex.map { case ((qid, t), i) => (qid, t, Seq(0.1 * i, 0.0)) }
+
+  test("streamed micro-batches equal per-batch searchGatedBatchServed") {
+    implicit val sqlCtx = spark.sqlContext
+    val (root, centPath, out) = setup()
+    val stream = MemoryStream[(Long, String, Seq[Double])]
+    val q = stream.toDF().toDF("qid", "qtext", "qvec")
+      .writeStream.foreachBatch(mkSink(root, centPath, out)).start()
+    val b0 = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff")
+    val b1 = queries(3L -> "sort pipelines", 4L -> "hello world")
+    try {
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val got = CascadeServe.results(spark, out)
+      .orderBy("qid", "rank").collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val index = IndexStore.loadCurrent(spark, root)
+    val expected = Seq(b0, b1).flatMap { b =>
+      new MultiStageSearch(index, "doc_id", "text", "embedding", cfg)
+        .searchGatedBatchServed(b.toDF("qid", "qtext", "qvec"),
+          "qid", "qtext", "qvec", cents, "cid", "cvec", nprobe = 2)
+        .collect().toSeq
+    }.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    // both micro-batches are visible as partitions of the result log
+    assert(CascadeServe.results(spark, out).select("batch")
+      .distinct().as[Int].collect().toSet == Set(0, 1))
+  }
+
+  test("an index version flip is picked up at the next micro-batch") {
+    val (root, centPath, out) = setup()
+    val sink = mkSink(root, centPath, out)
+    val qs = queries(1L -> "looking for a join job in the row area")
+    sink(qs.toDF("qid", "qtext", "qvec"), 0L)
+    val before = CascadeServe.results(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before.contains(0L)) // doc 0 is the top match in v1
+    // rebuild: doc 0 retired from the corpus, committed as v2
+    val v2 = Ann.ivfAssign(corpusRows.filterNot(_._1 == 0L)
+        .toDF("doc_id", "text", "embedding"),
+      "embedding", "doc_id", cents, "cid", "cvec")
+    IndexStore.writeVersioned(v2, root)
+    sink(qs.toDF("qid", "qtext", "qvec"), 1L)
+    val batch1 = CascadeServe.results(spark, out)
+      .filter(col("batch") === 1).select("doc_id").as[Long].collect().toSet
+    assert(batch1.nonEmpty && !batch1.contains(0L),
+      s"batch 1 must serve from v2 (no doc 0): $batch1")
+  }
+
+  test("a replayed batch overwrites its own output instead of duplicating") {
+    val (root, centPath, out) = setup()
+    val sink = mkSink(root, centPath, out)
+    val qs = queries(1L -> "looking for a join job in the row area")
+    sink(qs.toDF("qid", "qtext", "qvec"), 0L)
+    val once = CascadeServe.results(spark, out).count()
+    sink(qs.toDF("qid", "qtext", "qvec"), 0L) // at-least-once replay
+    assert(CascadeServe.results(spark, out).count() == once)
+  }
+
+  test("empty and all-blank batches write nothing") {
+    val (root, centPath, out) = setup()
+    val sink = mkSink(root, centPath, out)
+    sink(Seq.empty[(Long, String, Seq[Double])].toDF("qid", "qtext", "qvec"), 0L)
+    sink(queries(1L -> "").toDF("qid", "qtext", "qvec"), 1L)
+    assert(!new java.io.File(out).exists())
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest-neighbor scale path: IVF (inverted-file) over a
@@ -1237,5 +1238,139 @@ object Ann {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("prefix_dist"), col("dist"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Batch serving forms for the int8 and prefix rungs — the
+  // signSearchEncodedBatch treatment applied to the rest of the
+  // quantizer ladder, with the round-14 top-k idiom: the per-query cut
+  // is a `row_number <= k·candMult` rank-limit window, which Spark's
+  // InferWindowGroupLimit executes as a map-side PARTIAL group-limit —
+  // the code-table × queries pair stream never shuffles (only ≤ cut
+  // rows per map partition per query do), and none of the typed
+  // Aggregator's per-row encoder cost applies (the constant that
+  // dominated the batch cascade's first implementation at 2M rows).
+  // Shared guard contract: integral ids (non-ANSI long casts would
+  // null non-numeric ids and silently drop their rows), and the
+  // stored artifact's width asserted IN THE PLAN against each query's
+  // width, so a table encoded at a different dimension fails loudly
+  // at scan time in both directions.
+  // ---------------------------------------------------------------------
+
+  private def requireIntegralId(df: DataFrame, c: String, who: String,
+                                role: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$who: $role column $c is $dt — non-integral ids would be nulled " +
+        "by the internal long cast and their rows silently dropped; use " +
+        "the single-query form (which keeps the id column untyped) for " +
+        "non-numeric ids")
+  }
+
+  /** [[quantizedSearchEncoded]] for a BATCH of queries: stage one
+    * scans the stored int8 code table ONCE against all queries
+    * (dequantized cosine per pair, per-query rank-limit cut), stage
+    * two reranks the ≤ k·candMult survivors per query exactly.
+    * Output: (qid, knn_rank, id, approx_cos, cos) — per-query rows
+    * identical to the single-query form's (AnnSpec asserts). */
+  def quantizedSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
+                                  embCol: String, idCol: String,
+                                  queries: DataFrame, qidCol: String,
+                                  qvecCol: String, k: Int,
+                                  candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    requireIntegralId(encoded, idCol, "quantizedSearchEncodedBatch", "id")
+    requireIntegralId(queries, qidCol, "quantizedSearchEncodedBatch",
+      "query id")
+    val qdf = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
+      col(qvecCol).cast("array<double>").as("__qv")))
+    val deq = transform(col("q_codes"), c =>
+      c.cast("double") * col("q_scale") + col("q_mn"))
+    val approx =
+      when(size(col("q_codes")) =!= size(col("__qv")),
+        raise_error(concat(
+          lit("quantizedSearchEncodedBatch: stored q_codes has "),
+          size(col("q_codes")).cast("string"),
+          lit(" components but the query has "),
+          size(col("__qv")).cast("string"),
+          lit(" — the table was encoded at a different dimension; id "),
+          col(idCol).cast("string"))))
+        .otherwise(VectorFunctions.cosine(deq, col("__qv")))
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(desc("approx_cos"), col("__id"))
+    val survivors = encoded.filter(col("q_codes").isNotNull)
+      .crossJoin(qdf)
+      .select(col("__qid"), col(idCol).cast("long").as("__id"),
+        approx.as("approx_cos"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k * candMult)
+      .drop("__rn")
+    val w2 = Window.partitionBy("__qid").orderBy(desc("cos"), col("__id"))
+    broadcast(survivors)
+      .join(vectors.select(col(idCol).cast("long").as("__id"), col(embCol)),
+        Seq("__id"))
+      .join(qdf, Seq("__qid"))
+      .withColumn("cos", VectorFunctions.cosine(
+        col(embCol).cast("array<double>"), col("__qv")))
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .select(col("__qid").as(qidCol), col("knn_rank"),
+        col("__id").as(idCol), col("approx_cos"), col("cos"))
+  }
+
+  /** [[prefixSearchEncoded]] for a BATCH of queries: stage one scans
+    * the stored prefix table ONCE against all queries (prefix L2 per
+    * pair, per-query rank-limit cut), stage two reranks by
+    * full-dimension L2. Stored prefix width and each query's length
+    * are asserted in the plan. Output: (qid, knn_rank, id,
+    * prefix_dist, dist). */
+  def prefixSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
+                               embCol: String, idCol: String,
+                               queries: DataFrame, qidCol: String,
+                               qvecCol: String, prefixDim: Int, k: Int,
+                               candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1 && prefixDim >= 1,
+      "k, candMult and prefixDim must be >= 1")
+    requireIntegralId(encoded, idCol, "prefixSearchEncodedBatch", "id")
+    requireIntegralId(queries, qidCol, "prefixSearchEncodedBatch",
+      "query id")
+    val qdf = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
+      when(size(col(qvecCol)) < prefixDim,
+        raise_error(concat(
+          lit(s"prefixSearchEncodedBatch: query shorter than prefixDim " +
+            s"$prefixDim — qid "),
+          col(qidCol).cast("string"))))
+        .otherwise(col(qvecCol).cast("array<double>")).as("__qv")))
+    val pd =
+      when(size(col("prefix_vec")) =!= prefixDim,
+        raise_error(concat(
+          lit("prefixSearchEncodedBatch: stored prefix_vec has "),
+          size(col("prefix_vec")).cast("string"),
+          lit(s" components but prefixDim is $prefixDim — the table was " +
+            "encoded at a different prefix width; id "),
+          col(idCol).cast("string"))))
+        .otherwise(VectorFunctions.l2(col("prefix_vec"),
+          slice(col("__qv"), 1, prefixDim)))
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("prefix_dist"), col("__id"))
+    val survivors = encoded.filter(col("prefix_vec").isNotNull)
+      .crossJoin(qdf)
+      .select(col("__qid"), col(idCol).cast("long").as("__id"),
+        pd.as("prefix_dist"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k * candMult)
+      .drop("__rn")
+    val w2 = Window.partitionBy("__qid").orderBy(col("dist"), col("__id"))
+    broadcast(survivors)
+      .join(vectors.select(col(idCol).cast("long").as("__id"), col(embCol)),
+        Seq("__id"))
+      .join(qdf, Seq("__qid"))
+      .withColumn("dist", VectorFunctions.l2(
+        col(embCol).cast("array<double>"), col("__qv")))
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .select(col("__qid").as(qidCol), col("knn_rank"),
+        col("__id").as(idCol), col("prefix_dist"), col("dist"))
   }
 }

@@ -472,6 +472,98 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
 
 
+  private val s15 = QuerySpec("s15_int8_batch_served",
+    // s10's batch form — the s14 treatment for the int8 rung,
+    // completing batch serving across the quantizer ladder: one scan
+    // of the stored code table serves 3 queries. Per-query candidate
+    // cuts are rank-limit windows (InferWindowGroupLimit partial-izes
+    // them map-side — the round-14 idiom, none of the typed
+    // Aggregator's per-row cost), the exact-cosine rerank joins the
+    // bounded survivors back by broadcast, and the stored code width
+    // is asserted in the plan against each query's width. The oracle
+    // replays the dequantize (s13's CTE idiom) and both per-qid cuts.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.quantizedSearchEncodedBatch(s.read.parquet(int8TableFor(s, d)), e,
+          "embedding", "vec_id", qs, "qid", "qv", k = 10, candMult = 4)
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("approx_cos"), 6).as("approx_cos"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      m8 AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM ed),
+      sc8 AS (SELECT vec_id, e, mn,
+        CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale FROM m8),
+      dq8 AS (SELECT vec_id,
+        list_transform(e, x -> CAST(round((x - mn) / scale, 0) AS INT) * scale + mn) AS deq
+        FROM sc8),
+      ap AS (SELECT q.qid, d.vec_id, ${cosineSql("deq", "qv")} AS approx_cos
+        FROM dq8 d CROSS JOIN q),
+      cand AS (SELECT qid, vec_id, approx_cos FROM (
+        SELECT qid, vec_id, approx_cos, row_number() OVER (
+            PARTITION BY qid ORDER BY approx_cos DESC, vec_id) AS rn
+        FROM ap) WHERE rn <= 40),
+      rr AS (SELECT c.qid, c.vec_id, c.approx_cos,
+          ${cosineSql("ed.e", "qv")} AS cos
+        FROM cand c JOIN ed USING (vec_id) JOIN q ON c.qid = q.qid)
+      SELECT qid, knn_rank, vec_id, round(approx_cos, 6) AS approx_cos,
+        round(cos, 6) AS cos FROM (
+        SELECT qid, vec_id, approx_cos, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS knn_rank
+        FROM rr)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+
+  private val s16 = QuerySpec("s16_prefix_batch_served",
+    // s12's batch form — the matryoshka rung joins the batch-serving
+    // family: one scan of the stored first-16-components table serves
+    // 3 queries (per-query prefix-L2 rank-limit cuts), the
+    // full-dimension rerank touches only the bounded survivors, and
+    // BOTH width contracts (stored prefix vs prefixDim, query length
+    // vs prefixDim) are asserted in the plan. Oracle: per-qid
+    // row_number twins of both cuts over array slices.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.prefixSearchEncodedBatch(s.read.parquet(prefixTableFor(s, d)), e,
+          "embedding", "vec_id", qs, "qid", "qv", prefixDim = 16, k = 10,
+          candMult = 4)
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("prefix_dist"), 6).as("prefix_dist"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      pp AS (SELECT q.qid, ed.vec_id,
+          ${l2Sql("e[1:16]", "qv[1:16]")} AS prefix_dist
+        FROM ed CROSS JOIN q),
+      cand AS (SELECT qid, vec_id, prefix_dist FROM (
+        SELECT qid, vec_id, prefix_dist, row_number() OVER (
+            PARTITION BY qid ORDER BY prefix_dist, vec_id) AS rn
+        FROM pp) WHERE rn <= 40),
+      rr AS (SELECT c.qid, c.vec_id, c.prefix_dist,
+          ${l2Sql("ed.e", "qv")} AS dist
+        FROM cand c JOIN ed USING (vec_id) JOIN q ON c.qid = q.qid)
+      SELECT qid, knn_rank, vec_id, round(prefix_dist, 6) AS prefix_dist,
+        round(dist, 6) AS dist FROM (
+        SELECT qid, vec_id, prefix_dist, dist, row_number() OVER (
+            PARTITION BY qid ORDER BY dist, vec_id) AS knn_rank
+        FROM rr)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1373,5 +1465,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
 }

@@ -731,6 +731,67 @@ class AnnSpec extends SparkSpec {
     assert(batch == singles)
   }
 
+  test("quantizedSearchEncodedBatch is row-identical to per-query quantizedSearchEncoded") {
+    val enc = Ann.quantizedEncode(signCorpus, "embedding", "vec_id")
+    val qs = signCorpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Ann.quantizedSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", qs, "qid", "qv", k = 4, candMult = 2)
+      .orderBy("qid", "knn_rank")
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val fixture = signCorpus.as[(Long, Array[Float])].collect().toMap
+    val singles = (0L until 3L).flatMap { q =>
+      Ann.quantizedSearchEncoded(enc, signCorpus, "embedding", "vec_id",
+          typedlit(fixture(q).map(_.toDouble).toSeq), k = 4, candMult = 2)
+        .as[(Long, Double, Double)].collect().toSeq.zipWithIndex
+        .map { case ((id, a, c), i) => (q, i + 1, id, a, c) }
+    }
+    assert(batch == singles)
+    // stored-width contract: codes encoded at a different dim than the
+    // query fail loudly in the plan
+    val short = signCorpus.select($"vec_id".as("qid"),
+      slice($"embedding", 1, 32).as("qv")).filter($"qid" === 0)
+    val e = intercept[Exception] {
+      Ann.quantizedSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", short, "qid", "qv", k = 2).collect()
+    }
+    assert(e.getMessage.contains("different dimension"))
+  }
+
+  test("prefixSearchEncodedBatch is row-identical to per-query prefixSearchEncoded") {
+    val enc = Ann.prefixEncode(signCorpus, "embedding", "vec_id",
+      prefixDim = 16)
+    val qs = signCorpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Ann.prefixSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", qs, "qid", "qv", prefixDim = 16, k = 4, candMult = 2)
+      .orderBy("qid", "knn_rank")
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val fixture = signCorpus.as[(Long, Array[Float])].collect().toMap
+    val singles = (0L until 3L).flatMap { q =>
+      Ann.prefixSearchEncoded(enc, signCorpus, "embedding", "vec_id",
+          fixture(q).map(_.toDouble), prefixDim = 16, k = 4, candMult = 2)
+        .as[(Long, Double, Double)].collect().toSeq.zipWithIndex
+        .map { case ((id, p, d), i) => (q, i + 1, id, p, d) }
+    }
+    assert(batch == singles)
+    // stored-width contract: a table encoded at a different prefix
+    // width than the search's prefixDim fails loudly in the plan
+    val e = intercept[Exception] {
+      Ann.prefixSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", qs, "qid", "qv", prefixDim = 8, k = 2).collect()
+    }
+    assert(e.getMessage.contains("different prefix width"))
+    // a too-short query fails loudly too
+    val shortQ = signCorpus.select($"vec_id".as("qid"),
+      slice($"embedding", 1, 8).as("qv")).filter($"qid" === 0)
+    val e2 = intercept[Exception] {
+      Ann.prefixSearchEncodedBatch(enc, signCorpus, "embedding",
+        "vec_id", shortQ, "qid", "qv", prefixDim = 16, k = 2).collect()
+    }
+    assert(e2.getMessage.contains("shorter than prefixDim"))
+  }
+
   test("signSearchEncoded rejects a query shorter (or longer) than the encoded dim") {
     val enc = Ann.signEncode(signCorpus, "embedding", "vec_id", dim = 64)
     // a 32-component query would sum fewer Hamming words and silently

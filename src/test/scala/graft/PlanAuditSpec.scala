@@ -287,6 +287,37 @@ class PlanAuditSpec extends SparkSpec {
       s"no stage of containment may collapse to one partition:\n$plan")
   }
 
+  test("batch serving plans get the map-side WindowGroupLimit partial") {
+    // The round-14 batch forms (cascade c9/c10, quantizer s15/s16)
+    // deliberately express their per-query top-k as `row_number <= k`
+    // rank-limit windows BECAUSE InferWindowGroupLimit turns that into
+    // a partial group-limit BEFORE the exchange — the property that
+    // made the batch cascade 6-13× faster than the Aggregator form on
+    // a 2M-row pair stream. Pin the node's presence so a Spark upgrade
+    // or a refactor that breaks the rule's preconditions (a changed
+    // rank function, a filter pushed elsewhere) fails here, not in a
+    // bench diff.
+    for (q <- Seq("c9_cascade_batch_gated", "s15_int8_batch_served",
+        "s16_prefix_batch_served")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: rank-limit window lost its WindowGroupLimit partial:\n$plan")
+    }
+    // and the quantizer batch stage one must scan only the stored
+    // artifact (same claim s11/s12 pin for the single-query forms)
+    for ((q, codeCol) <- Seq(("s15_int8_batch_served", "q_codes"),
+        ("s16_prefix_batch_served", "prefix_vec"))) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains(codeCol)).toSeq
+      assert(scans.nonEmpty, s"$q: no $codeCol scan found:\n$plan")
+      assert(scans.forall(!_.contains("embedding")),
+        s"$q: stage one must never read fp embeddings:\n$plan")
+    }
+  }
+
   test("s11/s12 serving: stage one scans ONLY the stored code table, never fp embeddings") {
     // the compression families' whole scale claim is that the ranking
     // scan reads the small artifact (8 B/vec sign codes, 16-dim

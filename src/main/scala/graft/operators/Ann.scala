@@ -1319,6 +1319,85 @@ object Ann {
         col("__id").as(idCol), col("approx_cos"), col("cos"))
   }
 
+  /** [[pqSearchEncoded]] for a BATCH of queries — the last rung of the
+    * batch-serving ladder. Each query's ADC lookup table (m × nCodes
+    * subspace squared distances) is computed DRIVER-SIDE from the
+    * collected codebooks — the same per-query cost the single form
+    * pays — and broadcast as an array-of-arrays column; stage one then
+    * scans the stored code table once for all queries (m table lookups
+    * + adds per pair, per-query rank-limit cut), stage two reranks the
+    * bounded survivors by exact L2. Stored code width is asserted in
+    * the plan; a null rerank distance fails loudly (artifact
+    * inconsistency), as in the single form. Output: (qid, knn_rank,
+    * id, approx_dist, dist). */
+  def pqSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
+                           embCol: String, idCol: String,
+                           codebooks: DataFrame, queries: DataFrame,
+                           qidCol: String, qvecCol: String, k: Int,
+                           candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be >= 1")
+    requireIntegralId(encoded, idCol, "pqSearchEncodedBatch", "id")
+    requireIntegralId(queries, qidCol, "pqSearchEncodedBatch", "query id")
+    val cbs = collectCodebooks(codebooks)
+    val subDim = cbs(0)(0).length
+    val m = cbs.length
+    val sp = encoded.sparkSession
+    import sp.implicits._
+    val qrows: Seq[(Long, Seq[Seq[Double]], Seq[Double])] = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        require(v.length == m * subDim,
+          s"query ${r.getLong(0)}: expected dim ${m * subDim}, got ${v.length}")
+        val luts = cbs.indices.map { j =>
+          val qSub = v.slice(j * subDim, (j + 1) * subDim)
+          cbs(j).map(cw => l2sqStrict(qSub, cw)).toSeq
+        }
+        (r.getLong(0), luts, v.toSeq)
+      }
+    require(qrows.nonEmpty, "query set must be non-empty")
+    val qdf = broadcast(qrows.toDF("__qid", "__luts", "__qv"))
+    // j ascending, left-assoc adds — the oracle mirrors this fold
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("__luts"), j + 1),
+        element_at(col("pq_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val approx =
+      when(size(col("pq_codes")) =!= m,
+        raise_error(concat(
+          lit("pqSearchEncodedBatch: stored pq_codes has "),
+          size(col("pq_codes")).cast("string"),
+          lit(s" codes but the codebook has $m subspaces — the table was " +
+            "encoded with a different codebook; id "),
+          col(idCol).cast("string"))))
+        .otherwise(sqrt(adc))
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("approx_dist"), col("__id"))
+    val survivors = encoded.filter(col("pq_codes").isNotNull)
+      .crossJoin(qdf)
+      .select(col("__qid"), col(idCol).cast("long").as("__id"),
+        approx.as("approx_dist"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k * candMult)
+      .drop("__rn")
+    val d0 = VectorFunctions.l2(col(embCol).cast("array<double>"), col("__qv"))
+    val distChecked = when(d0.isNull, raise_error(concat(
+        lit("pqSearchEncodedBatch: null rerank distance (dim mismatch or " +
+          "null vector) for id "),
+        col("__id").cast("string")))).otherwise(d0)
+    val w2 = Window.partitionBy("__qid").orderBy(col("dist"), col("__id"))
+    broadcast(survivors)
+      .join(vectors.select(col(idCol).cast("long").as("__id"), col(embCol)),
+        Seq("__id"))
+      .join(qdf.select("__qid", "__qv"), Seq("__qid"))
+      .withColumn("dist", distChecked)
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .select(col("__qid").as(qidCol), col("knn_rank"),
+        col("__id").as(idCol), col("approx_dist"), col("dist"))
+  }
+
   /** [[prefixSearchEncoded]] for a BATCH of queries: stage one scans
     * the stored prefix table ONCE against all queries (prefix L2 per
     * pair, per-query rank-limit cut), stage two reranks by

@@ -564,6 +564,80 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
 
 
+  private val s17 = QuerySpec("s17_pq_batch_served",
+    // s8's batch form — with s14/s15/s16 this completes batch serving
+    // across the WHOLE quantizer ladder (sign/int8/prefix/PQ): one
+    // scan of the stored m-byte code table serves 3 queries. Each
+    // query's ADC lookup table is computed driver-side from the shared
+    // deterministic codebook and broadcast; per-query cuts are
+    // rank-limit windows (map-side WindowGroupLimit partials), and the
+    // exact rerank touches only the bounded survivors. The oracle
+    // shares cb/enc/wide (query-independent encode) with the s6/s8
+    // chain and adds per-qid LUT + cut CTEs.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.pqSearchEncodedBatch(s.read.parquet(pqCodeTableFor(s, d)), e,
+          "embedding", "vec_id", pqCodebook(s, d), qs, "qid", "qv",
+          k = 10, candMult = 4)
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH qs AS (SELECT vec_id AS qid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      subs AS (SELECT j FROM unnest([0, 1, 2, 3]) AS t(j)),
+      cb AS (SELECT j AS sub_idx, vec_id AS code,
+          list_transform(embedding[j*16+1 : j*16+16], x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
+      enc AS (SELECT vec_id, sub_idx, code FROM (
+        SELECT e.vec_id, c.sub_idx, c.code,
+          row_number() OVER (PARTITION BY e.vec_id, c.sub_idx ORDER BY
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(e.embedding[c.sub_idx*16 + i] AS DOUBLE) - c.subvec[i])**2)),
+            c.code) AS rn
+        FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+      wide AS (SELECT vec_id,
+          max(CASE WHEN sub_idx = 0 THEN code END) AS c0,
+          max(CASE WHEN sub_idx = 1 THEN code END) AS c1,
+          max(CASE WHEN sub_idx = 2 THEN code END) AS c2,
+          max(CASE WHEN sub_idx = 3 THEN code END) AS c3
+        FROM enc GROUP BY vec_id),
+      lut AS (SELECT qs.qid, sub_idx, code,
+          list_sum(list_transform(range(1, 17),
+            i -> (qs.qv[sub_idx*16 + i] - subvec[i])**2)) AS pd
+        FROM cb CROSS JOIN qs),
+      lutl AS (SELECT qid, sub_idx, list(pd ORDER BY code) AS l
+        FROM lut GROUP BY qid, sub_idx),
+      lutw AS (SELECT qid,
+          any_value(CASE WHEN sub_idx = 0 THEN l END) AS l0,
+          any_value(CASE WHEN sub_idx = 1 THEN l END) AS l1,
+          any_value(CASE WHEN sub_idx = 2 THEN l END) AS l2,
+          any_value(CASE WHEN sub_idx = 3 THEN l END) AS l3
+        FROM lutl GROUP BY qid),
+      ap AS (SELECT u.qid, w.vec_id,
+          sqrt(u.l0[w.c0 + 1] + u.l1[w.c1 + 1] + u.l2[w.c2 + 1] + u.l3[w.c3 + 1])
+            AS approx_dist
+        FROM wide w CROSS JOIN lutw u),
+      cand AS (SELECT qid, vec_id, approx_dist FROM (
+        SELECT qid, vec_id, approx_dist, row_number() OVER (
+            PARTITION BY qid ORDER BY approx_dist, vec_id) AS rn
+        FROM ap) WHERE rn <= 40),
+      rr AS (SELECT c.qid, c.vec_id, c.approx_dist,
+          ${l2Sql("e.embedding", "qv")} AS dist
+        FROM cand c JOIN embeddings e USING (vec_id)
+          JOIN qs ON c.qid = qs.qid)
+      SELECT qid, knn_rank, vec_id, round(approx_dist, 6) AS approx_dist,
+        round(dist, 6) AS dist FROM (
+        SELECT qid, vec_id, approx_dist, dist, row_number() OVER (
+            PARTITION BY qid ORDER BY dist, vec_id) AS knn_rank
+        FROM rr)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1465,5 +1539,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
 }

@@ -758,6 +758,35 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("different dimension"))
   }
 
+  test("pqSearchEncodedBatch is row-identical to per-query pqSearchEncoded") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 7L)
+    val enc = Ann.pqEncodeBig(pqCorpus, "embedding", cb)
+      .select("vec_id", "pq_codes")
+    val qs = pqCorpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Ann.pqSearchEncodedBatch(enc, pqCorpus, "embedding",
+        "vec_id", cb, qs, "qid", "qv", k = 4, candMult = 2)
+      .orderBy("qid", "knn_rank")
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val fixture = pqCorpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    val singles = (0L until 3L).flatMap { q =>
+      Ann.pqSearchEncoded(enc, pqCorpus, "embedding", "vec_id", cb,
+          fixture(q).toArray, k = 4, candMult = 2)
+        .as[(Long, Double, Double)].collect().toSeq.zipWithIndex
+        .map { case ((id, a, dd), i) => (q, i + 1, id, a, dd) }
+    }
+    assert(batch == singles)
+    // a code table from a DIFFERENT codebook width fails loudly
+    val short = enc.withColumn("pq_codes", slice($"pq_codes", 1, 2))
+    val e = intercept[Exception] {
+      Ann.pqSearchEncodedBatch(short, pqCorpus, "embedding", "vec_id",
+        cb, qs, "qid", "qv", k = 2).collect()
+    }
+    assert(e.getMessage.contains("different codebook"))
+  }
+
   test("prefixSearchEncodedBatch is row-identical to per-query prefixSearchEncoded") {
     val enc = Ann.prefixEncode(signCorpus, "embedding", "vec_id",
       prefixDim = 16)

@@ -1398,6 +1398,107 @@ object Ann {
         col("__id").as(idCol), col("approx_dist"), col("dist"))
   }
 
+  /** [[ivfPqSearchEncoded]] for a BATCH of queries — IVFADC serving
+    * with BOTH prunings per query: each query's probe list (nprobe
+    * nearest centroids, the ivfSearch tie-break) and its ADC lookup
+    * table are computed driver-side (centroids and codebooks are
+    * k-row tables by definition) and broadcast; the stored code table
+    * is first filtered to the UNION of all probed clusters — a static
+    * partition filter the parquet reader prunes on under the
+    * partitionBy(cluster_id) layout — then equi-joined to the
+    * (qid, cluster) probe map so each code row is ADC-scored only for
+    * the queries that probe its cluster. Per-query cuts are rank-limit
+    * windows; the exact rerank touches the bounded survivors. Output:
+    * (qid, knn_rank, id, approx_dist, dist) — per-query rows identical
+    * to [[ivfPqSearchEncoded]] (AnnSpec asserts). */
+  def ivfPqSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
+                              embCol: String, idCol: String,
+                              centroids: DataFrame, cidCol: String,
+                              cvecCol: String, codebooks: DataFrame,
+                              queries: DataFrame, qidCol: String,
+                              qvecCol: String, k: Int, nprobe: Int,
+                              candMult: Int = 4): DataFrame = {
+    require(k >= 1 && candMult >= 1 && nprobe >= 1,
+      "k, candMult and nprobe must be >= 1")
+    require(encoded.columns.contains("cluster_id"),
+      "ivfPqSearchEncodedBatch needs a cluster-assigned code table " +
+        "(cluster_id column)")
+    requireIntegralId(encoded, idCol, "ivfPqSearchEncodedBatch", "id")
+    requireIntegralId(queries, qidCol, "ivfPqSearchEncodedBatch", "query id")
+    val cbs = collectCodebooks(codebooks)
+    val subDim = cbs(0)(0).length
+    val m = cbs.length
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
+    val sp = encoded.sparkSession
+    import sp.implicits._
+    val qrows: Seq[(Long, Seq[Seq[Double]], Seq[Double], Seq[Long])] =
+      queries
+        .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+        .collect().toSeq
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          require(v.length == m * subDim,
+            s"query ${r.getLong(0)}: expected dim ${m * subDim}, " +
+              s"got ${v.length}")
+          val luts = cbs.indices.map { j =>
+            val qSub = v.slice(j * subDim, (j + 1) * subDim)
+            cbs(j).map(cw => l2sqStrict(qSub, cw)).toSeq
+          }
+          val probed = cents
+            .map { case (cid, cv) => (cid, l2sqStrict(cv, v)) }
+            .sortBy { case (cid, dd) => (dd, cid) }
+            .take(nprobe).map(_._1)
+          (r.getLong(0), luts, v.toSeq, probed)
+        }
+    require(qrows.nonEmpty, "query set must be non-empty")
+    val qdf = broadcast(qrows.map { case (q, l, v, _) => (q, l, v) }
+      .toDF("__qid", "__luts", "__qv"))
+    val probeMap = broadcast(qrows
+      .flatMap { case (q, _, _, probed) => probed.map(c => (q, c)) }
+      .toDF("__qid", "__pcid"))
+    val allProbed = qrows.flatMap(_._4).distinct
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("__luts"), j + 1),
+        element_at(col("pq_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val approx =
+      when(size(col("pq_codes")) =!= m,
+        raise_error(concat(
+          lit("ivfPqSearchEncodedBatch: stored pq_codes has "),
+          size(col("pq_codes")).cast("string"),
+          lit(s" codes but the codebook has $m subspaces — the table was " +
+            "encoded with a different codebook; id "),
+          col(idCol).cast("string"))))
+        .otherwise(sqrt(adc))
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("approx_dist"), col("__id"))
+    val survivors = encoded
+      .filter(col("cluster_id").isin(allProbed: _*)) // reader pruning
+      .filter(col("pq_codes").isNotNull)
+      .join(probeMap, col("cluster_id").cast("long") === col("__pcid"))
+      .join(qdf, Seq("__qid"))
+      .select(col("__qid"), col(idCol).cast("long").as("__id"),
+        approx.as("approx_dist"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k * candMult)
+      .drop("__rn")
+    val d0 = VectorFunctions.l2(col(embCol).cast("array<double>"), col("__qv"))
+    val distChecked = when(d0.isNull, raise_error(concat(
+        lit("ivfPqSearchEncodedBatch: null rerank distance (dim mismatch " +
+          "or null vector) for id "),
+        col("__id").cast("string")))).otherwise(d0)
+    val w2 = Window.partitionBy("__qid").orderBy(col("dist"), col("__id"))
+    broadcast(survivors)
+      .join(vectors.select(col(idCol).cast("long").as("__id"), col(embCol)),
+        Seq("__id"))
+      .join(qdf.select("__qid", "__qv"), Seq("__qid"))
+      .withColumn("dist", distChecked)
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .select(col("__qid").as(qidCol), col("knn_rank"),
+        col("__id").as(idCol), col("approx_dist"), col("dist"))
+  }
+
   /** [[prefixSearchEncoded]] for a BATCH of queries: stage one scans
     * the stored prefix table ONCE against all queries (prefix L2 per
     * pair, per-query rank-limit cut), stage two reranks by

@@ -638,6 +638,96 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
 
 
+  private val s18 = QuerySpec("s18_ivfpq_batch_served",
+    // s9's batch form — IVFADC serving for a query set, BOTH prunings
+    // per query: each query's probe list (nprobe=2 of 8) restricts the
+    // reader to probed cluster partitions (union filter → static
+    // PartitionFilters on the partitionBy(cluster_id) layout) and the
+    // (qid, cluster) probe map restricts ADC work to the queries
+    // probing each cluster; per-query LUTs ride broadcast, cuts are
+    // rank-limit windows, exact rerank of the bounded survivors. The
+    // oracle is fully SET-BASED (no per-qid namespacing): probe as a
+    // per-qid row_number over queries × centroids, shared
+    // assignment/encode CTEs, per-qid LUT + cut twins.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.ivfPqSearchEncodedBatch(s.read.parquet(ivfPqCodeTableFor(s, d)), e,
+          "embedding", "vec_id", cent, "cid", "cvec", pqCodebook(s, d),
+          qs, "qid", "qv", k = 10, nprobe = 2, candMult = 4)
+        .select(col("qid"), col("knn_rank"), col("vec_id"),
+          round(col("approx_dist"), 6).as("approx_dist"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "knn_rank")
+    },
+    Some(s"""WITH qs AS (SELECT vec_id AS qid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      cent AS (SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      assign AS (SELECT e.vec_id, cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${l2Sql("e.embedding", "cvec")}, cid) AS crn
+        FROM embeddings e CROSS JOIN cent),
+      clusters AS (SELECT vec_id, cid AS cluster_id FROM assign WHERE crn = 1),
+      probe AS (SELECT qid, cluster_id FROM (
+        SELECT qs.qid, cent.cid AS cluster_id, row_number() OVER (
+            PARTITION BY qs.qid ORDER BY ${l2Sql("cvec", "qs.qv")}, cid) AS rn
+        FROM cent CROSS JOIN qs) WHERE rn <= 2),
+      subs AS (SELECT j FROM unnest([0, 1, 2, 3]) AS t(j)),
+      cb AS (SELECT j AS sub_idx, vec_id AS code,
+          list_transform(embedding[j*16+1 : j*16+16], x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
+      enc AS (SELECT vec_id, sub_idx, code FROM (
+        SELECT e.vec_id, c.sub_idx, c.code,
+          row_number() OVER (PARTITION BY e.vec_id, c.sub_idx ORDER BY
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(e.embedding[c.sub_idx*16 + i] AS DOUBLE) - c.subvec[i])**2)),
+            c.code) AS rn
+        FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+      wide AS (SELECT vec_id,
+          max(CASE WHEN sub_idx = 0 THEN code END) AS c0,
+          max(CASE WHEN sub_idx = 1 THEN code END) AS c1,
+          max(CASE WHEN sub_idx = 2 THEN code END) AS c2,
+          max(CASE WHEN sub_idx = 3 THEN code END) AS c3
+        FROM enc GROUP BY vec_id),
+      lut AS (SELECT qs.qid, sub_idx, code,
+          list_sum(list_transform(range(1, 17),
+            i -> (qs.qv[sub_idx*16 + i] - subvec[i])**2)) AS pd
+        FROM cb CROSS JOIN qs),
+      lutl AS (SELECT qid, sub_idx, list(pd ORDER BY code) AS l
+        FROM lut GROUP BY qid, sub_idx),
+      lutw AS (SELECT qid,
+          any_value(CASE WHEN sub_idx = 0 THEN l END) AS l0,
+          any_value(CASE WHEN sub_idx = 1 THEN l END) AS l1,
+          any_value(CASE WHEN sub_idx = 2 THEN l END) AS l2,
+          any_value(CASE WHEN sub_idx = 3 THEN l END) AS l3
+        FROM lutl GROUP BY qid),
+      ap AS (SELECT p.qid, w.vec_id,
+          sqrt(u.l0[w.c0 + 1] + u.l1[w.c1 + 1] + u.l2[w.c2 + 1] + u.l3[w.c3 + 1])
+            AS approx_dist
+        FROM wide w JOIN clusters cl USING (vec_id)
+          JOIN probe p ON p.cluster_id = cl.cluster_id
+          JOIN lutw u ON u.qid = p.qid),
+      cand AS (SELECT qid, vec_id, approx_dist FROM (
+        SELECT qid, vec_id, approx_dist, row_number() OVER (
+            PARTITION BY qid ORDER BY approx_dist, vec_id) AS rn
+        FROM ap) WHERE rn <= 40),
+      rr AS (SELECT c.qid, c.vec_id, c.approx_dist,
+          ${l2Sql("e.embedding", "qv")} AS dist
+        FROM cand c JOIN embeddings e USING (vec_id)
+          JOIN qs ON c.qid = qs.qid)
+      SELECT qid, knn_rank, vec_id, round(approx_dist, 6) AS approx_dist,
+        round(dist, 6) AS dist FROM (
+        SELECT qid, vec_id, approx_dist, dist, row_number() OVER (
+            PARTITION BY qid ORDER BY dist, vec_id) AS knn_rank
+        FROM rr)
+      WHERE knn_rank <= 10 ORDER BY qid, knn_rank"""))
+
+
   private val s5 = QuerySpec("s5_quantized_search",
     // Search over the int8-quantized store (s3's artifact put to
     // work): approx-cosine candidates from the dequantized codes —
@@ -1539,5 +1629,5 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       SELECT nprobe, mean_recall, mean_candidates
       FROM curve ORDER BY nprobe"""))
 
-  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
+  final def queriesAnn: Seq[QuerySpec] = Seq(v14, v15, v16, v17, v18, v19, v20, v21, v22, s1q, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

@@ -562,6 +562,42 @@ class AnnSpec extends SparkSpec {
     assert(probed.subsetOf(inCluster))
   }
 
+  test("ivfPqSearchEncodedBatch is row-identical to per-query ivfPqSearchEncoded") {
+    val cb = Ann.pqTrainCodebooks(pqCorpus, "embedding", dim = 8, m = 4,
+      kCodes = 16, seed = 11L)
+    val cents = Ann.trainCentroids(pqCorpus, "embedding", k = 4, seed = 3L)
+    val assigned = Ann.ivfAssign(pqCorpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val enc = Ann.pqEncodeBig(assigned, "embedding", cb)
+      .select("vec_id", "pq_codes", "cluster_id")
+    val qs = pqCorpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    for (nprobe <- Seq(1, 2, 4)) { // pruning, partial, all-covering
+      val batch = Ann.ivfPqSearchEncodedBatch(enc, pqCorpus, "embedding",
+          "vec_id", cents, "cid", "cvec", cb, qs, "qid", "qv",
+          k = 4, nprobe = nprobe, candMult = 2)
+        .orderBy("qid", "knn_rank")
+        .as[(Long, Int, Long, Double, Double)].collect().toSeq
+      val fixture = pqCorpus.select("vec_id", "embedding")
+        .as[(Long, Seq[Double])].collect().toMap
+      val singles = (0L until 3L).flatMap { q =>
+        Ann.ivfPqSearchEncoded(enc, pqCorpus, "embedding", "vec_id",
+            cents, "cid", "cvec", cb, fixture(q).toArray,
+            k = 4, nprobe = nprobe, candMult = 2)
+          .as[(Long, Double, Double)].collect().toSeq.zipWithIndex
+          .map { case ((id, a, dd), i) => (q, i + 1, id, a, dd) }
+      }
+      assert(batch == singles, s"nprobe=$nprobe")
+    }
+    // a code table without cluster_id is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqSearchEncodedBatch(enc.drop("cluster_id"), pqCorpus,
+        "embedding", "vec_id", cents, "cid", "cvec", cb, qs, "qid", "qv",
+        k = 2, nprobe = 1)
+    }
+    assert(e.getMessage.contains("cluster_id"))
+  }
+
   test("ivfSearchBatch with nprobe = all clusters equals exact batch kNN") {
     val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id", cents, "cid", "cvec")
     val queries = Seq((0L, Array(0.3, 0.4)), (1L, Array(99.0, 101.0)))

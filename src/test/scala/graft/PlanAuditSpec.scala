@@ -298,7 +298,8 @@ class PlanAuditSpec extends SparkSpec {
     // rank function, a filter pushed elsewhere) fails here, not in a
     // bench diff.
     for (q <- Seq("c9_cascade_batch_gated", "s15_int8_batch_served",
-        "s16_prefix_batch_served", "s17_pq_batch_served")) {
+        "s16_prefix_batch_served", "s17_pq_batch_served",
+        "s18_ivfpq_batch_served")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
@@ -308,7 +309,8 @@ class PlanAuditSpec extends SparkSpec {
     // artifact (same claim s11/s12 pin for the single-query forms)
     for ((q, codeCol) <- Seq(("s15_int8_batch_served", "q_codes"),
         ("s16_prefix_batch_served", "prefix_vec"),
-        ("s17_pq_batch_served", "pq_codes"))) {
+        ("s17_pq_batch_served", "pq_codes"),
+        ("s18_ivfpq_batch_served", "pq_codes"))) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       val scans = plan.linesIterator

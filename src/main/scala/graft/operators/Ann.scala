@@ -1247,14 +1247,15 @@ object Ann {
   // is a `row_number <= k·candMult` rank-limit window, which Spark's
   // InferWindowGroupLimit executes as a map-side PARTIAL group-limit —
   // the code-table × queries pair stream never shuffles (only ≤ cut
-  // rows per map partition per query do), and none of the typed
-  // Aggregator's per-row encoder cost applies (the constant that
-  // dominated the batch cascade's first implementation at 2M rows).
-  // Shared guard contract: integral ids (non-ANSI long casts would
-  // null non-numeric ids and silently drop their rows), and the
-  // stored artifact's width asserted IN THE PLAN against each query's
-  // width, so a table encoded at a different dimension fails loudly
-  // at scan time in both directions.
+  // rows per map partition per query do). Wall-clock-equal to the
+  // TopK Aggregator on identical pair streams (PLANS.md round-14
+  // correction); chosen because it is native end-to-end and the
+  // partial group-limit is plan-auditable. Shared guard contract:
+  // integral ids (non-ANSI long casts would null non-numeric ids and
+  // silently drop their rows), and the stored artifact's width
+  // asserted IN THE PLAN against each query's width, so a table
+  // encoded at a different dimension fails loudly at scan time in
+  // both directions.
   // ---------------------------------------------------------------------
 
   private def requireIntegralId(df: DataFrame, c: String, who: String,

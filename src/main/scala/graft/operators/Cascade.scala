@@ -543,12 +543,15 @@ final class MultiStageSearch(
     // Per-(qid, slot) top-k via a rank-limit window rather than the
     // TopK Aggregator: the `row_number <= k` filter triggers Spark's
     // InferWindowGroupLimit, which inserts a PARTIAL group-limit
-    // before the exchange — a map-side native top-k with none of the
-    // Aggregator's per-row object/encoder cost (measured ~3µs/row vs
-    // the codegen'd sort's ~0.1µs; on a |corpus|×|Q| pair stream that
-    // constant IS the batch's wall-clock). The shuffle then carries
-    // ≤ maxK rows per (map partition × qid × slot). array_sort on
-    // (dist, id) structs keeps the stored order total, as TopK did.
+    // before the exchange, so ≤ maxK rows per (map partition × qid ×
+    // slot) cross it — the same bound the Aggregator's partial heaps
+    // give. A controlled A/B (identical materialized 10M-row pair
+    // stream, interleaved, quiet box — PLANS.md round-14 correction)
+    // measured the two forms EQUAL on wall-clock; the window form is
+    // kept because it is native end-to-end (no Aggregator buffer
+    // tuning, plan-auditable via the WindowGroupLimit node), not
+    // because it is faster. array_sort on (dist, id) structs keeps
+    // the stored order total, as TopK did.
     val wTop = Window.partitionBy("__qid", "__slot")
       .orderBy(col("__dist"), col("__id"))
     val grouped = pairs

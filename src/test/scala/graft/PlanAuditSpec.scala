@@ -288,15 +288,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("batch serving plans get the map-side WindowGroupLimit partial") {
-    // The round-14 batch forms (cascade c9/c10, quantizer s15/s16)
-    // deliberately express their per-query top-k as `row_number <= k`
-    // rank-limit windows BECAUSE InferWindowGroupLimit turns that into
-    // a partial group-limit BEFORE the exchange — the property that
-    // made the batch cascade 6-13× faster than the Aggregator form on
-    // a 2M-row pair stream. Pin the node's presence so a Spark upgrade
-    // or a refactor that breaks the rule's preconditions (a changed
-    // rank function, a filter pushed elsewhere) fails here, not in a
-    // bench diff.
+    // The round-14 batch forms (cascade c9/c10, quantizer s15-s18)
+    // express their per-query top-k as `row_number <= k` rank-limit
+    // windows so InferWindowGroupLimit turns them into partial
+    // group-limits BEFORE the exchange — the bound that keeps the
+    // pair stream from shuffling (wall-clock-equal to the TopK
+    // Aggregator on identical streams, PLANS.md round-14 correction;
+    // the value pinned here is the SHUFFLE bound, not a speedup). Pin
+    // the node's presence so a Spark upgrade or a refactor that
+    // breaks the rule's preconditions (a changed rank function, a
+    // filter pushed elsewhere) fails here, not in a bench diff.
     for (q <- Seq("c9_cascade_batch_gated", "s15_int8_batch_served",
         "s16_prefix_batch_served", "s17_pq_batch_served",
         "s18_ivfpq_batch_served")) {

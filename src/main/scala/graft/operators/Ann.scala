@@ -1258,8 +1258,8 @@ object Ann {
   // both directions.
   // ---------------------------------------------------------------------
 
-  private def requireIntegralId(df: DataFrame, c: String, who: String,
-                                role: String): Unit = {
+  private[operators] def requireIntegralId(df: DataFrame, c: String,
+                                           who: String, role: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(c).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
@@ -1504,8 +1504,10 @@ object Ann {
     * the stored prefix table ONCE against all queries (prefix L2 per
     * pair, per-query rank-limit cut), stage two reranks by
     * full-dimension L2. Stored prefix width and each query's length
-    * are asserted in the plan. Output: (qid, knn_rank, id,
-    * prefix_dist, dist). */
+    * are asserted in the plan, and a null prefix/rerank distance fails
+    * loudly (both cuts are ascending NULLS FIRST, so an unguarded null
+    * would silently occupy the top-k — same guard as the pq/ivfpq
+    * batch forms). Output: (qid, knn_rank, id, prefix_dist, dist). */
   def prefixSearchEncodedBatch(encoded: DataFrame, vectors: DataFrame,
                                embCol: String, idCol: String,
                                queries: DataFrame, qidCol: String,
@@ -1523,6 +1525,8 @@ object Ann {
             s"$prefixDim — qid "),
           col(qidCol).cast("string"))))
         .otherwise(col(qvecCol).cast("array<double>")).as("__qv")))
+    val pd0 = VectorFunctions.l2(col("prefix_vec"),
+      slice(col("__qv"), 1, prefixDim))
     val pd =
       when(size(col("prefix_vec")) =!= prefixDim,
         raise_error(concat(
@@ -1531,8 +1535,15 @@ object Ann {
           lit(s" components but prefixDim is $prefixDim — the table was " +
             "encoded at a different prefix width; id "),
           col(idCol).cast("string"))))
-        .otherwise(VectorFunctions.l2(col("prefix_vec"),
-          slice(col("__qv"), 1, prefixDim)))
+        // null prefix distance (null vector element): both cuts order
+        // ascending with NULLS FIRST, so an unguarded null would occupy
+        // the top-k silently — fail loudly like the single-query form
+        // and the pq/ivfpq batch forms.
+        .when(pd0.isNull,
+          raise_error(concat(
+            lit("prefixSearchEncodedBatch: null prefix distance for id "),
+            col(idCol).cast("string"))))
+        .otherwise(pd0)
     val w1 = Window.partitionBy("__qid")
       .orderBy(col("prefix_dist"), col("__id"))
     val survivors = encoded.filter(col("prefix_vec").isNotNull)
@@ -1542,13 +1553,17 @@ object Ann {
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k * candMult)
       .drop("__rn")
+    val d0 = VectorFunctions.l2(col(embCol).cast("array<double>"), col("__qv"))
+    val distChecked = when(d0.isNull, raise_error(concat(
+        lit("prefixSearchEncodedBatch: null rerank distance (dim mismatch " +
+          "or null vector) for id "),
+        col("__id").cast("string")))).otherwise(d0)
     val w2 = Window.partitionBy("__qid").orderBy(col("dist"), col("__id"))
     broadcast(survivors)
       .join(vectors.select(col(idCol).cast("long").as("__id"), col(embCol)),
         Seq("__id"))
       .join(qdf, Seq("__qid"))
-      .withColumn("dist", VectorFunctions.l2(
-        col(embCol).cast("array<double>"), col("__qv")))
+      .withColumn("dist", distChecked)
       .withColumn("knn_rank", row_number().over(w2))
       .filter(col("knn_rank") <= k)
       .select(col("__qid").as(qidCol), col("knn_rank"),

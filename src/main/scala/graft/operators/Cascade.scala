@@ -96,12 +96,22 @@ final class MultiStageSearch(
       round(lit(5.0) * hits / condToks.length, 0).cast("double")
     }
 
+  /** One cascade stage's candidates. Null-distance rows (null
+    * embedding, null element, dim mismatch) are excluded BEFORE the
+    * top-k cut ([[Knn.exactDefined]]): Spark's ascending sort is NULLS
+    * FIRST, so [[Knn.exact]] would rank them at the top and eat the
+    * stage's k with unusable candidates — and the batch forms exclude
+    * them by construction, so this is also what keeps
+    * `batch == per-query` on corpora with null embeddings
+    * (CascadeBatchSpec pins it). A custom `knnBackend` owns the same
+    * contract: never surface null-dist rows. */
   private def knnStage(pred: Option[Column], queryVec: Column, k: Int,
                        stage: Int): DataFrame = {
     val hits = knnBackend match {
       case Some(backend) => backend(pred, queryVec, k)
       case None =>
-        Knn.exact(pred.fold(corpus)(corpus.filter), embCol, idCol, queryVec, k)
+        Knn.exactDefined(pred.fold(corpus)(corpus.filter), embCol, idCol,
+          queryVec, k)
     }
     hits.withColumn("stage_rank", lit(stage))
   }
@@ -396,15 +406,20 @@ final class MultiStageSearch(
     * are collected for NER/synonyms (L2/L3 are external calls — the
     * same per-query cost [[search]] pays); vectors never leave the
     * cluster. Blank queries contribute zero rows (the F4 guard,
-    * batch-shaped). Requires integral ids on both sides (the TopK heap
-    * entry is (double, long)); not available with a custom
-    * `knnBackend` — the batch plan IS the candidate source. */
+    * batch-shaped). Integral ids are REQUIRED on both sides (the
+    * candidate entry is (double, long)) and enforced eagerly
+    * ([[Ann.requireIntegralId]]) — the internal non-ANSI long cast
+    * would null non-numeric ids and silently drop their rows; not
+    * available with a custom `knnBackend` — the batch plan IS the
+    * candidate source. */
   def searchGatedBatch(queries: DataFrame, qidCol: String,
                        qtextCol: String, qvecCol: String): DataFrame = {
     require(knnBackend.isEmpty,
       "searchGatedBatch builds its own batched candidate plan and cannot " +
         "honor a custom knnBackend — use per-query searchGated for served " +
         "backends, or searchGatedBatchServed over a cluster-assigned index")
+    Ann.requireIntegralId(corpus, idCol, "searchGatedBatch", "corpus id")
+    Ann.requireIntegralId(queries, qidCol, "searchGatedBatch", "query id")
     batchPrelude("searchGatedBatch", queries, qidCol, qtextCol, qvecCol) match {
       case Left(empty) => empty
       case Right((nerDf, maxSyn, qframe)) =>
@@ -437,6 +452,10 @@ final class MultiStageSearch(
     require(corpus.columns.contains("cluster_id"),
       "searchGatedBatchServed needs a cluster-assigned corpus " +
         "(cluster_id column, from Ann.ivfAssign*)")
+    Ann.requireIntegralId(corpus, idCol, "searchGatedBatchServed",
+      "corpus id")
+    Ann.requireIntegralId(queries, qidCol, "searchGatedBatchServed",
+      "query id")
     batchPrelude("searchGatedBatchServed", queries, qidCol, qtextCol,
         qvecCol) match {
       case Left(empty) => empty
@@ -525,8 +544,11 @@ final class MultiStageSearch(
       ((fallbackSlot, lit(true): Column))
     val maxK = math.max(cfg.topK, cfg.fallbackK)
     // null-embedding rows carry a null distance and are excluded from
-    // every slot (the single-query form only ever surfaces them when a
-    // stage underfills, with a null dist no rerank can use)
+    // every slot BEFORE the per-slot cut — the same contract the
+    // single-query form's stages enforce via Knn.exactDefined (a null
+    // dist would otherwise rank FIRST under Spark's ascending NULLS
+    // FIRST and eat the stage's k), so batch == per-query holds on
+    // corpora with null embeddings
     val pairs = paired
       .select(col("__qid"),
         col(idCol).cast("long").as("__id"),

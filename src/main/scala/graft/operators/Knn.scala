@@ -28,6 +28,22 @@ object Knn {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
 
+  /** [[exact]] restricted to rows with a DEFINED distance: a null
+    * distance (null embedding, null element, dim mismatch) is dropped
+    * BEFORE the top-k cut, so every returned row is a real candidate
+    * and k is not eaten by nulls (Spark's ascending sort is NULLS
+    * FIRST, so [[exact]] ranks such rows at the top). This is the
+    * candidate contract the cascade's batch forms enforce; the
+    * single-query cascade uses this so `batch == per-query` holds on
+    * corpora with null embeddings. */
+  def exactDefined(corpus: DataFrame, embCol: String, idCol: String,
+                   queryVec: Column, k: Int): DataFrame =
+    corpus
+      .withColumn("dist", VectorFunctions.l2(col(embCol), queryVec))
+      .filter(col("dist").isNotNull)
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+
   /** V3: filtered kNN — predicate composes BEFORE top-k, so the filter
     * is pushed into the scan and top-k is exact over survivors (no
     * k·3 over-fetch hack needed — /root/reference/main.py:160-165). */

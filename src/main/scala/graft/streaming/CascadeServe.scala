@@ -34,9 +34,10 @@ import org.apache.spark.sql.DataFrame
   *    no cross-batch state to double-absorb. Readers see the result
   *    log as one partitioned table ([[results]]).
   *
-  * An empty micro-batch writes nothing (no empty batch=N debris). A
-  * batch whose queries are ALL blank writes the typed empty schema's
-  * zero rows — also skipped, same reason.
+  * An empty micro-batch writes nothing (no empty batch=N debris), and
+  * so does a batch whose queries are ALL blank — both detected from
+  * the QUERY side (one cheap micro-batch scan), so the served plan
+  * executes exactly once per live batch.
   */
 object CascadeServe {
 
@@ -52,15 +53,20 @@ object CascadeServe {
            qidCol: String, qtextCol: String, qvecCol: String,
            nprobe: Int, cfg: CascadeConfig = CascadeConfig())
           (batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+    // Empty/all-blank detection runs on the QUERY side (one cheap scan
+    // of the micro-batch), not by executing the served plan twice — an
+    // isEmpty on `served` would run the full cascade once for the check
+    // and again for the write, doubling per-batch serving cost.
+    import org.apache.spark.sql.functions.{col, trim}
+    if (batch.filter(col(qtextCol).isNotNull &&
+        trim(col(qtextCol)) =!= "").isEmpty) return
     val spark = batch.sparkSession
     val index = IndexStore.loadCurrent(spark, indexRoot)
     val cent = spark.read.parquet(centroidPath)
-    val served = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
+    new MultiStageSearch(index, idCol, textCol, embCol, cfg)
       .searchGatedBatchServed(batch, qidCol, qtextCol, qvecCol,
         cent, "cid", "cvec", nprobe)
-    if (served.isEmpty) return // all-blank batch: nothing to record
-    served.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
   }
 
   /** The accumulated result log as one table: every served batch's

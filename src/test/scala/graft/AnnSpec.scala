@@ -855,6 +855,26 @@ class AnnSpec extends SparkSpec {
         "vec_id", shortQ, "qid", "qv", prefixDim = 16, k = 2).collect()
     }
     assert(e2.getMessage.contains("shorter than prefixDim"))
+    // a null prefix component / null rerank vector fails loudly rather
+    // than silently occupying the ascending NULLS FIRST top-k (the
+    // same guards the pq/ivfpq batch forms carry)
+    val nullEnc = enc.withColumn("prefix_vec",
+      when($"vec_id" === 0L,
+        concat(slice($"prefix_vec", 1, 15), array(lit(null).cast("double"))))
+        .otherwise($"prefix_vec"))
+    val e3 = intercept[Exception] {
+      Ann.prefixSearchEncodedBatch(nullEnc, signCorpus, "embedding",
+        "vec_id", qs, "qid", "qv", prefixDim = 16, k = 2).collect()
+    }
+    assert(e3.getMessage.contains("null prefix distance"))
+    val nullVecs = signCorpus.withColumn("embedding",
+      when($"vec_id" === 0L, lit(null).cast("array<float>"))
+        .otherwise($"embedding"))
+    val e4 = intercept[Exception] {
+      Ann.prefixSearchEncodedBatch(enc, nullVecs, "embedding",
+        "vec_id", qs, "qid", "qv", prefixDim = 16, k = 2).collect()
+    }
+    assert(e4.getMessage.contains("null rerank distance"))
   }
 
   test("signSearchEncoded rejects a query shorter (or longer) than the encoded dim") {

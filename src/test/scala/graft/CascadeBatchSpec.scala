@@ -11,7 +11,10 @@ class CascadeBatchSpec extends SparkSpec {
   import spark.implicits._
 
   // Varied corpus: term-dense docs near the origin, term-sparse far
-  // ones, an exact distance tie (ids 7/8), a null-text row.
+  // ones, an exact distance tie (ids 7/8), a null-text row, and a
+  // NULL-EMBEDDING row (15) whose text matches q1's strict AND — under
+  // an unguarded NULLS FIRST cut it would rank first in every stage;
+  // both forms must exclude it identically.
   private def corpus = Seq(
     (0L, "join job in the row district", Array(0.0f, 0.0f)),
     (1L, "join work near the row area", Array(0.1f, 0.0f)),
@@ -27,7 +30,8 @@ class CascadeBatchSpec extends SparkSpec {
     (11L, null.asInstanceOf[String], Array(0.05f, 0.0f)),
     (12L, "join row join row twice over", Array(6.0f, 0.0f)),
     (13L, "sort order sort order column", Array(0.0f, 6.0f)),
-    (14L, "spark table scan merge hash", Array(7.0f, 0.0f))
+    (14L, "spark table scan merge hash", Array(7.0f, 0.0f)),
+    (15L, "join job in the row annex", null.asInstanceOf[Array[Float]])
   ).toDF("doc_id", "text", "embedding")
 
   private val qtexts = Seq(
@@ -163,6 +167,36 @@ class CascadeBatchSpec extends SparkSpec {
           cents, "cid", "cvec", 0)
     }
     assert(e2.getMessage.contains("nprobe"))
+  }
+
+  test("null-embedding rows never surface, in either form") {
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    val batch = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+    assert(batch.filter(col("doc_id") === 15L || col("dist").isNull).isEmpty)
+    val single = search.searchGated(qtexts.head._2, typedlit(Seq(0.0, 0.0)))
+    assert(single.filter(col("doc_id") === 15L || col("dist").isNull).isEmpty)
+  }
+
+  test("batch forms refuse non-integral ids eagerly") {
+    val sCorpus = corpus.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      new MultiStageSearch(sCorpus, "doc_id", "text", "embedding")
+        .searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+    }
+    assert(e.getMessage.contains("corpus id"))
+    val sq = queriesDf.withColumn("qid", col("qid").cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+        .searchGatedBatch(sq, "qid", "qtext", "qvec")
+    }
+    assert(e2.getMessage.contains("query id"))
+    val e3 = intercept[IllegalArgumentException] {
+      new MultiStageSearch(sCorpus.withColumn("cluster_id", lit(0L)),
+          "doc_id", "text", "embedding")
+        .searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+          Seq((0L, Array(0.0, 0.0))).toDF("cid", "cvec"), "cid", "cvec", 1)
+    }
+    assert(e3.getMessage.contains("corpus id"))
   }
 
   test("guards are loud: duplicate qids, custom knnBackend") {

@@ -308,9 +308,23 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
         .select(col("doc_id"), col("text"), col("embedding"),
           col("cluster_id"))
       val p = s"$root/cascade_index"
-      graft.sources.IndexStore.write(assigned, p)
+      // The versioned PAIR store: the index and the centroid table it
+      // was assigned with commit under one _SUCCESS marker, and every
+      // serving consumer below reads them back atomically — the same
+      // contract CascadeServe runs on (a retrain can never pair new
+      // cluster ids with old geometry).
+      graft.sources.IndexStore.writeVersionedWithCentroids(assigned, cent, p)
       p
     })
+
+  /** The committed (index, centroids) pair every served cascade query
+    * reads — one atomic load per call site. */
+  private def cascadePair(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (idx, cent, _) = graft.sources.IndexStore
+      .loadCurrentWithCentroids(s, cascadeIvfFor(s, d))
+    (idx, cent)
+  }
 
   /** Served candidate source for [[MultiStageSearch]]: the probe list
     * is computed ONCE per query (nprobe nearest centroids — a
@@ -319,7 +333,7 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     * PartitionFilters) and runs filter ∘ distance ∘ top-k inside
     * them. `extraFilter` narrows the pool itself (the identity
     * fixture); a stage's own predicate arrives per call. */
-  private def servedKnnBackend(s: SparkSession, path: String,
+  private def servedKnnBackend(index: DataFrame,
       cent: DataFrame, qv: Column, nprobe: Int,
       extraFilter: Option[Column])
       : (Option[Column], Column, Int) => DataFrame = {
@@ -328,8 +342,7 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
       .orderBy(col("__qd"), col("cid")).limit(nprobe)
       .select(col("cid").cast("long")).collect().map(_.getLong(0)).toSeq
     (pred, qvec, k) => {
-      val pool0 = graft.sources.IndexStore.load(s, path)
-        .filter(col("cluster_id").isin(probed: _*))
+      val pool0 = index.filter(col("cluster_id").isin(probed: _*))
       val pool = extraFilter.fold(pool0)(pool0.filter)
       Knn.exact(pred.fold(pool)(pool.filter), "embedding", "doc_id", qvec, k)
     }
@@ -358,13 +371,10 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     //      the rerank tail is score-dominated, so served-vs-exact
     //      agreement is typically ≥ 0.8), measured and REPORTED.
     (s, d) => {
-      val root = trainedIvfFor(s, d)
-      val path = cascadeIvfFor(s, d)
-      val cent = s.read.parquet(s"$root/centroids")
+      val (servedCorpus, cent) = cascadePair(s, d)
       val qv = cascadeQueryVec(s, d)
       val q = "looking for a join job in the row area"
-      val servedCorpus = graft.sources.IndexStore.load(s, path)
-      val backend = servedKnnBackend(s, path, cent, qv, nprobe = 8, None)
+      val backend = servedKnnBackend(servedCorpus, cent, qv, nprobe = 8, None)
       val served = new MultiStageSearch(servedCorpus, "doc_id", "text",
         "embedding", knnBackend = Some(backend))
       val servedDf = served.search(q, qv)
@@ -429,12 +439,10 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     // clusters, keep-first dedup, rerank tail. c3 pins the cascade
     // over the exact scan; this pins it over the production index.
     (s, d) => {
-      val root = trainedIvfFor(s, d)
-      val path = cascadeIvfFor(s, d)
-      val cent = s.read.parquet(s"$root/centroids")
+      val (servedCorpus, cent) = cascadePair(s, d)
       val qv = cascadeQueryVec(s, d)
-      val backend = servedKnnBackend(s, path, cent, qv, nprobe = 8, None)
-      new MultiStageSearch(graft.sources.IndexStore.load(s, path), "doc_id",
+      val backend = servedKnnBackend(servedCorpus, cent, qv, nprobe = 8, None)
+      new MultiStageSearch(servedCorpus, "doc_id",
           "text", "embedding", knnBackend = Some(backend))
         .searchFixed("looking for a join job in the row area", qv)
         .select(col("rank"), col("doc_id"), col("stage_rank"),
@@ -472,12 +480,10 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     // scan; this pins it over the production index — and it is the
     // twin c5's real-corpus identity gate points at.
     (s, d) => {
-      val root = trainedIvfFor(s, d)
-      val path = cascadeIvfFor(s, d)
-      val cent = s.read.parquet(s"$root/centroids")
+      val (servedCorpus, cent) = cascadePair(s, d)
       val qv = cascadeQueryVec(s, d)
-      val backend = servedKnnBackend(s, path, cent, qv, nprobe = 8, None)
-      new MultiStageSearch(graft.sources.IndexStore.load(s, path), "doc_id",
+      val backend = servedKnnBackend(servedCorpus, cent, qv, nprobe = 8, None)
+      new MultiStageSearch(servedCorpus, "doc_id",
           "text", "embedding", knnBackend = Some(backend))
         .searchGated("looking for a join job in the row area", qv)
         .select(col("rank"), col("doc_id"), col("stage_rank"),
@@ -683,13 +689,11 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     // hash-checked row set.
     (s, d) => {
       import s.implicits._
-      val root = trainedIvfFor(s, d)
-      val path = cascadeIvfFor(s, d)
-      val cent = s.read.parquet(s"$root/centroids")
+      val (servedCorpus, cent) = cascadePair(s, d)
       val queries = batchQueryMeta.toDF("qid", "qtext")
         .join(t(s, d, "embeddings")
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
-      new MultiStageSearch(graft.sources.IndexStore.load(s, path), "doc_id",
+      new MultiStageSearch(servedCorpus, "doc_id",
           "text", "embedding")
         .searchGatedBatchServed(queries, "qid", "qtext", "qvec",
           cent, "cid", "cvec", nprobe = 8)

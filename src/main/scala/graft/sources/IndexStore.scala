@@ -115,6 +115,77 @@ object IndexStore {
     load(spark, s"$root/v${vs.last}")
   }
 
+  // ---------------------------------------------------------------
+  // Versioned index + centroid GEOMETRY as one atomic artifact. An
+  // IVF-assigned index is only meaningful WITH the centroid table it
+  // was assigned against: a serving path that probes NEW cluster ids
+  // with OLD centroids (or vice versa) silently mis-prunes every
+  // query — no error, just recall collapse. The reference never faces
+  // this because Chroma persists the HNSW structure and its metadata
+  // in one collection (build_vectorstore.py:233-250); the columnar
+  // split re-opens it, so the store closes it again: the centroid
+  // table rides INSIDE the version directory (an underscore-prefixed
+  // sidecar dir, invisible to the index scan's file listing, exactly
+  // like _SUCCESS), and the version's _SUCCESS marker is created LAST
+  // — manually, after BOTH artifacts are fully written — so a
+  // committed version always holds a mutually-consistent pair and a
+  // crash at any earlier point leaves an uncommitted directory that
+  // [[committedVersions]] skips and a later build overwrites-by-number.
+  // ---------------------------------------------------------------
+
+  private val CentroidSidecar = "_centroids"
+
+  /** Write a new immutable (index, centroids) version: the index
+    * cluster-partitioned as in [[writeVersioned]], the centroid table
+    * as a `_centroids` sidecar in the SAME version directory, the
+    * commit marker last. Readers use [[loadCurrentWithCentroids]] to
+    * get the pair atomically. */
+  def writeVersionedWithCentroids(index: DataFrame, centroids: DataFrame,
+                                  root: String): Long = {
+    val spark = index.sparkSession
+    val next = (allVersions(spark, root) :+ 0L).max + 1
+    val dir = s"$root/v$next"
+    // Suppress the index write's own _SUCCESS: the marker must not
+    // exist until the sidecar is also down, or a concurrent
+    // loadCurrent* could commit-read a half-written pair.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = Option(hconf.get(key))
+    hconf.set(key, "false")
+    try write(index, dir)
+    finally prev match {
+      case Some(v) => hconf.set(key, v)
+      case None    => hconf.unset(key)
+    }
+    centroids.write.mode("overwrite").parquet(s"$dir/$CentroidSidecar")
+    val (fs, p) = fsOf(spark, root)
+    fs.create(new org.apache.hadoop.fs.Path(p, s"v$next/_SUCCESS"), true)
+      .close()
+    next
+  }
+
+  /** Read the newest committed version's (index, centroids, version) —
+    * both from the SAME version directory, so a retrain that changes
+    * geometry AND cluster-id space flips atomically for readers. Fails
+    * loudly on a committed version WITHOUT a sidecar (one written by
+    * plain [[writeVersioned]]): serving against a caller-supplied
+    * centroid path is exactly the silent-mis-prune hazard this pair
+    * store exists to remove. */
+  def loadCurrentWithCentroids(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame, Long) = {
+    val vs = committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed index version under $root")
+    val v = vs.last
+    val (fs, p) = fsOf(spark, root)
+    val side = new org.apache.hadoop.fs.Path(p, s"v$v/$CentroidSidecar")
+    require(fs.exists(side),
+      s"committed version v$v under $root has no $CentroidSidecar " +
+        "sidecar — it was written by writeVersioned (index-only). " +
+        "Serving needs writeVersionedWithCentroids so the index and the " +
+        "centroid geometry it was assigned with flip together.")
+    (load(spark, s"$root/v$v"), spark.read.parquet(side.toString), v)
+  }
+
   /** Drop all but the newest `keep` committed versions plus any
     * uncommitted debris older than the newest committed one. Returns
     * the deleted version numbers. Retention is the rollback window —

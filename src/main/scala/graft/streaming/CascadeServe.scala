@@ -13,14 +13,21 @@ import org.apache.spark.sql.DataFrame
   *
   * Three serving concerns this composition settles:
   *
-  *  - **Index freshness.** A stream-static join snapshots the static
-  *    side's file listing at plan time ([[QueryServe]]'s scaladoc), so
-  *    a rebuilt index would not be seen — and an overwritten one can
-  *    invalidate the snapshot mid-query. Reading
-  *    [[IndexStore.loadCurrent]] INSIDE foreachBatch re-resolves per
-  *    micro-batch: a `_SUCCESS`-gated version flip
-  *    ([[IndexStore.writeVersioned]]) is picked up at the next batch,
-  *    and a crashed build is invisible (no marker, not current).
+  *  - **Index freshness — atomically WITH its geometry.** A
+  *    stream-static join snapshots the static side's file listing at
+  *    plan time ([[QueryServe]]'s scaladoc), so a rebuilt index would
+  *    not be seen — and an overwritten one can invalidate the snapshot
+  *    mid-query. Reading [[IndexStore.loadCurrentWithCentroids]]
+  *    INSIDE foreachBatch re-resolves per micro-batch: a
+  *    `_SUCCESS`-gated version flip
+  *    ([[IndexStore.writeVersionedWithCentroids]]) is picked up at the
+  *    next batch, a crashed build is invisible (no marker, not
+  *    current) — and because the centroid table rides INSIDE the
+  *    version directory, a RETRAIN that changes both the geometry and
+  *    the cluster-id space flips as one unit. Probing new cluster ids
+  *    with old centroids (the failure mode of a separate centroid
+  *    path) cannot happen: the pair is read from the same committed
+  *    directory.
   *  - **Throughput.** The whole micro-batch is one
   *    [[MultiStageSearch.searchGatedBatchServed]] plan — the per-query
   *    fixed cost (7 stage plans + gate actions) is paid once per
@@ -43,12 +50,13 @@ object CascadeServe {
 
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)
-    *   .foreachBatch(CascadeServe.sink(root, centPath, out, ...) _)`.
-    * `indexRoot` is a versioned [[IndexStore]] root whose current
-    * version is the cluster-assigned cascade index (doc id, text,
-    * embedding, cluster_id); `centroidPath` holds the centroid table
-    * (`cid`, `cvec`) the index was assigned with. */
-  def sink(indexRoot: String, centroidPath: String, outPath: String,
+    *   .foreachBatch(CascadeServe.sink(root, out, ...) _)`.
+    * `indexRoot` is a versioned [[IndexStore]] root written by
+    * [[IndexStore.writeVersionedWithCentroids]]: each committed
+    * version holds the cluster-assigned cascade index (doc id, text,
+    * embedding, cluster_id) AND the centroid table (`cid`, `cvec`) it
+    * was assigned with, read back as one atomic pair per micro-batch. */
+  def sink(indexRoot: String, outPath: String,
            idCol: String, textCol: String, embCol: String,
            qidCol: String, qtextCol: String, qvecCol: String,
            nprobe: Int, cfg: CascadeConfig = CascadeConfig())
@@ -61,8 +69,7 @@ object CascadeServe {
     if (batch.filter(col(qtextCol).isNotNull &&
         trim(col(qtextCol)) =!= "").isEmpty) return
     val spark = batch.sparkSession
-    val index = IndexStore.loadCurrent(spark, indexRoot)
-    val cent = spark.read.parquet(centroidPath)
+    val (index, cent, _) = IndexStore.loadCurrentWithCentroids(spark, indexRoot)
     new MultiStageSearch(index, idCol, textCol, embCol, cfg)
       .searchGatedBatchServed(batch, qidCol, qtextCol, qvecCol,
         cent, "cid", "cvec", nprobe)

@@ -30,19 +30,17 @@ class CascadeServeSpec extends SparkSpec {
   private val cfg = CascadeConfig(topK = 3, relaxThreshold = 3,
     fallbackThreshold = 6, fallbackK = 5, finalN = 4)
 
-  private def setup(): (String, String, String) = {
+  private def setup(): (String, String) = {
     val base = Files.createTempDirectory("graft_cserve_").toString
     val root = s"$base/index"
-    val centPath = s"$base/cents"
-    cents.write.parquet(centPath)
     val assigned = Ann.ivfAssign(corpusRows.toDF("doc_id", "text", "embedding"),
       "embedding", "doc_id", cents, "cid", "cvec")
-    IndexStore.writeVersioned(assigned, root)
-    (root, centPath, s"$base/out")
+    IndexStore.writeVersionedWithCentroids(assigned, cents, root)
+    (root, s"$base/out")
   }
 
-  private def mkSink(root: String, centPath: String, out: String) =
-    CascadeServe.sink(root, centPath, out, "doc_id", "text", "embedding",
+  private def mkSink(root: String, out: String) =
+    CascadeServe.sink(root, out, "doc_id", "text", "embedding",
       "qid", "qtext", "qvec", nprobe = 2, cfg) _
 
   private def queries(ids: (Long, String)*): Seq[(Long, String, Seq[Double])] =
@@ -50,10 +48,10 @@ class CascadeServeSpec extends SparkSpec {
 
   test("streamed micro-batches equal per-batch searchGatedBatchServed") {
     implicit val sqlCtx = spark.sqlContext
-    val (root, centPath, out) = setup()
+    val (root, out) = setup()
     val stream = MemoryStream[(Long, String, Seq[Double])]
     val q = stream.toDF().toDF("qid", "qtext", "qvec")
-      .writeStream.foreachBatch(mkSink(root, centPath, out)).start()
+      .writeStream.foreachBatch(mkSink(root, out)).start()
     val b0 = queries(1L -> "looking for a join job in the row area",
       2L -> "column stuff")
     val b1 = queries(3L -> "sort pipelines", 4L -> "hello world")
@@ -81,8 +79,8 @@ class CascadeServeSpec extends SparkSpec {
   }
 
   test("an index version flip is picked up at the next micro-batch") {
-    val (root, centPath, out) = setup()
-    val sink = mkSink(root, centPath, out)
+    val (root, out) = setup()
+    val sink = mkSink(root, out)
     val qs = queries(1L -> "looking for a join job in the row area")
     sink(qs.toDF("qid", "qtext", "qvec"), 0L)
     val before = CascadeServe.results(spark, out)
@@ -92,7 +90,7 @@ class CascadeServeSpec extends SparkSpec {
     val v2 = Ann.ivfAssign(corpusRows.filterNot(_._1 == 0L)
         .toDF("doc_id", "text", "embedding"),
       "embedding", "doc_id", cents, "cid", "cvec")
-    IndexStore.writeVersioned(v2, root)
+    IndexStore.writeVersionedWithCentroids(v2, cents, root)
     sink(qs.toDF("qid", "qtext", "qvec"), 1L)
     val batch1 = CascadeServe.results(spark, out)
       .filter(col("batch") === 1).select("doc_id").as[Long].collect().toSet
@@ -100,9 +98,45 @@ class CascadeServeSpec extends SparkSpec {
       s"batch 1 must serve from v2 (no doc 0): $batch1")
   }
 
+  test("a RETRAIN flip — new centroids, new cluster-id space — is served correctly at the next batch") {
+    val (root, out) = setup()
+    val sink = mkSink(root, out)
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "sort pipelines")
+    sink(qs.toDF("qid", "qtext", "qvec"), 0L)
+    // Retrain with a DIFFERENT geometry AND a disjoint cluster-id
+    // space (10/11): probing with the old centroid table would join
+    // old cids {0,1,2} against new cluster_ids {10,11} — every probe
+    // empty, every query silently unanswered. The versioned pair
+    // makes batch 1 read index AND centroids from v2 together.
+    val cents2 = Seq((10L, Array(0.05, 0.0)), (11L, Array(4.0, 2.5)))
+      .toDF("cid", "cvec")
+    val v2 = Ann.ivfAssign(corpusRows.toDF("doc_id", "text", "embedding"),
+      "embedding", "doc_id", cents2, "cid", "cvec")
+    IndexStore.writeVersionedWithCentroids(v2, cents2, root)
+    sink(qs.toDF("qid", "qtext", "qvec"), 1L)
+    val got = CascadeServe.results(spark, out).filter(col("batch") === 1)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    val (index2, cent2, v) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(v == 2L)
+    val expected = new MultiStageSearch(index2, "doc_id", "text",
+        "embedding", cfg)
+      .searchGatedBatchServed(qs.toDF("qid", "qtext", "qvec"),
+        "qid", "qtext", "qvec", cent2, "cid", "cvec", nprobe = 2)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got == expected,
+      s"batch 1 must serve the v2 pair:\ngot=$got\nexpected=$expected")
+  }
+
   test("a replayed batch overwrites its own output instead of duplicating") {
-    val (root, centPath, out) = setup()
-    val sink = mkSink(root, centPath, out)
+    val (root, out) = setup()
+    val sink = mkSink(root, out)
     val qs = queries(1L -> "looking for a join job in the row area")
     sink(qs.toDF("qid", "qtext", "qvec"), 0L)
     val once = CascadeServe.results(spark, out).count()
@@ -111,8 +145,8 @@ class CascadeServeSpec extends SparkSpec {
   }
 
   test("empty and all-blank batches write nothing") {
-    val (root, centPath, out) = setup()
-    val sink = mkSink(root, centPath, out)
+    val (root, out) = setup()
+    val sink = mkSink(root, out)
     sink(Seq.empty[(Long, String, Seq[Double])].toDF("qid", "qtext", "qvec"), 0L)
     sink(queries(1L -> "").toDF("qid", "qtext", "qvec"), 1L)
     assert(!new java.io.File(out).exists())

@@ -143,6 +143,37 @@ class JobCorpusSpec extends SparkSpec {
     assert(IndexStore.loadCurrent(spark, root).count() == 1)
   }
 
+  test("versioned pair store: index + centroids flip atomically, marker last, sidecar-less versions refused") {
+    val root = Files.createTempDirectory("graft_pidx").toString + "/idx"
+    val centsA = Seq((0L, Array(0.0, 0.0)), (1L, Array(4.0, 0.0)))
+      .toDF("cid", "cvec")
+    val idxA = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"))
+      .toDF("id", "cluster_id", "payload")
+    assert(IndexStore.writeVersionedWithCentroids(idxA, centsA, root) == 1L)
+    val (i1, c1, v1) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(v1 == 1L && i1.count() == 3 && c1.count() == 2)
+    // the sidecar is INVISIBLE to the index scan (underscore dir) and
+    // does not break partition discovery on the cluster-partitioned dir
+    assert(i1.columns.toSet == Set("id", "payload", "cluster_id"))
+    assert(IndexStore.loadCurrent(spark, root).count() == 3)
+    // crash sim: v2's pair fully written but the marker never landed —
+    // readers keep the v1 pair (marker is the LAST thing written)
+    val centsB = Seq((10L, Array(1.0, 1.0))).toDF("cid", "cvec")
+    val idxB = Seq((1L, 10L, "a2")).toDF("id", "cluster_id", "payload")
+    assert(IndexStore.writeVersionedWithCentroids(idxB, centsB, root) == 2L)
+    assert(new java.io.File(s"$root/v2/_SUCCESS").delete())
+    val (i1b, c1b, v1b) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(v1b == 1L && i1b.count() == 3 && c1b.count() == 2)
+    // a committed INDEX-ONLY version under the same root is refused
+    // loudly: serving it would need a caller-supplied centroid path —
+    // exactly the silent-mis-prune hazard the pair store removes
+    IndexStore.writeVersioned(idxB, root)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadCurrentWithCentroids(spark, root)
+    }
+    assert(e.getMessage.contains("_centroids"))
+  }
+
   test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {
     // the documented recovery contract: a corrupt path must fail every
     // retry loudly — silently treating it as empty would overwrite the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import graft.semantic.{QueryNer, SemanticSuite, UserProfile}
+import graft.semantic.{DictSynonyms, QueryNer, RuleQueryNer, SemanticSuite, UserProfile}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,6 +26,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * main_remind.py scan-then-filter — SURVEY.md §3.4) are expressible
   * by configuring the stage list.
   */
+/** `semanticDriverBatchMax`: batch-cascade query logs at most this
+  * large resolve NER/synonyms on the DRIVER (the reference's
+  * per-request shape — one external call per query); larger logs
+  * resolve them inside the cluster via `mapPartitions` (SURVEY §2.7's
+  * batch shape), so an offline log never funnels its texts through
+  * the driver. 0 forces the distributed path. Both paths are
+  * row-identical by construction (CascadeBatchSpec pins it). */
 final case class CascadeConfig(
     topK: Int = 10,
     relaxThreshold: Int = 5,
@@ -33,7 +40,8 @@ final case class CascadeConfig(
     fallbackK: Int = 15,
     finalN: Int = 5,
     wJudge: Double = 0.7,
-    wRule: Double = 0.3)
+    wRule: Double = 0.3,
+    semanticDriverBatchMax: Int = 1024)
 
 final class MultiStageSearch(
     corpus: DataFrame, idCol: String, textCol: String, embCol: String,
@@ -59,7 +67,7 @@ final class MultiStageSearch(
     * tests BEFORE NER/profile coalesce — a blank message is empty even
     * for a fully-populated profile. */
   private def isBlank(queryText: String): Boolean =
-    queryText == null || queryText.trim.isEmpty
+    MultiStageSearch.isBlankText(queryText)
 
   /** The typed empty response: the exact result schema every search
     * method returns, zero rows, built as a LOCAL empty relation — the
@@ -402,11 +410,14 @@ final class MultiStageSearch(
     * identity across all four query structures; c9 hash-checks the
     * batch against per-query DuckDB replays).
     *
-    * The semantic boundary stays driver-side: ONLY (qid, text) strings
-    * are collected for NER/synonyms (L2/L3 are external calls — the
-    * same per-query cost [[search]] pays); vectors never leave the
-    * cluster. Blank queries contribute zero rows (the F4 guard,
-    * batch-shaped). Integral ids are REQUIRED on both sides (the
+    * The semantic boundary is scale-dispatched (see [[batchPrelude]]):
+    * request-sized batches resolve NER/synonyms on the driver from the
+    * collected (qid, text) pairs (the reference's per-request shape);
+    * larger query logs resolve them inside the cluster via
+    * `mapPartitions` — the driver never holds the texts. Vectors never
+    * go near the boundary either way. Blank queries contribute zero
+    * rows (the F4 guard, batch-shaped). Integral ids are REQUIRED on
+    * both sides (the
     * candidate entry is (double, long)) and enforced eagerly
     * ([[Ann.requireIntegralId]]) — the internal non-ANSI long cast
     * would null non-numeric ids and silently drop their rows; not
@@ -477,38 +488,78 @@ final class MultiStageSearch(
     }
   }
 
-  /** Shared batch prelude: the driver-side semantic boundary. Collects
-    * ONLY (qid, text), resolves NER + synonyms per query, and returns
-    * the broadcastable ner frame, the batch's synonym-slot width, and
-    * the query frame (vectors stay distributed); Left(typed empty)
-    * when every query is blank. */
+  /** Shared batch prelude: the SEMANTIC boundary, scale-dispatched.
+    * Only (qid, text) ever feeds NER/synonym resolution (L2/L3 are
+    * external calls — vectors never go near them); HOW it runs depends
+    * on the batch size, limit-probed with `semanticDriverBatchMax + 1`
+    * rows (the d6 limit-probe idiom — a request-sized batch is
+    * collected WHOLE by the probe itself, so the dispatch costs
+    * nothing extra on the path it picks):
+    *
+    *  - request-sized (≤ `cfg.semanticDriverBatchMax`): resolved on
+    *    the driver, one call per query — the reference's per-request
+    *    shape, no Spark job;
+    *  - larger (an offline query log): resolved INSIDE the cluster via
+    *    `mapPartitions` over the (qid, text) projection — SURVEY
+    *    §2.7's prescribed batch shape — with the duplicate-qid guard
+    *    as a counts-only aggregate and the ner frame localCheckpointed
+    *    (it is read 3× downstream: isEmpty, syn-width, joins). The
+    *    driver never holds the texts.
+    *
+    * Both paths produce the identical ner frame through the same
+    * [[MultiStageSearch.resolveQuery]] (CascadeBatchSpec pins
+    * driver == distributed on the full output). Returns the
+    * broadcastable ner frame, the batch's synonym-slot width, and the
+    * query frame (vectors stay distributed); Left(typed empty) when
+    * every query is blank. */
   private def batchPrelude(op: String, queries: DataFrame, qidCol: String,
                            qtextCol: String, qvecCol: String)
       : Either[DataFrame, (DataFrame, Int, DataFrame)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qmeta = queries
-      .select(col(qidCol).cast("long").as("__qid"), col(qtextCol).cast("string"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    require(qmeta.map(_._1).distinct.length == qmeta.length,
-      s"$op: duplicate $qidCol values in the query batch")
-    val resolved = qmeta.toSeq.filterNot { case (_, t) => isBlank(t) }
-      .map { case (qid, t) =>
-        val ner = resolvedNer(t)
-        (qid, ner.job.orNull, ner.region.orNull, ner.ageGroup.orNull,
-          ner.job.toSeq.flatMap(synonyms(_)))
+    def typedEmpty = Left(emptyResponse.crossJoin(
+        spark.range(0).select(col("id").as("__qid")))
+      .select(batchOutCols(qidCol): _*))
+    val lim = math.max(cfg.semanticDriverBatchMax, 0)
+    val probe = queries
+      .select(col(qidCol).cast("long"), col(qtextCol).cast("string"))
+      .limit(lim + 1).collect()
+    val (nerSrc, maxSyn): (DataFrame, Int) =
+      if (probe.length <= lim) {
+        val qmeta = probe.toSeq.map(r => (r.getLong(0), r.getString(1)))
+        require(qmeta.map(_._1).distinct.length == qmeta.length,
+          s"$op: duplicate $qidCol values in the query batch")
+        val resolved = qmeta.flatMap { case (qid, t) =>
+          MultiStageSearch.resolveQuery(queryNer, synonyms, profile, qid, t)
+        }
+        if (resolved.isEmpty) return typedEmpty
+        (resolved.toDF("__qid", "__job", "__region", "__age", "__syns"),
+          resolved.map(_._5.length).max)
+      } else {
+        val dups = queries.groupBy(col(qidCol)).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dups == 0,
+          s"$op: duplicate $qidCol values in the query batch")
+        // locals only — the task closure must not capture `this`
+        // (MultiStageSearch holds DataFrames)
+        val (qn, syn, prof) = (queryNer, synonyms, profile)
+        val ner = queries
+          .select(col(qidCol).cast("long"), col(qtextCol).cast("string"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (qid, t) =>
+            MultiStageSearch.resolveQuery(qn, syn, prof, qid, t)
+          })
+          .toDF("__qid", "__job", "__region", "__age", "__syns")
+          .localCheckpoint(true)
+        if (ner.isEmpty) return typedEmpty
+        (ner, ner.agg(max(size(col("__syns")))).collect()(0).getInt(0))
       }
-    if (resolved.isEmpty)
-      return Left(emptyResponse.crossJoin(
-          spark.range(0).select(col("id").as("__qid")))
-        .select(batchOutCols(qidCol): _*))
-    val nerDf = broadcast(
-      resolved.toDF("__qid", "__job", "__region", "__age", "__syns"))
+    val nerDf = broadcast(nerSrc)
     val qframe = queries
       .select(col(qidCol).cast("long").as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"))
       .join(nerDf, "__qid") // inner join drops blank queries
-    Right((nerDf, resolved.map(_._5.length).max, qframe))
+    Right((nerDf, maxSyn, qframe))
   }
 
   private def batchOutCols(qidCol: String): Seq[Column] =
@@ -749,4 +800,26 @@ final class MultiStageSearch(
       .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
     rerankTail(kept, ner)
   }
+}
+
+object MultiStageSearch {
+
+  private[operators] def isBlankText(t: String): Boolean =
+    t == null || t.trim.isEmpty
+
+  /** One query's semantic resolution — the F4 blank guard, L2 NER +
+    * profile coalesce, L3 synonyms — as a pure function of the
+    * (serializable) semantic doubles, shared verbatim by the batch
+    * prelude's driver-collect and `mapPartitions` paths so the two are
+    * identical by construction. None = blank query (contributes no
+    * row, the batch-shaped F4 guard). */
+  private[operators] def resolveQuery(qn: RuleQueryNer, syn: DictSynonyms,
+      prof: UserProfile, qid: Long, t: String)
+      : Option[(Long, String, String, String, Seq[String])] =
+    if (isBlankText(t)) None
+    else {
+      val ner = qn(t).withDefaults(prof)
+      Some((qid, ner.job.orNull, ner.region.orNull, ner.ageGroup.orNull,
+        ner.job.toSeq.flatMap(syn(_))))
+    }
 }

@@ -11,11 +11,13 @@ package graft.semantic
   * Implementations are pluggable; the engine ships DETERMINISTIC
   * doubles so that every pipeline that embeds a semantic call is
   * reproducible and oracle-checkable (SURVEY.md §5). A production
-  * impl would batch per partition (`mapPartitions`) against a model
-  * endpoint; the call sites in [[graft.operators.Cascade]] only see
-  * the trait.
-  */
-trait SemanticFn[I, O] {
+  * impl batches per partition (`mapPartitions`) against a model
+  * endpoint — the SURVEY §2.7 batch shape, which
+  * [[graft.operators.MultiStageSearch]]'s batch prelude uses for
+  * large query logs — so implementations must be Serializable (the
+  * trait extends it; keep per-instance state to broadcastable
+  * dictionaries/weights, acquire clients lazily inside the task). */
+trait SemanticFn[I, O] extends Serializable {
   def name: String
   /** Value substituted on any failure. */
   def neutral: O

@@ -169,6 +169,52 @@ class CascadeBatchSpec extends SparkSpec {
     assert(e2.getMessage.contains("nprobe"))
   }
 
+  test("the distributed semantic boundary (mapPartitions) equals the driver path") {
+    // semanticDriverBatchMax = 0 forces every batch down the
+    // mapPartitions path; the default (1024) resolves this 6-query
+    // batch on the driver. Same queries, same corpus — the full output
+    // (incl. the blank query's zero rows and per-query gate ladders)
+    // must be row-identical.
+    def run(cfg: CascadeConfig) =
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding", cfg)
+        .searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        .sortBy(t => (t._1, t._2))
+    val driver = run(CascadeConfig())
+    val dist = run(CascadeConfig(semanticDriverBatchMax = 0))
+    assert(driver.nonEmpty && driver == dist)
+    // the served batch form dispatches through the same prelude
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)))
+      .toDF("cid", "cvec")
+    val assigned = graft.operators.Ann.ivfAssign(
+      corpus, "embedding", "doc_id", cents, "cid", "cvec")
+    def runServed(cfg: CascadeConfig) =
+      new MultiStageSearch(assigned, "doc_id", "text", "embedding", cfg)
+        .searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+          cents, "cid", "cvec", nprobe = 2)
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        .sortBy(t => (t._1, t._2))
+    assert(runServed(CascadeConfig()) ==
+      runServed(CascadeConfig(semanticDriverBatchMax = 0)))
+    // guards hold on the distributed path too: duplicate qids refused,
+    // an all-blank batch is the typed empty
+    val search0 = new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+      CascadeConfig(semanticDriverBatchMax = 0))
+    val dup = Seq((1L, "join row", Seq(0.0, 0.0)), (1L, "sort", Seq(0.0, 0.0)))
+      .toDF("qid", "qtext", "qvec")
+    val e = intercept[IllegalArgumentException] {
+      search0.searchGatedBatch(dup, "qid", "qtext", "qvec")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    val allBlank = Seq((1L, "", Seq(0.0, 0.0)), (2L, "   ", Seq(0.0, 0.0)))
+      .toDF("qid", "qtext", "qvec")
+    assert(search0.searchGatedBatch(allBlank, "qid", "qtext", "qvec").isEmpty)
+  }
+
   test("null-embedding rows never surface, in either form") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     val batch = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")

@@ -57,19 +57,12 @@ object WindowChunk {
   def trailingRange(df: DataFrame, partCols: Seq[String], orderCol: String,
                     lookback: Long, aggs: Seq[(Column, String)],
                     chunkLen: Long = 0L): DataFrame = {
-    require(partCols.nonEmpty, "trailingRange needs at least one partition column")
-    require(lookback >= 0, s"lookback $lookback must be >= 0")
-    require(aggs.nonEmpty, "trailingRange needs at least one aggregate")
+    requireArgs(partCols, lookback, aggs)
     val cl = if (chunkLen > 0L) chunkLen else math.max(lookback, 1L)
     require(cl >= lookback,
       s"chunkLen $cl < lookback $lookback — a frame could span more than " +
         "two buckets and context rows would be missing from it")
-    val o = col(orderCol)
-    val guarded = df.withColumn("__wc_o",
-      when(o.isNull, raise_error(
-        lit(s"trailingRange: null order key in $orderCol — no trailing " +
-          "frame is defined for it")))
-        .otherwise(o.cast("long")))
+    val guarded = guardOrder(df, orderCol)
     // exact long floor-division bucket (pmod keeps negatives correct;
     // no double round-trip, so huge sequence-number keys stay exact)
     val bucket = expr(s"(__wc_o - pmod(__wc_o, ${cl}L)) div ${cl}L")
@@ -91,5 +84,68 @@ object WindowChunk {
         aggs.map { case (a, name) => a.over(w).as(name) }: _*)
       .filter(!col("__wc_ctx"))
       .drop("__wc_ctx")
+  }
+
+  /** The largest per-key row count — the number that decides whether a
+    * per-key window plan serializes one key's history into one task.
+    * One narrow pass with a counts-only, map-side-combinable exchange
+    * (≤ |distinct keys| rows move); exact rather than sampled, because
+    * a moderately hot key that sampling misses is exactly the one that
+    * hurts. 0 for an empty frame. */
+  def maxKeyRows(df: DataFrame, partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "maxKeyRows needs at least one key column")
+    df.groupBy(partCols.map(col): _*).count()
+      .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** Skew-aware dispatch — the q6/q7 hot/cold-split idiom applied to
+    * windows: measure the key histogram ([[maxKeyRows]]) and pick the
+    * plan, so an operator need not know their key distribution in
+    * advance. Keys at most `hotKeyThreshold` rows deep run the PLAIN
+    * per-key RANGE window (no context duplication, no ~2× chunk tax —
+    * the round-14 measurement); anything hotter runs [[trailingRange]]
+    * (the hot key's sort spreads over |range|/chunkLen tasks instead
+    * of one). Both branches produce row-identical output and REFUSE
+    * null order keys loudly (the plain branch carries the same guard,
+    * so the chooser never changes semantics — only the plan).
+    *
+    * The default threshold (1M rows) is the round-14 probe's pain
+    * point: one task sorting a 1M-row hot key cost ~2× the whole
+    * chunked plan. The chooser pass itself is a counts-only scan —
+    * at scale it is priced well under the window's own sort, and it
+    * runs BEFORE the shuffle, so a hot key never reaches a single
+    * task unmeasured. */
+  def trailingRangeAuto(df: DataFrame, partCols: Seq[String],
+                        orderCol: String, lookback: Long,
+                        aggs: Seq[(Column, String)],
+                        hotKeyThreshold: Long = 1000000L,
+                        chunkLen: Long = 0L): DataFrame = {
+    requireArgs(partCols, lookback, aggs)
+    require(hotKeyThreshold >= 1, s"hotKeyThreshold $hotKeyThreshold must be >= 1")
+    if (maxKeyRows(df, partCols) > hotKeyThreshold)
+      trailingRange(df, partCols, orderCol, lookback, aggs, chunkLen)
+    else {
+      val guarded = guardOrder(df, orderCol)
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col("__wc_o")).rangeBetween(-lookback, 0)
+      guarded.select(df.columns.map(col) ++
+        aggs.map { case (a, name) => a.over(w).as(name) }: _*)
+    }
+  }
+
+  private def requireArgs(partCols: Seq[String], lookback: Long,
+                          aggs: Seq[(Column, String)]): Unit = {
+    require(partCols.nonEmpty, "trailingRange needs at least one partition column")
+    require(lookback >= 0, s"lookback $lookback must be >= 0")
+    require(aggs.nonEmpty, "trailingRange needs at least one aggregate")
+  }
+
+  private def guardOrder(df: DataFrame, orderCol: String): DataFrame = {
+    val o = col(orderCol)
+    df.withColumn("__wc_o",
+      when(o.isNull, raise_error(
+        lit(s"trailingRange: null order key in $orderCol — no trailing " +
+          "frame is defined for it")))
+        .otherwise(o.cast("long")))
   }
 }

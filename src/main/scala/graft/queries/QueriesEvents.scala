@@ -401,6 +401,32 @@ private[graft] trait QueriesEvents { self: QueriesShared =>
     },
     Some(rollingFeaturesSql))
 
+  private val e13 = QuerySpec("e13_rolling_features_auto",
+    // The skew-aware dispatch over e11/e12's choice
+    // ([[WindowChunk.trailingRangeAuto]], the q6/q7 hot/cold idiom
+    // applied to windows): measure the per-user row histogram in one
+    // counts-only pass, then run the plain window (no chunk tax) when
+    // no key exceeds the hot threshold, the chunked plan when one
+    // does. The synthetic events table is unskewed, so the chooser
+    // picks the PLAIN plan here — which the shared e11 oracle
+    // hash-checks; WindowChunkSpec pins the hot branch (plan shape +
+    // row identity) and the threshold boundary. An operator gets the
+    // hot-key insurance without knowing their key distribution.
+    (s, d) => {
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("__tsec"),
+          round(col("value") * 100, 0).cast("long").as("__vc"))
+      graft.operators.WindowChunk.trailingRangeAuto(
+          base, Seq("user_id"), "__tsec", lookback = 3600L,
+          aggs = Seq((count(lit(1)), "n_1h"),
+            (sum(col("__vc")), "sum_cents_1h")))
+        .select(col("user_id"), col("event_id"),
+          col("n_1h"), col("sum_cents_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(rollingFeaturesSql))
+
   final def queriesEvents: Seq[QuerySpec] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

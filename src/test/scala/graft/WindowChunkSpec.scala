@@ -69,6 +69,41 @@ class WindowChunkSpec extends SparkSpec {
     assert(buckets == 100L)
   }
 
+  test("trailingRangeAuto dispatches on the measured key histogram, identical rows either way") {
+    def auto(df: org.apache.spark.sql.DataFrame, threshold: Long) =
+      WindowChunk.trailingRangeAuto(df, Seq("k"), "o", 10L,
+        Seq((count(lit(1)), "n"), (sum(col("v")), "s")),
+        hotKeyThreshold = threshold)
+    // hot key: 200 rows on one key, threshold 50 → CHUNKED plan (the
+    // __wc_bucket column appears in its window partitioning); uniform:
+    // 10 rows/key under threshold → PLAIN plan (no bucket column)
+    val hot = ((0L until 200L).map(o => ("hot", o, 1L)) ++
+      (0L until 10L).map(o => ("cold", o, 2L))).toDF("k", "o", "v")
+    val hotAuto = auto(hot, 50L)
+    assert(hotAuto.queryExecution.executedPlan.toString.contains("__wc_bucket"),
+      "a hot key above threshold must take the chunked plan")
+    val plainAuto = auto(hot, 1000L)
+    assert(!plainAuto.queryExecution.executedPlan.toString.contains("__wc_bucket"),
+      "an unskewed frame must take the plain window plan")
+    // both choices are row-identical to the plain reference
+    val exp = plain(hot, 10L).orderBy("k", "o", "v").collect().toSeq
+    assert(hotAuto.orderBy("k", "o", "v").collect().toSeq == exp)
+    assert(plainAuto.orderBy("k", "o", "v").collect().toSeq == exp)
+    // the exact-threshold boundary stays plain (strictly-greater fires)
+    assert(WindowChunk.maxKeyRows(hot, Seq("k")) == 200L)
+    assert(!auto(hot, 200L).queryExecution.executedPlan.toString
+      .contains("__wc_bucket"))
+    // the plain branch refuses null order keys just like the chunked one
+    val withNull = Seq(("u", java.lang.Long.valueOf(1L), 1L),
+      ("u", null.asInstanceOf[java.lang.Long], 2L)).toDF("k", "o", "v")
+    val e = intercept[Exception] { auto(withNull, 1000L).collect() }
+    assert(e.getMessage.contains("null order key"))
+    // empty frame: maxKeyRows is 0, plain branch, zero rows out
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "o", "v")
+    assert(WindowChunk.maxKeyRows(empty, Seq("k")) == 0L)
+    assert(auto(empty, 10L).isEmpty)
+  }
+
   test("guards are loud: null order key, chunkLen < lookback, empty aggs") {
     val df = Seq(("u", java.lang.Long.valueOf(1L), 1L),
       ("u", null.asInstanceOf[java.lang.Long], 2L)).toDF("k", "o", "v")

@@ -520,7 +520,11 @@ final class MultiStageSearch(
     def typedEmpty = Left(emptyResponse.crossJoin(
         spark.range(0).select(col("id").as("__qid")))
       .select(batchOutCols(qidCol): _*))
-    val lim = math.max(cfg.semanticDriverBatchMax, 0)
+    // clamp to [0, MaxValue - 1]: the probe fetches lim + 1 rows, and
+    // a caller pinning the driver path with Int.MaxValue must not
+    // overflow the limit into a negative
+    val lim = math.min(math.max(cfg.semanticDriverBatchMax, 0),
+      Int.MaxValue - 1)
     val probe = queries
       .select(col(qidCol).cast("long"), col(qtextCol).cast("string"))
       .limit(lim + 1).collect()

@@ -185,6 +185,9 @@ class CascadeBatchSpec extends SparkSpec {
     val driver = run(CascadeConfig())
     val dist = run(CascadeConfig(semanticDriverBatchMax = 0))
     assert(driver.nonEmpty && driver == dist)
+    // pinning the driver path with Int.MaxValue must not overflow the
+    // limit-probe (lim + 1)
+    assert(run(CascadeConfig(semanticDriverBatchMax = Int.MaxValue)) == driver)
     // the served batch form dispatches through the same prelude
     val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)))
       .toDF("cid", "cvec")

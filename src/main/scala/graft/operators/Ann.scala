@@ -953,6 +953,79 @@ object Ann {
           .as("separation"))
   }
 
+  /** Rebalance oversized clusters — the remediation for what
+    * [[clusterAudit]] flags (fat cells) and for the residual serving
+    * hazard the round-15 skew probe named: a fat cluster makes every
+    * query probing it pay a bigger stage-one scan, and at the extreme
+    * its directory becomes one hard-to-split scan unit. Every cluster
+    * with more than `maxRows` members has its members re-clustered
+    * (per-cluster [[trainCentroids]] into ceil(n/maxRows) ≥ 2
+    * sub-centroids, seed-deterministic) and the centroid table is
+    * rewritten with the fat centroid RETIRED and its sub-centroids
+    * appended under fresh ids (max existing cid + running offset) —
+    * untouched clusters keep their ids and their rows are never read
+    * or reassigned, so cost ∝ fat clusters only (the
+    * upsertPartitioned philosophy applied to geometry). Null-cluster
+    * rows (null embeddings) pass through untouched.
+    *
+    * Semantics, stated precisely: the split REFINES the old partition
+    * — each fat cluster's members are re-divided among that cluster's
+    * own sub-centroids (local argmin), not globally reassigned, so a
+    * boundary member stays inside its old Voronoi cell's territory.
+    * That is the same approximation class as IVF itself; when a full
+    * rebuild is affordable, `ivfAssignBig(corpus, newCents)` is the
+    * global alternative. KMeans does not promise balanced cells, so
+    * one pass may leave a sub-cluster above `maxRows` on pathological
+    * data — [[clusterAudit]] is the loop condition.
+    *
+    * Returns (reassigned index, new centroid table): commit the pair
+    * atomically with
+    * [[graft.sources.IndexStore.writeVersionedWithCentroids]] — a
+    * geometry change is exactly the retrain-flip case the pair store
+    * exists for. */
+  def splitFatClusters(assigned: DataFrame, embCol: String, idCol: String,
+                       centroids: DataFrame, cidCol: String,
+                       cvecCol: String, maxRows: Long, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
+    require(assigned.columns.contains("cluster_id"),
+      "splitFatClusters needs a cluster-assigned index (cluster_id column)")
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
+    val fat = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("cluster_id").isNotNull && col("__n") > maxRows)
+      .select(col("cluster_id").cast("long"), col("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // ≤ k rows
+      .sortBy(_._1)
+    if (fat.isEmpty) return (assigned, centroids)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    var nextCid = cents.map(_._1).max + 1
+    val fatIds = fat.map(_._1)
+    var newCents = cents.toVector.filterNot { case (c, _) => fatIds.contains(c) }
+    var reassigned = Vector.empty[DataFrame]
+    fat.foreach { case (cid, n) =>
+      val members = assigned.filter(col("cluster_id") === cid)
+      val kSub = math.max(2, math.ceil(n.toDouble / maxRows).toInt)
+      // trained cids are 0-based; shift to globally fresh ids
+      val sub = collectCentroids(
+        trainCentroids(members, embCol, kSub, seed), "cid", "cvec")
+        .map { case (c, v) => (nextCid + c, v) }
+      nextCid += kSub
+      newCents ++= sub
+      val subDf = sub.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cid", "cvec")
+      reassigned :+= ivfAssignBig(members.drop("cluster_id"), embCol,
+        idCol, subDf, "cid", "cvec")
+    }
+    val untouched = assigned.filter(
+      col("cluster_id").isNull || !col("cluster_id").isin(fatIds: _*))
+    val newAssigned = (untouched +: reassigned).reduce(_ unionByName _)
+    val newCentDf = newCents.map { case (c, v) => (c, v.toSeq) }
+      .toDF(cidCol, cvecCol)
+    (newAssigned, newCentDf)
+  }
+
   // ---------------------------------------------------------------------
   // Binary (sign) quantization — 1 bit per dimension, Hamming ranking.
   // The coarsest point on the compression ladder the engine already

@@ -45,6 +45,21 @@ import org.apache.spark.sql.DataFrame
   * so does a batch whose queries are ALL blank — both detected from
   * the QUERY side (one cheap micro-batch scan), so the served plan
   * executes exactly once per live batch.
+  *
+  * **Micro-batch cap (`maxBatchQueries`).** The served-batch plan's
+  * memory footprint scales with |Q| (the probed pair stream), and the
+  * round-15 probe measured the single-JVM spill cliff directly:
+  * per-query cost 0.61 s at 32 queries, 0.79 s at 128, 1.6 s at 256
+  * on the 2M index — past the cliff, BIGGER batches yield LOWER QPS.
+  * When the source trigger can't bound batch size, `maxBatchQueries`
+  * bounds it here: the batch is sliced deterministically (row_number
+  * over qid), each slice served as its own plan, slice 0 written
+  * `overwrite` and the rest `append` into the same `batch=<id>`
+  * directory — so a replayed batch still REPLACES its own output
+  * (the overwrite clears stale slices first) and a crash mid-slices
+  * leaves debris the replay clears. Cross-slice duplicate qids are
+  * guarded before slicing (each slice's own prelude can only see its
+  * slice).
   */
 object CascadeServe {
 
@@ -59,21 +74,42 @@ object CascadeServe {
   def sink(indexRoot: String, outPath: String,
            idCol: String, textCol: String, embCol: String,
            qidCol: String, qtextCol: String, qvecCol: String,
-           nprobe: Int, cfg: CascadeConfig = CascadeConfig())
+           nprobe: Int, cfg: CascadeConfig = CascadeConfig(),
+           maxBatchQueries: Int = 0)
           (batch: DataFrame, batchId: Long): Unit = {
     // Empty/all-blank detection runs on the QUERY side (one cheap scan
     // of the micro-batch), not by executing the served plan twice — an
     // isEmpty on `served` would run the full cascade once for the check
     // and again for the write, doubling per-batch serving cost.
-    import org.apache.spark.sql.functions.{col, trim}
+    import org.apache.spark.sql.functions.{col, count, lit, max, row_number, trim}
     if (batch.filter(col(qtextCol).isNotNull &&
         trim(col(qtextCol)) =!= "").isEmpty) return
     val spark = batch.sparkSession
     val (index, cent, _) = IndexStore.loadCurrentWithCentroids(spark, indexRoot)
-    new MultiStageSearch(index, idCol, textCol, embCol, cfg)
-      .searchGatedBatchServed(batch, qidCol, qtextCol, qvecCol,
+    val search = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
+    def serve(q: DataFrame) = search
+      .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
         cent, "cid", "cvec", nprobe)
-      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    val out = s"$outPath/batch=$batchId"
+    if (maxBatchQueries <= 0) {
+      serve(batch).write.mode("overwrite").parquet(out)
+      return
+    }
+    // sliced serving: per-slice preludes can only see their slice, so
+    // the batch-wide duplicate-qid guard runs here first
+    require(batch.groupBy(col(qidCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      s"CascadeServe: duplicate $qidCol values in the micro-batch")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(qidCol))
+    val sliced = batch
+      .withColumn("__slice",
+        ((row_number().over(w) - 1) / maxBatchQueries).cast("int"))
+      .localCheckpoint(true) // micro-batch-sized; read once per slice
+    val nSlices = sliced.agg(max("__slice")).collect()(0).getInt(0) + 1
+    (0 until nSlices).foreach { j =>
+      serve(sliced.filter(col("__slice") === j).drop("__slice"))
+        .write.mode(if (j == 0) "overwrite" else "append").parquet(out)
+    }
   }
 
   /** The accumulated result log as one table: every served batch's

@@ -1087,4 +1087,62 @@ class AnnSpec extends SparkSpec {
       assert(got == exact, s"search n=$n dim=$dim nCents=$nCents")
     }
   }
+
+  test("splitFatClusters retires fat cells locally, preserves membership, no-ops when balanced") {
+    // one fat cell (300 members on a line near the origin) + two thin
+    // ones far away; maxRows=100 → the fat cell splits into 3 sub-cells
+    val blob = (0L until 300L).map(i => (i, Array(i / 300.0, (i % 7) / 1000.0)))
+    val right = (300L until 320L).map(i => (i, Array(10.0 + (i % 5) * 0.01, 0.0)))
+    val up = (320L until 340L).map(i => (i, Array(0.0, 10.0 + (i % 5) * 0.01)))
+    val corpus = (blob ++ right ++ up).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 0.0)),
+      (2L, Array(0.0, 10.0))).toDF("cid", "cvec")
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val (newIdx, newCents) = Ann.splitFatClusters(assigned, "embedding",
+      "vec_id", cents, "cid", "cvec", maxRows = 100)
+    // centroid table: cid 0 retired, 1/2 kept, 3 fresh ids appended
+    val ids = newCents.select(col("cid").cast("long")).as[Long]
+      .collect().toSet
+    assert(!ids.contains(0L) && ids.contains(1L) && ids.contains(2L))
+    assert(ids.count(_ >= 3L) == 3 && ids.size == 5)
+    // membership preserved exactly; untouched cells keep their ids
+    assert(newIdx.count() == 340)
+    assert(newIdx.select("vec_id").as[Long].collect().toSet ==
+      (0L until 340L).toSet)
+    assert(newIdx.filter($"vec_id" >= 300L && $"vec_id" < 320L)
+      .select(col("cluster_id").cast("long")).as[Long]
+      .collect().forall(_ == 1L))
+    assert(newIdx.filter($"vec_id" >= 320L)
+      .select(col("cluster_id").cast("long")).as[Long]
+      .collect().forall(_ == 2L))
+    // the fat cell's members land ONLY in the fresh sub-cells, and the
+    // split actually rebalances (the line blob divides ~evenly)
+    val blobAssign = newIdx.filter($"vec_id" < 300L)
+      .select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(blobAssign.values.toSet.forall(_ >= 3L))
+    assert(blobAssign.values.toSet.size == 3)
+    val maxCell = newIdx.groupBy("cluster_id").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(maxCell <= 160L, s"max cell still $maxCell after the split")
+    // local refinement semantics: each member sits at the argmin over
+    // ITS OLD cell's sub-centroids (re-derived independently here)
+    val subCents = newCents.filter(col("cid") >= 3L)
+    val rederived = Ann.ivfAssign(blob.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", subCents, "cid", "cvec")
+      .select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(blobAssign == rederived)
+    // a balanced index is returned UNCHANGED (same instances — no jobs)
+    val (same, sameCents) = Ann.splitFatClusters(newIdx, "embedding",
+      "vec_id", newCents, "cid", "cvec", maxRows = 200)
+    assert((same eq newIdx) && (sameCents eq newCents))
+    // loud guards
+    val e = intercept[IllegalArgumentException] {
+      Ann.splitFatClusters(corpus, "embedding", "vec_id", cents,
+        "cid", "cvec", maxRows = 100)
+    }
+    assert(e.getMessage.contains("cluster_id"))
+  }
 }

@@ -144,6 +144,36 @@ class CascadeServeSpec extends SparkSpec {
     assert(CascadeServe.results(spark, out).count() == once)
   }
 
+  test("a capped micro-batch (maxBatchQueries) serves sliced, row-identical, still replay-idempotent") {
+    val (root, out) = setup()
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff", 3L -> "sort pipelines", 4L -> "hello world",
+      5L -> "merge work in the key sector")
+    // uncapped reference
+    val refOut = out + "_ref"
+    CascadeServe.sink(root, refOut, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    def rows(p: String) = CascadeServe.results(spark, p)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    // cap 2 → 3 slices; output must equal the one-plan serve
+    val capped = CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg, maxBatchQueries = 2) _
+    capped(qs.toDF("qid", "qtext", "qvec"), 0L)
+    assert(rows(out) == rows(refOut) && rows(out).nonEmpty)
+    // replay: the slice-0 overwrite clears the old slices — no duplication
+    capped(qs.toDF("qid", "qtext", "qvec"), 0L)
+    assert(rows(out) == rows(refOut))
+    // cross-slice duplicate qids refused before any slice is served
+    val dup = (queries(1L -> "join row") ++ queries(1L -> "sort work"))
+      .toDF("qid", "qtext", "qvec")
+    val e = intercept[IllegalArgumentException] { capped(dup, 1L) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("empty and all-blank batches write nothing") {
     val (root, out) = setup()
     val sink = mkSink(root, out)

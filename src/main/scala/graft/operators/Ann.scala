@@ -959,8 +959,10 @@ object Ann {
     * query probing it pay a bigger stage-one scan, and at the extreme
     * its directory becomes one hard-to-split scan unit. Every cluster
     * with more than `maxRows` members has its members re-clustered
-    * (per-cluster [[trainCentroids]] into ceil(n/maxRows) ≥ 2
-    * sub-centroids, seed-deterministic) and the centroid table is
+    * (per-cluster [[trainCentroids]] into ceil(1.25·n/maxRows) ≥ 2
+    * sub-centroids — 25% headroom so ~80% average occupancy, making
+    * single-pass convergence the norm — seed-deterministic) and the
+    * centroid table is
     * rewritten with the fat centroid RETIRED and its sub-centroids
     * appended under fresh ids (max existing cid + running offset) —
     * untouched clusters keep their ids and their rows are never read
@@ -975,8 +977,9 @@ object Ann {
     * That is the same approximation class as IVF itself; when a full
     * rebuild is affordable, `ivfAssignBig(corpus, newCents)` is the
     * global alternative. KMeans does not promise balanced cells, so
-    * one pass may leave a sub-cluster above `maxRows` on pathological
-    * data — [[clusterAudit]] is the loop condition.
+    * even with the headroom a pass can leave a sub-cluster above
+    * `maxRows` on skewed-density data (duplicate-point degeneracy
+    * cannot split at all) — [[clusterAudit]] is the loop condition.
     *
     * Returns (reassigned index, new centroid table): commit the pair
     * atomically with
@@ -1006,7 +1009,12 @@ object Ann {
     var reassigned = Vector.empty[DataFrame]
     fat.foreach { case (cid, n) =>
       val members = assigned.filter(col("cluster_id") === cid)
-      val kSub = math.max(2, math.ceil(n.toDouble / maxRows).toInt)
+      // 25% headroom: ceil(n/maxRows) sub-cells would need PERFECTLY
+      // balanced KMeans cells to land under maxRows (average occupancy
+      // = the limit itself); targeting ~80% average occupancy makes
+      // single-pass convergence the norm instead of the lucky case,
+      // at the price of slightly smaller cells
+      val kSub = math.max(2, math.ceil(n.toDouble * 1.25 / maxRows).toInt)
       // trained cids are 0-based; shift to globally fresh ids
       val sub = collectCentroids(
         trainCentroids(members, embCol, kSub, seed), "cid", "cvec")

@@ -504,7 +504,16 @@ final class MultiStageSearch(
     *    §2.7's prescribed batch shape — with the duplicate-qid guard
     *    as a counts-only aggregate and the ner frame localCheckpointed
     *    (it is read 3× downstream: isEmpty, syn-width, joins). The
-    *    driver never holds the texts.
+    *    texts are never COLLECTED to the driver for resolution (the
+    *    round-15 probe measured the driver path collapsing at 1M
+    *    queries); the resolved compact frame IS still broadcast,
+    *    because the whole batch design broadcasts the query side (the
+    *    pair stream is corpus × broadcast(queries)) — so batch size
+    *    stays bounded by a broadcastable query frame (millions of
+    *    queries, not tens of millions). Logs beyond that bound should
+    *    be served in slices (the [[graft.streaming.CascadeServe]]
+    *    `maxBatchQueries` pattern), which is also what the measured
+    *    per-plan memory cliff recommends anyway.
     *
     * Both paths produce the identical ner frame through the same
     * [[MultiStageSearch.resolveQuery]] (CascadeBatchSpec pins

@@ -122,6 +122,13 @@ object WindowChunk {
                         chunkLen: Long = 0L): DataFrame = {
     requireArgs(partCols, lookback, aggs)
     require(hotKeyThreshold >= 1, s"hotKeyThreshold $hotKeyThreshold must be >= 1")
+    // chunkLen is validated EAGERLY even though only the chunked
+    // branch uses it: a config error must fail on every call, not
+    // months later on the first day the data turns skewed
+    val cl = if (chunkLen > 0L) chunkLen else math.max(lookback, 1L)
+    require(cl >= lookback,
+      s"chunkLen $cl < lookback $lookback — a frame could span more than " +
+        "two buckets and context rows would be missing from it")
     if (maxKeyRows(df, partCols) > hotKeyThreshold)
       trailingRange(df, partCols, orderCol, lookback, aggs, chunkLen)
     else {

@@ -126,41 +126,44 @@ object IndexStore {
   // split re-opens it, so the store closes it again: the centroid
   // table rides INSIDE the version directory (an underscore-prefixed
   // sidecar dir, invisible to the index scan's file listing, exactly
-  // like _SUCCESS), and the version's _SUCCESS marker is created LAST
-  // — manually, after BOTH artifacts are fully written — so a
-  // committed version always holds a mutually-consistent pair and a
-  // crash at any earlier point leaves an uncommitted directory that
-  // [[committedVersions]] skips and a later build overwrites-by-number.
+  // like _SUCCESS), and the PAIR is published by ONE atomic directory
+  // rename of a dot-prefixed staging dir — both artifacts (and the
+  // index write's own _SUCCESS) are fully written while invisible to
+  // every reader, so a committed version always holds a
+  // mutually-consistent pair, a crash at any earlier point leaves
+  // only invisible `.build_v<N>` debris a later attempt overwrites,
+  // and nothing mutates process-global state (an earlier draft
+  // suppressed the _SUCCESS marker via the shared hadoopConfiguration,
+  // which would have raced every concurrent write in the application).
+  // Atomic-rename is the local/HDFS contract; object stores without
+  // atomic rename need their committer's equivalent.
   // ---------------------------------------------------------------
 
   private val CentroidSidecar = "_centroids"
 
   /** Write a new immutable (index, centroids) version: the index
-    * cluster-partitioned as in [[writeVersioned]], the centroid table
-    * as a `_centroids` sidecar in the SAME version directory, the
-    * commit marker last. Readers use [[loadCurrentWithCentroids]] to
-    * get the pair atomically. */
+    * cluster-partitioned as in [[writeVersioned]] plus the centroid
+    * table as a `_centroids` sidecar, both fully written into an
+    * invisible `.build_v<N>` staging dir, then published by ONE
+    * atomic rename to `v<N>`. Readers use
+    * [[loadCurrentWithCentroids]] to get the pair atomically. A
+    * failed rename (a concurrent writer already published the number)
+    * fails loudly rather than clobbering. */
   def writeVersionedWithCentroids(index: DataFrame, centroids: DataFrame,
                                   root: String): Long = {
     val spark = index.sparkSession
     val next = (allVersions(spark, root) :+ 0L).max + 1
-    val dir = s"$root/v$next"
-    // Suppress the index write's own _SUCCESS: the marker must not
-    // exist until the sidecar is also down, or a concurrent
-    // loadCurrent* could commit-read a half-written pair.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
-    val prev = Option(hconf.get(key))
-    hconf.set(key, "false")
-    try write(index, dir)
-    finally prev match {
-      case Some(v) => hconf.set(key, v)
-      case None    => hconf.unset(key)
-    }
-    centroids.write.mode("overwrite").parquet(s"$dir/$CentroidSidecar")
+    val staging = s"$root/.build_v$next"
+    // write() is mode=overwrite, so crashed debris under the same
+    // staging name is replaced wholesale before the sidecar lands
+    write(index, staging)
+    centroids.write.mode("overwrite").parquet(s"$staging/$CentroidSidecar")
     val (fs, p) = fsOf(spark, root)
-    fs.create(new org.apache.hadoop.fs.Path(p, s"v$next/_SUCCESS"), true)
-      .close()
+    val ok = fs.rename(new org.apache.hadoop.fs.Path(p, s".build_v$next"),
+      new org.apache.hadoop.fs.Path(p, s"v$next"))
+    require(ok, s"failed to publish $staging -> $root/v$next — the " +
+      "version number was taken by a concurrent writer (the store's " +
+      "single-writer contract); rebuild picks the next number on retry")
     next
   }
 

@@ -52,14 +52,19 @@ import org.apache.spark.sql.DataFrame
   * per-query cost 0.61 s at 32 queries, 0.79 s at 128, 1.6 s at 256
   * on the 2M index — past the cliff, BIGGER batches yield LOWER QPS.
   * When the source trigger can't bound batch size, `maxBatchQueries`
-  * bounds it here: the batch is sliced deterministically (row_number
-  * over qid), each slice served as its own plan, slice 0 written
-  * `overwrite` and the rest `append` into the same `batch=<id>`
-  * directory — so a replayed batch still REPLACES its own output
-  * (the overwrite clears stale slices first) and a crash mid-slices
-  * leaves debris the replay clears. Cross-slice duplicate qids are
-  * guarded before slicing (each slice's own prelude can only see its
-  * slice).
+  * bounds it here: the batch is sliced deterministically by qid HASH
+  * into ceil(n / cap) slices — a narrow per-row expression, chosen
+  * over a row_number window precisely because a global-sort slicer
+  * would funnel the whole oversized batch (vectors included) through
+  * one task, recreating the memory cliff the cap exists to avoid.
+  * Hash slices are cap-sized in expectation, not exactly (the bound
+  * is a memory target, not an exactness contract). Each slice is
+  * served as its own plan, slice 0 written `overwrite` and the rest
+  * `append` into the same `batch=<id>` directory — so a replayed
+  * batch still REPLACES its own output (the overwrite clears stale
+  * slices first) and a crash mid-slices leaves debris the replay
+  * clears. Cross-slice duplicate qids are guarded before slicing
+  * (each slice's own prelude can only see its slice).
   */
 object CascadeServe {
 
@@ -81,9 +86,13 @@ object CascadeServe {
     // of the micro-batch), not by executing the served plan twice — an
     // isEmpty on `served` would run the full cascade once for the check
     // and again for the write, doubling per-batch serving cost.
-    import org.apache.spark.sql.functions.{col, count, lit, max, row_number, trim}
+    import org.apache.spark.sql.functions.{col, count, hash, lit, pmod}
+    // "non-blank" must match MultiStageSearch's Java-trim semantics
+    // (every char <= U+0020 is whitespace): at least one char ABOVE
+    // U+0020. Spark's trim() strips only spaces, so trim(text) != ''
+    // would judge a "\t"-only batch live and write empty debris.
     if (batch.filter(col(qtextCol).isNotNull &&
-        trim(col(qtextCol)) =!= "").isEmpty) return
+        col(qtextCol).rlike("[^\\x00-\\x20]")).isEmpty) return
     val spark = batch.sparkSession
     val (index, cent, _) = IndexStore.loadCurrentWithCentroids(spark, indexRoot)
     val search = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
@@ -100,12 +109,15 @@ object CascadeServe {
     require(batch.groupBy(col(qidCol)).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).isEmpty,
       s"CascadeServe: duplicate $qidCol values in the micro-batch")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(qidCol))
+    val n = batch.count()
+    val nSlices = ((n + maxBatchQueries - 1) / maxBatchQueries).toInt
+    if (nSlices <= 1) {
+      serve(batch).write.mode("overwrite").parquet(out)
+      return
+    }
     val sliced = batch
-      .withColumn("__slice",
-        ((row_number().over(w) - 1) / maxBatchQueries).cast("int"))
+      .withColumn("__slice", pmod(hash(col(qidCol)), lit(nSlices)))
       .localCheckpoint(true) // micro-batch-sized; read once per slice
-    val nSlices = sliced.agg(max("__slice")).collect()(0).getInt(0) + 1
     (0 until nSlices).foreach { j =>
       serve(sliced.filter(col("__slice") === j).drop("__slice"))
         .write.mode(if (j == 0) "overwrite" else "append").parquet(out)

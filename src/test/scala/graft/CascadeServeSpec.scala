@@ -179,6 +179,11 @@ class CascadeServeSpec extends SparkSpec {
     val sink = mkSink(root, out)
     sink(Seq.empty[(Long, String, Seq[Double])].toDF("qid", "qtext", "qvec"), 0L)
     sink(queries(1L -> "").toDF("qid", "qtext", "qvec"), 1L)
+    // non-space whitespace: Java trim (the prelude's F4 guard) blanks
+    // "\t"/"\n", so the sink's query-side guard must agree — a
+    // trim()-based guard would judge this batch live and write an
+    // empty batch=2 directory
+    sink(queries(1L -> "\t", 2L -> " \n ").toDF("qid", "qtext", "qvec"), 2L)
     assert(!new java.io.File(out).exists())
   }
 }

@@ -156,14 +156,20 @@ class JobCorpusSpec extends SparkSpec {
     // does not break partition discovery on the cluster-partitioned dir
     assert(i1.columns.toSet == Set("id", "payload", "cluster_id"))
     assert(IndexStore.loadCurrent(spark, root).count() == 3)
-    // crash sim: v2's pair fully written but the marker never landed —
-    // readers keep the v1 pair (marker is the LAST thing written)
+    // crash sim: v2's pair fully staged but the publish rename never
+    // happened — readers keep the v1 pair (the rename IS the commit),
+    // and a retry reuses the number, overwriting the staging debris
     val centsB = Seq((10L, Array(1.0, 1.0))).toDF("cid", "cvec")
     val idxB = Seq((1L, 10L, "a2")).toDF("id", "cluster_id", "payload")
     assert(IndexStore.writeVersionedWithCentroids(idxB, centsB, root) == 2L)
-    assert(new java.io.File(s"$root/v2/_SUCCESS").delete())
+    assert(new java.io.File(s"$root/v2")
+      .renameTo(new java.io.File(s"$root/.build_v2"))) // un-publish = the crash state
     val (i1b, c1b, v1b) = IndexStore.loadCurrentWithCentroids(spark, root)
     assert(v1b == 1L && i1b.count() == 3 && c1b.count() == 2)
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+    // the retry lands on the same number and publishes over the debris
+    assert(IndexStore.writeVersionedWithCentroids(idxB, centsB, root) == 2L)
+    assert(IndexStore.loadCurrentWithCentroids(spark, root)._3 == 2L)
     // a committed INDEX-ONLY version under the same root is refused
     // loudly: serving it would need a caller-supplied centroid path —
     // exactly the silent-mis-prune hazard the pair store removes

@@ -102,6 +102,14 @@ class WindowChunkSpec extends SparkSpec {
     val empty = Seq.empty[(String, Long, Long)].toDF("k", "o", "v")
     assert(WindowChunk.maxKeyRows(empty, Seq("k")) == 0L)
     assert(auto(empty, 10L).isEmpty)
+    // an invalid chunkLen is refused EAGERLY even when today's data is
+    // unskewed and would take the plain branch — a config error must
+    // not lie dormant until the first skewed day
+    val e2 = intercept[IllegalArgumentException] {
+      WindowChunk.trailingRangeAuto(hot, Seq("k"), "o", 10L,
+        Seq((count(lit(1)), "n")), hotKeyThreshold = 1000L, chunkLen = 5L)
+    }
+    assert(e2.getMessage.contains("chunkLen"))
   }
 
   test("guards are loud: null order key, chunkLen < lookback, empty aggs") {

@@ -124,6 +124,79 @@ object IndexMaintenance {
     }
   }
 
+  /** One balance decision, driver-sized — [[Report]]'s shape for the
+    * cell-size axis. */
+  final case class RebalanceReport(maxCellBefore: Long,
+                                   maxCellAfter: Option[Long],
+                                   split: Boolean, version: Option[Long],
+                                   meanRecall: Option[Double],
+                                   reason: String)
+
+  /** Balance-gated rebalance: [[maintain]]'s detect → rewrite →
+    * validate → commit loop applied to CELL-SIZE skew instead of
+    * distribution drift, over the versioned PAIR store. Detect is one
+    * counts-only histogram pass (the round-15 skew probe's residual
+    * hazard: a fat cell makes every query probing it pay a bigger
+    * stage-one scan); rewrite is [[Ann.splitFatClusters]] (local, cost
+    * ∝ fat cells); validate is mean recall@`evalK` at `nprobe` over
+    * `sampleQueries` vs the exact answer — splitting RAISES the cell
+    * count, so a fixed nprobe covers a smaller corpus fraction and
+    * recall can genuinely regress, which is exactly what this gate
+    * catches (raise nprobe with the cell count when it does); commit
+    * is [[IndexStore.writeVersionedWithCentroids]] — geometry and
+    * cluster-id space change together, the pair-store case. A
+    * balanced index returns without touching the store; a
+    * recall-regressed split is NOT committed and readers keep the
+    * previous pair. */
+  def rebalance(spark: SparkSession, root: String, embCol: String,
+                idCol: String, maxRows: Long, recallFloor: Double,
+                sampleQueries: DataFrame, evalK: Int = 10,
+                nprobe: Int = 4, seed: Long = 42L): RebalanceReport = {
+    require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
+    require(recallFloor > 0 && recallFloor <= 1,
+      s"recallFloor $recallFloor must be in (0, 1]")
+    require(!sampleQueries.isEmpty,
+      "rebalance: sampleQueries is empty — recall validation would be vacuous")
+    val (index, cents, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    def maxCell(df: DataFrame): Long = df
+      .filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L))).head().getLong(0)
+    val before = maxCell(index)
+    if (before <= maxRows)
+      return RebalanceReport(before, None, split = false, None, None,
+        s"max cell $before within maxRows $maxRows — index unchanged")
+    val (splitIdx0, splitCents) = Ann.splitFatClusters(index, embCol,
+      idCol, cents, "cid", "cvec", maxRows, seed)
+    val splitIdx = splitIdx0.localCheckpoint(true) // validation AND write
+    val ivf = Ann.ivfSearchBatch(splitIdx, embCol, idCol, splitCents,
+      "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
+    val exact = Knn.batchAgg(index, embCol, idCol,
+      sampleQueries, "qid", "qv", evalK)
+    // full-sample mean with distinct qids — maintain()'s exact rationale
+    val nQ = sampleQueries.select("qid").distinct().count()
+    val sumRecall = RetrievalEval.metricsAtK(
+        ivf.select(col("qid"), col(idCol), col("knn_rank")),
+        exact.select(col("qid"), col(idCol)),
+        "qid", idCol, "knn_rank", evalK)
+      .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
+    val meanRecall = sumRecall / nQ
+    val after = maxCell(splitIdx)
+    if (meanRecall < recallFloor)
+      RebalanceReport(before, Some(after), split = false, None,
+        Some(meanRecall),
+        s"split recall $meanRecall below floor $recallFloor at nprobe " +
+          s"$nprobe — pair NOT committed, previous geometry stays " +
+          "current (raise nprobe with the cell count, then retry)")
+    else {
+      val v = IndexStore.writeVersionedWithCentroids(splitIdx, splitCents, root)
+      RebalanceReport(before, Some(after), split = true, Some(v),
+        Some(meanRecall),
+        s"max cell $before exceeded $maxRows — split to $after, " +
+          s"validated (recall $meanRecall), committed pair v$v")
+    }
+  }
+
   /** One BETWEEN-REBUILDS maintenance step, driver-sized.
     * `affectedRatio` (affected ÷ total cluster partitions) is the
     * dial a scheduler reads to pick the NEXT step's strategy: the

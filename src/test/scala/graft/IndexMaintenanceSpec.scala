@@ -113,6 +113,50 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("rebalance: balanced no-op, fat pair split+validated+committed, regressed split NOT committed") {
+    // one fat cell (300 members on a line) + one thin far cell, stored
+    // as a versioned PAIR
+    val blob = (0L until 300L).map(i =>
+      (i, Array((i / 300.0).toFloat, ((i % 7) / 1000.0).toFloat)))
+    val far = (300L until 330L).map(i =>
+      (i, Array(10f + (i % 5) * 0.01f, 10f)))
+    val docs = (blob ++ far).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_rebal").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val queries = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    // generous threshold: balanced, store untouched
+    val r0 = IndexMaintenance.rebalance(spark, root, "embedding", "vec_id",
+      maxRows = 500, recallFloor = 0.5, queries, evalK = 5, nprobe = 2)
+    assert(!r0.split && r0.version.isEmpty && r0.maxCellBefore == 300)
+    assert(r0.reason.contains("unchanged"))
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+    // fat: split (ceil(1.25*300/100) = 4 sub-cells), validate, commit v2
+    val r1 = IndexMaintenance.rebalance(spark, root, "embedding", "vec_id",
+      maxRows = 100, recallFloor = 0.8, queries, evalK = 5, nprobe = 2)
+    assert(r1.split && r1.version.contains(2L), r1.toString)
+    assert(r1.maxCellBefore == 300 && r1.maxCellAfter.exists(_ <= 100))
+    assert(r1.meanRecall.exists(_ >= 0.8), r1.toString)
+    val (i2, c2, v2) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(v2 == 2L && c2.count() == 5 && i2.count() == 330)
+    // recall-regressed split is NOT committed: evalK=35 while the far
+    // cell holds 30 points — the exact top-35 must cross cells, and
+    // nprobe=1 provably cannot (recall <= 30/35) — previous pair stays
+    val r2 = IndexMaintenance.rebalance(spark, root, "embedding", "vec_id",
+      maxRows = 40, recallFloor = 0.95,
+      Seq((0L, Array(10.0, 10.0))).toDF("qid", "qv"),
+      evalK = 35, nprobe = 1)
+    assert(!r2.split && r2.version.isEmpty, r2.toString)
+    assert(r2.meanRecall.exists(_ < 0.95), r2.toString)
+    assert(r2.reason.contains("NOT committed"), r2.reason)
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    assert(IndexStore.loadCurrentWithCentroids(spark, root)._3 == 2L)
+  }
+
   test("applyDelta: deletes fold in, re-embedded doc moves cluster, counts reconcile") {
     // plain (non-versioned) store — the in-place path applyDelta serves
     val base = corpus(0)

@@ -965,10 +965,14 @@ object Ann {
     * centroid table is
     * rewritten with the fat centroid RETIRED and its sub-centroids
     * appended under fresh ids (max existing cid + running offset) —
-    * untouched clusters keep their ids and their rows are never read
-    * or reassigned, so cost ∝ fat clusters only (the
-    * upsertPartitioned philosophy applied to geometry). Null-cluster
-    * rows (null embeddings) pass through untouched.
+    * untouched clusters keep their ids and their rows are never
+    * reassigned. Cost ∝ fat clusters when `assigned` is a
+    * cluster-partitioned store read (each per-cluster filter prunes
+    * to one directory — the upsertPartitioned philosophy applied to
+    * geometry); over an UNPARTITIONED frame each fat cluster's filter
+    * re-scans the input, so localCheckpoint such a frame first when f
+    * is large. Null-cluster rows (null embeddings) pass through
+    * untouched.
     *
     * Semantics, stated precisely: the split REFINES the old partition
     * — each fat cluster's members are re-divided among that cluster's

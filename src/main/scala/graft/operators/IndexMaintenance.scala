@@ -93,25 +93,8 @@ object IndexMaintenance {
     val assigned = Ann.ivfAssignBig(fresh, embCol, idCol,
         newCents, "cid", "cvec")
       .localCheckpoint(true) // feeds validation AND the version write
-    val ivf = Ann.ivfSearchBatch(assigned, embCol, idCol, newCents,
-      "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
-    val exact = Knn.batchAgg(fresh, embCol, idCol,
-      sampleQueries, "qid", "qv", evalK)
-    // mean over the FULL sample, not over queries-with-results:
-    // metricsAtK emits no row for a qid whose probes all landed in
-    // empty cells — its true recall is 0 and it must drag the mean
-    // down, not vanish from it (averaging present rows would let a
-    // rebuild that fails part of the sample pass the gate).
-    // DISTINCT qids: metricsAtK aggregates per qid, so duplicate qids
-    // in the sample would inflate the denominator and silently deflate
-    // meanRecall — vetoing healthy rebuilds.
-    val nQ = sampleQueries.select("qid").distinct().count()
-    val sumRecall = RetrievalEval.metricsAtK(
-        ivf.select(col("qid"), col(idCol), col("knn_rank")),
-        exact.select(col("qid"), col(idCol)),
-        "qid", idCol, "knn_rank", evalK)
-      .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
-    val meanRecall = sumRecall / nQ
+    val meanRecall = meanRecallAt(assigned, newCents, fresh, embCol,
+      idCol, sampleQueries, evalK, nprobe)
     if (meanRecall < recallFloor)
       Report(js, retrained = false, None, Some(meanRecall),
         s"rebuild recall $meanRecall below floor $recallFloor — " +
@@ -122,6 +105,36 @@ object IndexMaintenance {
         s"drift $js exceeded $driftThreshold — retrained, validated " +
           s"(recall $meanRecall), committed v$v")
     }
+  }
+
+  /** The SHARED validation gate of [[maintain]] and [[rebalance]]:
+    * mean recall@`evalK` of the IVF serve over (assigned, cents) at
+    * `nprobe` against the exact answer over `exactCorpus` — extracted
+    * precisely because the first copy-paste of this block dropped a
+    * guard (the evalK-reachability check), and two gates must not
+    * drift. Mean over the FULL sample, not queries-with-results:
+    * metricsAtK emits no row for a qid whose probes all landed in
+    * empty cells — its true recall is 0 and it must drag the mean
+    * down, not vanish from it. DISTINCT qids: metricsAtK aggregates
+    * per qid, so duplicates would inflate the denominator and silently
+    * deflate the mean, vetoing healthy rebuilds. `sampleQueries`
+    * columns are `qid`/`qv` by contract (both public callers document
+    * it). */
+  private def meanRecallAt(assigned: DataFrame, cents: DataFrame,
+                           exactCorpus: DataFrame, embCol: String,
+                           idCol: String, sampleQueries: DataFrame,
+                           evalK: Int, nprobe: Int): Double = {
+    val ivf = Ann.ivfSearchBatch(assigned, embCol, idCol, cents,
+      "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
+    val exact = Knn.batchAgg(exactCorpus, embCol, idCol,
+      sampleQueries, "qid", "qv", evalK)
+    val nQ = sampleQueries.select("qid").distinct().count()
+    val sumRecall = RetrievalEval.metricsAtK(
+        ivf.select(col("qid"), col(idCol), col("knn_rank")),
+        exact.select(col("qid"), col(idCol)),
+        "qid", idCol, "knn_rank", evalK)
+      .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
+    sumRecall / nQ
   }
 
   /** One balance decision, driver-sized — [[Report]]'s shape for the
@@ -147,7 +160,8 @@ object IndexMaintenance {
     * cluster-id space change together, the pair-store case. A
     * balanced index returns without touching the store; a
     * recall-regressed split is NOT committed and readers keep the
-    * previous pair. */
+    * previous pair. `sampleQueries` carries (qidCol="qid",
+    * qvCol="qv") — [[maintain]]'s contract. */
   def rebalance(spark: SparkSession, root: String, embCol: String,
                 idCol: String, maxRows: Long, recallFloor: Double,
                 sampleQueries: DataFrame, evalK: Int = 10,
@@ -158,29 +172,26 @@ object IndexMaintenance {
     require(!sampleQueries.isEmpty,
       "rebalance: sampleQueries is empty — recall validation would be vacuous")
     val (index, cents, _) = IndexStore.loadCurrentWithCentroids(spark, root)
-    def maxCell(df: DataFrame): Long = df
-      .filter(col("cluster_id").isNotNull)
-      .groupBy("cluster_id").agg(count(lit(1)).as("__n"))
-      .agg(coalesce(max("__n"), lit(0L))).head().getLong(0)
+    // counts-only histogram max — the WindowChunk dispatch helper,
+    // minus null-cluster rows (null embeddings are not servable cells)
+    def maxCell(df: DataFrame): Long = WindowChunk.maxKeyRows(
+      df.filter(col("cluster_id").isNotNull), Seq("cluster_id"))
     val before = maxCell(index)
     if (before <= maxRows)
       return RebalanceReport(before, None, split = false, None, None,
         s"max cell $before within maxRows $maxRows — index unchanged")
+    // the floor must be reachable: recall@k divides by k, so an index
+    // smaller than evalK caps recall below 1 forever and the fat cell
+    // would silently never split — refuse loudly (maintain's guard)
+    val nIdx = index.count()
+    require(nIdx >= evalK,
+      s"rebalance: index has $nIdx rows < evalK $evalK — " +
+        "recall floor would be mathematically unreachable")
     val (splitIdx0, splitCents) = Ann.splitFatClusters(index, embCol,
       idCol, cents, "cid", "cvec", maxRows, seed)
     val splitIdx = splitIdx0.localCheckpoint(true) // validation AND write
-    val ivf = Ann.ivfSearchBatch(splitIdx, embCol, idCol, splitCents,
-      "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
-    val exact = Knn.batchAgg(index, embCol, idCol,
-      sampleQueries, "qid", "qv", evalK)
-    // full-sample mean with distinct qids — maintain()'s exact rationale
-    val nQ = sampleQueries.select("qid").distinct().count()
-    val sumRecall = RetrievalEval.metricsAtK(
-        ivf.select(col("qid"), col(idCol), col("knn_rank")),
-        exact.select(col("qid"), col(idCol)),
-        "qid", idCol, "knn_rank", evalK)
-      .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
-    val meanRecall = sumRecall / nQ
+    val meanRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
+      idCol, sampleQueries, evalK, nprobe)
     val after = maxCell(splitIdx)
     if (meanRecall < recallFloor)
       RebalanceReport(before, Some(after), split = false, None,

@@ -127,11 +127,12 @@ object IndexStore {
   // table rides INSIDE the version directory (an underscore-prefixed
   // sidecar dir, invisible to the index scan's file listing, exactly
   // like _SUCCESS), and the PAIR is published by ONE atomic directory
-  // rename of a dot-prefixed staging dir — both artifacts (and the
-  // index write's own _SUCCESS) are fully written while invisible to
-  // every reader, so a committed version always holds a
-  // mutually-consistent pair, a crash at any earlier point leaves
-  // only invisible `.build_v<N>` debris a later attempt overwrites,
+  // rename of a dot-prefixed, per-attempt-unique staging dir — both
+  // artifacts (and the index write's own _SUCCESS) are fully written
+  // while invisible to every reader, so a committed version always
+  // holds a mutually-consistent pair, a crash at any earlier point
+  // leaves only invisible `.build_v<N>_<attempt>` debris
+  // ([[pruneVersions]] sweeps stale ones),
   // and nothing mutates process-global state (an earlier draft
   // suppressed the _SUCCESS marker via the shared hadoopConfiguration,
   // which would have raced every concurrent write in the application).
@@ -153,17 +154,39 @@ object IndexStore {
                                   root: String): Long = {
     val spark = index.sparkSession
     val next = (allVersions(spark, root) :+ 0L).max + 1
-    val staging = s"$root/.build_v$next"
-    // write() is mode=overwrite, so crashed debris under the same
-    // staging name is replaced wholesale before the sidecar lands
+    // UNIQUE staging per attempt: a dot-prefixed dir is invisible to
+    // allVersions (unlike plain writeVersioned's immediately-visible
+    // vN dir), so two overlapping writers CAN both pick the same
+    // number — a shared staging name would let them interleave writes
+    // and publish a MIXED pair. Unique staging means each attempt's
+    // artifacts are self-consistent; the rename race below then
+    // decides a single winner. (The store's contract is still ONE
+    // writer — this makes a contract violation fail loudly instead of
+    // corrupting.)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val stagingName = s".build_v${next}_$attempt"
+    val staging = s"$root/$stagingName"
     write(index, staging)
     centroids.write.mode("overwrite").parquet(s"$staging/$CentroidSidecar")
     val (fs, p) = fsOf(spark, root)
-    val ok = fs.rename(new org.apache.hadoop.fs.Path(p, s".build_v$next"),
-      new org.apache.hadoop.fs.Path(p, s"v$next"))
-    require(ok, s"failed to publish $staging -> $root/v$next — the " +
-      "version number was taken by a concurrent writer (the store's " +
-      "single-writer contract); rebuild picks the next number on retry")
+    val dst = new org.apache.hadoop.fs.Path(p, s"v$next")
+    def lost(): Nothing = {
+      fs.delete(new org.apache.hadoop.fs.Path(p, stagingName), true)
+      throw new IllegalStateException(
+        s"failed to publish $staging -> $root/v$next — the version " +
+          "number was taken by a concurrent writer (the store's " +
+          "single-writer contract); staging cleaned up, retry picks " +
+          "the next number")
+    }
+    if (fs.exists(dst)) lost()
+    val ok = fs.rename(new org.apache.hadoop.fs.Path(p, stagingName), dst)
+    // HDFS renames INTO an existing directory rather than failing, so
+    // a loser's staging can land nested inside the winner's version —
+    // detect both outcomes and fail loudly (the nested dir is
+    // dot-prefixed, invisible to readers, and removed here).
+    if (!ok) lost()
+    val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
+    if (fs.exists(nested)) { fs.delete(nested, true); lost() }
     next
   }
 
@@ -203,6 +226,18 @@ object IndexStore {
       .filter(v => !keepSet.contains(v) && v < committed.last).sorted
     doomed.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"v$v"), true))
+    // stale pair-build staging debris: crashed writeVersionedWithCentroids
+    // attempts targeting an ALREADY-PUBLISHED number can never publish
+    // (an in-flight build always targets > committed.last, so this
+    // never races a live writer)
+    val StagingDir = "^\\.build_v(\\d+)(_.*)?$".r
+    fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { s =>
+      s.getPath.getName match {
+        case StagingDir(n, _) if n.toLong <= committed.last =>
+          fs.delete(s.getPath, true)
+        case _ =>
+      }
+    }
     doomed
   }
 

@@ -44,7 +44,10 @@ import org.apache.spark.sql.DataFrame
   * An empty micro-batch writes nothing (no empty batch=N debris), and
   * so does a batch whose queries are ALL blank — both detected from
   * the QUERY side (one cheap micro-batch scan), so the served plan
-  * executes exactly once per live batch.
+  * executes exactly once per live batch. A live batch that serves
+  * ZERO rows (e.g. null query vectors) is swept AFTER the write from
+  * the written listing — same no-debris contract, still one plan
+  * execution.
   *
   * **Micro-batch cap (`maxBatchQueries`).** The served-batch plan's
   * memory footprint scales with |Q| (the probed pair stream), and the
@@ -102,6 +105,7 @@ object CascadeServe {
     val out = s"$outPath/batch=$batchId"
     if (maxBatchQueries <= 0) {
       serve(batch).write.mode("overwrite").parquet(out)
+      dropIfDataless(spark, out)
       return
     }
     // sliced serving: per-slice preludes can only see their slice, so
@@ -122,6 +126,27 @@ object CascadeServe {
       serve(sliced.filter(col("__slice") === j).drop("__slice"))
         .write.mode(if (j == 0) "overwrite" else "append").parquet(out)
     }
+    dropIfDataless(spark, out)
+  }
+
+  /** Remove a batch directory that holds no DATA rows. A live batch
+    * can legitimately serve zero rows (e.g. every query vector null —
+    * all pair distances null, excluded by contract), and a data-less
+    * `batch=<id>` directory (just `_SUCCESS`, or 0-row part files)
+    * would crash [[results]] when it is the only output so far
+    * (parquet schema inference over zero rows). The check inspects the
+    * WRITTEN output — one listing plus, when part files exist, one
+    * read-back isEmpty over the tiny written result — never a second
+    * execution of the served plan. */
+  private def dropIfDataless(spark: org.apache.spark.sql.SparkSession,
+                             out: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val parts = fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith("part-"))
+    if (parts.isEmpty || spark.read.parquet(out).isEmpty)
+      fs.delete(path, true)
   }
 
   /** The accumulated result log as one table: every served batch's

@@ -186,4 +186,19 @@ class CascadeServeSpec extends SparkSpec {
     sink(queries(1L -> "\t", 2L -> " \n ").toDF("qid", "qtext", "qvec"), 2L)
     assert(!new java.io.File(out).exists())
   }
+
+  test("a LIVE batch that serves zero rows leaves no batch dir (post-write sweep)") {
+    val (root, out) = setup()
+    val sink = mkSink(root, out)
+    // non-blank text but a NULL query vector: every pair distance is
+    // null and excluded by contract, so the served result is empty —
+    // the query-side blank guard cannot catch this, the written-output
+    // sweep must (a dataless batch=0 dir would crash results())
+    val q = Seq((1L, "looking for a join job in the row area",
+      null.asInstanceOf[Seq[Double]])).toDF("qid", "qtext", "qvec")
+    sink(q, 0L)
+    val f = new java.io.File(out)
+    assert(!f.exists() || f.listFiles().isEmpty,
+      s"dataless batch dir survived: ${Option(f.listFiles()).map(_.toSeq)}")
+  }
 }

@@ -155,6 +155,15 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(r2.reason.contains("NOT committed"), r2.reason)
     assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
     assert(IndexStore.loadCurrentWithCentroids(spark, root)._3 == 2L)
+    // unreachable floor (index smaller than evalK) refused loudly —
+    // otherwise the fat cell would be silently vetoed forever
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.rebalance(spark, root, "embedding", "vec_id",
+        maxRows = 40, recallFloor = 0.95,
+        Seq((0L, Array(10.0, 10.0))).toDF("qid", "qv"),
+        evalK = 1000, nprobe = 1)
+    }
+    assert(e.getMessage.contains("unreachable"))
   }
 
   test("applyDelta: deletes fold in, re-embedded doc moves cluster, counts reconcile") {

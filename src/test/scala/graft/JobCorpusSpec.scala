@@ -178,6 +178,13 @@ class JobCorpusSpec extends SparkSpec {
       IndexStore.loadCurrentWithCentroids(spark, root)
     }
     assert(e.getMessage.contains("_centroids"))
+    // stale staging debris (crashed attempts targeting already-published
+    // numbers) is swept by pruneVersions; the live version set is kept
+    assert(new java.io.File(s"$root/.build_v1_dead").mkdirs())
+    IndexStore.pruneVersions(spark, root, keep = 3)
+    assert(!new java.io.File(s"$root/.build_v1_dead").exists())
+    assert(!new java.io.File(s"$root/.build_v2").exists()) // the crash-sim debris
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L, 3L))
   }
 
   test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {

@@ -1150,4 +1150,51 @@ class AnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cluster_id"))
   }
+
+  test("property: splitFatClusters preserves membership and refines LOCALLY on random geometries") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(30, 80)
+      k <- Gen.choose(2, 3)
+      maxRows <- Gen.choose(5L, 20L)
+      dim <- Gen.oneOf(2, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-50, 50).map(_ / 10.0)))
+    } yield (k, maxRows, rows)
+    PropHelper.forAll(gen, n = 6) { case (k, maxRows, rows) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val cents = rows.take(k).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("cid", "cvec")
+      val assigned = Ann.ivfAssign(df, "embedding", "vec_id",
+        cents, "cid", "cvec")
+      val before = assigned
+        .select(col("vec_id"), col("cluster_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val fat = before.values.groupBy(identity)
+        .collect { case (c, g) if g.size > maxRows => c }.toSet
+      val (nIdx, nCents) = Ann.splitFatClusters(assigned, "embedding",
+        "vec_id", cents, "cid", "cvec", maxRows)
+      // membership preserved exactly
+      val after = nIdx
+        .select(col("vec_id"), col("cluster_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(after.keySet == before.keySet, s"k=$k maxRows=$maxRows")
+      // centroid table: unique ids, and every assigned cid exists in it
+      val cids = nCents.select(col("cid").cast("long")).as[Long]
+        .collect().toSeq
+      assert(cids.distinct.size == cids.size)
+      assert(after.values.toSet.subsetOf(cids.toSet))
+      // retired fat ids are gone from the table; thin ids survive
+      assert(fat.forall(c => !cids.contains(c)))
+      assert((before.values.toSet -- fat).forall(cids.contains))
+      // LOCAL refinement: untouched rows keep their cluster verbatim,
+      // fat-cell members land only in fresh ids (>= k, past the max
+      // original cid)
+      after.foreach { case (id, c) =>
+        if (fat.contains(before(id)))
+          assert(c >= k, s"fat member $id landed in old-id space $c")
+        else assert(c == before(id), s"thin member $id moved: ${before(id)} -> $c")
+      }
+    }
+  }
 }

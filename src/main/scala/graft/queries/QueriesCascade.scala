@@ -344,7 +344,12 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     (pred, qvec, k) => {
       val pool0 = index.filter(col("cluster_id").isin(probed: _*))
       val pool = extraFilter.fold(pool0)(pool0.filter)
-      Knn.exact(pred.fold(pool)(pool.filter), "embedding", "doc_id", qvec, k)
+      // exactDefined, not exact: the knnStage contract requires custom
+      // backends to never surface null-distance rows. Probed pools
+      // exclude null-cluster rows today, but the backend must enforce
+      // the contract itself rather than lean on that coincidence.
+      Knn.exactDefined(pred.fold(pool)(pool.filter), "embedding", "doc_id",
+        qvec, k)
     }
   }
 

@@ -220,6 +220,76 @@ object IndexMaintenance {
     }
   }
 
+  /** Outcome of the composed [[rebalanceUntilBalanced]] loop: every
+    * step's report in order, plus whether the index ended balanced. */
+  final case class RebalanceLoopReport(steps: Seq[RebalanceReport],
+                                       balanced: Boolean, reason: String)
+
+  /** [[rebalance]] composed to CONVERGENCE — the iterate-to-balanced
+    * driver [[Ann.splitFatClusters]]'s scaladoc promises
+    * ("clusterAudit is the loop condition"): audit → split →
+    * recall-validate → pair-commit, repeated until the max cell fits
+    * `maxRows`, with the termination cases a naive `while (fat)` loop
+    * gets wrong:
+    *
+    *  - **No-progress break.** KMeans cannot split a cell of
+    *    duplicate points (every sub-centroid coincides; ties assign
+    *    all members to one sub-cell), and skewed density can leave a
+    *    sub-cell exactly as fat as its parent — a caller looping on
+    *    `maxCellAfter > maxRows` alone spins forever. A step whose
+    *    split leaves the max cell unchanged ends the loop with
+    *    `balanced = false`. The unproductive step may still have
+    *    COMMITTED a version (other fat cells can improve even when
+    *    the largest cannot, so the commit is not rolled back;
+    *    [[IndexStore.pruneVersions]] reclaims truly-idle versions).
+    *  - **Recall-veto stop.** A step vetoed by the recall gate leaves
+    *    the store unchanged, so iterating again would recompute the
+    *    identical vetoed split — stop and surface the veto reason
+    *    (raise nprobe with the cell count, then rerun the loop).
+    *  - **maxIter bound.** Each productive step strictly shrinks the
+    *    max cell, so convergence is typically 1–2 steps (the 25%
+    *    headroom in [[Ann.splitFatClusters]]); `maxIter` is the
+    *    backstop, not the expected path.
+    *
+    * The per-step seed varies (`seed + step`) so a KMeans pass that
+    * left a sub-cell fat retries under a different initialization. */
+  def rebalanceUntilBalanced(spark: SparkSession, root: String,
+      embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
+      sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 8): RebalanceLoopReport = {
+    require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
+    var steps = Vector.empty[RebalanceReport]
+    var iter = 0
+    while (iter < maxIter) {
+      val r = rebalance(spark, root, embCol, idCol, maxRows, recallFloor,
+        sampleQueries, evalK, nprobe, seed + iter)
+      steps :+= r
+      (r.split, r.maxCellAfter) match {
+        case (false, None) =>
+          return RebalanceLoopReport(steps, balanced = true,
+            s"balanced after ${steps.size - 1} committed step(s): ${r.reason}")
+        case (false, Some(_)) =>
+          return RebalanceLoopReport(steps, balanced = false,
+            s"stopped at step ${steps.size}: recall gate vetoed the " +
+              s"split and the store is unchanged — ${r.reason}")
+        case (true, Some(after)) if after <= maxRows =>
+          return RebalanceLoopReport(steps, balanced = true,
+            s"balanced in ${steps.size} step(s): ${r.reason}")
+        case (true, Some(after)) if after >= r.maxCellBefore =>
+          return RebalanceLoopReport(steps, balanced = false,
+            s"stopped at step ${steps.size}: no progress — the split " +
+              s"left the max cell at $after (duplicate-point degeneracy " +
+              "or KMeans collapse; this cell cannot be split by geometry)")
+        case _ => // strict progress, still fat — iterate
+      }
+      iter += 1
+    }
+    RebalanceLoopReport(steps, balanced = false,
+      s"maxIter $maxIter exhausted with max cell " +
+        s"${steps.last.maxCellAfter.getOrElse(steps.last.maxCellBefore)} " +
+        s"still above $maxRows")
+  }
+
   /** One BETWEEN-REBUILDS maintenance step, driver-sized.
     * `affectedRatio` (affected ÷ total cluster partitions) is the
     * dial a scheduler reads to pick the NEXT step's strategy: the

@@ -166,6 +166,68 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("unreachable"))
   }
 
+  test("rebalanceUntilBalanced: converges on splittable skew, breaks on duplicate-point degeneracy, stops on veto") {
+    import IndexMaintenance.rebalanceUntilBalanced
+    val queries = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    def freshPairRoot(docs: org.apache.spark.sql.DataFrame,
+                      cents: org.apache.spark.sql.DataFrame,
+                      tag: String): String = {
+      val root = Files.createTempDirectory(s"graft_loop_$tag").toString + "/idx"
+      IndexStore.writeVersionedWithCentroids(
+        Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+        cents, root)
+      root
+    }
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("cid", "cvec")
+    // (a) already balanced: one audit step, store untouched
+    val lineBlob = (0L until 300L).map(i =>
+      (i, Array((i / 300.0).toFloat, ((i % 7) / 1000.0).toFloat)))
+    val far = (300L until 330L).map(i =>
+      (i, Array(10f + (i % 5) * 0.01f, 10f)))
+    val docs = (lineBlob ++ far).toDF("vec_id", "embedding")
+    val rootA = freshPairRoot(docs, cents, "bal")
+    val a = rebalanceUntilBalanced(spark, rootA, "embedding", "vec_id",
+      maxRows = 500, recallFloor = 0.5, queries, evalK = 5, nprobe = 2)
+    assert(a.balanced && a.steps.size == 1 && !a.steps.head.split)
+    assert(IndexStore.committedVersions(spark, rootA) == Seq(1L))
+    // (b) splittable fat cell: converges, commits, max cell fits
+    val rootB = freshPairRoot(docs, cents, "fat")
+    val b = rebalanceUntilBalanced(spark, rootB, "embedding", "vec_id",
+      maxRows = 100, recallFloor = 0.8, queries, evalK = 5, nprobe = 2)
+    assert(b.balanced, b.reason)
+    assert(b.steps.nonEmpty && b.steps.last.maxCellAfter.exists(_ <= 100))
+    assert(IndexStore.committedVersions(spark, rootB).size ==
+      1 + b.steps.count(_.split))
+    // (c) duplicate-point degeneracy: 300 IDENTICAL vectors cannot be
+    // split by geometry — a naive while(fat) caller loops forever; the
+    // loop must terminate with a no-progress break, not spin
+    val dupBlob = (0L until 300L).map(i => (i, Array(0.0f, 0.0f)))
+    val dupDocs = (dupBlob ++ far).toDF("vec_id", "embedding")
+    val rootC = freshPairRoot(dupDocs, cents, "dup")
+    val c = rebalanceUntilBalanced(spark, rootC, "embedding", "vec_id",
+      maxRows = 100, recallFloor = 0.5, queries, evalK = 5, nprobe = 2,
+      maxIter = 8)
+    assert(!c.balanced, c.reason)
+    assert(c.reason.contains("no progress"), c.reason)
+    assert(c.steps.size < 8, s"degeneracy must break early: ${c.steps.size}")
+    // (d) recall-vetoed split stops the loop with the veto surfaced
+    // (the provable geometry: evalK=35 > far cell's 30 rows, nprobe=1)
+    val rootD = freshPairRoot(docs, cents, "veto")
+    val d = rebalanceUntilBalanced(spark, rootD, "embedding", "vec_id",
+      maxRows = 40, recallFloor = 0.95,
+      Seq((0L, Array(10.0, 10.0))).toDF("qid", "qv"), evalK = 35, nprobe = 1)
+    assert(!d.balanced && d.steps.size == 1, d.reason)
+    assert(d.reason.contains("vetoed"), d.reason)
+    assert(IndexStore.committedVersions(spark, rootD) == Seq(1L))
+    // loud guard
+    intercept[IllegalArgumentException] {
+      rebalanceUntilBalanced(spark, rootA, "embedding", "vec_id",
+        maxRows = 100, recallFloor = 0.5, queries, maxIter = 0)
+    }
+  }
+
   test("maintain commits the PAIR: a drift retrain on a shared root stays servable") {
     // The round-15 judge's first weak mark: maintain committed via
     // index-only writeVersioned, so the first drift retrain on a root

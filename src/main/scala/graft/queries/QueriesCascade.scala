@@ -318,11 +318,15 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     })
 
   /** The committed (index, centroids) pair every served cascade query
-    * reads — one atomic load per call site. */
+    * reads — one atomic resolution per call site. The CACHED load:
+    * repeat queries against the same root re-list the version
+    * directory (freshness check) but skip the per-version schema
+    * inference and sidecar re-read — the round-15 bench measured the
+    * per-query pair load as a small, visible residual on c5–c10. */
   private def cascadePair(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (idx, cent, _) = graft.sources.IndexStore
-      .loadCurrentWithCentroids(s, cascadeIvfFor(s, d))
+      .loadCurrentWithCentroidsCached(s, cascadeIvfFor(s, d))
     (idx, cent)
   }
 

@@ -199,9 +199,19 @@ object IndexStore {
     * store exists to remove. */
   def loadCurrentWithCentroids(spark: SparkSession, root: String)
       : (DataFrame, DataFrame, Long) = {
+    val v = currentCommittedVersion(spark, root)
+    val pair = loadVersionWithCentroids(spark, root, v)
+    (pair._1, pair._2, v)
+  }
+
+  private def currentCommittedVersion(spark: SparkSession, root: String): Long = {
     val vs = committedVersions(spark, root)
     require(vs.nonEmpty, s"no committed index version under $root")
-    val v = vs.last
+    vs.last
+  }
+
+  private def loadVersionWithCentroids(spark: SparkSession, root: String,
+                                       v: Long): (DataFrame, DataFrame) = {
     val (fs, p) = fsOf(spark, root)
     val side = new org.apache.hadoop.fs.Path(p, s"v$v/$CentroidSidecar")
     require(fs.exists(side),
@@ -209,8 +219,35 @@ object IndexStore {
         "sidecar — it was written by writeVersioned (index-only). " +
         "Serving needs writeVersionedWithCentroids so the index and the " +
         "centroid geometry it was assigned with flip together.")
-    (load(spark, s"$root/v$v"), spark.read.parquet(side.toString), v)
+    (load(spark, s"$root/v$v"), spark.read.parquet(side.toString))
   }
+
+  /** [[loadCurrentWithCentroids]] with a per-session pair cache for
+    * REPEAT serving (the c5–c10 shape: many queries against one root
+    * in one session). Freshness is identical to the uncached form —
+    * every call re-LISTS the committed versions (one cheap directory
+    * scan, the same check CascadeServe pays per micro-batch) — only
+    * the per-version artifacts are cached: schema inference and the
+    * sidecar footer read are skipped when the newest committed version
+    * is unchanged, which is safe because versions are immutable by
+    * construction (a flip is a NEW directory, never a rewrite). A flip
+    * is picked up on the very next call; the sidecar-less refusal
+    * fires exactly as in the uncached form. */
+  def loadCurrentWithCentroidsCached(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame, Long) = {
+    val v = currentCommittedVersion(spark, root)
+    val (idx, cent) = pairCache.get((spark, root)) match {
+      case Some((cv, i, c)) if cv == v => (i, c)
+      case _ =>
+        val pair = loadVersionWithCentroids(spark, root, v)
+        pairCache.put((spark, root), (v, pair._1, pair._2))
+        pair
+    }
+    (idx, cent, v)
+  }
+
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, DataFrame, DataFrame)]
 
   /** Drop all but the newest `keep` committed versions plus any
     * uncommitted debris older than the newest committed one. Returns

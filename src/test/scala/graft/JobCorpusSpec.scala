@@ -187,6 +187,35 @@ class JobCorpusSpec extends SparkSpec {
     assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L, 3L))
   }
 
+  test("cached pair load: repeat calls reuse the pair, a version flip is picked up immediately") {
+    val root = Files.createTempDirectory("graft_pcache").toString + "/idx"
+    val centsA = Seq((0L, Array(0.0, 0.0))).toDF("cid", "cvec")
+    val idxA = Seq((1L, 0L, "a"), (2L, 0L, "b"))
+      .toDF("id", "cluster_id", "payload")
+    IndexStore.writeVersionedWithCentroids(idxA, centsA, root)
+    val (i1, c1, v1) = IndexStore.loadCurrentWithCentroidsCached(spark, root)
+    assert(v1 == 1L && i1.count() == 2 && c1.count() == 1)
+    // repeat call: the SAME materialized pair objects come back (the
+    // cache hit the whole point — no schema re-inference per query)
+    val (i1b, c1b, v1b) = IndexStore.loadCurrentWithCentroidsCached(spark, root)
+    assert(v1b == 1L && (i1b eq i1) && (c1b eq c1))
+    // a committed flip is visible on the very next cached call — the
+    // freshness check is the same per-call version listing the
+    // uncached form does, so the cache can never serve a stale pair
+    val centsB = Seq((10L, Array(1.0, 1.0)), (11L, Array(2.0, 2.0)))
+      .toDF("cid", "cvec")
+    val idxB = Seq((1L, 10L, "a2")).toDF("id", "cluster_id", "payload")
+    IndexStore.writeVersionedWithCentroids(idxB, centsB, root)
+    val (i2, c2, v2) = IndexStore.loadCurrentWithCentroidsCached(spark, root)
+    assert(v2 == 2L && i2.count() == 1 && c2.count() == 2)
+    assert(!(i2 eq i1))
+    // distinct roots do not collide in the cache
+    val root2 = Files.createTempDirectory("graft_pcache2").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(idxA, centsA, root2)
+    assert(IndexStore.loadCurrentWithCentroidsCached(spark, root2)._3 == 1L)
+    assert(IndexStore.loadCurrentWithCentroidsCached(spark, root)._3 == 2L)
+  }
+
   test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {
     // the documented recovery contract: a corrupt path must fail every
     // retry loudly — silently treating it as empty would overwrite the

@@ -32,7 +32,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * resolve them inside the cluster via `mapPartitions` (SURVEY §2.7's
   * batch shape), so an offline log never funnels its texts through
   * the driver. 0 forces the distributed path. Both paths are
-  * row-identical by construction (CascadeBatchSpec pins it). */
+  * row-identical by construction (CascadeBatchSpec pins it).
+  *
+  * `broadcastQueryMax`: the batch cascades BROADCAST the resolved
+  * query frame (the pair stream is corpus × broadcast(queries)), which
+  * bounds a single plan at a broadcastable query side. Logs larger
+  * than this are hash-sliced by qid and served as SEQUENTIAL per-slice
+  * plans whose bounded results union (the CascadeServe slicer idiom,
+  * automatic) — so a 10M+ offline log runs without a manual knob. 0
+  * (the default) derives the bound from the JVM heap: ~1 GiB of
+  * ~1 KiB query rows per 16 GiB of heap (a 32 GiB driver ⇒ ~2M
+  * queries per slice — "millions, not tens of millions" made
+  * operational). Positive values override; the slices are hash-sized
+  * in expectation, not exactly (the bound is a memory target). */
 final case class CascadeConfig(
     topK: Int = 10,
     relaxThreshold: Int = 5,
@@ -41,7 +53,8 @@ final case class CascadeConfig(
     finalN: Int = 5,
     wJudge: Double = 0.7,
     wRule: Double = 0.3,
-    semanticDriverBatchMax: Int = 1024)
+    semanticDriverBatchMax: Int = 1024,
+    broadcastQueryMax: Int = 0)
 
 final class MultiStageSearch(
     corpus: DataFrame, idCol: String, textCol: String, embCol: String,
@@ -431,12 +444,14 @@ final class MultiStageSearch(
         "backends, or searchGatedBatchServed over a cluster-assigned index")
     Ann.requireIntegralId(corpus, idCol, "searchGatedBatch", "corpus id")
     Ann.requireIntegralId(queries, qidCol, "searchGatedBatch", "query id")
-    batchPrelude("searchGatedBatch", queries, qidCol, qtextCol, qvecCol) match {
-      case Left(empty) => empty
-      case Right((nerDf, maxSyn, qframe)) =>
-        gatedBatchCore(qidCol, nerDf, maxSyn,
-          corpus.crossJoin(broadcast(qframe)))
-    }
+    def one(q: DataFrame): DataFrame =
+      batchPrelude("searchGatedBatch", q, qidCol, qtextCol, qvecCol) match {
+        case Left(empty) => empty
+        case Right((nerDf, maxSyn, qframe)) =>
+          gatedBatchCore(qidCol, nerDf, maxSyn,
+            corpus.crossJoin(broadcast(qframe)))
+      }
+    sliceDispatch(queries, qidCol)(one).getOrElse(one(queries))
   }
 
   /** [[searchGatedBatch]] over a cluster-assigned (IVF) index — the
@@ -467,26 +482,81 @@ final class MultiStageSearch(
       "corpus id")
     Ann.requireIntegralId(queries, qidCol, "searchGatedBatchServed",
       "query id")
-    batchPrelude("searchGatedBatchServed", queries, qidCol, qtextCol,
-        qvecCol) match {
-      case Left(empty) => empty
-      case Right((nerDf, maxSyn, qframe)) =>
-        val cent = centroids.select(col(cidCol).cast("long").as("__cid"),
-          col(cvecCol).cast("array<double>").as("__cvec"))
-        val wp = Window.partitionBy("__qid")
-          .orderBy(col("__cd"), col("__cid"))
-        val probeMap = qframe.select(col("__qid"), col("__qv"))
-          .crossJoin(broadcast(cent))
-          .withColumn("__cd", VectorFunctions.l2(col("__cvec"), col("__qv")))
-          .withColumn("__pr", row_number().over(wp))
-          .filter(col("__pr") <= nprobe)
-          .select(col("__qid"), col("__cid"))
-        val qprobe = qframe.join(probeMap, "__qid")
-        gatedBatchCore(qidCol, nerDf, maxSyn,
-          corpus.join(broadcast(qprobe),
-            col("cluster_id").cast("long") === col("__cid")))
-    }
+    def one(q: DataFrame): DataFrame =
+      batchPrelude("searchGatedBatchServed", q, qidCol, qtextCol,
+          qvecCol) match {
+        case Left(empty) => empty
+        case Right((nerDf, maxSyn, qframe)) =>
+          val cent = centroids.select(col(cidCol).cast("long").as("__cid"),
+            col(cvecCol).cast("array<double>").as("__cvec"))
+          val wp = Window.partitionBy("__qid")
+            .orderBy(col("__cd"), col("__cid"))
+          val probeMap = qframe.select(col("__qid"), col("__qv"))
+            .crossJoin(broadcast(cent))
+            .withColumn("__cd", VectorFunctions.l2(col("__cvec"), col("__qv")))
+            .withColumn("__pr", row_number().over(wp))
+            .filter(col("__pr") <= nprobe)
+            .select(col("__qid"), col("__cid"))
+          val qprobe = qframe.join(probeMap, "__qid")
+          gatedBatchCore(qidCol, nerDf, maxSyn,
+            corpus.join(broadcast(qprobe),
+              col("cluster_id").cast("long") === col("__cid")))
+      }
+    sliceDispatch(queries, qidCol)(one).getOrElse(one(queries))
   }
+
+  /** The 10M+-log escape hatch, automatic: a query log larger than the
+    * broadcast budget ([[CascadeConfig.broadcastQueryMax]]) is
+    * hash-sliced by qid and each slice served as its OWN plan,
+    * SEQUENTIALLY — only one slice's query broadcast and pair stream
+    * are ever live, because each slice's bounded result (≤ finalN·
+    * |slice| rows, no vectors) is eagerly materialized
+    * (localCheckpoint) before the next slice starts; the returned
+    * frame is the cheap union of the materialized results. This is
+    * [[graft.streaming.CascadeServe]]'s `maxBatchQueries` slicer
+    * turned into an engine-side dispatch with a memory-derived
+    * default, so the batch forms stop being bounded by a single
+    * broadcastable query frame.
+    *
+    * Size detection is a LIMIT-probe (scan at most maxQ+1 qids), so
+    * in-budget logs — the common case — never pay a full count; the
+    * exact count (and so the slice count) is computed only on the
+    * over-budget path. Per-slice work sums to the unsliced plan's
+    * (each slice resolves only its own queries; the corpus is scanned
+    * once per slice instead of once — the price of bounding memory).
+    * Duplicate qids land in the SAME hash slice, so the per-slice
+    * prelude guard still catches them. The query source is re-scanned
+    * once per slice rather than checkpointed: a 10M-row vector-bearing
+    * log is exactly what must NOT be pinned whole. Returns None when
+    * the log fits the budget — the caller runs the single-plan form. */
+  private def sliceDispatch(queries: DataFrame, qidCol: String)
+      (perSlice: DataFrame => DataFrame): Option[DataFrame] = {
+    val maxQ = math.min(resolvedBroadcastQueryMax, Int.MaxValue - 1)
+    val over = queries.select(col(qidCol)).limit(maxQ + 1).count() > maxQ
+    if (!over) return None
+    val n = queries.count()
+    val nSlices = ((n + maxQ - 1) / maxQ).toInt
+    val parts = (0 until nSlices).map { j =>
+      perSlice(queries.filter(
+          pmod(hash(col(qidCol)), lit(nSlices)) === j))
+        .localCheckpoint(true)
+    }
+    Some(parts.reduce(_ unionByName _))
+  }
+
+  /** `cfg.broadcastQueryMax`, with 0 resolved from the JVM heap: one
+    * GiB of ~1 KiB resolved query rows (vector + ner fields + struct
+    * overhead at typical dims) per 16 GiB of heap — a 32 GiB driver
+    * derives ~2M queries per slice. An order-of-magnitude guard, not
+    * a tight model: the override exists for deployments that know
+    * their row width. */
+  private def resolvedBroadcastQueryMax: Int =
+    if (cfg.broadcastQueryMax > 0) cfg.broadcastQueryMax
+    else {
+      val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+      math.max(1L, math.min(Int.MaxValue.toLong,
+        (heapGiB * 65536).toLong)).toInt
+    }
 
   /** Shared batch prelude: the SEMANTIC boundary, scale-dispatched.
     * Only (qid, text) ever feeds NER/synonym resolution (L2/L3 are

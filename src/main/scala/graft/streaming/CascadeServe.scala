@@ -55,7 +55,10 @@ import org.apache.spark.sql.DataFrame
   * per-query cost 0.61 s at 32 queries, 0.79 s at 128, 1.6 s at 256
   * on the 2M index — past the cliff, BIGGER batches yield LOWER QPS.
   * When the source trigger can't bound batch size, `maxBatchQueries`
-  * bounds it here: the batch is sliced deterministically by qid HASH
+  * bounds it here — pass [[AutoCap]] to derive the cap per micro-batch
+  * from the loaded pair via [[deriveMaxBatchQueries]] (the measured
+  * footprint formula), or a positive override when the deployment
+  * knows better: the batch is sliced deterministically by qid HASH
   * into ceil(n / cap) slices — a narrow per-row expression, chosen
   * over a row_number window precisely because a global-sort slicer
   * would funnel the whole oversized batch (vectors included) through
@@ -70,6 +73,37 @@ import org.apache.spark.sql.DataFrame
   * (each slice's own prelude can only see its slice).
   */
 object CascadeServe {
+
+  /** Sentinel for [[sink]]'s `maxBatchQueries`: derive the cap per
+    * micro-batch from the loaded pair via [[deriveMaxBatchQueries]] —
+    * the measured pair-stream footprint formula instead of a manual
+    * knob. */
+  val AutoCap: Int = -1
+
+  /** Derive a micro-batch query cap from the PAIR-STREAM footprint the
+    * round-15 probe validated: the served-batch plan's dominant
+    * intermediate is the probed pair stream of ~|Q| · |index| ·
+    * nprobe / k rows, and the probe measured the single-JVM spill
+    * cliff crossing between 32M pairs (bs=128 on the 2M×64 index at
+    * nprobe=8: 0.79 s/query) and 64M pairs (bs=256: 1.6 s/query,
+    * superlinear, 403–431 s tight) under a 32 GiB heap. The budget
+    * here is HALF the measured cliff — 1 Mi pairs per heap GiB —
+    * which reproduces bs≈134 (the last pre-cliff regime) on the
+    * probe's exact configuration. On a multi-executor cluster the
+    * pair stream partitions per executor, so `heapBytes` should be
+    * the per-executor heap — the formula is per-JVM by construction. */
+  def deriveMaxBatchQueries(indexRows: Long, nClusters: Long, nprobe: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
+    require(indexRows >= 0, s"indexRows $indexRows must be >= 0")
+    require(nClusters >= 1, s"nClusters $nClusters must be >= 1")
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    require(heapBytes > 0, s"heapBytes $heapBytes must be > 0")
+    val perQueryPairs = math.max(1L,
+      indexRows * math.min(nprobe.toLong, nClusters) / nClusters)
+    val budgetPairs = heapBytes.toDouble / (1L << 30) * (1L << 20)
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (budgetPairs / perQueryPairs).toLong)).toInt
+  }
 
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)
@@ -103,7 +137,15 @@ object CascadeServe {
       .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
         cent, "cid", "cvec", nprobe)
     val out = s"$outPath/batch=$batchId"
-    if (maxBatchQueries <= 0)
+    // AutoCap: size the cap from THIS version's pair (two metadata-cheap
+    // counts per micro-batch — footer row counts, no payload scan; the
+    // serve plan itself dwarfs them) so a retrain that changes |index|
+    // or k re-derives the cap at the very batch that picks the flip up
+    val cap =
+      if (maxBatchQueries == AutoCap)
+        deriveMaxBatchQueries(index.count(), cent.count(), nprobe)
+      else maxBatchQueries
+    if (cap <= 0)
       serve(batch).write.mode("overwrite").parquet(out)
     else {
       // sliced serving: per-slice preludes can only see their slice, so
@@ -112,7 +154,7 @@ object CascadeServe {
           .filter(col("__n") > 1).isEmpty,
         s"CascadeServe: duplicate $qidCol values in the micro-batch")
       val n = batch.count()
-      val nSlices = ((n + maxBatchQueries - 1) / maxBatchQueries).toInt
+      val nSlices = ((n + cap - 1) / cap).toInt
       if (nSlices <= 1)
         serve(batch).write.mode("overwrite").parquet(out)
       else {

@@ -218,6 +218,54 @@ class CascadeBatchSpec extends SparkSpec {
     assert(search0.searchGatedBatch(allBlank, "qid", "qtext", "qvec").isEmpty)
   }
 
+  test("an over-budget query log is auto-sliced; rows identical to the single-plan form") {
+    // broadcastQueryMax = 2 forces 6 queries into 3 hash slices, each
+    // served as its own sequential plan — the 10M+-log path exercised
+    // at spec scale. The union must equal the single broadcast plan
+    // row for row, including the blank query's zero rows and the
+    // per-structure gate ladders.
+    val base = CascadeConfig(topK = 3, relaxThreshold = 3,
+      fallbackThreshold = 6, fallbackK = 5, finalN = 4)
+    def run(cfg: CascadeConfig) =
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding", cfg)
+        .searchGatedBatch(queriesDf, "qid", "qtext", "qvec")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        .sortBy(t => (t._1, t._2))
+    val one = run(base)
+    val sliced = run(base.copy(broadcastQueryMax = 2))
+    assert(one.nonEmpty && sliced == one,
+      s"sliced != single-plan\nsliced=$sliced\none=$one")
+    // the served form dispatches through the same slicer
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 0.0)),
+      (2L, Array(0.0, 6.0))).toDF("cid", "cvec")
+    val assigned = graft.operators.Ann.ivfAssign(
+      corpus, "embedding", "doc_id", cents, "cid", "cvec")
+    def runServed(cfg: CascadeConfig) =
+      new MultiStageSearch(assigned, "doc_id", "text", "embedding", cfg)
+        .searchGatedBatchServed(queriesDf, "qid", "qtext", "qvec",
+          cents, "cid", "cvec", nprobe = 2)
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        .sortBy(t => (t._1, t._2))
+    val servedOne = runServed(base)
+    assert(servedOne.nonEmpty &&
+      runServed(base.copy(broadcastQueryMax = 2)) == servedOne)
+    // duplicate qids hash to the SAME slice, so the per-slice prelude
+    // guard still refuses them on the sliced path
+    val dup = Seq((1L, "join row", Seq(0.0, 0.0)),
+      (1L, "sort", Seq(0.0, 0.0)), (2L, "merge", Seq(0.1, 0.0)))
+      .toDF("qid", "qtext", "qvec")
+    val e = intercept[IllegalArgumentException] {
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+          base.copy(broadcastQueryMax = 1))
+        .searchGatedBatch(dup, "qid", "qtext", "qvec")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("null-embedding rows never surface, in either form") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     val batch = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")

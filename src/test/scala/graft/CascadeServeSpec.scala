@@ -174,6 +174,43 @@ class CascadeServeSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("AutoCap derives the micro-batch cap from the measured pair-stream footprint") {
+    import CascadeServe.deriveMaxBatchQueries
+    // the round-15 probe's exact configuration: 2M×64 index at
+    // nprobe=8 under a 32 GiB heap → per-query pairs 250k, budget
+    // 32 Mi pairs (half the measured 64M-pair cliff) → cap 134, the
+    // last pre-cliff regime the probe measured (bs=128)
+    assert(deriveMaxBatchQueries(2000000L, 64, 8, 32L << 30) == 134)
+    // a spec-sized index derives a cap far above any real micro-batch
+    assert(deriveMaxBatchQueries(1000, 4, 2, 32L << 30) > 50000)
+    // nprobe >= k degrades to a full scan per query, not a negative prune
+    assert(deriveMaxBatchQueries(1000, 4, 8, 1L << 30) ==
+      deriveMaxBatchQueries(1000, 4, 4, 1L << 30))
+    intercept[IllegalArgumentException] { deriveMaxBatchQueries(-1, 4, 2) }
+    intercept[IllegalArgumentException] { deriveMaxBatchQueries(10, 0, 2) }
+    intercept[IllegalArgumentException] { deriveMaxBatchQueries(10, 4, 0) }
+    intercept[IllegalArgumentException] { deriveMaxBatchQueries(10, 4, 2, 0) }
+    // sink(AutoCap) on the spec fixture: cap >> |batch| → single slice,
+    // rows identical to the uncapped serve
+    val (root, out) = setup()
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff", 3L -> "sort pipelines")
+    CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg,
+      maxBatchQueries = CascadeServe.AutoCap)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    val refOut = out + "_ref"
+    CascadeServe.sink(root, refOut, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    def rows(p: String) = CascadeServe.results(spark, p)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows(out).nonEmpty && rows(out) == rows(refOut))
+  }
+
   test("empty and all-blank batches write nothing") {
     val (root, out) = setup()
     val sink = mkSink(root, out)

@@ -971,7 +971,13 @@ object Ann {
     * to one directory — the upsertPartitioned philosophy applied to
     * geometry); over an UNPARTITIONED frame each fat cluster's filter
     * re-scans the input, so localCheckpoint such a frame first when f
-    * is large. Null-cluster rows (null embeddings) pass through
+    * is large. The f sub-trainings run CONCURRENTLY through a bounded
+    * driver pool (`trainParallelism`) because their serial cost is
+    * per-fit scheduler latency, not data (measured: 151 fat cells =
+    * 249 s serial vs 16 s to execute the whole split plan —
+    * PLANS.md round 16); results are identical to the serial order by
+    * construction (seed-deterministic fits, sorted-parent id
+    * assignment). Null-cluster rows (null embeddings) pass through
     * untouched.
     *
     * Semantics, stated precisely: the split REFINES the old partition
@@ -992,9 +998,12 @@ object Ann {
     * exists for. */
   def splitFatClusters(assigned: DataFrame, embCol: String, idCol: String,
                        centroids: DataFrame, cidCol: String,
-                       cvecCol: String, maxRows: Long, seed: Long = 42L)
+                       cvecCol: String, maxRows: Long, seed: Long = 42L,
+                       trainParallelism: Int = 8)
       : (DataFrame, DataFrame) = {
     require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
+    require(trainParallelism >= 1,
+      s"trainParallelism $trainParallelism must be >= 1")
     require(assigned.columns.contains("cluster_id"),
       "splitFatClusters needs a cluster-assigned index (cluster_id column)")
     val cents = collectCentroids(centroids, cidCol, cvecCol)
@@ -1007,28 +1016,51 @@ object Ann {
     if (fat.isEmpty) return (assigned, centroids)
     val spark = assigned.sparkSession
     import spark.implicits._
+    // The f sub-trainings are independent read-only Spark jobs whose
+    // serial cost is SCHEDULER LATENCY, not data volume: the round-16
+    // probe measured 151 serial fits at ~1.65 s each (249 s total)
+    // while EXECUTING the whole 152-branch result plan took 16 s. Run
+    // the fits through a bounded driver pool — Spark schedules
+    // concurrent jobs from multiple threads natively, each fit is
+    // seed-deterministic, and the fold below assigns fresh ids in
+    // sorted parent order, so the result is bit-identical to the
+    // serial loop's. 25% headroom on kSub: ceil(n/maxRows) sub-cells
+    // would need PERFECTLY balanced KMeans cells to land under maxRows
+    // (average occupancy = the limit itself); targeting ~80% average
+    // occupancy makes single-pass convergence the norm instead of the
+    // lucky case, at the price of slightly smaller cells.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(fat.length, trainParallelism))
+    val trained: Map[Long, IndexedSeq[(Long, Array[Double])]] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fat.toSeq.map { case (cid, n) =>
+            scala.concurrent.Future {
+              val members = assigned.filter(col("cluster_id") === cid)
+              val kSub = math.max(2,
+                math.ceil(n.toDouble * 1.25 / maxRows).toInt)
+              cid -> collectCentroids(
+                trainCentroids(members, embCol, kSub, seed),
+                "cid", "cvec").toIndexedSeq
+            }
+          }), scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
     var nextCid = cents.map(_._1).max + 1
     val fatIds = fat.map(_._1)
     var newCents = cents.toVector.filterNot { case (c, _) => fatIds.contains(c) }
     var reassigned = Vector.empty[DataFrame]
-    fat.foreach { case (cid, n) =>
-      val members = assigned.filter(col("cluster_id") === cid)
-      // 25% headroom: ceil(n/maxRows) sub-cells would need PERFECTLY
-      // balanced KMeans cells to land under maxRows (average occupancy
-      // = the limit itself); targeting ~80% average occupancy makes
-      // single-pass convergence the norm instead of the lucky case,
-      // at the price of slightly smaller cells
-      val kSub = math.max(2, math.ceil(n.toDouble * 1.25 / maxRows).toInt)
+    fat.foreach { case (cid, _) =>
       // trained cids are 0-based; shift to globally fresh ids
-      val sub = collectCentroids(
-        trainCentroids(members, embCol, kSub, seed), "cid", "cvec")
-        .map { case (c, v) => (nextCid + c, v) }
-      nextCid += kSub
+      val sub = trained(cid).map { case (c, v) => (nextCid + c, v) }
+      nextCid += trained(cid).length
       newCents ++= sub
-      val subDf = sub.toSeq.map { case (c, v) => (c, v.toSeq) }
+      val subDf = sub.map { case (c, v) => (c, v.toSeq) }
         .toDF("cid", "cvec")
-      reassigned :+= ivfAssignBig(members.drop("cluster_id"), embCol,
-        idCol, subDf, "cid", "cvec")
+      reassigned :+= ivfAssignBig(
+        assigned.filter(col("cluster_id") === cid).drop("cluster_id"),
+        embCol, idCol, subDf, "cid", "cvec")
     }
     val untouched = assigned.filter(
       col("cluster_id").isNull || !col("cluster_id").isin(fatIds: _*))

@@ -502,7 +502,11 @@ final class MultiStageSearch(
             corpus.join(broadcast(qprobe),
               col("cluster_id").cast("long") === col("__cid")))
       }
-    sliceDispatch(queries, qidCol)(one).getOrElse(one(queries))
+    // the served form's broadcast frame is qprobe — |Q| · nprobe rows,
+    // not |Q| — so its slice budget divides by nprobe (the exact form
+    // broadcasts qframe itself and keeps the full budget)
+    sliceDispatch(queries, qidCol, budgetDivisor = nprobe)(one)
+      .getOrElse(one(queries))
   }
 
   /** The 10M+-log escape hatch, automatic: a query log larger than the
@@ -527,11 +531,17 @@ final class MultiStageSearch(
     * Duplicate qids land in the SAME hash slice, so the per-slice
     * prelude guard still catches them. The query source is re-scanned
     * once per slice rather than checkpointed: a 10M-row vector-bearing
-    * log is exactly what must NOT be pinned whole. Returns None when
-    * the log fits the budget — the caller runs the single-plan form. */
-  private def sliceDispatch(queries: DataFrame, qidCol: String)
+    * log is exactly what must NOT be pinned whole. `budgetDivisor`
+    * scales the budget to the caller's broadcast WIDTH: the served
+    * form broadcasts |Q| · nprobe probe rows per slice, so it passes
+    * nprobe. Returns None when the log fits the budget — the caller
+    * runs the single-plan form. */
+  private def sliceDispatch(queries: DataFrame, qidCol: String,
+                            budgetDivisor: Int = 1)
       (perSlice: DataFrame => DataFrame): Option[DataFrame] = {
-    val maxQ = math.min(resolvedBroadcastQueryMax, Int.MaxValue - 1)
+    val maxQ = math.max(1, math.min(
+      resolvedBroadcastQueryMax / math.max(1, budgetDivisor),
+      Int.MaxValue - 1))
     val over = queries.select(col(qidCol)).limit(maxQ + 1).count() > maxQ
     if (!over) return None
     val n = queries.count()
@@ -578,12 +588,13 @@ final class MultiStageSearch(
     *    round-15 probe measured the driver path collapsing at 1M
     *    queries); the resolved compact frame IS still broadcast,
     *    because the whole batch design broadcasts the query side (the
-    *    pair stream is corpus × broadcast(queries)) — so batch size
-    *    stays bounded by a broadcastable query frame (millions of
-    *    queries, not tens of millions). Logs beyond that bound should
-    *    be served in slices (the [[graft.streaming.CascadeServe]]
-    *    `maxBatchQueries` pattern), which is also what the measured
-    *    per-plan memory cliff recommends anyway.
+    *    pair stream is corpus × broadcast(queries)) — so a SINGLE
+    *    plan stays bounded by a broadcastable query frame. Logs
+    *    beyond that bound no longer need a manual knob: the public
+    *    batch entry points auto-slice them BEFORE this prelude runs
+    *    ([[MultiStageSearch.sliceDispatch]],
+    *    `cfg.broadcastQueryMax`), so every batch that reaches here
+    *    is already within the broadcast budget.
     *
     * Both paths produce the identical ner frame through the same
     * [[MultiStageSearch.resolveQuery]] (CascadeBatchSpec pins

@@ -685,6 +685,33 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     },
     Some(gatedCascadeBatchSql(Seq.empty, exactBatchCorpusCtes)))
 
+  private val c11 = QuerySpec("c11_cascade_batch_sliced",
+    // c9's batch THROUGH the round-16 auto-slicer: broadcastQueryMax=2
+    // forces the 4-query batch into 2 hash-slice plans served
+    // sequentially, with each slice resolving only its own queries and
+    // the bounded results unioned. The oracle is c9's VERBATIM —
+    // slicing must be invisible in the result — so the slicing
+    // mechanism itself is DuckDB hash-checked at the harness level
+    // (CascadeBatchSpec pins sliced == single-plan in-suite; the
+    // round-16 10M probe pins the scale behavior; this row pins the
+    // dispatch + slice-union correctness every round).
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = batchQueryMeta.toDF("qid", "qtext")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      new MultiStageSearch(corpus, "doc_id", "text", "embedding",
+          graft.operators.CascadeConfig(broadcastQueryMax = 2))
+        .searchGatedBatch(queries, "qid", "qtext", "qvec")
+        .select(col("qid"), col("rank"), col("doc_id"), col("stage_rank"),
+          round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(gatedCascadeBatchSql(Seq.empty, exactBatchCorpusCtes)))
+
   private val c10 = QuerySpec("c10_cascade_batch_served_gated",
     // The batch cascade over the trained stored IVF index
     // (searchGatedBatchServed) — c9's data-parallel gate ladder where
@@ -713,5 +740,5 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
     Some(gatedCascadeBatchSql(servedBatchSharedCtes, servedBatchCorpusCtes)))
 
   final def queriesCascade: Seq[QuerySpec] =
-    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11)
 }

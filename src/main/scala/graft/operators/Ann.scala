@@ -1046,6 +1046,13 @@ object Ann {
                 "cid", "cvec").toIndexedSeq
             }
           }), scala.concurrent.duration.Duration.Inf).toMap
+      } catch {
+        // a failed sub-training must CANCEL the queued and running
+        // sibling fits, not let them keep burning cluster resources on
+        // non-daemon pool threads after the caller has already seen the
+        // exception — shutdownNow drains the queue and interrupts the
+        // in-flight fits (Spark propagates the interrupt as job failure)
+        case t: Throwable => pool.shutdownNow(); throw t
       } finally pool.shutdown()
     var nextCid = cents.map(_._1).max + 1
     val fatIds = fat.map(_._1)

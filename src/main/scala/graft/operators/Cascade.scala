@@ -40,11 +40,15 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * than this are hash-sliced by qid and served as SEQUENTIAL per-slice
   * plans whose bounded results union (the CascadeServe slicer idiom,
   * automatic) — so a 10M+ offline log runs without a manual knob. 0
-  * (the default) derives the bound from the JVM heap: ~1 GiB of
-  * ~1 KiB query rows per 16 GiB of heap (a 32 GiB driver ⇒ ~2M
-  * queries per slice — "millions, not tens of millions" made
-  * operational). Positive values override; the slices are hash-sized
-  * in expectation, not exactly (the bound is a memory target). */
+  * (the default) derives the bound WIDTH-AWARE from the JVM heap:
+  * 1/16 of the heap in broadcast bytes divided by the log's MEASURED
+  * row width (a LIMIT-1 probe of vector dims + text length) — a
+  * 32 GiB driver derives ~2M queries per slice at dim 64 but only
+  * ~240k at the reference's dim 1024, where a flat rows-per-GiB
+  * constant would admit ~8× the budget and abort the broadcast at
+  * `maxResultSize`. Positive values override (rows, taken verbatim);
+  * the slices are hash-sized in expectation, not exactly, so the
+  * slicer targets 80% of the budget per slice as skew headroom. */
 final case class CascadeConfig(
     topK: Int = 10,
     relaxThreshold: Int = 5,
@@ -435,7 +439,18 @@ final class MultiStageSearch(
     * ([[Ann.requireIntegralId]]) — the internal non-ANSI long cast
     * would null non-numeric ids and silently drop their rows; not
     * available with a custom `knnBackend` — the batch plan IS the
-    * candidate source. */
+    * candidate source.
+    *
+    * The query source must be DETERMINISTIC across re-scans: an
+    * over-budget log is auto-sliced (see `sliceDispatch`), which
+    * re-scans `queries` for the size probe, the count, and once per
+    * slice rather than pinning a 10M-row vector-bearing frame whole. A
+    * source whose rows shift between scans — `sample()`, a `limit`
+    * over shuffled data, `rand()`-derived qids — can drop or duplicate
+    * queries across slices in ways the per-slice duplicate guard
+    * cannot see. Checkpoint such a source first (`localCheckpoint` or
+    * a parquet round-trip); files, tables, and deterministic
+    * transforms over them need nothing. */
   def searchGatedBatch(queries: DataFrame, qidCol: String,
                        qtextCol: String, qvecCol: String): DataFrame = {
     require(knnBackend.isEmpty,
@@ -451,7 +466,8 @@ final class MultiStageSearch(
           gatedBatchCore(qidCol, nerDf, maxSyn,
             corpus.crossJoin(broadcast(qframe)))
       }
-    sliceDispatch(queries, qidCol)(one).getOrElse(one(queries))
+    sliceDispatch(queries, qidCol, qtextCol, qvecCol)(one)
+      .getOrElse(one(queries))
   }
 
   /** [[searchGatedBatch]] over a cluster-assigned (IVF) index — the
@@ -466,7 +482,9 @@ final class MultiStageSearch(
     * scan itself prunes to the union of probed clusters. Per-query
     * results are row-identical to [[searchGated]] with the equivalent
     * served backend (CascadeBatchSpec pins it); the gate ladder,
-    * dedup, and rerank are [[gatedBatchCore]]'s, unchanged. */
+    * dedup, and rerank are [[gatedBatchCore]]'s, unchanged. Same
+    * deterministic-query-source requirement as [[searchGatedBatch]]
+    * (the auto-slicer re-scans the log; see that scaladoc). */
   def searchGatedBatchServed(queries: DataFrame, qidCol: String,
                              qtextCol: String, qvecCol: String,
                              centroids: DataFrame, cidCol: String,
@@ -505,7 +523,8 @@ final class MultiStageSearch(
     // the served form's broadcast frame is qprobe — |Q| · nprobe rows,
     // not |Q| — so its slice budget divides by nprobe (the exact form
     // broadcasts qframe itself and keeps the full budget)
-    sliceDispatch(queries, qidCol, budgetDivisor = nprobe)(one)
+    sliceDispatch(queries, qidCol, qtextCol, qvecCol,
+        budgetDivisor = nprobe)(one)
       .getOrElse(one(queries))
   }
 
@@ -531,21 +550,30 @@ final class MultiStageSearch(
     * Duplicate qids land in the SAME hash slice, so the per-slice
     * prelude guard still catches them. The query source is re-scanned
     * once per slice rather than checkpointed: a 10M-row vector-bearing
-    * log is exactly what must NOT be pinned whole. `budgetDivisor`
-    * scales the budget to the caller's broadcast WIDTH: the served
-    * form broadcasts |Q| · nprobe probe rows per slice, so it passes
-    * nprobe. Returns None when the log fits the budget — the caller
-    * runs the single-plan form. */
+    * log is exactly what must NOT be pinned whole — which is why the
+    * source must be DETERMINISTIC across re-scans (see the entry
+    * points' scaladoc). `budgetDivisor` scales the budget to the
+    * caller's broadcast WIDTH: the served form broadcasts |Q| · nprobe
+    * probe rows per slice, so it passes nprobe. Slices are hash-sized
+    * only in EXPECTATION, so the slice count targets 80% of the
+    * budget: at small slice counts binomial skew routinely pushes one
+    * slice ~10% past n/nSlices, and the budget guards a memory cliff
+    * (broadcast abort at `maxResultSize`), not a soft target — the
+    * headroom makes the expected worst slice land under it. Returns
+    * None when the log fits the budget — the caller runs the
+    * single-plan form. */
   private def sliceDispatch(queries: DataFrame, qidCol: String,
+                            qtextCol: String, qvecCol: String,
                             budgetDivisor: Int = 1)
       (perSlice: DataFrame => DataFrame): Option[DataFrame] = {
-    val maxQ = math.max(1, math.min(
-      resolvedBroadcastQueryMax / math.max(1, budgetDivisor),
-      Int.MaxValue - 1))
+    val maxQ = resolvedBroadcastQueryMax(queries, qtextCol, qvecCol,
+      budgetDivisor)
     val over = queries.select(col(qidCol)).limit(maxQ + 1).count() > maxQ
     if (!over) return None
     val n = queries.count()
-    val nSlices = ((n + maxQ - 1) / maxQ).toInt
+    val target = math.max(1L, maxQ * 4L / 5L) // 80% of budget per slice
+    val nSlices = math.min(Int.MaxValue.toLong,
+      (n + target - 1) / target).toInt
     val parts = (0 until nSlices).map { j =>
       perSlice(queries.filter(
           pmod(hash(col(qidCol)), lit(nSlices)) === j))
@@ -554,19 +582,31 @@ final class MultiStageSearch(
     Some(parts.reduce(_ unionByName _))
   }
 
-  /** `cfg.broadcastQueryMax`, with 0 resolved from the JVM heap: one
-    * GiB of ~1 KiB resolved query rows (vector + ner fields + struct
-    * overhead at typical dims) per 16 GiB of heap — a 32 GiB driver
-    * derives ~2M queries per slice. An order-of-magnitude guard, not
-    * a tight model: the override exists for deployments that know
-    * their row width. */
-  private def resolvedBroadcastQueryMax: Int =
-    if (cfg.broadcastQueryMax > 0) cfg.broadcastQueryMax
-    else {
-      val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
-      math.max(1L, math.min(Int.MaxValue.toLong,
-        (heapGiB * 65536).toLong)).toInt
-    }
+  /** The per-slice query budget, in ROWS. A positive
+    * `cfg.broadcastQueryMax` wins verbatim (a deployment that knows
+    * its row width); the 0 default derives it WIDTH-AWARE from the JVM
+    * heap: 1/16 of the heap in broadcast bytes, divided by the query
+    * log's MEASURED row width (one LIMIT-1 probe of `size(qvec)` +
+    * `length(qtext)`, [[MultiStageSearch.probedQueryRowBytes]]) —
+    * never a flat rows-per-GiB constant. The flat ~1 KiB/row
+    * assumption this replaces was only right near dim 64: at the
+    * reference's own 1024-dim embeddings a resolved row carries ~8 KiB
+    * of `array<double>` alone, so the old default admitted ~8× the
+    * intended broadcast bytes — reproducing the exact `maxResultSize`
+    * abort the slicer exists to prevent (the round-16 10M probe
+    * measured that kill). Both forms divide by `budgetDivisor`: the
+    * served form's broadcast is |Q| · nprobe probe rows, not |Q|. */
+  private[graft] def resolvedBroadcastQueryMax(
+      queries: DataFrame, qtextCol: String, qvecCol: String,
+      budgetDivisor: Int = 1): Int = {
+    val base: Long =
+      if (cfg.broadcastQueryMax > 0) cfg.broadcastQueryMax.toLong
+      else MultiStageSearch.broadcastBudgetRows(
+        MultiStageSearch.probedQueryRowBytes(queries, qtextCol, qvecCol),
+        Runtime.getRuntime.maxMemory)
+    math.max(1L, math.min(base / math.max(1, budgetDivisor),
+      Int.MaxValue.toLong - 1)).toInt
+  }
 
   /** Shared batch prelude: the SEMANTIC boundary, scale-dispatched.
     * Only (qid, text) ever feeds NER/synonym resolution (L2/L3 are
@@ -916,4 +956,42 @@ object MultiStageSearch {
       Some((qid, ner.job.orNull, ner.region.orNull, ner.ageGroup.orNull,
         ner.job.toSeq.flatMap(syn(_))))
     }
+
+  /** Fixed per-row overhead charged on top of the measured vector and
+    * text bytes: the resolved ner/synonym fields, UnsafeRow struct
+    * headers, and broadcast-side object slack. 512 B keeps the dim-64
+    * derivation where the round-16 probe validated it (~1 KiB rows ⇒
+    * ~2M queries per 32 GiB driver). */
+  private[graft] val QueryRowOverheadBytes = 512L
+
+  /** The query log's in-broadcast row width, MEASURED: one LIMIT-1
+    * probe (a single task over the first non-null-vector row) of
+    * `size(qvec)` × 8 B (`array<double>`) + `length(qtext)` × 2 B
+    * (UTF-16 slack over UTF8String) + [[QueryRowOverheadBytes]]. Rows
+    * with a null vector are skipped by the probe (they would
+    * under-report the log's width and re-admit the over-broadcast);
+    * an all-null or empty log measures overhead only — correct, those
+    * rows broadcast no vector bytes. One probe per batch dispatch,
+    * paid on the in-budget path too — a LIMIT-1 scan is noise next to
+    * the prelude's own limit-probe. */
+  private[graft] def probedQueryRowBytes(queries: DataFrame,
+      qtextCol: String, qvecCol: String): Long = {
+    val probe = queries
+      .filter(col(qvecCol).isNotNull)
+      .select(
+        coalesce(size(col(qvecCol).cast("array<double>")), lit(0)).as("d"),
+        coalesce(length(col(qtextCol).cast("string")), lit(0)).as("t"))
+      .limit(1).collect()
+    val (dims, chars) =
+      if (probe.isEmpty) (0, 0) else (probe(0).getInt(0), probe(0).getInt(1))
+    8L * dims + 2L * chars + QueryRowOverheadBytes
+  }
+
+  /** Heap bytes → per-slice query-row budget: 1/16 of the heap may be
+    * broadcast (the round-16-validated ratio — at ~1 KiB rows this IS
+    * the old heapGiB × 65536 constant), divided by the measured row
+    * width instead of an assumed one. */
+  private[graft] def broadcastBudgetRows(rowBytes: Long,
+      heapBytes: Long): Long =
+    math.max(1L, math.max(1L, heapBytes / 16) / math.max(1L, rowBytes))
 }

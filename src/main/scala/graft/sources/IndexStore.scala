@@ -141,6 +141,15 @@ object IndexStore {
   // ---------------------------------------------------------------
 
   private val CentroidSidecar = "_centroids"
+  private val PairMetaFile = "_meta.json"
+
+  /** The row counts stamped into a pair version at write time:
+    * `indexRows` = the index's row count, `nClusters` = the centroid
+    * table's. Consumers that size themselves from the pair (the
+    * [[graft.streaming.CascadeServe]] AutoCap formula) read these two
+    * longs instead of running count jobs per micro-batch — free at 2M
+    * rows, a real listing tax on a 100 TB index. */
+  final case class PairMeta(indexRows: Long, nClusters: Long)
 
   /** Write a new immutable (index, centroids) version: the index
     * cluster-partitioned as in [[writeVersioned]] plus the centroid
@@ -149,7 +158,14 @@ object IndexStore {
     * atomic rename to `v<N>`. Readers use
     * [[loadCurrentWithCentroids]] to get the pair atomically. A
     * failed rename (a concurrent writer already published the number)
-    * fails loudly rather than clobbering. */
+    * fails loudly rather than clobbering.
+    *
+    * The version's row counts are STAMPED into a `_meta.json` sidecar
+    * before publish ([[pairMeta]]): both counts are read back from the
+    * just-written STAGING files (empty required schema — the parquet
+    * reader returns row-group counts, no payload scan), so the stamp
+    * records what was actually committed, once, at the only moment it
+    * is free — never per serving batch. */
   def writeVersionedWithCentroids(index: DataFrame, centroids: DataFrame,
                                   root: String): Long = {
     val spark = index.sparkSession
@@ -169,6 +185,17 @@ object IndexStore {
     write(index, staging)
     centroids.write.mode("overwrite").parquet(s"$staging/$CentroidSidecar")
     val (fs, p) = fsOf(spark, root)
+    // stamp the committed counts (read back from staging, not from the
+    // input plans — a heavy input plan must not recompute for a count)
+    val meta = PairMeta(
+      spark.read.parquet(staging).count(),
+      spark.read.parquet(s"$staging/$CentroidSidecar").count())
+    val metaOut = fs.create(
+      new org.apache.hadoop.fs.Path(p, s"$stagingName/$PairMetaFile"), true)
+    try metaOut.write(
+      s"""{"indexRows":${meta.indexRows},"nClusters":${meta.nClusters}}"""
+        .getBytes("UTF-8"))
+    finally metaOut.close()
     val dst = new org.apache.hadoop.fs.Path(p, s"v$next")
     def lost(): Nothing = {
       fs.delete(new org.apache.hadoop.fs.Path(p, stagingName), true)
@@ -222,6 +249,27 @@ object IndexStore {
     (load(spark, s"$root/v$v"), spark.read.parquet(side.toString))
   }
 
+  /** The [[PairMeta]] stamped into version `v` by
+    * [[writeVersionedWithCentroids]]; None for versions written before
+    * stamping existed (consumers fall back to counting — see
+    * [[graft.streaming.CascadeServe]]). The file is this store's own
+    * two-field JSON, parsed with a fixed pattern — not a general JSON
+    * reader. */
+  def pairMeta(spark: SparkSession, root: String, version: Long)
+      : Option[PairMeta] = {
+    val (fs, p) = fsOf(spark, root)
+    val mp = new org.apache.hadoop.fs.Path(p, s"v$version/$PairMetaFile")
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Re = """"indexRows"\s*:\s*(\d+)\s*,\s*"nClusters"\s*:\s*(\d+)""".r
+    val m = Re.findFirstMatchIn(txt).getOrElse(throw new IllegalStateException(
+      s"unparseable $PairMetaFile for v$version under $root: $txt"))
+    Some(PairMeta(m.group(1).toLong, m.group(2).toLong))
+  }
+
   /** [[loadCurrentWithCentroids]] with a per-session pair cache for
     * REPEAT serving (the c5–c10 shape: many queries against one root
     * in one session). Freshness is identical to the uncached form —
@@ -232,22 +280,69 @@ object IndexStore {
     * is unchanged, which is safe because versions are immutable by
     * construction (a flip is a NEW directory, never a rewrite). A flip
     * is picked up on the very next call; the sidecar-less refusal
-    * fires exactly as in the uncached form. */
+    * fires exactly as in the uncached form.
+    *
+    * The freshness token is (version, `_SUCCESS` mtime), not the
+    * version number alone: a root DELETED and rebuilt from scratch
+    * restarts its numbering, so a bare-version token would serve a
+    * cached plan over deleted files (a confusing downstream
+    * FileNotFoundException instead of a miss). The mtime costs one
+    * `getFileStatus` per call — same class as the listing the call
+    * already pays. The cache itself is BOUNDED ([[PairCacheMaxEntries]]
+    * LRU entries) and sweeps entries whose session has stopped on
+    * every access, so a long-lived multi-root service cannot pin
+    * DataFrames (and transitively their sessions) forever. */
   def loadCurrentWithCentroidsCached(spark: SparkSession, root: String)
       : (DataFrame, DataFrame, Long) = {
     val v = currentCommittedVersion(spark, root)
-    val (idx, cent) = pairCache.get((spark, root)) match {
-      case Some((cv, i, c)) if cv == v => (i, c)
+    val (fs, p) = fsOf(spark, root)
+    val stamp = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p, s"v$v/_SUCCESS")).getModificationTime
+    val key = (spark, root)
+    val hit = pairCache.synchronized {
+      val it = pairCache.entrySet().iterator()
+      while (it.hasNext)
+        if (pairCacheSessionStopped(it.next().getKey._1)) it.remove()
+      Option(pairCache.get(key))
+    }
+    hit match {
+      case Some((cv, cs, i, c)) if cv == v && cs == stamp => (i, c, v)
       case _ =>
         val pair = loadVersionWithCentroids(spark, root, v)
-        pairCache.put((spark, root), (v, pair._1, pair._2))
-        pair
+        pairCache.synchronized {
+          pairCache.put(key, (v, stamp, pair._1, pair._2))
+        }
+        (pair._1, pair._2, v)
     }
-    (idx, cent, v)
   }
 
-  private val pairCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Long, DataFrame, DataFrame)]
+  /** Cache bound: enough for every root a session realistically serves
+    * concurrently; eviction is access-order LRU, and a re-load after
+    * eviction costs exactly one uncached load (~1.5 s on the measured
+    * 256-partition 2M root) — correctness never depends on residency. */
+  private[graft] val PairCacheMaxEntries = 32
+
+  /** Seam for the stopped-session sweep (tests cannot stop the shared
+    * test SparkContext to exercise it). Production predicate: the
+    * session's context is stopped. */
+  private[graft] var pairCacheSessionStopped: SparkSession => Boolean =
+    s => s.sparkContext.isStopped
+
+  private val pairCache =
+    new java.util.LinkedHashMap[(SparkSession, String),
+        (Long, Long, DataFrame, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String),
+            (Long, Long, DataFrame, DataFrame)]): Boolean =
+        size() > PairCacheMaxEntries
+    }
+
+  private[graft] def pairCacheSize: Int =
+    pairCache.synchronized(pairCache.size)
+
+  private[graft] def pairCacheContains(spark: SparkSession,
+                                       root: String): Boolean =
+    pairCache.synchronized(pairCache.containsKey((spark, root)))
 
   /** Drop all but the newest `keep` committed versions plus any
     * uncommitted debris older than the newest committed one. Returns

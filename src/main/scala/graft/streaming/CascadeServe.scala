@@ -71,14 +71,34 @@ import org.apache.spark.sql.DataFrame
   * slices first) and a crash mid-slices leaves debris the replay
   * clears. Cross-slice duplicate qids are guarded before slicing
   * (each slice's own prelude can only see its slice).
+  *
+  * **Interplay with the engine-side auto-slicer.** Each served slice
+  * is itself a [[MultiStageSearch.searchGatedBatchServed]] call, whose
+  * own `sliceDispatch` can slice AGAIN if the slice exceeds the
+  * engine's broadcast budget (`CascadeConfig.broadcastQueryMax` ÷
+  * nprobe). The two bounds guard DIFFERENT resources — the cap bounds
+  * the probed pair stream's executor footprint, the engine budget
+  * bounds the driver-collected query broadcast — and composing them is
+  * correct (slicing is result-invariant; CascadeServeSpec pins the
+  * double-sliced output row-identical). Under defaults they never
+  * compose: the AutoCap formula yields caps orders of magnitude below
+  * the width-aware broadcast budget (spec-pinned on the round-15
+  * probe config), so the inner dispatch stays inert; only a manual
+  * `broadcastQueryMax` override below the cap pays double-sliced
+  * latency inside a micro-batch.
   */
 object CascadeServe {
 
   /** Sentinel for [[sink]]'s `maxBatchQueries`: derive the cap per
     * micro-batch from the loaded pair via [[deriveMaxBatchQueries]] —
     * the measured pair-stream footprint formula instead of a manual
-    * knob. */
-  val AutoCap: Int = -1
+    * knob. `Int.MinValue`, deliberately OUTSIDE the pre-AutoCap
+    * contract's valid range: `maxBatchQueries <= 0` has always meant
+    * "serve the micro-batch unsliced", so an existing caller passing
+    * -1 (or any other non-positive literal) keeps uncapped serving
+    * instead of silently switching to derived-cap slicing — opting
+    * into AutoCap requires naming the sentinel. */
+  val AutoCap: Int = Int.MinValue
 
   /** Derive a micro-batch query cap from the PAIR-STREAM footprint the
     * round-15 probe validated: the served-batch plan's dominant
@@ -91,7 +111,11 @@ object CascadeServe {
     * which reproduces bs≈134 (the last pre-cliff regime) on the
     * probe's exact configuration. On a multi-executor cluster the
     * pair stream partitions per executor, so `heapBytes` should be
-    * the per-executor heap — the formula is per-JVM by construction. */
+    * the per-executor heap — the formula is per-JVM by construction;
+    * [[sink]] passes [[executorHeapBytes]], which reads
+    * `spark.executor.memory` when set and only falls back to the
+    * driver's `Runtime.maxMemory` in local mode (same JVM — the
+    * measured regime). */
   def deriveMaxBatchQueries(indexRows: Long, nClusters: Long, nprobe: Int,
       heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
     require(indexRows >= 0, s"indexRows $indexRows must be >= 0")
@@ -105,6 +129,27 @@ object CascadeServe {
       (budgetPairs / perQueryPairs).toLong)).toInt
   }
 
+  /** The heap the pair stream actually spills against. The serve
+    * plan's probed pair stream lives on EXECUTORS; the sink runs on
+    * the driver, so defaulting the formula to the driver's
+    * `Runtime.maxMemory` would silently over-cap on any asymmetric
+    * cluster (a 64 GiB driver over 8 GiB executors ⇒ 8× past the
+    * measured cliff). Reads `spark.executor.memory` when set —
+    * parsed with Spark's own sizing rules (bare numbers are MiB, the
+    * `SparkContext.executorMemory` convention) — and falls back to
+    * the driver JVM's heap only when unset, i.e. local mode, where
+    * driver and executors ARE one JVM (the regime the cliff was
+    * measured in). */
+  private[graft] def executorHeapBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    executorHeapBytes(spark.sparkContext.getConf)
+
+  private[graft] def executorHeapBytes(
+      conf: org.apache.spark.SparkConf): Long =
+    if (conf.contains("spark.executor.memory"))
+      conf.getSizeAsMb("spark.executor.memory") << 20
+    else Runtime.getRuntime.maxMemory
+
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)
     *   .foreachBatch(CascadeServe.sink(root, out, ...) _)`.
@@ -112,7 +157,12 @@ object CascadeServe {
     * [[IndexStore.writeVersionedWithCentroids]]: each committed
     * version holds the cluster-assigned cascade index (doc id, text,
     * embedding, cluster_id) AND the centroid table (`cid`, `cvec`) it
-    * was assigned with, read back as one atomic pair per micro-batch. */
+    * was assigned with, read back as one atomic pair per micro-batch.
+    * `maxBatchQueries`: positive = slice the micro-batch to that many
+    * queries per serve plan; any non-positive value = serve unsliced
+    * (the original contract, unchanged — including -1); the [[AutoCap]]
+    * sentinel (`Int.MinValue`, outside that range by design) = derive
+    * the cap per micro-batch from the version's stamped pair counts. */
   def sink(indexRoot: String, outPath: String,
            idCol: String, textCol: String, embCol: String,
            qidCol: String, qtextCol: String, qvecCol: String,
@@ -131,20 +181,30 @@ object CascadeServe {
     if (batch.filter(col(qtextCol).isNotNull &&
         col(qtextCol).rlike("[^\\x00-\\x20]")).isEmpty) return
     val spark = batch.sparkSession
-    val (index, cent, _) = IndexStore.loadCurrentWithCentroids(spark, indexRoot)
+    val (index, cent, version) =
+      IndexStore.loadCurrentWithCentroids(spark, indexRoot)
     val search = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
     def serve(q: DataFrame) = search
       .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
         cent, "cid", "cvec", nprobe)
     val out = s"$outPath/batch=$batchId"
-    // AutoCap: size the cap from THIS version's pair (two metadata-cheap
-    // counts per micro-batch — footer row counts, no payload scan; the
-    // serve plan itself dwarfs them) so a retrain that changes |index|
-    // or k re-derives the cap at the very batch that picks the flip up
+    // AutoCap: size the cap from THIS version's pair, so a retrain that
+    // changes |index| or k re-derives the cap at the very batch that
+    // picks the flip up. The counts are STAMPED into the version's
+    // _meta.json at writeVersionedWithCentroids time — the sink reads
+    // two longs instead of running index.count() + cent.count() per
+    // micro-batch (metadata-cheap at 2M, a real listing tax on a
+    // 100 TB index). Pre-stamp versions (plain pair writes from before
+    // the meta existed) fall back to counting once per batch as before.
     val cap =
-      if (maxBatchQueries == AutoCap)
-        deriveMaxBatchQueries(index.count(), cent.count(), nprobe)
-      else maxBatchQueries
+      if (maxBatchQueries == AutoCap) {
+        val (indexRows, nClusters) =
+          IndexStore.pairMeta(spark, indexRoot, version)
+            .map(m => (m.indexRows, m.nClusters))
+            .getOrElse((index.count(), cent.count()))
+        deriveMaxBatchQueries(indexRows, nClusters, nprobe,
+          executorHeapBytes(spark))
+      } else maxBatchQueries
     if (cap <= 0)
       serve(batch).write.mode("overwrite").parquet(out)
     else {

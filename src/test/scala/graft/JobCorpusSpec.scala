@@ -216,6 +216,69 @@ class JobCorpusSpec extends SparkSpec {
     assert(IndexStore.loadCurrentWithCentroidsCached(spark, root)._3 == 2L)
   }
 
+  test("pair cache: a root DELETED and rebuilt from scratch misses (mtime token), never serves deleted files") {
+    // version numbers restart at 1 after a teardown, so a bare-version
+    // freshness token would hand back the cached plan over files that
+    // no longer exist — a confusing downstream FileNotFoundException
+    // instead of a reload
+    val root = Files.createTempDirectory("graft_prebuild").toString + "/idx"
+    val cents = Seq((0L, Array(0.0, 0.0))).toDF("cid", "cvec")
+    val idxA = Seq((1L, 0L, "old")).toDF("id", "cluster_id", "payload")
+    IndexStore.writeVersionedWithCentroids(idxA, cents, root)
+    val (iOld, _, vOld) = IndexStore.loadCurrentWithCentroidsCached(spark, root)
+    assert(vOld == 1L && iOld.select("payload").as[String].collect()
+      .toSeq == Seq("old"))
+    // teardown + rebuild at the SAME version number (mtime granularity
+    // is millis on the local FS — the sleep keeps the stamps distinct)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(root))
+    Thread.sleep(50)
+    val idxB = Seq((2L, 0L, "new")).toDF("id", "cluster_id", "payload")
+    IndexStore.writeVersionedWithCentroids(idxB, cents, root)
+    val (iNew, _, vNew) = IndexStore.loadCurrentWithCentroidsCached(spark, root)
+    assert(vNew == 1L)
+    assert(iNew.select("payload").as[String].collect().toSeq == Seq("new"),
+      "the rebuilt root must MISS the cache, not serve the deleted v1")
+  }
+
+  test("pair cache is BOUNDED (LRU) and sweeps stopped-session entries") {
+    // bound: flooding with more roots than the cap never grows the map
+    // past it — a long-lived multi-root service cannot pin DataFrames
+    // (and transitively sessions) forever; eviction is access-order
+    // LRU, and an evicted root just pays one uncached reload
+    val cents = Seq((0L, Array(0.0, 0.0))).toDF("cid", "cvec")
+    val idx = Seq((1L, 0L, "x")).toDF("id", "cluster_id", "payload")
+    val base = Files.createTempDirectory("graft_pbound").toString
+    (0 until IndexStore.PairCacheMaxEntries + 5).foreach { i =>
+      val r = s"$base/idx$i"
+      IndexStore.writeVersionedWithCentroids(idx, cents, r)
+      IndexStore.loadCurrentWithCentroidsCached(spark, r)
+    }
+    assert(IndexStore.pairCacheSize <= IndexStore.PairCacheMaxEntries)
+    // the most recent root is resident, the oldest was evicted
+    assert(IndexStore.pairCacheContains(spark,
+      s"$base/idx${IndexStore.PairCacheMaxEntries + 4}"))
+    assert(!IndexStore.pairCacheContains(spark, s"$base/idx0"))
+    // an evicted root still loads correctly (one uncached reload)
+    assert(IndexStore.loadCurrentWithCentroidsCached(spark,
+      s"$base/idx0")._3 == 1L)
+    // stopped-session sweep: the predicate seam stands in for a stopped
+    // SparkContext (tests share one context and cannot stop it); any
+    // access drops every entry whose session the predicate marks dead
+    val victim = s"$base/idx1"
+    IndexStore.loadCurrentWithCentroidsCached(spark, victim)
+    assert(IndexStore.pairCacheContains(spark, victim))
+    val prev = IndexStore.pairCacheSessionStopped
+    try {
+      IndexStore.pairCacheSessionStopped = _ => true
+      IndexStore.loadCurrentWithCentroidsCached(spark, s"$base/idx2")
+      assert(!IndexStore.pairCacheContains(spark, victim),
+        "stopped-session entries must be swept on access")
+    } finally IndexStore.pairCacheSessionStopped = prev
+  }
+
   test("upsert ABORTS (not truncates) on an existing-but-unreadable store") {
     // the documented recovery contract: a corrupt path must fail every
     // retry loudly — silently treating it as empty would overwrite the

@@ -17,8 +17,11 @@ import org.apache.spark.sql.DataFrame
   *    stream-static join snapshots the static side's file listing at
   *    plan time ([[QueryServe]]'s scaladoc), so a rebuilt index would
   *    not be seen — and an overwritten one can invalidate the snapshot
-  *    mid-query. Reading [[IndexStore.loadCurrentWithCentroids]]
-  *    INSIDE foreachBatch re-resolves per micro-batch: a
+  *    mid-query. Reading [[IndexStore.loadCurrentWithCentroidsCached]]
+  *    INSIDE foreachBatch re-resolves per micro-batch (the CACHED
+  *    form's freshness is the same per-call version listing plus the
+  *    marker-mtime token, so only the per-version schema re-inference
+  *    — ~1.5 s/batch on the measured 2M root — is skipped): a
   *    `_SUCCESS`-gated version flip
   *    ([[IndexStore.writeVersionedWithCentroids]]) is picked up at the
   *    next batch, a crashed build is invisible (no marker, not
@@ -181,8 +184,16 @@ object CascadeServe {
     if (batch.filter(col(qtextCol).isNotNull &&
         col(qtextCol).rlike("[^\\x00-\\x20]")).isEmpty) return
     val spark = batch.sparkSession
+    // The CACHED pair load: freshness is identical to the uncached form
+    // (every micro-batch re-lists committed versions and stats the
+    // current marker's mtime — a flip OR a deleted-and-rebuilt root is
+    // picked up at the very next batch, both spec-pinned), so the sink
+    // stops paying the per-batch schema re-inference the round-16 A/B
+    // measured at ~1.5 s on a 256-partition 2M root — pure tax at
+    // steady state, where the version flips rarely and batches arrive
+    // constantly.
     val (index, cent, version) =
-      IndexStore.loadCurrentWithCentroids(spark, indexRoot)
+      IndexStore.loadCurrentWithCentroidsCached(spark, indexRoot)
     val search = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
     def serve(q: DataFrame) = search
       .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,

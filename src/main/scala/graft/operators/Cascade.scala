@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * automatic) — so a 10M+ offline log runs without a manual knob. 0
   * (the default) derives the bound WIDTH-AWARE from the JVM heap:
   * 1/16 of the heap in broadcast bytes divided by the log's MEASURED
-  * row width (a LIMIT-1 probe of vector dims + text length) — a
+  * row width (a bounded 32-row probe of vector dims + text length) — a
   * 32 GiB driver derives ~2M queries per slice at dim 64 but only
   * ~240k at the reference's dim 1024, where a flat rows-per-GiB
   * constant would admit ~8× the budget and abort the broadcast at
@@ -571,7 +571,11 @@ final class MultiStageSearch(
     val over = queries.select(col(qidCol)).limit(maxQ + 1).count() > maxQ
     if (!over) return None
     val n = queries.count()
-    val target = math.max(1L, maxQ * 4L / 5L) // 80% of budget per slice
+    // 80% of the budget per slice, ROUNDED: floor would turn a tiny
+    // explicit override (maxQ=2, the c11 harness shape) into 1-query
+    // slices and double its deliberate slicing tax, while at derived
+    // scale (~millions) round vs floor is noise and the headroom holds
+    val target = math.max(1L, math.round(maxQ * 0.8))
     val nSlices = math.min(Int.MaxValue.toLong,
       (n + target - 1) / target).toInt
     val parts = (0 until nSlices).map { j =>
@@ -586,7 +590,7 @@ final class MultiStageSearch(
     * `cfg.broadcastQueryMax` wins verbatim (a deployment that knows
     * its row width); the 0 default derives it WIDTH-AWARE from the JVM
     * heap: 1/16 of the heap in broadcast bytes, divided by the query
-    * log's MEASURED row width (one LIMIT-1 probe of `size(qvec)` +
+    * log's MEASURED row width (one bounded probe of `size(qvec)` +
     * `length(qtext)`, [[MultiStageSearch.probedQueryRowBytes]]) —
     * never a flat rows-per-GiB constant. The flat ~1 KiB/row
     * assumption this replaces was only right near dim 64: at the
@@ -964,16 +968,18 @@ object MultiStageSearch {
     * ~2M queries per 32 GiB driver). */
   private[graft] val QueryRowOverheadBytes = 512L
 
-  /** The query log's in-broadcast row width, MEASURED: one LIMIT-1
-    * probe (a single task over the first non-null-vector row) of
-    * `size(qvec)` × 8 B (`array<double>`) + `length(qtext)` × 2 B
-    * (UTF-16 slack over UTF8String) + [[QueryRowOverheadBytes]]. Rows
-    * with a null vector are skipped by the probe (they would
-    * under-report the log's width and re-admit the over-broadcast);
-    * an all-null or empty log measures overhead only — correct, those
-    * rows broadcast no vector bytes. One probe per batch dispatch,
-    * paid on the in-budget path too — a LIMIT-1 scan is noise next to
-    * the prelude's own limit-probe. */
+  /** The query log's in-broadcast row width, MEASURED: one bounded
+    * probe (LIMIT 32 over non-null-vector rows, a single tiny task) of
+    * max `size(qvec)` × 8 B (`array<double>`) + max `length(qtext)` ×
+    * 2 B (UTF-16 slack over UTF8String) + [[QueryRowOverheadBytes]].
+    * The MAX over a small sample, not the first row: vector width is
+    * constant per log but text lengths vary, and a short-text first
+    * row would under-report the width and re-admit part of the
+    * over-broadcast. Rows with a null vector are skipped (same
+    * under-report hazard); an all-null or empty log measures overhead
+    * only — correct, those rows broadcast no vector bytes. One probe
+    * per batch dispatch, paid on the in-budget path too — a 32-row
+    * scan is noise next to the prelude's own limit-probe. */
   private[graft] def probedQueryRowBytes(queries: DataFrame,
       qtextCol: String, qvecCol: String): Long = {
     val probe = queries
@@ -981,7 +987,10 @@ object MultiStageSearch {
       .select(
         coalesce(size(col(qvecCol).cast("array<double>")), lit(0)).as("d"),
         coalesce(length(col(qtextCol).cast("string")), lit(0)).as("t"))
-      .limit(1).collect()
+      .limit(32)
+      .agg(coalesce(max(col("d")), lit(0)).as("d"),
+        coalesce(max(col("t")), lit(0)).as("t"))
+      .collect()
     val (dims, chars) =
       if (probe.isEmpty) (0, 0) else (probe(0).getInt(0), probe(0).getInt(1))
     8L * dims + 2L * chars + QueryRowOverheadBytes

@@ -252,18 +252,40 @@ object IndexMaintenance {
     *    backstop, not the expected path.
     *
     * The per-step seed varies (`seed + step`) so a KMeans pass that
-    * left a sub-cell fat retries under a different initialization. */
+    * left a sub-cell fat retries under a different initialization.
+    *
+    * **Retention (`keepVersions`).** Every committed step is a FULL
+    * index copy (a geometry change rewrites the whole corpus), so at
+    * production scale a multi-step convergence is a disk bomb —
+    * maxIter steps on a 100 TB index would leave maxIter copies (the
+    * round-17 2M probe left three). `keepVersions >= 1` runs
+    * [[IndexStore.pruneVersions]] after each committed step, keeping
+    * that many newest committed versions — inside the loop there is
+    * no concurrent writer, so this is the one place self-pruning is
+    * race-free by construction (the store's scaladoc warns against
+    * pruning concurrently WITH a build; here build and prune strictly
+    * alternate). Keep >= 2 to preserve one-version rollback; the
+    * default 0 never prunes (the caller owns retention, the previous
+    * behavior). Readers are unaffected either way: pruneVersions
+    * never touches the current version, and a serving snapshot of a
+    * pruned OLDER version is the documented overwrite-vs-version
+    * trade the store already states. */
   def rebalanceUntilBalanced(spark: SparkSession, root: String,
       embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
-      seed: Long = 42L, maxIter: Int = 8): RebalanceLoopReport = {
+      seed: Long = 42L, maxIter: Int = 8,
+      keepVersions: Int = 0): RebalanceLoopReport = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
+    require(keepVersions >= 0,
+      s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
     var steps = Vector.empty[RebalanceReport]
     var iter = 0
     while (iter < maxIter) {
       val r = rebalance(spark, root, embCol, idCol, maxRows, recallFloor,
         sampleQueries, evalK, nprobe, seed + iter)
       steps :+= r
+      if (r.split && keepVersions >= 1)
+        IndexStore.pruneVersions(spark, root, keepVersions)
       (r.split, r.maxCellAfter) match {
         case (false, None) =>
           return RebalanceLoopReport(steps, balanced = true,

@@ -200,6 +200,26 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(b.steps.nonEmpty && b.steps.last.maxCellAfter.exists(_ <= 100))
     assert(IndexStore.committedVersions(spark, rootB).size ==
       1 + b.steps.count(_.split))
+    // (b2) retention: every committed step is a FULL index copy, so
+    // keepVersions prunes as the loop goes — only the newest survive,
+    // and the loop's result is identical (pruning never touches the
+    // current version the next step reads)
+    val rootB2 = freshPairRoot(docs, cents, "keep")
+    val b2 = rebalanceUntilBalanced(spark, rootB2, "embedding", "vec_id",
+      maxRows = 100, recallFloor = 0.8, queries, evalK = 5, nprobe = 2,
+      keepVersions = 1)
+    assert(b2.balanced, b2.reason)
+    assert(b2.steps.map(s => (s.split, s.maxCellAfter)) ==
+      b.steps.map(s => (s.split, s.maxCellAfter)),
+      "pruning must not change the loop's decisions")
+    val keptB2 = IndexStore.committedVersions(spark, rootB2)
+    assert(keptB2.size == 1 &&
+      b2.steps.flatMap(_.version).lastOption.contains(keptB2.head),
+      s"keepVersions=1 must leave exactly the last committed version: $keptB2")
+    intercept[IllegalArgumentException] {
+      rebalanceUntilBalanced(spark, rootB2, "embedding", "vec_id",
+        maxRows = 100, recallFloor = 0.5, queries, keepVersions = -1)
+    }
     // (c) duplicate-point degeneracy: 300 IDENTICAL vectors cannot be
     // split by geometry — a naive while(fat) caller loops forever; the
     // loop must terminate with a no-progress break, not spin

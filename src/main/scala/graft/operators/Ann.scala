@@ -1031,6 +1031,12 @@ object Ann {
     // lucky case, at the price of slightly smaller cells.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(fat.length, trainParallelism))
+    // every fit tags its jobs with one group id so a failure can cancel
+    // the SIBLING fits' in-flight cluster work, not just their driver
+    // threads — a bare thread interrupt only unblocks the local await
+    // while the submitted Spark jobs keep running all their tasks
+    val jobGroup =
+      s"graft-split-fat-${java.util.UUID.randomUUID().toString.take(8)}"
     val trained: Map[Long, IndexedSeq[(Long, Array[Double])]] =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
@@ -1038,6 +1044,8 @@ object Ann {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fat.toSeq.map { case (cid, n) =>
             scala.concurrent.Future {
+              spark.sparkContext.setJobGroup(jobGroup,
+                "splitFatClusters sub-training", interruptOnCancel = true)
               val members = assigned.filter(col("cluster_id") === cid)
               val kSub = math.max(2,
                 math.ceil(n.toDouble * 1.25 / maxRows).toInt)
@@ -1048,11 +1056,14 @@ object Ann {
           }), scala.concurrent.duration.Duration.Inf).toMap
       } catch {
         // a failed sub-training must CANCEL the queued and running
-        // sibling fits, not let them keep burning cluster resources on
-        // non-daemon pool threads after the caller has already seen the
-        // exception — shutdownNow drains the queue and interrupts the
-        // in-flight fits (Spark propagates the interrupt as job failure)
-        case t: Throwable => pool.shutdownNow(); throw t
+        // sibling fits, not let them keep burning cluster resources
+        // after the caller has already seen the exception: the group
+        // cancel kills their submitted Spark jobs (tasks interrupted),
+        // shutdownNow drains the queue and unblocks the pool threads
+        case t: Throwable =>
+          spark.sparkContext.cancelJobGroup(jobGroup)
+          pool.shutdownNow()
+          throw t
       } finally pool.shutdown()
     var nextCid = cents.map(_._1).max + 1
     val fatIds = fat.map(_._1)

@@ -605,9 +605,20 @@ final class MultiStageSearch(
       budgetDivisor: Int = 1): Int = {
     val base: Long =
       if (cfg.broadcastQueryMax > 0) cfg.broadcastQueryMax.toLong
-      else MultiStageSearch.broadcastBudgetRows(
-        MultiStageSearch.probedQueryRowBytes(queries, qtextCol, qvecCol),
-        Runtime.getRuntime.maxMemory)
+      else {
+        // the abort the budget guards is the BroadcastExchange collect
+        // crossing spark.driver.maxResultSize, so the byte budget must
+        // respect the session's ACTUAL limit, not just heap/16 — a
+        // 32 GiB driver at the default 1g maxResultSize would
+        // otherwise derive 2 GiB slices that still die at collect
+        // (bare numbers are MiB, Spark's own rule for this key; 0 =
+        // unlimited, heap-only budget)
+        val mrs = queries.sparkSession.sparkContext.getConf
+          .getSizeAsMb("spark.driver.maxResultSize", "1g") << 20
+        MultiStageSearch.broadcastBudgetRows(
+          MultiStageSearch.probedQueryRowBytes(queries, qtextCol, qvecCol),
+          Runtime.getRuntime.maxMemory, mrs)
+      }
     math.max(1L, math.min(base / math.max(1, budgetDivisor),
       Int.MaxValue.toLong - 1)).toInt
   }
@@ -996,11 +1007,20 @@ object MultiStageSearch {
     8L * dims + 2L * chars + QueryRowOverheadBytes
   }
 
-  /** Heap bytes → per-slice query-row budget: 1/16 of the heap may be
-    * broadcast (the round-16-validated ratio — at ~1 KiB rows this IS
-    * the old heapGiB × 65536 constant), divided by the measured row
-    * width instead of an assumed one. */
+  /** (heap, maxResultSize) → per-slice query-row budget: the LESSER of
+    * 1/16 of the heap (the round-16-validated ratio — at ~1 KiB rows
+    * this IS the old heapGiB × 65536 constant) and HALF the driver's
+    * `maxResultSize` (the broadcast collect is what actually aborts;
+    * half leaves room for the task-result framing and any concurrent
+    * collect), divided by the measured row width instead of an assumed
+    * one. `maxResultBytes <= 0` = unlimited (Spark's own 0 semantics
+    * for the key) — heap-only budget. */
   private[graft] def broadcastBudgetRows(rowBytes: Long,
-      heapBytes: Long): Long =
-    math.max(1L, math.max(1L, heapBytes / 16) / math.max(1L, rowBytes))
+      heapBytes: Long, maxResultBytes: Long): Long = {
+    val heapBudget = math.max(1L, heapBytes / 16)
+    val mrsBudget =
+      if (maxResultBytes <= 0) Long.MaxValue
+      else math.max(1L, maxResultBytes / 2)
+    math.max(1L, math.min(heapBudget, mrsBudget) / math.max(1L, rowBytes))
+  }
 }

@@ -254,7 +254,12 @@ object IndexStore {
     * stamping existed (consumers fall back to counting — see
     * [[graft.streaming.CascadeServe]]). The file is this store's own
     * two-field JSON, parsed with a fixed pattern — not a general JSON
-    * reader. */
+    * reader. A PRESENT-but-unparseable file fails loudly BY CHOICE
+    * (the store's no-silent-fallback convention, [[loadIfExists]]): it
+    * means the version directory was corrupted or hand-edited, and
+    * silently serving counts from a scan would mask that. The remedy
+    * is one command — delete the version's `_meta.json` — which
+    * restores the documented missing-meta counting fallback. */
   def pairMeta(spark: SparkSession, root: String, version: Long)
       : Option[PairMeta] = {
     val (fs, p) = fsOf(spark, root)
@@ -288,7 +293,14 @@ object IndexStore {
     * cached plan over deleted files (a confusing downstream
     * FileNotFoundException instead of a miss). The mtime costs one
     * `getFileStatus` per call — same class as the listing the call
-    * already pays. The cache itself is BOUNDED ([[PairCacheMaxEntries]]
+    * already pays. The token is as fine as the filesystem's mtime
+    * granularity (millis locally, 1 s on some stores): a teardown AND
+    * full rebuild landing inside one tick would still hit stale —
+    * accepted, because rebuilding an index at any real scale takes
+    * orders of magnitude longer than a tick, and the residual failure
+    * mode is the pre-round-17 loud FileNotFoundException, never
+    * silent wrong data (versions are immutable; only deletion
+    * invalidates files). The cache itself is BOUNDED ([[PairCacheMaxEntries]]
     * LRU entries) and sweeps entries whose session has stopped on
     * every access, so a long-lived multi-root service cannot pin
     * DataFrames (and transitively their sessions) forever. */

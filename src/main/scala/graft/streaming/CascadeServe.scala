@@ -137,21 +137,27 @@ object CascadeServe {
     * the driver, so defaulting the formula to the driver's
     * `Runtime.maxMemory` would silently over-cap on any asymmetric
     * cluster (a 64 GiB driver over 8 GiB executors ⇒ 8× past the
-    * measured cliff). Reads `spark.executor.memory` when set —
-    * parsed with Spark's own sizing rules (bare numbers are MiB, the
-    * `SparkContext.executorMemory` convention) — and falls back to
-    * the driver JVM's heap only when unset, i.e. local mode, where
-    * driver and executors ARE one JVM (the regime the cliff was
-    * measured in). */
+    * measured cliff). The dispatch is on the MASTER, not on key
+    * presence: a cluster that never sets `spark.executor.memory` runs
+    * Spark's 1 GiB default executors — treating the absent key as
+    * "local mode" would hand the formula the driver's heap, the exact
+    * over-cap this function exists to prevent — so cluster mode reads
+    * the conf WITH Spark's default applied (bare numbers are MiB, the
+    * `SparkContext.executorMemory` convention); local mode uses the
+    * actual JVM heap (driver and executors ARE one JVM — the regime
+    * the cliff was measured in — and Spark ignores
+    * `spark.executor.memory` locally, so a leftover spark-defaults
+    * value must not win over the real `-Xmx`). */
   private[graft] def executorHeapBytes(
       spark: org.apache.spark.sql.SparkSession): Long =
-    executorHeapBytes(spark.sparkContext.getConf)
+    if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
+    else clusterExecutorHeapBytes(spark.sparkContext.getConf)
 
-  private[graft] def executorHeapBytes(
+  /** Cluster-mode executor heap: `spark.executor.memory` with Spark's
+    * own 1 GiB default when unset. */
+  private[graft] def clusterExecutorHeapBytes(
       conf: org.apache.spark.SparkConf): Long =
-    if (conf.contains("spark.executor.memory"))
-      conf.getSizeAsMb("spark.executor.memory") << 20
-    else Runtime.getRuntime.maxMemory
+    conf.getSizeAsMb("spark.executor.memory", "1g") << 20
 
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)
@@ -194,10 +200,7 @@ object CascadeServe {
     // constantly.
     val (index, cent, version) =
       IndexStore.loadCurrentWithCentroidsCached(spark, indexRoot)
-    val search = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
-    def serve(q: DataFrame) = search
-      .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
-        cent, "cid", "cvec", nprobe)
+    val base = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
     val out = s"$outPath/batch=$batchId"
     // AutoCap: size the cap from THIS version's pair, so a retrain that
     // changes |index| or k re-derives the cap at the very batch that
@@ -216,6 +219,23 @@ object CascadeServe {
         deriveMaxBatchQueries(indexRows, nClusters, nprobe,
           executorHeapBytes(spark))
       } else maxBatchQueries
+    // Capped serving calls the engine once per slice, and each call's
+    // own dispatch would re-probe the identical micro-batch's row
+    // width — pure waste, the width cannot differ between slices. Pin
+    // the engine budget to the value derived ONCE from this batch: an
+    // explicit override skips the per-slice width probe, and because
+    // the pinned value IS the derived budget (÷ nprobe inside the
+    // served form, as the default derivation would), the engine's
+    // re-slice safety net still fires for a manual cap that exceeds
+    // it. Deployments that set their own broadcastQueryMax keep it.
+    val search =
+      if (cfg.broadcastQueryMax > 0 || cap <= 0) base
+      else new MultiStageSearch(index, idCol, textCol, embCol,
+        cfg.copy(broadcastQueryMax =
+          base.resolvedBroadcastQueryMax(batch, qtextCol, qvecCol)))
+    def serve(q: DataFrame) = search
+      .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
+        cent, "cid", "cvec", nprobe)
     if (cap <= 0)
       serve(batch).write.mode("overwrite").parquet(out)
     else {

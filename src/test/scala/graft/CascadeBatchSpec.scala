@@ -286,14 +286,24 @@ class CascadeBatchSpec extends SparkSpec {
     // intended broadcast bytes and reproduced the maxResultSize abort
     val b1024 = probedQueryRowBytes(qlog(1024), "qtext", "qvec")
     assert(b1024 == 8L * 1024 + 2L * text1.length + QueryRowOverheadBytes)
-    // budget at a 32 GiB heap: 2 GiB of broadcast bytes / row width —
-    // ~2M queries per slice at dim 64, ~240k at dim 1024, never ~8x over
-    val r64 = broadcastBudgetRows(b64, 32L << 30)
-    val r1024 = broadcastBudgetRows(b1024, 32L << 30)
+    // budget at a 32 GiB heap (maxResultSize unlimited): 2 GiB of
+    // broadcast bytes / row width — ~2M queries per slice at dim 64,
+    // ~240k at dim 1024, never ~8x over
+    val r64 = broadcastBudgetRows(b64, 32L << 30, 0)
+    val r1024 = broadcastBudgetRows(b1024, 32L << 30, 0)
     assert(r64 == (2L << 30) / b64 && r1024 == (2L << 30) / b1024)
     assert(r64 > 1800000L && r64 < 2300000L, s"dim-64 budget $r64")
     assert(r1024 > 230000L && r1024 < 260000L, s"dim-1024 budget $r1024")
     assert(r64 / r1024 >= 7, "dim 1024 must shrink the budget ~8x")
+    // the driver's maxResultSize caps the byte budget — the broadcast
+    // COLLECT is what actually aborts, so heap/16 alone would derive
+    // 2 GiB slices that still die at the default 1g limit; half the
+    // limit leaves framing headroom
+    assert(broadcastBudgetRows(b64, 32L << 30, 1L << 30) ==
+      (512L << 20) / b64)
+    // and when the heap is the smaller bound, heap wins
+    assert(broadcastBudgetRows(b64, 4L << 30, 1L << 30) ==
+      (256L << 20) / b64)
     // the served form's divisor still applies on top of the width
     val search = new MultiStageSearch(corpus, "doc_id", "text", "embedding")
     val full = search.resolvedBroadcastQueryMax(qlog(1024), "qtext", "qvec")

@@ -234,19 +234,25 @@ class CascadeServeSpec extends SparkSpec {
     assert(rows(out).nonEmpty && rows(out) == rows(refOut))
   }
 
-  test("executorHeapBytes reads spark.executor.memory; falls back to the JVM heap only when unset") {
+  test("executorHeapBytes: local mode uses the real JVM heap; cluster mode reads the conf WITH Spark's 1g default") {
     import org.apache.spark.SparkConf
-    // set → parsed with Spark's own sizing rules (bare numbers are MiB,
-    // the SparkContext.executorMemory convention)
-    assert(CascadeServe.executorHeapBytes(
+    // cluster mode, set → parsed with Spark's own sizing rules (bare
+    // numbers are MiB, the SparkContext.executorMemory convention)
+    assert(CascadeServe.clusterExecutorHeapBytes(
       new SparkConf(false).set("spark.executor.memory", "4g")) == (4L << 30))
-    assert(CascadeServe.executorHeapBytes(
+    assert(CascadeServe.clusterExecutorHeapBytes(
       new SparkConf(false).set("spark.executor.memory", "512m")) == (512L << 20))
-    assert(CascadeServe.executorHeapBytes(
+    assert(CascadeServe.clusterExecutorHeapBytes(
       new SparkConf(false).set("spark.executor.memory", "4096")) == (4L << 30))
-    // unset → local mode, driver and executors are one JVM
-    assert(CascadeServe.executorHeapBytes(new SparkConf(false)) ==
-      Runtime.getRuntime.maxMemory)
+    // cluster mode, UNSET: Spark runs 1 GiB default executors — the
+    // absent key must NOT hand the formula the driver's heap (a 64 GiB
+    // driver over default executors would over-cap 64x past the cliff)
+    assert(CascadeServe.clusterExecutorHeapBytes(new SparkConf(false)) ==
+      (1L << 30))
+    // local mode (this suite's session): driver and executors are one
+    // JVM — the real heap wins, whatever the conf says
+    assert(spark.sparkContext.isLocal &&
+      CascadeServe.executorHeapBytes(spark) == Runtime.getRuntime.maxMemory)
   }
 
   test("AutoCap reads the counts STAMPED at pair-write time; pre-stamp versions fall back to counting") {
@@ -289,7 +295,7 @@ class CascadeServeSpec extends SparkSpec {
       Array.fill(64)(0.1))).toDF("qid", "qtext", "qvec")
     val rowBytes = MultiStageSearch.probedQueryRowBytes(probeQ, "qtext", "qvec")
     val innerBudget =
-      MultiStageSearch.broadcastBudgetRows(rowBytes, 32L << 30) / 8
+      MultiStageSearch.broadcastBudgetRows(rowBytes, 32L << 30, 1L << 30) / 8
     val cap = CascadeServe.deriveMaxBatchQueries(2000000L, 256, 8, 32L << 30)
     assert(cap <= innerBudget / 100,
       s"AutoCap cap $cap not far below the inner slice budget $innerBudget")

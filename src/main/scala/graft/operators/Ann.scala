@@ -995,15 +995,22 @@ object Ann {
     * atomically with
     * [[graft.sources.IndexStore.writeVersionedWithCentroids]] — a
     * geometry change is exactly the retrain-flip case the pair store
-    * exists for. */
+    * exists for. `trainSampleMax` caps the rows each sub-FIT scans
+    * (geometry from a seed-deterministic sample, assignment still over
+    * every member) — the 100 TB knob for fat cells with billions of
+    * rows; 0 (default) fits on all members, bit-identical to the
+    * pre-knob behavior. */
   def splitFatClusters(assigned: DataFrame, embCol: String, idCol: String,
                        centroids: DataFrame, cidCol: String,
                        cvecCol: String, maxRows: Long, seed: Long = 42L,
-                       trainParallelism: Int = 8)
+                       trainParallelism: Int = 8,
+                       trainSampleMax: Long = 0)
       : (DataFrame, DataFrame) = {
     require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
     require(trainParallelism >= 1,
       s"trainParallelism $trainParallelism must be >= 1")
+    require(trainSampleMax >= 0,
+      s"trainSampleMax $trainSampleMax must be >= 0 (0 = train on all)")
     require(assigned.columns.contains("cluster_id"),
       "splitFatClusters needs a cluster-assigned index (cluster_id column)")
     val cents = collectCentroids(centroids, cidCol, cvecCol)
@@ -1047,10 +1054,25 @@ object Ann {
               spark.sparkContext.setJobGroup(jobGroup,
                 "splitFatClusters sub-training", interruptOnCancel = true)
               val members = assigned.filter(col("cluster_id") === cid)
+              // trainSampleMax bounds what each FIT scans: a fat cell
+              // at production scale can hold billions of rows, and
+              // KMeans passes over its train set per iteration —
+              // sub-cell GEOMETRY comes from a seed-deterministic
+              // uniform sample, while every member is still assigned
+              // (the fold below) and the caller's recall gate
+              // (rebalance) still validates the FULL split index, so
+              // a sample too thin to produce servable sub-cells is
+              // vetoed, never committed. 0 = fit on all members (the
+              // default — bit-identical to the pre-knob behavior).
+              val trainSet =
+                if (trainSampleMax > 0 && n > trainSampleMax)
+                  members.sample(withReplacement = false,
+                    trainSampleMax.toDouble / n, seed)
+                else members
               val kSub = math.max(2,
                 math.ceil(n.toDouble * 1.25 / maxRows).toInt)
               cid -> collectCentroids(
-                trainCentroids(members, embCol, kSub, seed),
+                trainCentroids(trainSet, embCol, kSub, seed),
                 "cid", "cvec").toIndexedSeq
             }
           }), scala.concurrent.duration.Duration.Inf).toMap

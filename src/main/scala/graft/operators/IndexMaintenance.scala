@@ -61,13 +61,28 @@ object IndexMaintenance {
     * do nothing; otherwise retrain k centroids on `fresh`, rebuild,
     * validate mean recall@`evalK` at `nprobe` over `sampleQueries`
     * (qidCol="qid", qvCol="qv") against the exact answer, and commit
-    * the new version only when recall holds `recallFloor`. */
+    * the new version only when recall holds `recallFloor`.
+    *
+    * `trainFraction` bounds what the RETRAIN scans: KMeans passes over
+    * its train set ~2× per iteration, so retraining geometry on a
+    * 100 TB fresh corpus directly is ~petabytes of scan per maintain
+    * call — the standard recipe trains on a uniform sample (centroid
+    * QUALITY degrades slowly with sample size; the round-16 2M probe
+    * itself trained on 2%) while ASSIGNMENT and recall VALIDATION
+    * still run over the FULL corpus, so a sample too thin to produce
+    * servable geometry is caught by the same recall gate as any other
+    * bad rebuild and never committed. Default 1.0 = train on
+    * everything (the previous behavior); the sample is
+    * seed-deterministic. */
   def maintain(spark: SparkSession, root: String, fresh: DataFrame,
                embCol: String, idCol: String, k: Int,
                driftThreshold: Double, recallFloor: Double,
                sampleQueries: DataFrame, evalK: Int = 10,
-               nprobe: Int = 4): Report = {
+               nprobe: Int = 4, trainFraction: Double = 1.0,
+               seed: Long = 42L): Report = {
     require(k >= 1, s"k $k must be >= 1")
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction $trainFraction must be in (0, 1]")
     require(driftThreshold >= 0, s"driftThreshold $driftThreshold must be >= 0")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
@@ -94,7 +109,10 @@ object IndexMaintenance {
     require(nFresh >= evalK,
       s"maintain: fresh corpus has $nFresh rows < evalK $evalK — " +
         "recall floor would be mathematically unreachable")
-    val newCents = Ann.trainCentroids(fresh, embCol, k)
+    val trainSet =
+      if (trainFraction >= 1.0) fresh
+      else fresh.sample(withReplacement = false, trainFraction, seed)
+    val newCents = Ann.trainCentroids(trainSet, embCol, k, seed)
     val assigned = Ann.ivfAssignBig(fresh, embCol, idCol,
         newCents, "cid", "cvec")
       .localCheckpoint(true) // feeds validation AND the version write
@@ -177,7 +195,8 @@ object IndexMaintenance {
   def rebalance(spark: SparkSession, root: String, embCol: String,
                 idCol: String, maxRows: Long, recallFloor: Double,
                 sampleQueries: DataFrame, evalK: Int = 10,
-                nprobe: Int = 4, seed: Long = 42L): RebalanceReport = {
+                nprobe: Int = 4, seed: Long = 42L,
+                trainSampleMax: Long = 0): RebalanceReport = {
     require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
@@ -200,7 +219,8 @@ object IndexMaintenance {
       s"rebalance: index has $nIdx rows < evalK $evalK — " +
         "recall floor would be mathematically unreachable")
     val (splitIdx0, splitCents) = Ann.splitFatClusters(index, embCol,
-      idCol, cents, "cid", "cvec", maxRows, seed)
+      idCol, cents, "cid", "cvec", maxRows, seed,
+      trainSampleMax = trainSampleMax)
     val splitIdx = splitIdx0.localCheckpoint(true) // validation AND write
     val meanRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
       idCol, sampleQueries, evalK, nprobe)
@@ -274,7 +294,8 @@ object IndexMaintenance {
       embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 8,
-      keepVersions: Int = 0): RebalanceLoopReport = {
+      keepVersions: Int = 0, trainSampleMax: Long = 0)
+      : RebalanceLoopReport = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
@@ -282,7 +303,7 @@ object IndexMaintenance {
     var iter = 0
     while (iter < maxIter) {
       val r = rebalance(spark, root, embCol, idCol, maxRows, recallFloor,
-        sampleQueries, evalK, nprobe, seed + iter)
+        sampleQueries, evalK, nprobe, seed + iter, trainSampleMax)
       steps :+= r
       if (r.split && keepVersions >= 1)
         IndexStore.pruneVersions(spark, root, keepVersions)

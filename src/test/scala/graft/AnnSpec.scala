@@ -1143,12 +1143,38 @@ class AnnSpec extends SparkSpec {
     val (same, sameCents) = Ann.splitFatClusters(newIdx, "embedding",
       "vec_id", newCents, "cid", "cvec", maxRows = 200)
     assert((same eq newIdx) && (sameCents eq newCents))
+    // trainSampleMax: sub-cell GEOMETRY from a bounded sample, every
+    // member still assigned — the 100 TB knob for billion-row fat
+    // cells. Membership/locality invariants hold exactly as unsampled
+    // (assignment is over all members either way); on this separable
+    // line blob the sampled fit still splits into 4 fresh sub-cells.
+    val (sampledIdx, sampledCents) = Ann.splitFatClusters(assigned,
+      "embedding", "vec_id", cents, "cid", "cvec", maxRows = 100,
+      trainSampleMax = 60)
+    assert(sampledIdx.count() == 340)
+    assert(sampledIdx.select("vec_id").as[Long].collect().toSet ==
+      (0L until 340L).toSet)
+    val sampledBlob = sampledIdx.filter($"vec_id" < 300L)
+      .select(col("cluster_id").cast("long")).as[Long].collect()
+    assert(sampledBlob.forall(_ >= 3L) && sampledBlob.toSet.size == 4)
+    assert(sampledCents.count() == 6)
+    // 0 = fit on all members: bit-identical to the pre-knob behavior
+    val (zeroIdx, _) = Ann.splitFatClusters(assigned, "embedding",
+      "vec_id", cents, "cid", "cvec", maxRows = 100, trainSampleMax = 0)
+    assert(zeroIdx.select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap == blobAssign ++
+      (300L until 320L).map(_ -> 1L).toMap ++
+      (320L until 340L).map(_ -> 2L).toMap)
     // loud guards
     val e = intercept[IllegalArgumentException] {
       Ann.splitFatClusters(corpus, "embedding", "vec_id", cents,
         "cid", "cvec", maxRows = 100)
     }
     assert(e.getMessage.contains("cluster_id"))
+    intercept[IllegalArgumentException] {
+      Ann.splitFatClusters(assigned, "embedding", "vec_id", cents,
+        "cid", "cvec", maxRows = 100, trainSampleMax = -1)
+    }
   }
 
   test("property: splitFatClusters preserves membership and refines LOCALLY on random geometries") {

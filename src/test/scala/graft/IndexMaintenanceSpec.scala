@@ -71,6 +71,37 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(IndexStore.loadCurrent(spark, root).count() == shifted.count())
   }
 
+  test("maintain trainFraction: geometry from a sample, assignment and recall gate over the FULL corpus") {
+    // the 100 TB knob: KMeans scans its train set per iteration, so a
+    // full-corpus retrain is ~petabytes of scan — train on a sample,
+    // assign/validate everything. The two clusters are trivially
+    // separable, so a half sample still finds both and the full-corpus
+    // recall gate passes; the committed index must hold ALL rows.
+    val base = corpus(0)
+    val root = freshStore(base)
+    val shifted = corpus(30)
+    val queries = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    val r = IndexMaintenance.maintain(spark, root, shifted, "embedding",
+      "vec_id", k = 2, driftThreshold = 0.01, recallFloor = 0.9,
+      sampleQueries = queries, evalK = 5, nprobe = 2,
+      trainFraction = 0.5)
+    assert(r.retrained && r.meanRecall.exists(_ >= 0.9), r.toString)
+    // assignment ran over the FULL fresh corpus, not the train sample
+    assert(IndexStore.loadCurrent(spark, root).count() == shifted.count())
+    // loud guards on the fraction
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, shifted, "embedding",
+        "vec_id", k = 2, driftThreshold = 0.01, recallFloor = 0.9,
+        sampleQueries = queries, trainFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.maintain(spark, root, shifted, "embedding",
+        "vec_id", k = 2, driftThreshold = 0.01, recallFloor = 0.9,
+        sampleQueries = queries, trainFraction = 1.5)
+    }
+  }
+
   test("recall-regressed rebuild is NOT committed; previous version stays current") {
     val base = corpus(0)
     val root = freshStore(base)

@@ -149,23 +149,42 @@ object IndexMaintenance {
     * per qid, so duplicates would inflate the denominator and silently
     * deflate the mean, vetoing healthy rebuilds. `sampleQueries`
     * columns are `qid`/`qv` by contract (both public callers document
-    * it). */
+    * it).
+    *
+    * `precomputedExact` lets a caller that validates REPEATEDLY
+    * against the SAME corpus content (the convergence loop — splitting
+    * moves rows between cells, never changes (id, vector)) compute the
+    * exact answer ONCE: the exact side is a full-corpus scan, and
+    * paying it per step turns an O(corpus) loop tax into the dominant
+    * cost at production scale. The frame must be the
+    * [[loopExactTopK]] projection (qid, idCol). */
   private def meanRecallAt(assigned: DataFrame, cents: DataFrame,
                            exactCorpus: DataFrame, embCol: String,
                            idCol: String, sampleQueries: DataFrame,
-                           evalK: Int, nprobe: Int): Double = {
+                           evalK: Int, nprobe: Int,
+                           precomputedExact: Option[DataFrame] = None)
+      : Double = {
     val ivf = Ann.ivfSearchBatch(assigned, embCol, idCol, cents,
       "cid", "cvec", sampleQueries, "qid", "qv", k = evalK, nprobe = nprobe)
-    val exact = Knn.batchAgg(exactCorpus, embCol, idCol,
-      sampleQueries, "qid", "qv", evalK)
+    val exact = precomputedExact.getOrElse(
+      loopExactTopK(exactCorpus, embCol, idCol, sampleQueries, evalK))
     val nQ = sampleQueries.select("qid").distinct().count()
     val sumRecall = RetrievalEval.metricsAtK(
         ivf.select(col("qid"), col(idCol), col("knn_rank")),
-        exact.select(col("qid"), col(idCol)),
+        exact,
         "qid", idCol, "knn_rank", evalK)
       .agg(coalesce(sum(s"recall_$evalK"), lit(0.0))).head().getDouble(0)
     sumRecall / nQ
   }
+
+  /** The validation gate's exact side: the true top-`evalK` ids per
+    * sample query over `corpus` — a full-corpus scan, invariant under
+    * any operation that only re-CLUSTERS rows. */
+  private def loopExactTopK(corpus: DataFrame, embCol: String,
+                            idCol: String, sampleQueries: DataFrame,
+                            evalK: Int): DataFrame =
+    Knn.batchAgg(corpus, embCol, idCol, sampleQueries, "qid", "qv", evalK)
+      .select(col("qid"), col(idCol))
 
   /** One balance decision, driver-sized — [[Report]]'s shape for the
     * cell-size axis. */
@@ -196,7 +215,22 @@ object IndexMaintenance {
                 idCol: String, maxRows: Long, recallFloor: Double,
                 sampleQueries: DataFrame, evalK: Int = 10,
                 nprobe: Int = 4, seed: Long = 42L,
-                trainSampleMax: Long = 0): RebalanceReport = {
+                trainSampleMax: Long = 0): RebalanceReport =
+    rebalanceStep(spark, root, embCol, idCol, maxRows, recallFloor,
+      sampleQueries, evalK, nprobe, seed, trainSampleMax, None)
+
+  /** [[rebalance]]'s body, with the loop's shared-exact seam: the
+    * validation gate's exact side is a FULL-corpus scan that depends
+    * only on corpus CONTENT, which splitting never changes — so the
+    * convergence loop computes it once (lazily, first validating step)
+    * and passes the thunk here instead of paying one corpus scan per
+    * step. */
+  private def rebalanceStep(spark: SparkSession, root: String,
+                embCol: String, idCol: String, maxRows: Long,
+                recallFloor: Double, sampleQueries: DataFrame,
+                evalK: Int, nprobe: Int, seed: Long,
+                trainSampleMax: Long,
+                sharedExact: Option[() => DataFrame]): RebalanceReport = {
     require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
@@ -223,7 +257,7 @@ object IndexMaintenance {
       trainSampleMax = trainSampleMax)
     val splitIdx = splitIdx0.localCheckpoint(true) // validation AND write
     val meanRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
-      idCol, sampleQueries, evalK, nprobe)
+      idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
     val after = maxCell(splitIdx)
     if (meanRecall < recallFloor)
       RebalanceReport(before, Some(after), split = false, None,
@@ -299,11 +333,23 @@ object IndexMaintenance {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
+    // The validation gate's EXACT side is a full-corpus scan whose
+    // answer depends only on (id, vector) content — invariant under
+    // every split this loop commits — so it is computed ONCE for the
+    // whole loop and shared across steps, not re-scanned per step.
+    // Lazy + materialized: the balanced-no-op first step never
+    // validates and must not pay a corpus scan for an audit.
+    lazy val sharedExact: DataFrame = {
+      val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+      loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
+        .localCheckpoint(true) // evalK rows per sample query — tiny
+    }
     var steps = Vector.empty[RebalanceReport]
     var iter = 0
     while (iter < maxIter) {
-      val r = rebalance(spark, root, embCol, idCol, maxRows, recallFloor,
-        sampleQueries, evalK, nprobe, seed + iter, trainSampleMax)
+      val r = rebalanceStep(spark, root, embCol, idCol, maxRows,
+        recallFloor, sampleQueries, evalK, nprobe, seed + iter,
+        trainSampleMax, Some(() => sharedExact))
       steps :+= r
       if (r.split && keepVersions >= 1)
         IndexStore.pruneVersions(spark, root, keepVersions)

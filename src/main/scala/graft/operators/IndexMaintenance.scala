@@ -210,7 +210,13 @@ object IndexMaintenance {
     * balanced index returns without touching the store; a
     * recall-regressed split is NOT committed and readers keep the
     * previous pair. `sampleQueries` carries (qidCol="qid",
-    * qvCol="qv") — [[maintain]]'s contract. */
+    * qvCol="qv") — [[maintain]]'s contract. `trainSampleMax` bounds
+    * what each sub-fit scans ([[Ann.splitFatClusters]]'s knob —
+    * geometry from a sample, assignment and this gate over
+    * everything); for repeated rebalancing prefer
+    * [[rebalanceUntilBalanced]], which also shares the gate's exact
+    * reference across steps and can self-prune superseded versions
+    * (`keepVersions`). */
   def rebalance(spark: SparkSession, root: String, embCol: String,
                 idCol: String, maxRows: Long, recallFloor: Double,
                 sampleQueries: DataFrame, evalK: Int = 10,

@@ -1110,6 +1110,84 @@ object Ann {
     (newAssigned, newCentDf)
   }
 
+  /** [[splitFatClusters]]'s INVERSE — fold sliver cells back into
+    * their neighbors. Repeated split-based rebalancing (and corpus
+    * deletions/drift) only ever GROWS the cell count: the round-17
+    * convergence probe went 256 → ~1,400 cells, and at a fixed
+    * `nprobe` each probe then covers a smaller corpus fraction, so
+    * recall sags (measured 1.0 → 0.87–0.90) while the centroid
+    * broadcast, the per-query probe ranking, and — on a
+    * partitionBy(cluster_id) store — the FILE count all grow. Thin
+    * cells are pure overhead at 100 TB: a cell below `minRows` adds a
+    * directory of sliver files to every listing and a centroid to
+    * every argmin while contributing almost no candidates.
+    *
+    * Every cluster with FEWER than `minRows` members (including
+    * zero-member cells whose centroid lingers in the table after
+    * deletions) is retired: its members are reassigned to the nearest
+    * SURVIVING centroid (global argmin over the survivors — the same
+    * [[ivfAssignBig]] rule assignment uses, so the merged index is
+    * exactly what a fresh assign against the survivor table would
+    * produce for those rows) and its centroid is dropped. Survivors
+    * keep their ids AND their members — probe lists over untouched
+    * cells are stable, and only thin-cell mass moves, so cost ∝ thin
+    * mass (< thin-count · minRows by definition): over a
+    * cluster-partitioned store read, the thin-member filter prunes to
+    * the thin directories. Null-cluster rows pass through untouched.
+    *
+    * Merging ADDS mass to survivors, so it can push one past a fat
+    * threshold — the fat and thin axes are separate audits;
+    * [[graft.operators.IndexMaintenance.compact]] gates this rewrite
+    * on the same recall floor as rebalance (moving a member under a
+    * farther centroid can genuinely lower its retrieval rank), and
+    * running compact AFTER a rebalance loop restores the cell-count /
+    * nprobe balance the loop's splitting disturbed.
+    *
+    * Refuses loudly when NO cell reaches `minRows` (there is nothing
+    * to merge into — that is a retrain case, not a merge case).
+    * Returns (reassigned index, survivor centroid table) for one
+    * atomic [[graft.sources.IndexStore.writeVersionedWithCentroids]]
+    * pair commit. */
+  def mergeThinClusters(assigned: DataFrame, embCol: String, idCol: String,
+                        centroids: DataFrame, cidCol: String,
+                        cvecCol: String, minRows: Long)
+      : (DataFrame, DataFrame) = {
+    require(minRows >= 1, s"minRows $minRows must be >= 1")
+    require(assigned.columns.contains("cluster_id"),
+      "mergeThinClusters needs a cluster-assigned index (cluster_id column)")
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
+    // counts-only occupancy histogram — ≤ k rows cross the driver; the
+    // centroid table (not the histogram) drives thinness so EMPTY
+    // cells, which the groupBy never sees, are retired too
+    val occ = assigned.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thinIds = cents.map(_._1)
+      .filter(occ.getOrElse(_, 0L) < minRows).sorted
+    if (thinIds.isEmpty) return (assigned, centroids)
+    val survivors = cents.filterNot { case (c, _) => thinIds.contains(c) }
+    require(survivors.nonEmpty,
+      s"mergeThinClusters: every cell is below minRows $minRows — " +
+        "nothing to merge into; lower minRows or retrain the index")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val survivorDf = survivors.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cid", "cvec")
+    // only thin cells with MEMBERS need reassignment; a thin-id IN
+    // filter on a partitioned store prunes to the thin directories
+    val movingIds = thinIds.filter(occ.getOrElse(_, 0L) > 0L)
+    val untouched = assigned.filter(
+      col("cluster_id").isNull || !col("cluster_id").isin(thinIds: _*))
+    val newAssigned =
+      if (movingIds.isEmpty) untouched
+      else untouched.unionByName(ivfAssignBig(
+        assigned.filter(col("cluster_id").isin(movingIds: _*))
+          .drop("cluster_id"),
+        embCol, idCol, survivorDf, "cid", "cvec"))
+    (newAssigned, survivorDf.toDF(cidCol, cvecCol))
+  }
+
   // ---------------------------------------------------------------------
   // Binary (sign) quantization — 1 bit per dimension, Hamming ranking.
   // The coarsest point on the compression ladder the engine already

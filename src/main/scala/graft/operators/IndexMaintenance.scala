@@ -329,7 +329,13 @@ object IndexMaintenance {
     * behavior). Readers are unaffected either way: pruneVersions
     * never touches the current version, and a serving snapshot of a
     * pruned OLDER version is the documented overwrite-vs-version
-    * trade the store already states. */
+    * trade the store already states.
+    *
+    * Splitting only ever GROWS the cell count, so a converged loop can
+    * leave many sliver sub-cells and a worse recall/nprobe balance
+    * than it started with (the round-17 2M probe: 256 → ~1,400 cells,
+    * recall 1.0 → 0.87–0.90 at fixed nprobe) — follow a ballooning
+    * loop with [[compact]] to fold the slivers back in. */
   def rebalanceUntilBalanced(spark: SparkSession, root: String,
       embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
@@ -383,6 +389,84 @@ object IndexMaintenance {
       s"maxIter $maxIter exhausted with max cell " +
         s"${steps.last.maxCellAfter.getOrElse(steps.last.maxCellBefore)} " +
         s"still above $maxRows")
+  }
+
+  /** One thin-cell compaction decision, driver-sized — the cell-COUNT
+    * axis next to [[RebalanceReport]]'s cell-SIZE axis. */
+  final case class CompactReport(cellsBefore: Long, thinCells: Long,
+                                 cellsAfter: Option[Long], merged: Boolean,
+                                 version: Option[Long],
+                                 meanRecall: Option[Double], reason: String)
+
+  /** Thin-cell compaction over the versioned PAIR store —
+    * [[rebalance]]'s mirror for the axis splitting disturbs. Split
+    * loops only ever GROW the cell count, and at a fixed `nprobe` each
+    * probe then covers a smaller corpus fraction: the round-17
+    * convergence probe measured recall 1.0 → 0.87–0.90 as 256 cells
+    * became ~1,400. Detect is the same counts-only occupancy histogram
+    * (cells below `minRows`, INCLUDING zero-member centroids left by
+    * deletions); rewrite is [[Ann.mergeThinClusters]] (survivor ids
+    * and members untouched — cost ∝ thin mass, partition-pruned on a
+    * stored read); validate is the SHARED recall gate — merging moves
+    * members under farther centroids, so recall CAN regress, and a
+    * regressed merge is NOT committed; commit is the atomic pair
+    * write. Run compact AFTER [[rebalanceUntilBalanced]] when its
+    * report shows the cell count ballooning, or on a deletion-heavy
+    * index whose cells have hollowed out. `minRows` and `maxRows`
+    * bracket a healthy cell: keep minRows well under
+    * maxRows / expected-merge-fan-in so compaction cannot immediately
+    * re-trip the fat audit. `sampleQueries` carries (qid, qv) —
+    * [[maintain]]'s contract. */
+  def compact(spark: SparkSession, root: String, embCol: String,
+              idCol: String, minRows: Long, recallFloor: Double,
+              sampleQueries: DataFrame, evalK: Int = 10,
+              nprobe: Int = 4): CompactReport = {
+    require(minRows >= 1, s"minRows $minRows must be >= 1")
+    require(recallFloor > 0 && recallFloor <= 1,
+      s"recallFloor $recallFloor must be in (0, 1]")
+    require(!sampleQueries.isEmpty,
+      "compact: sampleQueries is empty — recall validation would be vacuous")
+    val (index, cents, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    val occ = index.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ k rows
+    val cellIds = cents.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)) // k rows by definition
+    val thin = cellIds.count(occ.getOrElse(_, 0L) < minRows).toLong
+    if (thin == 0)
+      return CompactReport(cellIds.length.toLong, 0L, None, merged = false,
+        None, None,
+        s"no cell below minRows $minRows — index unchanged")
+    if (thin == cellIds.length.toLong)
+      return CompactReport(cellIds.length.toLong, thin, None, merged = false,
+        None, None,
+        s"every cell is below minRows $minRows — nothing to merge into; " +
+          "lower minRows or retrain (maintain) instead")
+    val nIdx = index.count()
+    require(nIdx >= evalK,
+      s"compact: index has $nIdx rows < evalK $evalK — " +
+        "recall floor would be mathematically unreachable")
+    val (merged0, mergedCents) = Ann.mergeThinClusters(index, embCol,
+      idCol, cents, "cid", "cvec", minRows)
+    val merged = merged0.localCheckpoint(true) // validation AND write
+    val meanRecall = meanRecallAt(merged, mergedCents, index, embCol,
+      idCol, sampleQueries, evalK, nprobe)
+    val after = cellIds.length.toLong - thin
+    if (meanRecall < recallFloor)
+      CompactReport(cellIds.length.toLong, thin, Some(after), merged = false,
+        None, Some(meanRecall),
+        s"merge recall $meanRecall below floor $recallFloor at nprobe " +
+          s"$nprobe — pair NOT committed, previous geometry stays current " +
+          "(raise minRows less aggressively, or raise nprobe)")
+    else {
+      val v = IndexStore.writeVersionedWithCentroids(merged, mergedCents, root)
+      CompactReport(cellIds.length.toLong, thin, Some(after), merged = true,
+        Some(v), Some(meanRecall),
+        s"$thin of ${cellIds.length} cells below minRows $minRows — " +
+          s"merged to $after cells, validated (recall $meanRecall), " +
+          s"committed pair v$v")
+    }
   }
 
   /** One BETWEEN-REBUILDS maintenance step, driver-sized.

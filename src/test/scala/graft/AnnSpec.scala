@@ -1177,6 +1177,74 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("mergeThinClusters retires thin and EMPTY cells, reassigns to nearest survivor, no-ops when healthy") {
+    // two healthy cells, one thin cell whose members sit nearer B than
+    // A, one EMPTY centroid (no members — the deletion-leftover case),
+    // one null-embedding row
+    val a = (0L until 100L).map(i => (i, Array(i * 0.01, 0.0)))
+    val b = (100L until 150L).map(i => (i, Array(10.0 + (i % 5) * 0.01, 0.0)))
+    val c = (150L until 153L).map(i => (i, Array(7.0 + (i - 150L) * 0.1, 0.0)))
+    val corpus = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 0.0)),
+      (2L, Array(7.1, 0.0)), (3L, Array(0.0, 50.0))).toDF("cid", "cvec")
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id",
+        cents, "cid", "cvec")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .unionByName(Seq(999L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<double>"))
+        .withColumn("cluster_id", lit(null).cast("long")))
+    // sanity: the fixture is what the test narrates
+    assert(assigned.filter($"cluster_id" === 2L).count() == 3)
+    assert(assigned.filter($"cluster_id" === 3L).count() == 0)
+    val (merged, mergedCents) = Ann.mergeThinClusters(assigned,
+      "embedding", "vec_id", cents, "cid", "cvec", minRows = 10)
+    // survivor table: exactly A and B, ids and vectors untouched
+    val survIds = mergedCents.select(col("cid").cast("long")).as[Long]
+      .collect().toSet
+    assert(survIds == Set(0L, 1L))
+    // membership preserved exactly, null row passes through
+    assert(merged.count() == 154)
+    assert(merged.filter($"cluster_id".isNull).select("vec_id")
+      .as[Long].collect().toSeq == Seq(999L))
+    // untouched cells keep their members and ids
+    assert(merged.filter($"vec_id" < 100L)
+      .select(col("cluster_id").cast("long")).as[Long]
+      .collect().forall(_ == 0L))
+    assert(merged.filter($"vec_id" >= 100L && $"vec_id" < 150L)
+      .select(col("cluster_id").cast("long")).as[Long]
+      .collect().forall(_ == 1L))
+    // thin members land at the GLOBAL argmin over survivors — here B
+    // (dist ~3) beats A (dist ~6.5) — and match a fresh assign exactly
+    val moved = merged.filter($"vec_id" >= 150L && $"vec_id" =!= 999L)
+      .select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(moved.values.forall(_ == 1L), moved.toString)
+    val rederived = Ann.ivfAssign(c.toDF("vec_id", "embedding"),
+        "embedding", "vec_id",
+        mergedCents, "cid", "cvec")
+      .select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(moved == rederived)
+    // a healthy index is returned UNCHANGED (same instances — no jobs)
+    val (same, sameCents) = Ann.mergeThinClusters(merged, "embedding",
+      "vec_id", mergedCents, "cid", "cvec", minRows = 10)
+    assert((same eq merged) && (sameCents eq mergedCents))
+    // loud refusals: all cells thin; missing cluster_id; minRows < 1
+    val eAll = intercept[IllegalArgumentException] {
+      Ann.mergeThinClusters(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", minRows = 1000)
+    }
+    assert(eAll.getMessage.contains("nothing to merge into"))
+    intercept[IllegalArgumentException] {
+      Ann.mergeThinClusters(corpus, "embedding", "vec_id",
+        cents, "cid", "cvec", minRows = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.mergeThinClusters(assigned, "embedding", "vec_id",
+        cents, "cid", "cvec", minRows = 0)
+    }
+  }
+
   test("property: splitFatClusters preserves membership and refines LOCALLY on random geometries") {
     import org.scalacheck.Gen
     val gen = for {

@@ -279,6 +279,115 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("compact: healthy no-op, thin pair merged+validated+committed, regressed merge NOT committed, all-thin refused") {
+    // two healthy cells (A near the origin, B at x=10) + one thin cell
+    // C at x=4 whose members are nearer A than B, stored as a pair
+    val aPts = (0L until 20L).map(i => (i, Array((i * 0.01).toFloat, 0f)))
+    val bPts = (100L until 120L).map(i =>
+      (i, Array(10f + ((i - 100L) * 0.01).toFloat, 0f)))
+    val cPts = (200L until 203L).map(i =>
+      (i, Array(4f + ((i - 200L) * 0.1).toFloat, 0f)))
+    val docs = (aPts ++ bPts ++ cPts).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.1, 0.0)), (1L, Array(10.0, 0.0)),
+      (2L, Array(4.1, 0.0))).toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_compact").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val queries = Seq((0L, Array(0.1, 0.0)), (1L, Array(10.0, 0.0)))
+      .toDF("qid", "qv")
+    // every cell holds >= 3 members: no-op, store untouched
+    val r0 = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+      minRows = 3, recallFloor = 0.5, queries, evalK = 5, nprobe = 2)
+    assert(!r0.merged && r0.version.isEmpty && r0.thinCells == 0)
+    assert(r0.cellsBefore == 3 && r0.reason.contains("unchanged"))
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+    // a regressed merge is NOT committed: the query sits at x=6 with
+    // its true top-3 = C's members, and after the merge C's members
+    // live under A (dist 4 beats 6) while nprobe=1 probes B (dist 4
+    // beats 6 FROM THE QUERY) — recall 0, previous pair stays current
+    val rVeto = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+      minRows = 5, recallFloor = 0.9,
+      Seq((0L, Array(6.0, 0.0))).toDF("qid", "qv"), evalK = 3, nprobe = 1)
+    assert(!rVeto.merged && rVeto.version.isEmpty, rVeto.toString)
+    assert(rVeto.meanRecall.exists(_ < 0.9), rVeto.toString)
+    assert(rVeto.reason.contains("NOT committed"), rVeto.reason)
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+    // thin cell C merged into A, validated at nprobe=2, pair v2
+    val r1 = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+      minRows = 5, recallFloor = 0.8, queries, evalK = 5, nprobe = 2)
+    assert(r1.merged && r1.version.contains(2L), r1.toString)
+    assert(r1.cellsBefore == 3 && r1.thinCells == 1 &&
+      r1.cellsAfter.contains(2L))
+    assert(r1.meanRecall.exists(_ >= 0.8), r1.toString)
+    val (i2, c2, v2) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(v2 == 2L && c2.count() == 2 && i2.count() == 43)
+    assert(i2.filter(col("vec_id") >= 200L)
+      .select(col("cluster_id").cast("long")).as[Long]
+      .collect().forall(_ == 0L), "C's members merge into A, not B")
+    // every cell thin: refused with the retrain hint, store untouched
+    val rAll = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+      minRows = 1000, recallFloor = 0.5, queries, evalK = 5, nprobe = 2)
+    assert(!rAll.merged && rAll.reason.contains("nothing to merge into"))
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    // loud guards: unreachable floor, empty sample, minRows < 1
+    // (post-merge cells hold 23 and 20 members — minRows=21 leaves one
+    // thin cell so the guard is reached instead of the thin==0 no-op)
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+        minRows = 21, recallFloor = 0.5, queries, evalK = 1000, nprobe = 1)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+        minRows = 5, recallFloor = 0.5, queries.filter(col("qid") < 0))
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+        minRows = 0, recallFloor = 0.5, queries)
+    }
+  }
+
+  test("rebalance loop then compact: splitting balloons the cell count, compaction folds the slivers back") {
+    // the round-17 probe's composition at fixture scale: a convergence
+    // loop leaves sliver sub-cells; compact retires them and the
+    // recall gate holds at the SAME nprobe
+    val blob = (0L until 300L).map(i =>
+      (i, Array((i / 300.0).toFloat, ((i % 7) / 1000.0).toFloat)))
+    val far = (300L until 330L).map(i =>
+      (i, Array(10f + (i % 5) * 0.01f, 10f)))
+    val docs = (blob ++ far).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_loop_compact").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val queries = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    val loop = IndexMaintenance.rebalanceUntilBalanced(spark, root,
+      "embedding", "vec_id", maxRows = 100, recallFloor = 0.8, queries,
+      evalK = 5, nprobe = 2)
+    assert(loop.balanced, loop.reason)
+    val cellsAfterLoop = IndexStore.loadCurrentWithCentroids(spark, root)
+      ._2.count()
+    assert(cellsAfterLoop > 2, s"the loop should grow the cell count, got $cellsAfterLoop")
+    // KMeans on the line blob can leave sub-cells well under the
+    // average; compact with a floor under the POST-SPLIT average cell
+    // retires any sliver and must keep membership + recall
+    val r = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
+      minRows = 40, recallFloor = 0.8, queries, evalK = 5, nprobe = 2)
+    if (r.merged) {
+      assert(r.cellsAfter.exists(_ < cellsAfterLoop), r.toString)
+      assert(r.meanRecall.exists(_ >= 0.8), r.toString)
+    } else {
+      assert(r.thinCells == 0, s"un-merged with thin cells: $r")
+    }
+    val (idx, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(idx.count() == 330)
+    assert(idx.select("vec_id").as[Long].collect().toSet ==
+      (0L until 330L).toSet)
+  }
+
   test("maintain commits the PAIR: a drift retrain on a shared root stays servable") {
     // The round-15 judge's first weak mark: maintain committed via
     // index-only writeVersioned, so the first drift retrain on a root

@@ -17,10 +17,62 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  def write(index: DataFrame, path: String): Unit = {
-    val w = index.write.mode("overwrite")
-    if (index.columns.contains("cluster_id")) w.partitionBy("cluster_id").parquet(path)
-    else w.parquet(path)
+  /** Session conf consulted by [[write]] when no explicit
+    * `filesPerCell` is passed: every versioned/pair write in the
+    * maintenance stack (maintain, rebalance, compact, CascadeServe's
+    * retrain flips) funnels through [[write]], so setting this once
+    * per session re-sizes ALL of them without threading a knob
+    * through every signature. UNSET defaults to 1 — one file per
+    * cluster — because the round-17 2M A/B measured the repartitioned
+    * write beating the write-through on BOTH sides (write 16 s vs
+    * 89 s: emitting 29k sliver files cost more than one exchange of
+    * the whole index; probed reads 8× faster after). Set 0 to write
+    * the input's partitioning straight through (the pre-round-17
+    * behavior — the only regime where that wins is an input already
+    * cluster-aligned, e.g. hand-managed layouts). */
+  val FilesPerCellConf = "spark.graft.index.filesPerCell"
+
+  private def filesPerCellDefault(spark: SparkSession): Int =
+    spark.conf.getOption(FilesPerCellConf).map(_.trim.toInt).getOrElse(1)
+
+  def write(index: DataFrame, path: String): Unit =
+    write(index, path, filesPerCellDefault(index.sparkSession))
+
+  /** Write, with the small-file dial. `filesPerCell = 0` writes the
+    * input's existing partitioning straight through — no shuffle, but
+    * each write task emits one file into EVERY cluster directory it
+    * holds rows for, and [[graft.operators.Ann]]'s assignment is a
+    * NARROW pass (rows stay where the corpus scan put them), so every
+    * task holds a near-uniform mix of all clusters: file count ≈
+    * tasks × cells. Measured on the round-17 2M probe: 23k–31k files
+    * for 2M rows (~60–90 rows per file) across 634–914 cluster dirs,
+    * probed reads 8× slower than the one-file-per-cell layout, and
+    * the sliver write itself 5× slower than shuffle-then-write — and
+    * at 100 TB (≈800k scan tasks) that shape is millions of sliver
+    * files, which object-store listings and per-probe file opens pay
+    * for on EVERY query forever after. Hence the default is 1 (see
+    * [[FilesPerCellConf]]).
+    *
+    * `filesPerCell >= 1` repartitions by `cluster_id` (plus a
+    * deterministic row-hash salt when > 1) before the partitioned
+    * write: at most `cells × filesPerCell` files (AQE may coalesce a
+    * small shuffle further — fewer files still, never more), at the
+    * price of one full exchange of the index per write — a
+    * once-per-build cost the read path amortizes. Use > 1 when single
+    * cells are large enough that one write task per cell becomes the
+    * straggler. Rows are identical either way; only file layout
+    * changes. */
+  def write(index: DataFrame, path: String, filesPerCell: Int): Unit = {
+    require(filesPerCell >= 0,
+      s"filesPerCell $filesPerCell must be >= 0 (0 = no repartition)")
+    if (index.columns.contains("cluster_id")) {
+      val out =
+        if (filesPerCell == 0) index
+        else if (filesPerCell == 1) index.repartition(col("cluster_id"))
+        else index.repartition(col("cluster_id"),
+          pmod(hash(index.columns.map(col): _*), lit(filesPerCell)))
+      out.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    } else index.write.mode("overwrite").parquet(path)
   }
 
   def load(spark: SparkSession, path: String): DataFrame =

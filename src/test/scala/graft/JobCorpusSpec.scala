@@ -115,6 +115,64 @@ class JobCorpusSpec extends SparkSpec {
     assert(after == Seq((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
   }
 
+  test("write filesPerCell: one file per cell, salted fan-out bounded, conf default reaches the pair write, rows identical") {
+    // a many-partition input makes the legacy write fan out: every
+    // task holding rows of a cluster emits its own file into that
+    // cluster's directory (the measured 2M shape: ~60-90 rows/file)
+    val idx = spark.range(800)
+      .select((col("id") % 4).as("cluster_id"), col("id").as("vec_id"))
+      .repartition(16)
+    def dataFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles.filter(_.getName.startsWith("cluster_id=")).map(
+        _.listFiles.count(f => f.getName.endsWith(".parquet"))).sum
+    }
+    def rowsOf(dir: String) = IndexStore.load(spark, dir)
+      .select(col("vec_id"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val d0 = Files.createTempDirectory("graft_fpc0").toString + "/idx"
+    IndexStore.write(idx, d0, filesPerCell = 0)
+    val legacy = dataFiles(d0)
+    assert(legacy > 4, s"expected task-fan-out in the write-through layout, got $legacy")
+    // the DEFAULT (conf unset) is one file per cell — the measured
+    // 2M A/B won on both the write and the read side
+    val d1 = Files.createTempDirectory("graft_fpc1").toString + "/idx"
+    IndexStore.write(idx, d1)
+    assert(dataFiles(d1) == 4, s"one file per cell, got ${dataFiles(d1)}")
+    assert(rowsOf(d1) == rowsOf(d0), "layout must not change rows")
+    // conf opt-out: 0 restores the write-through layout
+    val dOpt = Files.createTempDirectory("graft_fpc_opt").toString + "/idx"
+    spark.conf.set(IndexStore.FilesPerCellConf, "0")
+    try IndexStore.write(idx, dOpt)
+    finally spark.conf.unset(IndexStore.FilesPerCellConf)
+    assert(dataFiles(dOpt) > 4)
+    assert(rowsOf(dOpt) == rowsOf(d0))
+    // the salt only shows with AQE's small-shuffle coalescing off (at
+    // production volume the shuffle never coalesces below the target;
+    // when it does, files can only get FEWER — the knob's upper bound
+    // is cells x filesPerCell either way)
+    val d3 = Files.createTempDirectory("graft_fpc3").toString + "/idx"
+    val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try IndexStore.write(idx, d3, filesPerCell = 3)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
+    val n3 = dataFiles(d3)
+    assert(n3 > 4 && n3 <= 12, s"salted fan-out bounded by cells x 3, got $n3")
+    assert(rowsOf(d3) == rowsOf(d0))
+    // the session conf reaches writeVersionedWithCentroids through the
+    // shared write path — the maintenance loops inherit it unmodified
+    val root = Files.createTempDirectory("graft_fpc_pair").toString + "/idx"
+    spark.conf.set(IndexStore.FilesPerCellConf, "1")
+    try assert(IndexStore.writeVersionedWithCentroids(idx,
+      Seq((0L, Seq(0.0))).toDF("cid", "cvec"), root) == 1L)
+    finally spark.conf.unset(IndexStore.FilesPerCellConf)
+    assert(dataFiles(s"$root/v1") == 4)
+    assert(IndexStore.loadCurrentWithCentroids(spark, root)._1.count() == 800)
+    intercept[IllegalArgumentException] {
+      IndexStore.write(idx, d0, filesPerCell = -1)
+    }
+  }
+
   test("versioned store: commit marker gates visibility, prune keeps rollback window") {
     val root = Files.createTempDirectory("graft_vidx").toString + "/idx"
     val v1 = IndexStore.writeVersioned(

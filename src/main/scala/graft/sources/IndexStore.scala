@@ -63,16 +63,25 @@ object IndexStore {
     * straggler. Rows are identical either way; only file layout
     * changes. */
   def write(index: DataFrame, path: String, filesPerCell: Int): Unit = {
+    if (index.columns.contains("cluster_id"))
+      cellAligned(index, filesPerCell).write.mode("overwrite")
+        .partitionBy("cluster_id").parquet(path)
+    else index.write.mode("overwrite").parquet(path)
+  }
+
+  /** The layout move behind [[write]]'s `filesPerCell`, shared with
+    * the partition-scoped rewrites ([[upsertPartitioned]],
+    * [[upsertReassigned]], [[compactPartitioned]]) — those rewrite
+    * whole affected directories per delta, so without it every
+    * rewritten directory collects one file per merge task and the
+    * sliver-file shape reappears incrementally. */
+  private def cellAligned(df: DataFrame, filesPerCell: Int): DataFrame = {
     require(filesPerCell >= 0,
       s"filesPerCell $filesPerCell must be >= 0 (0 = no repartition)")
-    if (index.columns.contains("cluster_id")) {
-      val out =
-        if (filesPerCell == 0) index
-        else if (filesPerCell == 1) index.repartition(col("cluster_id"))
-        else index.repartition(col("cluster_id"),
-          pmod(hash(index.columns.map(col): _*), lit(filesPerCell)))
-      out.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    } else index.write.mode("overwrite").parquet(path)
+    if (filesPerCell == 0) df
+    else if (filesPerCell == 1) df.repartition(col("cluster_id"))
+    else df.repartition(col("cluster_id"),
+      pmod(hash(df.columns.map(col): _*), lit(filesPerCell)))
   }
 
   def load(spark: SparkSession, path: String): DataFrame =
@@ -483,8 +492,8 @@ object IndexStore {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      merged.localCheckpoint(true).write.mode("overwrite")
-        .partitionBy("cluster_id").parquet(path)
+      cellAligned(merged.localCheckpoint(true), filesPerCellDefault(spark))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -557,7 +566,8 @@ object IndexStore {
     }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    try cellAligned(merged, filesPerCellDefault(spark))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -168,6 +168,19 @@ class JobCorpusSpec extends SparkSpec {
     finally spark.conf.unset(IndexStore.FilesPerCellConf)
     assert(dataFiles(s"$root/v1") == 4)
     assert(IndexStore.loadCurrentWithCentroids(spark, root)._1.count() == 800)
+    // the partition-scoped rewrites share the layout: a delta touching
+    // one cluster leaves that directory at one file, not one per merge
+    // task — otherwise the sliver shape reappears incrementally
+    IndexStore.upsertPartitioned(spark, d1, spark.range(820)
+      .filter(col("id") >= 800)
+      .select(lit(2L).as("cluster_id"), col("id").as("vec_id"))
+      .repartition(8), "vec_id")
+    val perDir = new java.io.File(d1).listFiles
+      .filter(_.getName.startsWith("cluster_id="))
+      .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(perDir("cluster_id=2") == 1, perDir.toString)
+    assert(IndexStore.load(spark, d1).count() == 820)
     intercept[IllegalArgumentException] {
       IndexStore.write(idx, d0, filesPerCell = -1)
     }

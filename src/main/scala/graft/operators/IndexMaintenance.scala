@@ -341,6 +341,18 @@ object IndexMaintenance {
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 8,
       keepVersions: Int = 0, trainSampleMax: Long = 0)
+      : RebalanceLoopReport =
+    rebalanceLoop(spark, root, embCol, idCol, maxRows, recallFloor,
+      sampleQueries, evalK, nprobe, seed, maxIter, keepVersions,
+      trainSampleMax, None)
+
+  /** [[rebalanceUntilBalanced]]'s body, taking the shared-exact thunk
+    * from outside when a composed pass ([[rightSize]]) owns it. */
+  private def rebalanceLoop(spark: SparkSession, root: String,
+      embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
+      sampleQueries: DataFrame, evalK: Int, nprobe: Int,
+      seed: Long, maxIter: Int, keepVersions: Int, trainSampleMax: Long,
+      externalExact: Option[() => DataFrame])
       : RebalanceLoopReport = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     require(keepVersions >= 0,
@@ -351,17 +363,18 @@ object IndexMaintenance {
     // whole loop and shared across steps, not re-scanned per step.
     // Lazy + materialized: the balanced-no-op first step never
     // validates and must not pay a corpus scan for an audit.
-    lazy val sharedExact: DataFrame = {
+    lazy val ownExact: DataFrame = {
       val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
       loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
         .localCheckpoint(true) // evalK rows per sample query — tiny
     }
+    val sharedExact: () => DataFrame = externalExact.getOrElse(() => ownExact)
     var steps = Vector.empty[RebalanceReport]
     var iter = 0
     while (iter < maxIter) {
       val r = rebalanceStep(spark, root, embCol, idCol, maxRows,
         recallFloor, sampleQueries, evalK, nprobe, seed + iter,
-        trainSampleMax, Some(() => sharedExact))
+        trainSampleMax, Some(sharedExact))
       steps :+= r
       if (r.split && keepVersions >= 1)
         IndexStore.pruneVersions(spark, root, keepVersions)
@@ -420,7 +433,18 @@ object IndexMaintenance {
   def compact(spark: SparkSession, root: String, embCol: String,
               idCol: String, minRows: Long, recallFloor: Double,
               sampleQueries: DataFrame, evalK: Int = 10,
-              nprobe: Int = 4): CompactReport = {
+              nprobe: Int = 4): CompactReport =
+    compactStep(spark, root, embCol, idCol, minRows, recallFloor,
+      sampleQueries, evalK, nprobe, None)
+
+  /** [[compact]]'s body with the shared-exact seam [[rebalanceStep]]
+    * has: merging, like splitting, never changes (id, vector) content,
+    * so a composed maintenance pass ([[rightSize]]) computes the
+    * validation gate's exact side once for ALL its phases. */
+  private def compactStep(spark: SparkSession, root: String, embCol: String,
+              idCol: String, minRows: Long, recallFloor: Double,
+              sampleQueries: DataFrame, evalK: Int, nprobe: Int,
+              sharedExact: Option[() => DataFrame]): CompactReport = {
     require(minRows >= 1, s"minRows $minRows must be >= 1")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
@@ -451,7 +475,7 @@ object IndexMaintenance {
       idCol, cents, "cid", "cvec", minRows)
     val merged = merged0.localCheckpoint(true) // validation AND write
     val meanRecall = meanRecallAt(merged, mergedCents, index, embCol,
-      idCol, sampleQueries, evalK, nprobe)
+      idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
     val after = cellIds.length.toLong - thin
     if (meanRecall < recallFloor)
       CompactReport(cellIds.length.toLong, thin, Some(after), merged = false,
@@ -467,6 +491,87 @@ object IndexMaintenance {
           s"merged to $after cells, validated (recall $meanRecall), " +
           s"committed pair v$v")
     }
+  }
+
+  /** One composed right-sizing pass, driver-sized. `reloop` is present
+    * only when compaction pushed a survivor past `maxRows` and the
+    * bounded re-converge ran; `residualThin` counts cells still below
+    * `minRows` at the end (disclosed, deliberately not re-merged). */
+  final case class RightSizeReport(loop: RebalanceLoopReport,
+                                   compacted: CompactReport,
+                                   reloop: Option[RebalanceLoopReport],
+                                   residualThin: Long, reason: String)
+
+  /** The composed maintenance pass over both cell axes: converge the
+    * FAT axis ([[rebalanceUntilBalanced]]), fold the slivers the
+    * splitting left back in ([[compact]]), and — because merging adds
+    * mass to survivors and can push one past `maxRows` (the round-17
+    * 2M probe measured 4,000 → 4,186 at minRows=500) — ONE bounded
+    * re-converge when that happened. Deliberately a fixed sequence,
+    * not a fixpoint: re-splitting a merged survivor can mint new
+    * slivers, so iterating split ↔ merge to mutual satisfaction can
+    * oscillate; instead any cells still below `minRows` at the end are
+    * counted and DISCLOSED in the report (`residualThin`), left for
+    * the next scheduled pass. Keep `minRows` well under `maxRows`
+    * (the compact bracket guidance) and the re-loop is rarely needed
+    * at all.
+    *
+    * What the composition buys at scale: all phases share ONE
+    * exact-recall reference — the gate's exact side depends only on
+    * (id, vector) content, which neither splitting nor merging
+    * touches — so a pass that would otherwise pay a full corpus scan
+    * per phase (loop steps + compact + re-loop steps) pays exactly
+    * one. `keepVersions` self-prunes after every committed phase as
+    * in the loop. For probe-cost-adaptive serving over whatever cell
+    * count a pass ends at, see [[Ann.ivfSearchStoreAdaptive]] — it
+    * sizes the probe set by candidate volume, not a fixed nprobe. */
+  def rightSize(spark: SparkSession, root: String, embCol: String,
+      idCol: String, minRows: Long, maxRows: Long, recallFloor: Double,
+      sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 8, keepVersions: Int = 0,
+      trainSampleMax: Long = 0): RightSizeReport = {
+    require(minRows >= 1 && minRows < maxRows,
+      s"minRows $minRows must be in [1, maxRows $maxRows) — the " +
+        "fat and thin floors must bracket a healthy cell")
+    lazy val sharedExact: DataFrame = {
+      val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+      loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
+        .localCheckpoint(true)
+    }
+    val ex = Some(() => sharedExact)
+    val loop = rebalanceLoop(spark, root, embCol, idCol, maxRows,
+      recallFloor, sampleQueries, evalK, nprobe, seed, maxIter,
+      keepVersions, trainSampleMax, ex)
+    val comp = compactStep(spark, root, embCol, idCol, minRows,
+      recallFloor, sampleQueries, evalK, nprobe, ex)
+    if (comp.merged && keepVersions >= 1)
+      IndexStore.pruneVersions(spark, root, keepVersions)
+    val (idx1, cents1, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    val overMax = WindowChunk.maxKeyRows(
+      idx1.filter(col("cluster_id").isNotNull), Seq("cluster_id")) > maxRows
+    val reloop =
+      if (comp.merged && overMax)
+        Some(rebalanceLoop(spark, root, embCol, idCol, maxRows,
+          recallFloor, sampleQueries, evalK, nprobe, seed + maxIter,
+          maxIter, keepVersions, trainSampleMax, ex))
+      else None
+    // end-state thin census, counted from the centroid table so
+    // zero-member leftovers are included (compact's own rule)
+    val (idx2, cents2, _) =
+      if (reloop.isDefined) IndexStore.loadCurrentWithCentroids(spark, root)
+      else (idx1, cents1, 0L)
+    val occ = idx2.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val residualThin = cents2.select(col("cid").cast("long"))
+      .collect().map(_.getLong(0)).count(occ.getOrElse(_, 0L) < minRows).toLong
+    val balancedEnd = reloop.map(_.balanced).getOrElse(loop.balanced && !overMax)
+    RightSizeReport(loop, comp, reloop, residualThin,
+      s"fat axis ${if (balancedEnd) "balanced" else "NOT balanced"}; " +
+        s"compact: ${comp.reason}; " +
+        (if (reloop.isDefined) "merge crossed maxRows — re-converged; " else "") +
+        s"$residualThin cell(s) below minRows remain (next pass's work)")
   }
 
   /** One BETWEEN-REBUILDS maintenance step, driver-sized.

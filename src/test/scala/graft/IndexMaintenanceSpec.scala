@@ -388,6 +388,81 @@ class IndexMaintenanceSpec extends SparkSpec {
       (0L until 330L).toSet)
   }
 
+  test("rightSize: converge + compact in one pass, healthy rerun is a no-op end to end") {
+    // fat blob F (300 pts, splits ~4 ways), healthy H, sliver S near H
+    val f = (0L until 300L).map(i => (i, Array(i / 300.0, (i % 7) / 1000.0)))
+    val h = (300L until 350L).map(i => (i, Array(10.0 + (i % 5) * 0.01, 10.0)))
+    val s = (400L until 403L).map(i => (i, Array(10.5 + (i - 400L) * 0.1, 10.0)))
+    val docs = (f ++ h ++ s).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(10.6, 10.0))).toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_rightsize").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val queries = Seq((0L, Array(0.5, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    val r = IndexMaintenance.rightSize(spark, root, "embedding", "vec_id",
+      minRows = 10, maxRows = 100, recallFloor = 0.8, queries,
+      evalK = 5, nprobe = 2)
+    assert(r.loop.balanced, r.reason)
+    assert(r.compacted.merged && r.compacted.thinCells == 1, r.compacted.toString)
+    assert(r.reloop.isEmpty && r.residualThin == 0, r.reason)
+    val (idx, c1, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(idx.count() == 353)
+    assert(idx.select("vec_id").as[Long].collect().toSet ==
+      (f ++ h ++ s).map(_._1).toSet)
+    val sizes = idx.groupBy("cluster_id").count().select("count")
+      .as[Long].collect()
+    assert(sizes.forall(n => n >= 10 && n <= 100), sizes.toSeq.toString)
+    // a right-sized index passes through untouched: audit-only no-op
+    val before = IndexStore.committedVersions(spark, root)
+    val r2 = IndexMaintenance.rightSize(spark, root, "embedding", "vec_id",
+      minRows = 10, maxRows = 100, recallFloor = 0.8, queries,
+      evalK = 5, nprobe = 2)
+    assert(!r2.compacted.merged && r2.loop.steps.forall(!_.split))
+    assert(r2.residualThin == 0)
+    assert(IndexStore.committedVersions(spark, root) == before)
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.rightSize(spark, root, "embedding", "vec_id",
+        minRows = 100, maxRows = 100, recallFloor = 0.8, queries)
+    }
+  }
+
+  test("rightSize: a merge that crosses maxRows triggers ONE re-converge; residual thin is disclosed, not chased") {
+    // survivor A (90 pts) + thin B (60 pts, a separated sub-blob still
+    // nearest A) + far healthy C. minRows=70 marks B thin; the merge
+    // makes A 150 > maxRows=100; the re-loop's KMeans finds the two
+    // sub-blobs and splits 90/60 — leaving one cell below minRows
+    // again, which rightSize DISCLOSES rather than re-merging (the
+    // oscillation the fixed sequence exists to prevent)
+    val a = (0L until 90L).map(i => (i, Array(i * 0.01, 0.0)))
+    val b = (100L until 160L).map(i => (i, Array(2.0 + (i - 100L) * 0.01, 0.0)))
+    val c = (200L until 280L).map(i => (i, Array(10.0 + (i % 5) * 0.01, 10.0)))
+    val docs = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.45, 0.0)), (1L, Array(2.3, 0.0)),
+      (2L, Array(10.0, 10.0))).toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_rightsize2").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val queries = Seq((0L, Array(0.45, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("qid", "qv")
+    val r = IndexMaintenance.rightSize(spark, root, "embedding", "vec_id",
+      minRows = 70, maxRows = 100, recallFloor = 0.8, queries,
+      evalK = 5, nprobe = 2)
+    assert(r.compacted.merged && r.compacted.thinCells == 1, r.compacted.toString)
+    assert(r.reloop.isDefined, r.reason)
+    assert(r.reloop.exists(_.balanced), r.reason)
+    assert(r.residualThin == 1, r.reason)
+    assert(r.reason.contains("re-converged"), r.reason)
+    val (idx, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    assert(idx.count() == 230)
+    val sizes = idx.groupBy("cluster_id").count().select("count")
+      .as[Long].collect().sorted
+    assert(sizes.max <= 100, sizes.toSeq.toString)
+  }
+
   test("maintain commits the PAIR: a drift retrain on a shared root stays servable") {
     // The round-15 judge's first weak mark: maintain committed via
     // index-only writeVersioned, so the first drift retrain on a root

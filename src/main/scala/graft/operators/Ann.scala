@@ -1152,17 +1152,30 @@ object Ann {
                         centroids: DataFrame, cidCol: String,
                         cvecCol: String, minRows: Long)
       : (DataFrame, DataFrame) = {
+    require(assigned.columns.contains("cluster_id"),
+      "mergeThinClusters needs a cluster-assigned index (cluster_id column)")
+    // counts-only occupancy histogram — ≤ k rows cross the driver; the
+    // centroid table (not the histogram) drives thinness so EMPTY
+    // cells, which the groupBy never sees, are retired too
+    mergeThinClustersWithOcc(assigned, embCol, idCol, centroids, cidCol,
+      cvecCol, minRows,
+      assigned.filter(col("cluster_id").isNotNull)
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  /** [[mergeThinClusters]] with the occupancy histogram supplied by a
+    * caller that already computed it (IndexMaintenance.compact's
+    * detect pass) — one full-index aggregate instead of two. */
+  private[operators] def mergeThinClustersWithOcc(assigned: DataFrame,
+      embCol: String, idCol: String, centroids: DataFrame, cidCol: String,
+      cvecCol: String, minRows: Long, occ: Map[Long, Long])
+      : (DataFrame, DataFrame) = {
     require(minRows >= 1, s"minRows $minRows must be >= 1")
     require(assigned.columns.contains("cluster_id"),
       "mergeThinClusters needs a cluster-assigned index (cluster_id column)")
     val cents = collectCentroids(centroids, cidCol, cvecCol)
-    // counts-only occupancy histogram — ≤ k rows cross the driver; the
-    // centroid table (not the histogram) drives thinness so EMPTY
-    // cells, which the groupBy never sees, are retired too
-    val occ = assigned.filter(col("cluster_id").isNotNull)
-      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val thinIds = cents.map(_._1)
       .filter(occ.getOrElse(_, 0L) < minRows).sorted
     if (thinIds.isEmpty) return (assigned, centroids)

@@ -186,6 +186,18 @@ object IndexMaintenance {
     Knn.batchAgg(corpus, embCol, idCol, sampleQueries, "qid", "qv", evalK)
       .select(col("qid"), col(idCol))
 
+  /** [[loopExactTopK]] over the CURRENT committed index, materialized —
+    * the one shared-exact recipe of [[rebalanceLoop]] and [[rightSize]]
+    * (evalK rows per sample query — tiny). */
+  private def exactReference(spark: SparkSession, root: String,
+                             embCol: String, idCol: String,
+                             sampleQueries: DataFrame, evalK: Int)
+      : DataFrame = {
+    val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+    loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
+      .localCheckpoint(true)
+  }
+
   /** One balance decision, driver-sized — [[Report]]'s shape for the
     * cell-size axis. */
   final case class RebalanceReport(maxCellBefore: Long,
@@ -363,11 +375,8 @@ object IndexMaintenance {
     // whole loop and shared across steps, not re-scanned per step.
     // Lazy + materialized: the balanced-no-op first step never
     // validates and must not pay a corpus scan for an audit.
-    lazy val ownExact: DataFrame = {
-      val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
-      loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
-        .localCheckpoint(true) // evalK rows per sample query — tiny
-    }
+    lazy val ownExact: DataFrame =
+      exactReference(spark, root, embCol, idCol, sampleQueries, evalK)
     val sharedExact: () => DataFrame = externalExact.getOrElse(() => ownExact)
     var steps = Vector.empty[RebalanceReport]
     var iter = 0
@@ -471,8 +480,8 @@ object IndexMaintenance {
     require(nIdx >= evalK,
       s"compact: index has $nIdx rows < evalK $evalK — " +
         "recall floor would be mathematically unreachable")
-    val (merged0, mergedCents) = Ann.mergeThinClusters(index, embCol,
-      idCol, cents, "cid", "cvec", minRows)
+    val (merged0, mergedCents) = Ann.mergeThinClustersWithOcc(index, embCol,
+      idCol, cents, "cid", "cvec", minRows, occ)
     val merged = merged0.localCheckpoint(true) // validation AND write
     val meanRecall = meanRecallAt(merged, mergedCents, index, embCol,
       idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
@@ -533,11 +542,8 @@ object IndexMaintenance {
     require(minRows >= 1 && minRows < maxRows,
       s"minRows $minRows must be in [1, maxRows $maxRows) — the " +
         "fat and thin floors must bracket a healthy cell")
-    lazy val sharedExact: DataFrame = {
-      val (idx0, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
-      loopExactTopK(idx0, embCol, idCol, sampleQueries, evalK)
-        .localCheckpoint(true)
-    }
+    lazy val sharedExact: DataFrame =
+      exactReference(spark, root, embCol, idCol, sampleQueries, evalK)
     val ex = Some(() => sharedExact)
     val loop = rebalanceLoop(spark, root, embCol, idCol, maxRows,
       recallFloor, sampleQueries, evalK, nprobe, seed, maxIter,
@@ -546,27 +552,39 @@ object IndexMaintenance {
       recallFloor, sampleQueries, evalK, nprobe, ex)
     if (comp.merged && keepVersions >= 1)
       IndexStore.pruneVersions(spark, root, keepVersions)
-    val (idx1, cents1, _) = IndexStore.loadCurrentWithCentroids(spark, root)
-    val overMax = WindowChunk.maxKeyRows(
-      idx1.filter(col("cluster_id").isNotNull), Seq("cluster_id")) > maxRows
+    // only a COMMITTED merge can have pushed a cell past maxRows — a
+    // no-op or vetoed compact leaves the loop's end state, so the
+    // fat re-audit (a full-index aggregate) is skipped entirely
+    val overMax = comp.merged && {
+      val (idx1, _, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+      WindowChunk.maxKeyRows(
+        idx1.filter(col("cluster_id").isNotNull), Seq("cluster_id")) > maxRows
+    }
     val reloop =
-      if (comp.merged && overMax)
+      if (overMax)
         Some(rebalanceLoop(spark, root, embCol, idCol, maxRows,
           recallFloor, sampleQueries, evalK, nprobe, seed + maxIter,
           maxIter, keepVersions, trainSampleMax, ex))
       else None
-    // end-state thin census, counted from the centroid table so
-    // zero-member leftovers are included (compact's own rule)
-    val (idx2, cents2, _) =
-      if (reloop.isDefined) IndexStore.loadCurrentWithCentroids(spark, root)
-      else (idx1, cents1, 0L)
-    val occ = idx2.filter(col("cluster_id").isNotNull)
-      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val residualThin = cents2.select(col("cid").cast("long"))
-      .collect().map(_.getLong(0)).count(occ.getOrElse(_, 0L) < minRows).toLong
-    val balancedEnd = reloop.map(_.balanced).getOrElse(loop.balanced && !overMax)
+    // End-state thin census. Scan-free unless a re-loop ran: a
+    // committed merge leaves NO thin cells (survivors are >= minRows
+    // and merging only adds mass), a vetoed/no-op compact leaves
+    // exactly the thin set its detect counted; only a re-loop's fresh
+    // splits can mint new slivers, and only then is the census
+    // (counted from the centroid table, so zero-member leftovers are
+    // included — compact's own rule) actually measured.
+    val residualThin =
+      if (reloop.isEmpty) { if (comp.merged) 0L else comp.thinCells }
+      else {
+        val (idx2, cents2, _) = IndexStore.loadCurrentWithCentroids(spark, root)
+        val occ = idx2.filter(col("cluster_id").isNotNull)
+          .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        cents2.select(col("cid").cast("long"))
+          .collect().map(_.getLong(0)).count(occ.getOrElse(_, 0L) < minRows).toLong
+      }
+    val balancedEnd = reloop.map(_.balanced).getOrElse(loop.balanced)
     RightSizeReport(loop, comp, reloop, residualThin,
       s"fat axis ${if (balancedEnd) "balanced" else "NOT balanced"}; " +
         s"compact: ${comp.reason}; " +

@@ -33,7 +33,13 @@ object IndexStore {
   val FilesPerCellConf = "spark.graft.index.filesPerCell"
 
   private def filesPerCellDefault(spark: SparkSession): Int =
-    spark.conf.getOption(FilesPerCellConf).map(_.trim.toInt).getOrElse(1)
+    spark.conf.getOption(FilesPerCellConf).map { raw =>
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$FilesPerCellConf must be a non-negative integer, got '$raw'")
+      }
+    }.getOrElse(1)
 
   def write(index: DataFrame, path: String): Unit =
     write(index, path, filesPerCellDefault(index.sparkSession))
@@ -81,7 +87,31 @@ object IndexStore {
     if (filesPerCell == 0) df
     else if (filesPerCell == 1) df.repartition(col("cluster_id"))
     else df.repartition(col("cluster_id"),
-      pmod(hash(df.columns.map(col): _*), lit(filesPerCell)))
+      pmod(hash(saltColumns(df): _*), lit(filesPerCell)))
+  }
+
+  /** Salt columns for the > 1 fan-out: prefer narrow ATOMIC non-cluster
+    * columns (the id column in any vector index — cheap to hash and
+    * row-unique), fall back to any hashable column (Spark's hash()
+    * rejects MapType), and degrade to a constant — i.e. one file per
+    * cell — only for the pathological all-map schema rather than
+    * failing the write. Deterministic per row either way. */
+  private def saltColumns(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case StructType(fs) => fs.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val fields = df.schema.fields.filter(_.name != "cluster_id")
+    val atomic = fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    })
+    val chosen = if (atomic.nonEmpty) atomic
+                 else fields.filter(f => hashable(f.dataType))
+    if (chosen.isEmpty) Seq(lit(0)) else chosen.toSeq.map(f => col(f.name))
   }
 
   def load(spark: SparkSession, path: String): DataFrame =

@@ -184,6 +184,20 @@ class JobCorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IndexStore.write(idx, d0, filesPerCell = -1)
     }
+    // a malformed conf fails loudly NAMING the key, not with a bare
+    // NumberFormatException deep inside a maintenance commit
+    spark.conf.set(IndexStore.FilesPerCellConf, "1.0")
+    val eConf = try intercept[IllegalArgumentException] {
+      IndexStore.write(idx, Files.createTempDirectory("graft_fpc_bad").toString)
+    } finally spark.conf.unset(IndexStore.FilesPerCellConf)
+    assert(eConf.getMessage.contains(IndexStore.FilesPerCellConf), eConf.getMessage)
+    // salted fan-out survives an unhashable (map) column: the salt
+    // prefers atomic non-cluster columns and never touches the map
+    val mapIdx = spark.range(100).select((col("id") % 2).as("cluster_id"),
+      col("id").as("vec_id"), map(lit("k"), col("id")).as("meta"))
+    val dMap = Files.createTempDirectory("graft_fpc_map").toString + "/idx"
+    IndexStore.write(mapIdx, dMap, filesPerCell = 2)
+    assert(IndexStore.load(spark, dMap).count() == 100)
   }
 
   test("versioned store: commit marker gates visibility, prune keeps rollback window") {

@@ -1291,4 +1291,61 @@ class AnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: mergeThinClusters preserves membership and moves ONLY thin members, to the nearest survivor") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(30, 80)
+      k <- Gen.choose(2, 4)
+      minRows <- Gen.choose(2L, 10L)
+      dim <- Gen.oneOf(2, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-50, 50).map(_ / 10.0)))
+    } yield (k, minRows, rows)
+    PropHelper.forAll(gen, n = 6) { case (k, minRows, rows) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val cents = rows.take(k).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("cid", "cvec")
+      val assigned = Ann.ivfAssign(df, "embedding", "vec_id",
+        cents, "cid", "cvec")
+      val before = assigned
+        .select(col("vec_id"), col("cluster_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val occ = before.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+      // thinness is centroid-driven: zero-member cells count as thin
+      val thin = (0L until k.toLong).filter(occ.getOrElse(_, 0L) < minRows).toSet
+      if (thin.size == k) {
+        intercept[IllegalArgumentException] {
+          Ann.mergeThinClusters(assigned, "embedding", "vec_id",
+            cents, "cid", "cvec", minRows)
+        }
+      } else {
+        val (nIdx, nCents) = Ann.mergeThinClusters(assigned, "embedding",
+          "vec_id", cents, "cid", "cvec", minRows)
+        val after = nIdx
+          .select(col("vec_id"), col("cluster_id").cast("long"))
+          .as[(Long, Long)].collect().toMap
+        // membership preserved exactly
+        assert(after.keySet == before.keySet, s"k=$k minRows=$minRows")
+        // the centroid table is exactly the survivors, ids untouched
+        val cids = nCents.select(col("cid").cast("long")).as[Long]
+          .collect().toSet
+        assert(cids == (0L until k.toLong).toSet -- thin)
+        // survivor members never move; thin members land at the global
+        // argmin over the survivor table (re-derived independently)
+        val moved = after.filter { case (id, _) => thin.contains(before(id)) }
+        val rederivedAll = Ann.ivfAssign(df, "embedding", "vec_id",
+            nCents, "cid", "cvec")
+          .select(col("vec_id"), col("cluster_id").cast("long"))
+          .as[(Long, Long)].collect().toMap
+        after.foreach { case (id, c) =>
+          if (thin.contains(before(id)))
+            assert(c == rederivedAll(id),
+              s"thin member $id landed on $c, argmin says ${rederivedAll(id)}")
+          else assert(c == before(id), s"survivor member $id moved")
+        }
+        assert(moved.values.toSet.subsetOf(cids))
+      }
+    }
+  }
 }

@@ -267,7 +267,14 @@ object Dedup {
         shinglePipeline(corpus, idCol, textCol, shingleK, doPersist = false),
         numHashes, bandRows)
       .withColumn("band_bucket", bandBucket(nBuckets))
-    bands.write.mode("overwrite").partitionBy("band_bucket").parquet(path)
+    // repartition by the partition column before the partitioned write:
+    // band derivation is narrow, so every task holds rows of every
+    // bucket and a write-through layout emits tasks × buckets sliver
+    // files (the round-17 IndexStore measurement: 8× slower pruned
+    // reads, 5× slower write at 2M). One exchange buys one file per
+    // bucket.
+    bands.repartition(col("band_bucket"))
+      .write.mode("overwrite").partitionBy("band_bucket").parquet(path)
     import spark.implicits._
     Seq((numHashes, bandRows, shingleK, nBuckets))
       .toDF("num_hashes", "band_rows", "shingle_k", "n_buckets")
@@ -750,6 +757,10 @@ object Dedup {
     sh.join(rare, Seq("s"))
       .select(col("s"), col("doc_id"),
         pmod(hash(col("s")), lit(nBuckets)).as("shingle_bucket"))
+      // one file per bucket, not one per task per bucket (the same
+      // exchange-for-layout trade writeBandIndex makes, measured in
+      // the round-17 IndexStore A/B)
+      .repartition(col("shingle_bucket"))
       .write.mode("overwrite").partitionBy("shingle_bucket").parquet(path)
     sh.unpersist()
     import spark.implicits._

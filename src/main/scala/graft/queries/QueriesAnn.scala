@@ -1413,6 +1413,7 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
           Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec"),
           "embedding", pqCodebook(s, d))
         .select("cluster_id", "vec_id", "pq_codes")
+        .repartition(col("cluster_id")) // one file per cell (IndexStore's layout)
         .write.partitionBy("cluster_id").parquet(p)
       p
     })

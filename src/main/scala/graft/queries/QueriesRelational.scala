@@ -259,6 +259,49 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
 
+  /** Z-ordered lineitem copy built ONCE per sf dir (j2's
+    * stored-artifact pattern): the layout-time exchange paid here is
+    * the one every multi-column filter then rides — at 100 TB a
+    * selective 2-D predicate decodes a few files' row groups instead
+    * of paging the whole table. TrieMap-guarded; a lost race builds
+    * twice, never wrong. */
+  private val zorderedPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def zorderedLineitemFor(s: SparkSession, d: String): String =
+    zorderedPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_")
+        .toString + "/lineitem_z"
+      graft.sources.ZOrderLayout.writeZOrdered(t(s, d, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"), p, nFiles = 32)
+      p
+    })
+
+  private val j3 = QuerySpec("j3_zorder_scan",
+    // Multi-column filter riding the Z-ordered layout: both predicate
+    // columns are bit-interleaved into the file order, so every
+    // file's min/max statistics are TIGHT on price AND quantity at
+    // once and the parquet reader's pushed filters skip the row
+    // groups a scattered (or single-column-sorted) layout would
+    // decode (ZOrderLayoutSpec pins the span shrink on both
+    // dimensions; PushedFilters carries both predicates). Results are
+    // layout-independent — the oracle is the same filter over the
+    // raw table.
+    (s, d) => s.read.parquet(zorderedLineitemFor(s, d))
+      .filter(col("l_extendedprice").between(30000, 32000) &&
+        col("l_quantity").between(20, 25))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_quantity, 2) AS l_quantity,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      WHERE l_extendedprice BETWEEN 30000 AND 32000
+        AND l_quantity BETWEEN 20 AND 25
+      ORDER BY l_orderkey, l_linenumber"""))
+
   // ======================================================================
   // The flagship cascade (SURVEY §3.1) — driver-orchestrated adaptive
   // policy over small plans; semantic fns are the deterministic doubles.
@@ -468,5 +511,5 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3)
 }

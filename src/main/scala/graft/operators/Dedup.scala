@@ -267,13 +267,11 @@ object Dedup {
         shinglePipeline(corpus, idCol, textCol, shingleK, doPersist = false),
         numHashes, bandRows)
       .withColumn("band_bucket", bandBucket(nBuckets))
-    // repartition by the partition column before the partitioned write:
-    // band derivation is narrow, so every task holds rows of every
-    // bucket and a write-through layout emits tasks × buckets sliver
-    // files (the round-17 IndexStore measurement: 8× slower pruned
-    // reads, 5× slower write at 2M). One exchange buys one file per
-    // bucket.
-    bands.repartition(col("band_bucket"))
+    // band derivation is narrow, so a write-through layout would emit
+    // tasks × buckets sliver files — one exchange buys one file per
+    // bucket (IndexStore.partitionAligned carries the measured
+    // rationale)
+    graft.sources.IndexStore.partitionAligned(bands, "band_bucket", 1)
       .write.mode("overwrite").partitionBy("band_bucket").parquet(path)
     import spark.implicits._
     Seq((numHashes, bandRows, shingleK, nBuckets))
@@ -754,13 +752,13 @@ object Dedup {
     val sh = shinglePipeline(corpus, idCol, textCol, shingleK)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("s")
-    sh.join(rare, Seq("s"))
-      .select(col("s"), col("doc_id"),
-        pmod(hash(col("s")), lit(nBuckets)).as("shingle_bucket"))
-      // one file per bucket, not one per task per bucket (the same
-      // exchange-for-layout trade writeBandIndex makes, measured in
-      // the round-17 IndexStore A/B)
-      .repartition(col("shingle_bucket"))
+    // one file per bucket, not one per task per bucket (the same
+    // exchange-for-layout trade writeBandIndex makes)
+    graft.sources.IndexStore.partitionAligned(
+        sh.join(rare, Seq("s"))
+          .select(col("s"), col("doc_id"),
+            pmod(hash(col("s")), lit(nBuckets)).as("shingle_bucket")),
+        "shingle_bucket", 1)
       .write.mode("overwrite").partitionBy("shingle_bucket").parquet(path)
     sh.unpersist()
     import spark.implicits._

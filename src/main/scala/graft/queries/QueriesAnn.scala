@@ -1409,12 +1409,11 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
       val e = t(s, d, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.pqEncodeBig(
-          Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec"),
-          "embedding", pqCodebook(s, d))
-        .select("cluster_id", "vec_id", "pq_codes")
-        .repartition(col("cluster_id")) // one file per cell (IndexStore's layout)
-        .write.partitionBy("cluster_id").parquet(p)
+      graft.sources.IndexStore.write(
+        Ann.pqEncodeBig(
+            Ann.ivfAssign(e, "embedding", "vec_id", cent, "cid", "cvec"),
+            "embedding", pqCodebook(s, d))
+          .select("cluster_id", "vec_id", "pq_codes"), p)
       p
     })
 

@@ -81,13 +81,25 @@ object IndexStore {
     * whole affected directories per delta, so without it every
     * rewritten directory collects one file per merge task and the
     * sliver-file shape reappears incrementally. */
-  private def cellAligned(df: DataFrame, filesPerCell: Int): DataFrame = {
-    require(filesPerCell >= 0,
-      s"filesPerCell $filesPerCell must be >= 0 (0 = no repartition)")
-    if (filesPerCell == 0) df
-    else if (filesPerCell == 1) df.repartition(col("cluster_id"))
-    else df.repartition(col("cluster_id"),
-      pmod(hash(saltColumns(df): _*), lit(filesPerCell)))
+  private def cellAligned(df: DataFrame, filesPerCell: Int): DataFrame =
+    partitionAligned(df, "cluster_id", filesPerCell)
+
+  /** The general exchange-for-layout move for ANY partitioned write:
+    * repartition by the partition column (salted when
+    * `filesPerPartition > 1`) so `partitionBy(partCol)` emits
+    * `partitions × filesPerPartition` files instead of one per task
+    * per partition — the measured round-17 trade (8× faster pruned
+    * reads, 5× faster write at 2M). Shared by the index store and the
+    * other bucket-partitioned stores (band index, rare-shingle
+    * index). */
+  private[graft] def partitionAligned(df: DataFrame, partCol: String,
+                                      filesPerPartition: Int): DataFrame = {
+    require(filesPerPartition >= 0,
+      s"filesPerPartition $filesPerPartition must be >= 0 (0 = no repartition)")
+    if (filesPerPartition == 0) df
+    else if (filesPerPartition == 1) df.repartition(col(partCol))
+    else df.repartition(col(partCol),
+      pmod(hash(saltColumns(df, partCol): _*), lit(filesPerPartition)))
   }
 
   /** Salt columns for the > 1 fan-out: prefer narrow ATOMIC non-cluster
@@ -96,7 +108,8 @@ object IndexStore {
     * rejects MapType), and degrade to a constant — i.e. one file per
     * cell — only for the pathological all-map schema rather than
     * failing the write. Deterministic per row either way. */
-  private def saltColumns(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+  private def saltColumns(df: DataFrame, partCol: String)
+      : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
     def hashable(dt: DataType): Boolean = dt match {
       case _: MapType => false
@@ -104,7 +117,7 @@ object IndexStore {
       case StructType(fs) => fs.forall(f => hashable(f.dataType))
       case _ => true
     }
-    val fields = df.schema.fields.filter(_.name != "cluster_id")
+    val fields = df.schema.fields.filter(_.name != partCol)
     val atomic = fields.filter(f => f.dataType match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true

@@ -48,8 +48,14 @@ object ZOrderLayout {
     require(cols.nonEmpty, "zorderKey needs at least one column")
     require(stats.length == cols.length,
       s"stats (${stats.length}) must match cols (${cols.length})")
-    require(bits >= 1 && bits * cols.length <= 62,
-      s"bits $bits x ${cols.length} cols must fit a long (<= 62 bits)")
+    // bits <= 30 keeps nBuckets an exact Int for width_bucket (a
+    // larger value would overflow to a non-positive bucket count,
+    // which width_bucket maps to NULL → every rank 0 → a constant
+    // key and NO clustering, silently); the joint bound keeps the
+    // interleaved key inside a long
+    require(bits >= 1 && bits <= 30 && bits * cols.length <= 62,
+      s"bits $bits must be in [1, 30] and bits x ${cols.length} cols " +
+        "must fit a long (<= 62 bits)")
     val n = cols.length
     val nBuckets = 1L << bits
     val ranks = cols.zip(stats).map { case (c, (mn, mx)) =>
@@ -69,18 +75,13 @@ object ZOrderLayout {
     * aggregate the key needs; 2 × n_cols doubles cross the driver. */
   def columnStats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     require(cols.nonEmpty, "columnStats needs at least one column")
-    val row = df.agg(
-      expr(s"min(cast(`${cols.head}` as double))"),
-      (cols.tail.flatMap(c => Seq(
-        expr(s"min(cast(`$c` as double))"),
-        expr(s"max(cast(`$c` as double))"))) :+
-        expr(s"max(cast(`${cols.head}` as double))")): _*).head()
-    cols.indices.map { i =>
-      val (mnIdx, mxIdx) =
-        if (i == 0) (0, row.length - 1) else (2 * i - 1, 2 * i)
-      (if (row.isNullAt(mnIdx)) 0.0 else row.getDouble(mnIdx),
-       if (row.isNullAt(mxIdx)) 0.0 else row.getDouble(mxIdx))
-    }
+    val aggs = cols.flatMap(c => Seq(
+      expr(s"min(cast(`$c` as double))"),
+      expr(s"max(cast(`$c` as double))")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i =>
+      (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+       if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)))
   }
 
   /** Write `df` Z-ordered on `cols` into ~`nFiles` files: rank →

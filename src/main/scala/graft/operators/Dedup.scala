@@ -255,10 +255,17 @@ object Dedup {
     * Size nBuckets so one bucket's bands fit a scan task comfortably
     * (bands are 3 narrow columns; at 100 TB corpus scale thousands of
     * buckets keep per-bucket reads small while batch-side pruning
-    * stays effective — a small batch touches few distinct buckets). */
+    * stays effective — a small batch touches few distinct buckets).
+    * `filesPerBucket` is [[graft.sources.IndexStore]]'s salt dial
+    * applied here: when a single bucket's bands exceed one write
+    * task's comfort (an under-sized nBuckets on a huge corpus), a
+    * value > 1 salts the layout exchange so each bucket lands in at
+    * most that many files instead of making one task the straggler —
+    * rows and read-side pruning are identical either way. */
   def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
                      path: String, numHashes: Int = 32, bandRows: Int = 4,
-                     shingleK: Int = 3, nBuckets: Int = 64): Unit = {
+                     shingleK: Int = 3, nBuckets: Int = 64,
+                     filesPerBucket: Int = 1): Unit = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
     val spark = corpus.sparkSession
@@ -268,10 +275,11 @@ object Dedup {
         numHashes, bandRows)
       .withColumn("band_bucket", bandBucket(nBuckets))
     // band derivation is narrow, so a write-through layout would emit
-    // tasks × buckets sliver files — one exchange buys one file per
-    // bucket (IndexStore.partitionAligned carries the measured
-    // rationale)
-    graft.sources.IndexStore.partitionAligned(bands, "band_bucket", 1)
+    // tasks × buckets sliver files — one exchange buys filesPerBucket
+    // files per bucket (IndexStore.partitionAligned carries the
+    // measured rationale and the salt)
+    graft.sources.IndexStore.partitionAligned(bands, "band_bucket",
+        filesPerBucket)
       .write.mode("overwrite").partitionBy("band_bucket").parquet(path)
     import spark.implicits._
     Seq((numHashes, bandRows, shingleK, nBuckets))
@@ -741,10 +749,13 @@ object Dedup {
     * round 11) is paid HERE once per corpus version, and the per-batch
     * query pays only its probe. Hash-scheme parameters persist in
     * `_graft_meta`; readers take them from the index, never from the
-    * caller. */
+    * caller. `filesPerBucket` is the same salt dial as
+    * [[writeBandIndex]]'s: > 1 bounds a too-big bucket's write to
+    * several tasks instead of one straggler, identical rows and
+    * pruning. */
   def writeShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, shingleK: Int = 3, maxDf: Int = 20,
-                        nBuckets: Int = 64): Unit = {
+                        nBuckets: Int = 64, filesPerBucket: Int = 1): Unit = {
     require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
     val spark = corpus.sparkSession
@@ -752,13 +763,13 @@ object Dedup {
     val sh = shinglePipeline(corpus, idCol, textCol, shingleK)
     val rare = sh.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("s")
-    // one file per bucket, not one per task per bucket (the same
-    // exchange-for-layout trade writeBandIndex makes)
+    // filesPerBucket files per bucket, not one per task per bucket
+    // (the same exchange-for-layout trade writeBandIndex makes)
     graft.sources.IndexStore.partitionAligned(
         sh.join(rare, Seq("s"))
           .select(col("s"), col("doc_id"),
             pmod(hash(col("s")), lit(nBuckets)).as("shingle_bucket")),
-        "shingle_bucket", 1)
+        "shingle_bucket", filesPerBucket)
       .write.mode("overwrite").partitionBy("shingle_bucket").parquet(path)
     sh.unpersist()
     import spark.implicits._

@@ -414,7 +414,13 @@ object IndexMaintenance {
   }
 
   /** One thin-cell compaction decision, driver-sized — the cell-COUNT
-    * axis next to [[RebalanceReport]]'s cell-SIZE axis. */
+    * axis next to [[RebalanceReport]]'s cell-SIZE axis. `cellsAfter`
+    * is populated ONLY on a committed merge (the store's current
+    * geometry); every path that leaves the store unchanged — no-op,
+    * all-thin refusal, recall veto — reports None, so a scheduler
+    * reading the field can never mistake a hypothetical post-merge
+    * count for reality (the vetoed candidate's count rides in the
+    * reason string instead). */
   final case class CompactReport(cellsBefore: Long, thinCells: Long,
                                  cellsAfter: Option[Long], merged: Boolean,
                                  version: Option[Long],
@@ -487,10 +493,14 @@ object IndexMaintenance {
       idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
     val after = cellIds.length.toLong - thin
     if (meanRecall < recallFloor)
-      CompactReport(cellIds.length.toLong, thin, Some(after), merged = false,
+      // cellsAfter = None: the merge was NOT committed, so the
+      // candidate's post-merge count must not read as current
+      // geometry — it is disclosed in the reason only
+      CompactReport(cellIds.length.toLong, thin, None, merged = false,
         None, Some(meanRecall),
         s"merge recall $meanRecall below floor $recallFloor at nprobe " +
-          s"$nprobe — pair NOT committed, previous geometry stays current " +
+          s"$nprobe — pair NOT committed (candidate would have been " +
+          s"$after cells), previous geometry stays current " +
           "(raise minRows less aggressively, or raise nprobe)")
     else {
       val v = IndexStore.writeVersionedWithCentroids(merged, mergedCents, root)

@@ -34,11 +34,18 @@ object IndexStore {
 
   private def filesPerCellDefault(spark: SparkSession): Int =
     spark.conf.getOption(FilesPerCellConf).map { raw =>
-      try raw.trim.toInt
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$FilesPerCellConf must be a non-negative integer, got '$raw'")
-      }
+      val v =
+        try raw.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$FilesPerCellConf must be a non-negative integer, got '$raw'")
+        }
+      // same loud key-naming contract as the malformed branch — a
+      // negative value must not surface later as partitionAligned's
+      // anonymous filesPerPartition require deep inside a commit
+      if (v < 0) throw new IllegalArgumentException(
+        s"$FilesPerCellConf must be a non-negative integer, got '$raw'")
+      v
     }.getOrElse(1)
 
   def write(index: DataFrame, path: String): Unit =

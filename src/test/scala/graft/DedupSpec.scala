@@ -111,6 +111,61 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 
+  test("band/shingle stores: filesPerBucket salt bounds per-bucket fan-out, rows identical") {
+    // enough docs that every bucket holds bands from many source
+    // partitions — the write-through shape would emit one file per
+    // task per bucket; the salt dial must land at most filesPerBucket
+    val docs = (0L until 60L)
+      .map(i => (i, s"document number $i alpha beta gamma ${i % 7} delta"))
+      .toDF("doc_id", "text").repartition(8)
+    val root = java.nio.file.Files.createTempDirectory("graft_fpb").toFile
+    // AQE coalesces this toy shuffle's salt groups into one task per
+    // bucket (the contract allows FEWER files, never more) — disable
+    // coalescing so the salt's fan-out is observable at test scale
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def parquetsPerDir(dir: String, prefix: String): Map[String, Int] =
+        new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
+          .map(d => d.getName ->
+            d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+      val d1 = root.toString + "/b1"
+      val d2 = root.toString + "/b2"
+      Dedup.writeBandIndex(docs, "doc_id", "text", d1, nBuckets = 4)
+      Dedup.writeBandIndex(docs, "doc_id", "text", d2, nBuckets = 4,
+        filesPerBucket = 2)
+      val p1 = parquetsPerDir(d1, "band_bucket=")
+      val p2 = parquetsPerDir(d2, "band_bucket=")
+      assert(p1.values.forall(_ == 1), p1.toString)
+      assert(p2.values.forall(n => n >= 1 && n <= 2), p2.toString)
+      assert(p2.values.exists(_ == 2), s"salt never fanned out: $p2")
+      // rows identical either way — only the file layout moves
+      def rows(d: String) = spark.read.parquet(d)
+        .select("doc_id", "band_idx", "band_sig")
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(rows(d1) == rows(d2))
+      // the shingle store shares the dial
+      val s1 = root.toString + "/s1"
+      val s2 = root.toString + "/s2"
+      Dedup.writeShingleIndex(docs, "doc_id", "text", s1,
+        shingleK = 2, maxDf = 30, nBuckets = 4)
+      Dedup.writeShingleIndex(docs, "doc_id", "text", s2,
+        shingleK = 2, maxDf = 30, nBuckets = 4, filesPerBucket = 2)
+      val q1 = parquetsPerDir(s1, "shingle_bucket=")
+      val q2 = parquetsPerDir(s2, "shingle_bucket=")
+      assert(q1.values.forall(_ == 1), q1.toString)
+      assert(q2.values.forall(n => n >= 1 && n <= 2), q2.toString)
+      def posts(d: String) = spark.read.parquet(d)
+        .select("s", "doc_id").as[(String, Long)].collect().sorted.toSeq
+      assert(posts(s1) == posts(s2))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("shingle index: AgainstIndex equals Against, scheme read from index metadata") {
     // base nests inside big (high containment, LOW jaccard — the
     // quadrant the containment family exists for)

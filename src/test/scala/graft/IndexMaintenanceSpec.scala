@@ -312,6 +312,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(!rVeto.merged && rVeto.version.isEmpty, rVeto.toString)
     assert(rVeto.meanRecall.exists(_ < 0.9), rVeto.toString)
     assert(rVeto.reason.contains("NOT committed"), rVeto.reason)
+    // the vetoed candidate's count must not read as current geometry —
+    // None, with the hypothetical count disclosed in the reason only
+    assert(rVeto.cellsAfter.isEmpty, rVeto.toString)
+    assert(rVeto.reason.contains("candidate"), rVeto.reason)
     assert(IndexStore.committedVersions(spark, root) == Seq(1L))
     // thin cell C merged into A, validated at nprobe=2, pair v2
     val r1 = IndexMaintenance.compact(spark, root, "embedding", "vec_id",

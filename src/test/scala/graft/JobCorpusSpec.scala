@@ -191,6 +191,14 @@ class JobCorpusSpec extends SparkSpec {
       IndexStore.write(idx, Files.createTempDirectory("graft_fpc_bad").toString)
     } finally spark.conf.unset(IndexStore.FilesPerCellConf)
     assert(eConf.getMessage.contains(IndexStore.FilesPerCellConf), eConf.getMessage)
+    // a NEGATIVE conf value fails the same way — naming the session
+    // key, not surfacing as an anonymous filesPerPartition require
+    // deep inside a maintenance commit
+    spark.conf.set(IndexStore.FilesPerCellConf, "-1")
+    val eNeg = try intercept[IllegalArgumentException] {
+      IndexStore.write(idx, Files.createTempDirectory("graft_fpc_neg").toString)
+    } finally spark.conf.unset(IndexStore.FilesPerCellConf)
+    assert(eNeg.getMessage.contains(IndexStore.FilesPerCellConf), eNeg.getMessage)
     // salted fan-out survives an unhashable (map) column: the salt
     // prefers atomic non-cluster columns and never touches the map
     val mapIdx = spark.range(100).select((col("id") % 2).as("cluster_id"),

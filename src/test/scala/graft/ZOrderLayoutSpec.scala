@@ -87,4 +87,110 @@ class ZOrderLayoutSpec extends SparkSpec {
       ZOrderLayout.writeZOrdered(grid, Seq("x"), dZ, 0)
     }
   }
+
+  test("type dispatch: strings rank via dictionary, dates via epoch, unsupported types refuse by name") {
+    import ZOrderLayout.ZRank
+    // string dimension: 6 tenants over a numeric time axis — the
+    // scaladoc's own "tenant x time" pitch
+    val tenants = Seq("acme", "bravo", "corex", "delta", "echo", "fox")
+    val df = spark.range(1200).select(
+      element_at(typedlit(tenants), (col("id") % 6 + 1).cast("int"))
+        .as("tenant"),
+      (col("id") % 200).cast("double").as("ts"),
+      col("id").as("rid"))
+    val ranks = ZOrderLayout.columnRanks(df, Seq("tenant", "ts"), bits = 4)
+    assert(ranks.head.isInstanceOf[ZRank.Dict])
+    assert(ranks.head.asInstanceOf[ZRank.Dict].values == tenants.sorted)
+    // dictionary rank preserves lexicographic ORDER (min/max pruning
+    // on the string column itself depends on it) and spreads values
+    val rankOf = df.select(col("tenant"),
+        ranks.head.rank(col("tenant"), 4).as("r"))
+      .distinct().as[(String, Long)].collect().toMap
+    val sortedRanks = tenants.sorted.map(rankOf)
+    assert(sortedRanks == sortedRanks.sorted, sortedRanks.toString)
+    assert(sortedRanks.distinct.length == tenants.length,
+      s"6 values must spread over 16 buckets, got $sortedRanks")
+    // laid out, the string dimension's per-file distinct-tenant count
+    // shrinks vs scattered — the dimension genuinely clusters now
+    // (the round-17 cast-to-double form ranked it constant 0)
+    val dZ = Files.createTempDirectory("graft_zdict").toString + "/t"
+    ZOrderLayout.writeZOrdered(df, Seq("tenant", "ts"), dZ, nFiles = 12,
+      bits = 4)
+    val back = spark.read.parquet(dZ)
+    assert(back.count() == 1200 &&
+      back.select("rid").as[Long].collect().toSet == (0L until 1200L).toSet)
+    val perFileTenants = back.groupBy(input_file_name())
+      .agg(countDistinct(col("tenant")).as("n"))
+      .select("n").as[Long].collect()
+    val meanTenants = perFileTenants.sum.toDouble / perFileTenants.length
+    assert(meanTenants <= 3.0,
+      s"mean per-file distinct tenants $meanTenants — string dim not clustering")
+    // date/timestamp rank over the epoch cast — no raw AnalysisException
+    val dated = spark.range(100).select(
+      date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+        (col("id") % 50).cast("int")).as("d"),
+      (col("id") % 10).cast("double").as("v"), col("id").as("rid"))
+    val dRanks = ZOrderLayout.columnRanks(dated, Seq("d", "v"), bits = 3)
+    val dRank = dated.select(dRanks.head.rank(
+        ZOrderLayout.rankInput(org.apache.spark.sql.types.DateType, "d"), 3)
+      .as("r")).select("r").as[Long].collect()
+    assert(dRank.min == 0 && dRank.max == 7, s"date rank range ${dRank.min}..${dRank.max}")
+    // refusals name the offending column
+    val eArr = intercept[IllegalArgumentException] {
+      ZOrderLayout.columnRanks(
+        spark.range(3).select(array(col("id")).as("a"), col("id")), Seq("a"), 4)
+    }
+    assert(eArr.getMessage.contains("`a`") && eArr.getMessage.contains("array"),
+      eArr.getMessage)
+    val eCard = intercept[IllegalArgumentException] {
+      ZOrderLayout.columnRanks(
+        spark.range(ZOrderLayout.MaxDictValues + 10L)
+          .select(concat(lit("v"), col("id")).as("s")), Seq("s"), 4)
+    }
+    assert(eCard.getMessage.contains("`s`") &&
+      eCard.getMessage.contains("distinct"), eCard.getMessage)
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.columnStats(df, Seq("tenant")) // numeric pass refuses strings
+    }
+    // unseen dictionary values clamp to 0 and are flagged out-of-envelope
+    val dict = ranks.head
+    val probe = Seq(("acme", 0), ("zulu", 1), (null, 2))
+      .toDF("tenant", "i")
+    val flags = probe.select(col("i"),
+        dict.rank(col("tenant"), 4).as("r"),
+        dict.outOfEnvelope(col("tenant")).as("oob"))
+      .as[(Int, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(flags(1) == (0L, true), flags.toString)   // unseen clamps + flags
+    assert(!flags(0)._2 && !flags(2)._2, flags.toString) // seen + null are in-envelope
+  }
+
+  test("equal-depth rank spreads a heavy-tailed column that collapses under equal width") {
+    import ZOrderLayout.ZRank
+    // exponential-ish tail: 95% of rows in [0, 100), a 5% tail out to 1e6
+    val skewed = spark.range(4000).select(
+      when(col("id") % 20 === 0, (col("id") % 100) * lit(10000.0))
+        .otherwise((col("id") % 100).cast("double")).as("rev"),
+      (col("id") % 40).cast("double").as("u"), col("id").as("rid"))
+    def occupancy(r: ZRank): Long = skewed
+      .select(r.rank(col("rev").cast("double"), 4).as("b"))
+      .distinct().count()
+    val width = ZOrderLayout.columnRanks(skewed, Seq("rev"), 4).head
+    val depth = ZOrderLayout.columnRanks(skewed, Seq("rev"), 4,
+      equalDepth = true).head
+    assert(depth.isInstanceOf[ZRank.Depth])
+    val (wOcc, dOcc) = (occupancy(width), occupancy(depth))
+    // width: 95% of mass lands in bucket 0 (max is 990k, body is < 100)
+    // depth: percentile bounds spread the body across most buckets
+    assert(dOcc > wOcc,
+      s"equal-depth occupied $dOcc buckets vs width's $wOcc — no spread")
+    assert(dOcc >= 8, s"equal-depth occupied only $dOcc of 16 buckets")
+    // layout with equal depth: per-file spans on the UNIFORM dimension
+    // still shrink (the skewed dim no longer eats the whole key space)
+    val dD = Files.createTempDirectory("graft_zdepth").toString + "/t"
+    ZOrderLayout.writeZOrdered(skewed, Seq("rev", "u"), dD, nFiles = 16,
+      bits = 4, equalDepth = true)
+    val back = spark.read.parquet(dD)
+    assert(back.count() == 4000 &&
+      back.select("rid").as[Long].collect().toSet == (0L until 4000L).toSet)
+  }
 }

@@ -276,6 +276,52 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       p
     })
 
+  /** Z-STORE lifecycle fixture, built once per sf dir: init on ~90%
+    * of lineitem, absorb the held-out ~10% as a batch, compact the
+    * fragmentation — so the table j4 scans has LIVED the full
+    * versioned lifecycle (init → absorb → maintain), not just a
+    * one-shot write. The oracle is the raw table: hash-identity
+    * proves the lifecycle preserved content exactly. */
+  private val zstorePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def zstoreLineitemFor(s: SparkSession, d: String): String =
+    zstorePaths.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft_zstore_")
+        .toString + "/lineitem_z"
+      val li = t(s, d, "lineitem")
+      val base = li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+      val batch = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      graft.sources.ZStore.init(base,
+        Seq("l_extendedprice", "l_quantity"), root, bits = 8, bucketBits = 5)
+      graft.sources.ZStore.absorb(s, root, batch)
+      graft.sources.ZStore.maintain(s, root, maxFilesPerBucket = 1)
+      graft.sources.ZStore.prune(s, root, keep = 1)
+      root
+    })
+
+  private val j4 = QuerySpec("j4_zstore_lifecycle_scan",
+    // j3's 2-D pruned filter over a layout that has ABSORBED a batch
+    // and been compacted: the absorb writes bucket-local files (new
+    // statistics stay curve-tight by construction), maintain folds
+    // the fragments, prune GCs the superseded pool — and the result
+    // must still hash-match DuckDB over the RAW table, making
+    // lifecycle content-preservation itself the oracle.
+    (s, d) => graft.sources.ZStore.read(s, zstoreLineitemFor(s, d))
+      .filter(col("l_extendedprice").between(30000, 32000) &&
+        col("l_quantity").between(20, 25))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_quantity, 2) AS l_quantity,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      WHERE l_extendedprice BETWEEN 30000 AND 32000
+        AND l_quantity BETWEEN 20 AND 25
+      ORDER BY l_orderkey, l_linenumber"""))
+
   private val j3 = QuerySpec("j3_zorder_scan",
     // Multi-column filter riding the Z-ordered layout: both predicate
     // columns are bit-interleaved into the file order, so every
@@ -511,5 +557,5 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4)
 }

@@ -181,7 +181,7 @@ object IndexStore {
   // marker exists.
   // ---------------------------------------------------------------
 
-  private def fsOf(spark: SparkSession, root: String) = {
+  private[graft] def fsOf(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -189,7 +189,7 @@ object IndexStore {
   private val VersionDir = "^v(\\d+)$".r
 
   /** All version numbers under `root`, committed or not. */
-  private def allVersions(spark: SparkSession, root: String): Seq[Long] = {
+  private[graft] def allVersions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, p) = fsOf(spark, root)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap(s =>

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{IndexStore, ZStore}
+import org.apache.spark.sql.functions._
+
+/** ZStore — the Z-order layout's lifecycle: versioned manifests over
+  * an immutable file pool, O(batch) absorbs that cannot dilute old
+  * files' envelopes, gated compaction, and GC. The pruning property
+  * itself (per-file spans bounded by the bucket envelope) is asserted
+  * across the whole lifecycle, because it is the reason the store
+  * exists. */
+class ZStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid(from: Long, until: Long) =
+    spark.range(from, until).select(
+      (col("id") % 60).cast("double").as("x"),
+      ((col("id") / 60) % 60).cast("double").as("y"),
+      col("id").as("rid")).repartition(8)
+
+  private def meanSpan(df: org.apache.spark.sql.DataFrame,
+                       c: String): Double = {
+    val spans = df.groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).as("s"))
+      .select("s").as[Double].collect()
+    spans.sum / spans.length
+  }
+
+  test("init -> absorb -> maintain: row identity throughout, spans stay bucket-bounded, versions flip atomically") {
+    val root = Files.createTempDirectory("graft_zstore").toString + "/t"
+    val v1 = ZStore.init(grid(0, 3600), Seq("x", "y"), root,
+      bits = 4, bucketBits = 4)
+    assert(v1 == 1L)
+    val base = ZStore.read(spark, root)
+    assert(base.count() == 3600)
+    assert(base.columns.sorted.toSeq == Seq("rid", "x", "y"),
+      "layout columns must stay invisible")
+    assert(base.select("rid").as[Long].collect().toSet == (0L until 3600L).toSet)
+    val (meta1, man1, _) = ZStore.loadCurrent(spark, root)
+    assert(man1.nonEmpty && man1.map(_.bucket).distinct.length == man1.length,
+      s"init writes one file per touched bucket: $man1")
+    val spanX0 = meanSpan(base, "x")
+    // three absorbed batches: new versions share the old files
+    var lastFiles = man1.map(_.path).toSet
+    (1 to 3).foreach { i =>
+      val r = ZStore.absorb(spark, root, grid(3600L * i, 3600L * (i + 1)))
+      assert(r.version == v1 + i, r.toString)
+      assert(r.rowsAbsorbed == 3600 && r.outOfEnvelopeRows == 0, r.toString)
+      val (_, man, _) = ZStore.loadCurrent(spark, root)
+      assert(lastFiles.subsetOf(man.map(_.path).toSet),
+        "absorb must share untouched files, never rewrite them")
+      lastFiles = man.map(_.path).toSet
+    }
+    val grown = ZStore.read(spark, root)
+    assert(grown.count() == 4 * 3600)
+    assert(grown.select("rid").as[Long].collect().toSet ==
+      (0L until 4 * 3600L).toSet)
+    // the property the store exists for: appended batches land INSIDE
+    // their buckets' curve envelopes, so per-file spans do not dilute
+    // toward the scattered layout (x spans [0, 60); a scattered file
+    // would span ~59)
+    val spanX3 = meanSpan(grown, "x")
+    assert(spanX3 <= spanX0 * 1.5 && spanX3 < 30,
+      s"per-file x span grew $spanX0 -> $spanX3 after absorbs")
+    // fragmentation is file COUNT, not envelope width — maintain folds it
+    val (_, manFrag, _) = ZStore.loadCurrent(spark, root)
+    assert(manFrag.groupBy(_.bucket).exists(_._2.length > 1),
+      "three same-shape batches must fragment at least one bucket")
+    val m = ZStore.maintain(spark, root, maxFilesPerBucket = 1)
+    assert(m.version.isDefined && m.dirtyBuckets > 0, m.toString)
+    assert(m.rowsRewritten > 0 && m.filesAfter < m.filesBefore, m.toString)
+    val (_, manClean, _) = ZStore.loadCurrent(spark, root)
+    assert(manClean.groupBy(_.bucket).forall(_._2.length == 1),
+      s"maintain must leave one file per bucket: $manClean")
+    val compacted = ZStore.read(spark, root)
+    assert(compacted.count() == 4 * 3600)
+    assert(compacted.select("rid").as[Long].collect().toSet ==
+      (0L until 4 * 3600L).toSet)
+    // second maintain: clean no-op, nothing published
+    val m2 = ZStore.maintain(spark, root, maxFilesPerBucket = 1)
+    assert(m2.version.isEmpty && m2.reason.contains("unchanged"), m2.toString)
+    // meta is carried verbatim across the whole lifecycle
+    val (metaN, _, _) = ZStore.loadCurrent(spark, root)
+    assert(metaN == meta1)
+    // prune to the current version: superseded manifests die AND the
+    // pool files only they referenced are GC'd; reads are unaffected
+    val (pruned, deleted) = ZStore.prune(spark, root, keep = 1)
+    assert(pruned.nonEmpty && deleted > 0, s"$pruned / $deleted")
+    val after = ZStore.read(spark, root)
+    assert(after.count() == 4 * 3600)
+    // on-disk pool now holds exactly the files the kept manifest names
+    val (_, manKept, _) = ZStore.loadCurrent(spark, root)
+    val onDisk = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    assert(onDisk == manKept.length, s"disk $onDisk vs manifest ${manKept.length}")
+  }
+
+  test("absorb: envelope clamps are counted, schema drift refuses, crash debris stays invisible") {
+    val root = Files.createTempDirectory("graft_zstore2").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    // a batch beyond the stamped [0, 59] envelope: clamps into the
+    // edge bucket, queryable, counted in the report
+    val out = spark.range(20).select(
+      (col("id") + 100).cast("double").as("x"),
+      lit(5.0).as("y"), (col("id") + 90000).as("rid"))
+    val r = ZStore.absorb(spark, root, out)
+    assert(r.outOfEnvelopeRows == 20, r.toString)
+    assert(ZStore.read(spark, root).filter(col("x") >= 100).count() == 20)
+    // schema drift refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ZStore.absorb(spark, root,
+        spark.range(3).select(col("id").cast("double").as("x"),
+          col("id").as("rid")))
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // empty batch: no version published
+    val (_, _, vBefore) = ZStore.loadCurrent(spark, root)
+    val r0 = ZStore.absorb(spark, root, grid(0, 3600).filter(lit(false)))
+    assert(r0.version == vBefore && r0.rowsAbsorbed == 0, r0.toString)
+    // crash debris: an uncommitted staging dir is invisible to readers
+    // and swept by prune
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".zbuild_v1_dead"))
+    assert(ZStore.loadCurrent(spark, root)._3 == vBefore)
+    ZStore.prune(spark, root, keep = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ".zbuild_v1_dead")))
+    // no committed version: loud
+    intercept[IllegalArgumentException] {
+      ZStore.read(spark, Files.createTempDirectory("graft_zempty").toString)
+    }
+  }
+
+  test("a string dimension rides the lifecycle: dictionary envelopes persist in _zmeta and unseen values clamp") {
+    val root = Files.createTempDirectory("graft_zstore3").toString + "/t"
+    val tenants = Seq("acme", "bravo", "corex", "delta")
+    val docs = spark.range(800).select(
+      element_at(typedlit(tenants), (col("id") % 4 + 1).cast("int"))
+        .as("tenant"),
+      (col("id") % 100).cast("double").as("ts"), col("id").as("rid"))
+    ZStore.init(docs, Seq("tenant", "ts"), root, bits = 4, bucketBits = 3)
+    // the dictionary survives the JSON round trip (meta is re-read on
+    // every lifecycle call)
+    val (meta, _, _) = ZStore.loadCurrent(spark, root)
+    assert(meta.ranks.head ==
+      graft.sources.ZOrderLayout.ZRank.Dict(tenants.sorted))
+    // an absorbed batch with one UNSEEN tenant: clamps + counted
+    val batch = spark.range(40).select(
+      when(col("id") % 2 === 0, "acme").otherwise("zulu").as("tenant"),
+      (col("id") % 100).cast("double").as("ts"), (col("id") + 1000).as("rid"))
+    val r = ZStore.absorb(spark, root, batch)
+    assert(r.outOfEnvelopeRows == 20, r.toString)
+    val back = ZStore.read(spark, root)
+    assert(back.count() == 840)
+    assert(back.filter(col("tenant") === "zulu").count() == 20)
+    // equality predicates on the string dim prune: most files hold few
+    // distinct tenants
+    val perFile = back.groupBy(input_file_name())
+      .agg(countDistinct(col("tenant")).as("n")).select("n").as[Long].collect()
+    assert(perFile.sum.toDouble / perFile.length <= 3.0, perFile.mkString(","))
+  }
+}

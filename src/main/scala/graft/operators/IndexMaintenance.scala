@@ -199,12 +199,39 @@ object IndexMaintenance {
   }
 
   /** One balance decision, driver-sized — [[Report]]'s shape for the
-    * cell-size axis. */
+    * cell-size axis. `recommendedNprobe` closes the loop the round-17
+    * probes measured open: splitting grows the cell count, a fixed
+    * nprobe then covers a smaller corpus fraction, and recall sags
+    * until the gate floors it — the recommendation keeps the PROBED
+    * FRACTION constant across the geometry change (see
+    * [[recommendedNprobe]]). Populated whenever a split was computed
+    * (committed or vetoed); `nprobeUsed` is the nprobe the reported
+    * recall was validated at — equal to the caller's unless
+    * `adaptNprobe` re-validated at the recommendation. */
   final case class RebalanceReport(maxCellBefore: Long,
                                    maxCellAfter: Option[Long],
                                    split: Boolean, version: Option[Long],
                                    meanRecall: Option[Double],
-                                   reason: String)
+                                   reason: String,
+                                   recommendedNprobe: Option[Int] = None,
+                                   nprobeUsed: Option[Int] = None)
+
+  /** The nprobe that keeps the probed corpus fraction constant when
+    * the cell count moves from `cellsBefore` to `cellsAfter`:
+    * ceil(nprobe · after / before), floored at the current nprobe
+    * (merging shrinks cells — serving MORE of the corpus never hurts
+    * recall) and capped at the cell count. A pure scalar of the
+    * geometry — the same heuristic [[Ann.ivfSearchStoreAdaptive]]
+    * applies per query from occupancy, applied here once per
+    * maintenance step so the gate's floor is not the only defense. */
+  def recommendedNprobe(nprobe: Int, cellsBefore: Long,
+                        cellsAfter: Long): Int = {
+    require(nprobe >= 1 && cellsBefore >= 1 && cellsAfter >= 1,
+      s"recommendedNprobe($nprobe, $cellsBefore, $cellsAfter): all >= 1")
+    math.min(cellsAfter,
+      math.max(nprobe.toLong,
+        math.ceil(nprobe.toDouble * cellsAfter / cellsBefore).toLong)).toInt
+  }
 
   /** Balance-gated rebalance: [[maintain]]'s detect → rewrite →
     * validate → commit loop applied to CELL-SIZE skew instead of
@@ -233,9 +260,11 @@ object IndexMaintenance {
                 idCol: String, maxRows: Long, recallFloor: Double,
                 sampleQueries: DataFrame, evalK: Int = 10,
                 nprobe: Int = 4, seed: Long = 42L,
-                trainSampleMax: Long = 0): RebalanceReport =
+                trainSampleMax: Long = 0,
+                adaptNprobe: Boolean = false): RebalanceReport =
     rebalanceStep(spark, root, embCol, idCol, maxRows, recallFloor,
-      sampleQueries, evalK, nprobe, seed, trainSampleMax, None)
+      sampleQueries, evalK, nprobe, seed, trainSampleMax, None,
+      adaptNprobe)
 
   /** [[rebalance]]'s body, with the loop's shared-exact seam: the
     * validation gate's exact side is a FULL-corpus scan that depends
@@ -248,7 +277,8 @@ object IndexMaintenance {
                 recallFloor: Double, sampleQueries: DataFrame,
                 evalK: Int, nprobe: Int, seed: Long,
                 trainSampleMax: Long,
-                sharedExact: Option[() => DataFrame]): RebalanceReport = {
+                sharedExact: Option[() => DataFrame],
+                adaptNprobe: Boolean = false): RebalanceReport = {
     require(maxRows >= 1, s"maxRows $maxRows must be >= 1")
     require(recallFloor > 0 && recallFloor <= 1,
       s"recallFloor $recallFloor must be in (0, 1]")
@@ -277,25 +307,57 @@ object IndexMaintenance {
     val meanRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
       idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
     val after = maxCell(splitIdx)
-    if (meanRecall < recallFloor)
+    // the geometry-change recommendation: both counts are k-row frames
+    val recN = recommendedNprobe(nprobe, cents.count(), splitCents.count())
+    def commit(recall: Double, atNprobe: Int, adapted: Boolean)
+        : RebalanceReport = {
+      val v = IndexStore.writeVersionedWithCentroids(splitIdx, splitCents, root)
+      RebalanceReport(before, Some(after), split = true, Some(v),
+        Some(recall),
+        s"max cell $before exceeded $maxRows — split to $after, " +
+          s"validated (recall $recall at nprobe $atNprobe" +
+          (if (adapted) s", adapted from $nprobe" else "") +
+          s"), committed pair v$v",
+        Some(recN), Some(atNprobe))
+    }
+    if (meanRecall >= recallFloor) commit(meanRecall, nprobe, adapted = false)
+    else if (adaptNprobe && recN > nprobe) {
+      // the split itself is sound — the probe budget just no longer
+      // covers the grown cell count. Re-validate the SAME split at the
+      // recommendation (one more IVF batch search against the shared
+      // exact side; the expensive split is not recomputed).
+      val adaptedRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
+        idCol, sampleQueries, evalK, recN, sharedExact.map(_()))
+      if (adaptedRecall >= recallFloor)
+        commit(adaptedRecall, recN, adapted = true)
+      else
+        RebalanceReport(before, Some(after), split = false, None,
+          Some(adaptedRecall),
+          s"split recall $meanRecall at nprobe $nprobe AND " +
+            s"$adaptedRecall at recommended nprobe $recN are below " +
+            s"floor $recallFloor — pair NOT committed, previous " +
+            "geometry stays current (the split itself regressed, not " +
+            "just the probe budget)",
+          Some(recN), Some(recN))
+    } else
       RebalanceReport(before, Some(after), split = false, None,
         Some(meanRecall),
         s"split recall $meanRecall below floor $recallFloor at nprobe " +
           s"$nprobe — pair NOT committed, previous geometry stays " +
-          "current (raise nprobe with the cell count, then retry)")
-    else {
-      val v = IndexStore.writeVersionedWithCentroids(splitIdx, splitCents, root)
-      RebalanceReport(before, Some(after), split = true, Some(v),
-        Some(meanRecall),
-        s"max cell $before exceeded $maxRows — split to $after, " +
-          s"validated (recall $meanRecall), committed pair v$v")
-    }
+          s"current (recommended nprobe for the grown cell count: " +
+          s"$recN — retry there, or set adaptNprobe)",
+        Some(recN), Some(nprobe))
   }
 
   /** Outcome of the composed [[rebalanceUntilBalanced]] loop: every
-    * step's report in order, plus whether the index ended balanced. */
+    * step's report in order, plus whether the index ended balanced.
+    * `finalNprobe` is the probe budget the LAST validation ran at —
+    * the caller's nprobe unless `adaptNprobe` raised it mid-loop; a
+    * serving path should adopt it (or [[Ann.ivfSearchStoreAdaptive]])
+    * when it exceeds what it probes today. */
   final case class RebalanceLoopReport(steps: Seq[RebalanceReport],
-                                       balanced: Boolean, reason: String)
+                                       balanced: Boolean, reason: String,
+                                       finalNprobe: Option[Int] = None)
 
   /** [[rebalance]] composed to CONVERGENCE — the iterate-to-balanced
     * driver [[Ann.splitFatClusters]]'s scaladoc promises
@@ -352,19 +414,25 @@ object IndexMaintenance {
       embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 8,
-      keepVersions: Int = 0, trainSampleMax: Long = 0)
+      keepVersions: Int = 0, trainSampleMax: Long = 0,
+      adaptNprobe: Boolean = false)
       : RebalanceLoopReport =
     rebalanceLoop(spark, root, embCol, idCol, maxRows, recallFloor,
       sampleQueries, evalK, nprobe, seed, maxIter, keepVersions,
-      trainSampleMax, None)
+      trainSampleMax, None, adaptNprobe)
 
   /** [[rebalanceUntilBalanced]]'s body, taking the shared-exact thunk
-    * from outside when a composed pass ([[rightSize]]) owns it. */
+    * from outside when a composed pass ([[rightSize]]) owns it. With
+    * `adaptNprobe` the loop CARRIES an adapted probe budget forward:
+    * once a step commits at a raised nprobe, later steps validate
+    * there too (re-vetoing them at the stale budget would re-measure
+    * the exact sag the adaptation just corrected). */
   private def rebalanceLoop(spark: SparkSession, root: String,
       embCol: String, idCol: String, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int, nprobe: Int,
       seed: Long, maxIter: Int, keepVersions: Int, trainSampleMax: Long,
-      externalExact: Option[() => DataFrame])
+      externalExact: Option[() => DataFrame],
+      adaptNprobe: Boolean = false)
       : RebalanceLoopReport = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     require(keepVersions >= 0,
@@ -379,27 +447,32 @@ object IndexMaintenance {
       exactReference(spark, root, embCol, idCol, sampleQueries, evalK)
     val sharedExact: () => DataFrame = externalExact.getOrElse(() => ownExact)
     var steps = Vector.empty[RebalanceReport]
+    var np = nprobe
     var iter = 0
+    def done(balanced: Boolean, reason: String) = RebalanceLoopReport(
+      steps, balanced, reason,
+      if (np != nprobe) Some(np) else steps.lastOption.flatMap(_.nprobeUsed))
     while (iter < maxIter) {
       val r = rebalanceStep(spark, root, embCol, idCol, maxRows,
-        recallFloor, sampleQueries, evalK, nprobe, seed + iter,
-        trainSampleMax, Some(sharedExact))
+        recallFloor, sampleQueries, evalK, np, seed + iter,
+        trainSampleMax, Some(sharedExact), adaptNprobe)
       steps :+= r
+      r.nprobeUsed.filter(_ > np).filter(_ => r.split).foreach(np = _)
       if (r.split && keepVersions >= 1)
         IndexStore.pruneVersions(spark, root, keepVersions)
       (r.split, r.maxCellAfter) match {
         case (false, None) =>
-          return RebalanceLoopReport(steps, balanced = true,
+          return done(balanced = true,
             s"balanced after ${steps.size - 1} committed step(s): ${r.reason}")
         case (false, Some(_)) =>
-          return RebalanceLoopReport(steps, balanced = false,
+          return done(balanced = false,
             s"stopped at step ${steps.size}: recall gate vetoed the " +
               s"split and the store is unchanged — ${r.reason}")
         case (true, Some(after)) if after <= maxRows =>
-          return RebalanceLoopReport(steps, balanced = true,
+          return done(balanced = true,
             s"balanced in ${steps.size} step(s): ${r.reason}")
         case (true, Some(after)) if after >= r.maxCellBefore =>
-          return RebalanceLoopReport(steps, balanced = false,
+          return done(balanced = false,
             s"stopped at step ${steps.size}: no progress — the split " +
               s"left the max cell at $after (duplicate-point degeneracy " +
               "or KMeans collapse; this cell cannot be split by geometry)")
@@ -407,7 +480,7 @@ object IndexMaintenance {
       }
       iter += 1
     }
-    RebalanceLoopReport(steps, balanced = false,
+    done(balanced = false,
       s"maxIter $maxIter exhausted with max cell " +
         s"${steps.last.maxCellAfter.getOrElse(steps.last.maxCellBefore)} " +
         s"still above $maxRows")
@@ -548,7 +621,8 @@ object IndexMaintenance {
       idCol: String, minRows: Long, maxRows: Long, recallFloor: Double,
       sampleQueries: DataFrame, evalK: Int = 10, nprobe: Int = 4,
       seed: Long = 42L, maxIter: Int = 8, keepVersions: Int = 0,
-      trainSampleMax: Long = 0): RightSizeReport = {
+      trainSampleMax: Long = 0,
+      adaptNprobe: Boolean = false): RightSizeReport = {
     require(minRows >= 1 && minRows < maxRows,
       s"minRows $minRows must be in [1, maxRows $maxRows) — the " +
         "fat and thin floors must bracket a healthy cell")
@@ -557,9 +631,13 @@ object IndexMaintenance {
     val ex = Some(() => sharedExact)
     val loop = rebalanceLoop(spark, root, embCol, idCol, maxRows,
       recallFloor, sampleQueries, evalK, nprobe, seed, maxIter,
-      keepVersions, trainSampleMax, ex)
+      keepVersions, trainSampleMax, ex, adaptNprobe)
+    // the pass carries the loop's adapted probe budget forward: the
+    // compact gate and re-converge must validate at the budget the
+    // grown geometry needs, not the stale caller value
+    val np = loop.finalNprobe.filter(_ > nprobe).getOrElse(nprobe)
     val comp = compactStep(spark, root, embCol, idCol, minRows,
-      recallFloor, sampleQueries, evalK, nprobe, ex)
+      recallFloor, sampleQueries, evalK, np, ex)
     if (comp.merged && keepVersions >= 1)
       IndexStore.pruneVersions(spark, root, keepVersions)
     // only a COMMITTED merge can have pushed a cell past maxRows — a
@@ -573,8 +651,8 @@ object IndexMaintenance {
     val reloop =
       if (overMax)
         Some(rebalanceLoop(spark, root, embCol, idCol, maxRows,
-          recallFloor, sampleQueries, evalK, nprobe, seed + maxIter,
-          maxIter, keepVersions, trainSampleMax, ex))
+          recallFloor, sampleQueries, evalK, np, seed + maxIter,
+          maxIter, keepVersions, trainSampleMax, ex, adaptNprobe))
       else None
     // End-state thin census. Scan-free unless a re-loop ran: a
     // committed merge leaves NO thin cells (survivors are >= minRows

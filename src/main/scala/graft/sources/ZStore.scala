@@ -106,6 +106,9 @@ object ZStore {
       s"bucketBits $bucketBits must be in [1, min(12, bits x n_cols)] — " +
         "2^bucketBits contiguous curve segments, driver-listed")
     require(!df.isEmpty, "ZStore.init on an empty table — nothing to lay out")
+    Seq("__zkey", "__zb").foreach(r => require(!df.columns.contains(r),
+      s"ZStore.init: input carries the reserved layout column `$r` — " +
+        "rename it; the store derives its own"))
     val ranks = ZOrderLayout.columnRanks(df, cols, bits, equalDepth)
     val meta = ZMeta(cols, bits, bucketBits, ranks, df.columns.toSeq)
     val spark = df.sparkSession
@@ -285,14 +288,15 @@ object ZStore {
           deleted += 1
         }
       }
-      // sweep now-empty pool directories (bucket dirs, then uuid dirs)
+      // sweep pool directories holding no parquet anymore (a uuid dir
+      // keeps its write-time _SUCCESS marker, so "empty" means "no
+      // data files left under it", not literally empty)
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { u =>
-        val subs = fs.listStatus(u.getPath)
-        subs.filter(_.isDirectory)
-          .filter(b => fs.listStatus(b.getPath)
-            .forall(x => !x.isFile || !x.getPath.getName.endsWith(".parquet")))
-          .foreach(b => fs.delete(b.getPath, true))
-        if (fs.listStatus(u.getPath).isEmpty) fs.delete(u.getPath, true)
+        val it2 = fs.listFiles(u.getPath, true)
+        var hasParquet = false
+        while (!hasParquet && it2.hasNext)
+          hasParquet = it2.next().getPath.getName.endsWith(".parquet")
+        if (!hasParquet) fs.delete(u.getPath, true)
       }
     }
     (doomed, deleted)

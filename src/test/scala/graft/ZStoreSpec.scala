@@ -103,6 +103,23 @@ class ZStoreSpec extends SparkSpec {
       n
     }
     assert(onDisk == manKept.length, s"disk $onDisk vs manifest ${manKept.length}")
+    // pool dirs with no data files left are swept whole (their
+    // write-time _SUCCESS markers do not pin them)
+    val uuidDirs = new java.io.File(root, "data").listFiles()
+      .filter(_.isDirectory)
+    uuidDirs.foreach { u =>
+      val hasParquet = java.nio.file.Files.walk(u.toPath).iterator()
+      var found = false
+      while (hasParquet.hasNext && !found)
+        found = hasParquet.next().toString.endsWith(".parquet")
+      assert(found, s"pool dir $u survived prune with no data files")
+    }
+    // reserved layout columns refuse at init
+    val eRes = intercept[IllegalArgumentException] {
+      ZStore.init(grid(0, 10).withColumn("__zb", lit(1)),
+        Seq("x", "y"), root + "_r", bits = 4, bucketBits = 3)
+    }
+    assert(eRes.getMessage.contains("__zb"), eRes.getMessage)
   }
 
   test("absorb: envelope clamps are counted, schema drift refuses, crash debris stays invisible") {

@@ -104,7 +104,8 @@ object Bench {
         "d17_containment_served", "t21_quality_classifier",
         "v14_trained_ivf_serve", "v15_filtered_ivf_serve",
         "s10_int8_served", "v17_ivf_upsert_serve", "v18_ivf_compact_serve",
-        "j2_bucketed_join", "i4_diff_reindex",
+        "j2_bucketed_join", "j3_zorder_scan", "j4_zstore_lifecycle_scan",
+        "i4_diff_reindex",
         // t23's drift full-outer join is its own codegen family and its
         // first run pays multi-second Janino compile
         "t23_drift_windows")

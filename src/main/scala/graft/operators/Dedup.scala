@@ -268,6 +268,13 @@ object Dedup {
                      filesPerBucket: Int = 1): Unit = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    // >= 1, not >= 0: partitionAligned's 0 means write-through, which
+    // for a NARROW derivation like bands is exactly the tasks×buckets
+    // sliver shape this store's layout exchange exists to prevent —
+    // and a negative must fail HERE by name, not as partitionAligned's
+    // anonymous require deep inside the write
+    require(filesPerBucket >= 1,
+      s"filesPerBucket $filesPerBucket must be >= 1")
     val spark = corpus.sparkSession
     // single-consumer plan: bands are derived in one pass, no persist
     val bands = minhashBandsOf(
@@ -758,6 +765,10 @@ object Dedup {
                         nBuckets: Int = 64, filesPerBucket: Int = 1): Unit = {
     require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    // same rationale as writeBandIndex: 0 would silently restore the
+    // sliver write-through, negatives must fail by name
+    require(filesPerBucket >= 1,
+      s"filesPerBucket $filesPerBucket must be >= 1")
     val spark = corpus.sparkSession
     // two consumers (df census + posting join) → bounded persist
     val sh = shinglePipeline(corpus, idCol, textCol, shingleK)

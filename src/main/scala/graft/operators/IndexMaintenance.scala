@@ -351,10 +351,11 @@ object IndexMaintenance {
 
   /** Outcome of the composed [[rebalanceUntilBalanced]] loop: every
     * step's report in order, plus whether the index ended balanced.
-    * `finalNprobe` is the probe budget the LAST validation ran at —
-    * the caller's nprobe unless `adaptNprobe` raised it mid-loop; a
-    * serving path should adopt it (or [[Ann.ivfSearchStoreAdaptive]])
-    * when it exceeds what it probes today. */
+    * `finalNprobe` is Some only when `adaptNprobe` raised the budget
+    * through a COMMITTED step — the value a serving path should adopt
+    * (or use [[Ann.ivfSearchStoreAdaptive]]); None means every commit
+    * validated at the caller's nprobe (a vetoed step's rejected
+    * trial budget never escapes the loop). */
   final case class RebalanceLoopReport(steps: Seq[RebalanceReport],
                                        balanced: Boolean, reason: String,
                                        finalNprobe: Option[Int] = None)
@@ -449,9 +450,13 @@ object IndexMaintenance {
     var steps = Vector.empty[RebalanceReport]
     var np = nprobe
     var iter = 0
+    // finalNprobe reports ONLY a budget a COMMITTED step adopted (np is
+    // raised exclusively on commit): a double-vetoed step's nprobeUsed
+    // names the budget the REJECTED validation ran at, and carrying it
+    // out of the loop would widen downstream gates (rightSize's compact
+    // validation) to a value the store's geometry never justified.
     def done(balanced: Boolean, reason: String) = RebalanceLoopReport(
-      steps, balanced, reason,
-      if (np != nprobe) Some(np) else steps.lastOption.flatMap(_.nprobeUsed))
+      steps, balanced, reason, if (np != nprobe) Some(np) else None)
     while (iter < maxIter) {
       val r = rebalanceStep(spark, root, embCol, idCol, maxRows,
         recallFloor, sampleQueries, evalK, np, seed + iter,

@@ -307,22 +307,34 @@ object IndexStore {
       s"""{"indexRows":${meta.indexRows},"nClusters":${meta.nClusters}}"""
         .getBytes("UTF-8"))
     finally metaOut.close()
-    val dst = new org.apache.hadoop.fs.Path(p, s"v$next")
+    publishStaged(fs, p, stagingName, next, root)
+  }
+
+  /** The staging→version publish arbitration, shared by this pair
+    * store and [[ZStore]] (one copy: a future change to the
+    * rename-race semantics — e.g. an object-store committer — must
+    * not make the two stores' crash behavior silently diverge): ONE
+    * atomic rename of the invisible, fully-written staging dir to
+    * `v<next>`; a taken destination, a failed rename, or the
+    * HDFS quirk of renaming INTO an existing directory (the loser's
+    * staging lands nested inside the winner's version — dot-prefixed,
+    * invisible to readers, removed here) all clean up the staging and
+    * fail loudly. */
+  private[graft] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, stagingName: String, next: Long,
+      rootLabel: String): Long = {
+    val dst = new org.apache.hadoop.fs.Path(root, s"v$next")
     def lost(): Nothing = {
-      fs.delete(new org.apache.hadoop.fs.Path(p, stagingName), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, stagingName), true)
       throw new IllegalStateException(
-        s"failed to publish $staging -> $root/v$next — the version " +
-          "number was taken by a concurrent writer (the store's " +
-          "single-writer contract); staging cleaned up, retry picks " +
-          "the next number")
+        s"failed to publish $rootLabel/$stagingName -> $rootLabel/v$next — " +
+          "the version number was taken by a concurrent writer (the " +
+          "store's single-writer contract); staging cleaned up, retry " +
+          "picks the next number")
     }
     if (fs.exists(dst)) lost()
-    val ok = fs.rename(new org.apache.hadoop.fs.Path(p, stagingName), dst)
-    // HDFS renames INTO an existing directory rather than failing, so
-    // a loser's staging can land nested inside the winner's version —
-    // detect both outcomes and fail loudly (the nested dir is
-    // dot-prefixed, invisible to readers, and removed here).
-    if (!ok) lost()
+    if (!fs.rename(new org.apache.hadoop.fs.Path(root, stagingName), dst))
+      lost()
     val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
     if (fs.exists(nested)) { fs.delete(nested, true); lost() }
     next

@@ -106,8 +106,16 @@ object ZOrderLayout {
       * interior boundaries from `approx_percentile` at layout time;
       * rank = number of boundaries the value is ≥. The rank is an
       * `aggregate` HOF over a literal array — not codegen'd, so it is
-      * priced into the one-time layout job, never the read path. */
-    final case class Depth(bounds: Seq[Double]) extends ZRank {
+      * priced into the one-time layout job, never the read path.
+      * `lo`/`hi` carry the observed [min, max] SEPARATELY from the
+      * interior bounds: values beyond the first/last percentile rank
+      * into the edge buckets BY DESIGN (that is what equal depth
+      * means), so the drift envelope must be the observed extremes —
+      * flagging the outer 2/nBuckets of identical data as "clamped"
+      * would make every healthy absorb look like drift (caught by
+      * ZStoreSpec's identical-re-absorb pin). */
+    final case class Depth(bounds: Seq[Double], lo: Double,
+                           hi: Double) extends ZRank {
       def rank(input: Column, bits: Int): Column = {
         require(bounds.length == (1 << bits) - 1,
           s"Depth rank needs ${(1 << bits) - 1} bounds for bits=$bits, " +
@@ -117,9 +125,7 @@ object ZOrderLayout {
             (acc, b) => acc + when(input >= b, 1L).otherwise(0L)))
       }
       def outOfEnvelope(input: Column): Column =
-        if (bounds.isEmpty) lit(false)
-        else input.isNotNull &&
-          (input < lit(bounds.head) || input > lit(bounds.last))
+        input.isNotNull && (input < lit(lo) || input > lit(hi))
     }
 
     /** Dictionary rank for strings: `values` is the SORTED distinct
@@ -210,15 +216,19 @@ object ZOrderLayout {
         }.toMap
       } else {
         val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-        val aggs = numericCols.map { case (c, dt) =>
-          percentile_approx(rankInput(dt, c), typedlit(ps), lit(10000))
+        val aggs = numericCols.flatMap { case (c, dt) =>
+          val in = rankInput(dt, c)
+          Seq(percentile_approx(in, typedlit(ps), lit(10000)),
+            min(in), max(in))
         }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         numericCols.zipWithIndex.map { case ((c, _), i) =>
           val bounds =
-            if (row.isNullAt(i)) Seq.fill(nBuckets - 1)(0.0)
-            else row.getSeq[Double](i)
-          c -> (ZRank.Depth(bounds): ZRank)
+            if (row.isNullAt(3 * i)) Seq.fill(nBuckets - 1)(0.0)
+            else row.getSeq[Double](3 * i)
+          val lo = if (row.isNullAt(3 * i + 1)) 0.0 else row.getDouble(3 * i + 1)
+          val hi = if (row.isNullAt(3 * i + 2)) 0.0 else row.getDouble(3 * i + 2)
+          c -> (ZRank.Depth(bounds, lo, hi): ZRank)
         }.toMap
       }
     cols.zip(types).map {
@@ -245,10 +255,13 @@ object ZOrderLayout {
     require(cols.nonEmpty, "zorderKey needs at least one column")
     require(ranks.length == cols.length,
       s"ranks (${ranks.length}) must match cols (${cols.length})")
-    // bits <= 12 is columnRanks' derivation bound; the joint bound
-    // keeps the interleaved key inside a long
-    require(bits >= 1 && bits <= 12 && bits * cols.length <= 62,
-      s"bits $bits must be in [1, 12] and bits x ${cols.length} cols " +
+    // the joint bound keeps the interleaved key inside a long; the
+    // 2^bits-sized derivations (Depth bounds, Dict) are capped where
+    // they are DERIVED (columnRanks, <= 12) and re-checked inside each
+    // rank's own length guard — a Width-ranked key is pure arithmetic
+    // and stays valid up to 30 bits per dimension
+    require(bits >= 1 && bits <= 30 && bits * cols.length <= 62,
+      s"bits $bits must be in [1, 30] and bits x ${cols.length} cols " +
         "must fit a long (<= 62 bits)")
     val types = validateZColumns(df, cols)
     val n = cols.length
@@ -260,15 +273,17 @@ object ZOrderLayout {
 
   /** Backward-compatible numeric form: per-column (min, max) pairs as
     * equal-width ranks over `cast(c as double)` (pre-round-18
-    * signature; the type-dispatched [[zorderKey]] overload is the
-    * primary). */
+    * signature AND domain — bits up to 30 stays valid here, because
+    * the Width rank is pure arithmetic with no 2^bits-sized
+    * derivation; only [[columnRanks]] caps bits at 12, for the
+    * Depth/Dict bound and dictionary sizes it materializes). */
   def zorderKey(cols: Seq[String], stats: Seq[(Double, Double)],
                 bits: Int): Column = {
     require(cols.nonEmpty, "zorderKey needs at least one column")
     require(stats.length == cols.length,
       s"stats (${stats.length}) must match cols (${cols.length})")
-    require(bits >= 1 && bits <= 12 && bits * cols.length <= 62,
-      s"bits $bits must be in [1, 12] and bits x ${cols.length} cols " +
+    require(bits >= 1 && bits <= 30 && bits * cols.length <= 62,
+      s"bits $bits must be in [1, 30] and bits x ${cols.length} cols " +
         "must fit a long (<= 62 bits)")
     val ranks = cols.zip(stats).map { case (c, (mn, mx)) =>
       ZRank.Width(mn, mx).rank(col(c).cast("double"), bits)

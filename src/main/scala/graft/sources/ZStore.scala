@@ -68,9 +68,15 @@ import graft.sources.ZOrderLayout.ZRank
 object ZStore {
 
   /** The layout recipe stamped at init and carried by every absorb:
-    * ranks are FROZEN so old and new files agree on the curve. */
+    * ranks are FROZEN so old and new files agree on the curve.
+    * `schemaTypes` are the columns' catalog type strings, aligned with
+    * `schemaCols` — the absorb gate compares NAME AND TYPE, because a
+    * name-only check would let a drifted column type (x: double →
+    * int) publish files whose physical parquet type diverges from the
+    * pool's and poison every subsequent union read of the store. */
   final case class ZMeta(cols: Seq[String], bits: Int, bucketBits: Int,
-                         ranks: Seq[ZRank], schemaCols: Seq[String]) {
+                         ranks: Seq[ZRank], schemaCols: Seq[String],
+                         schemaTypes: Seq[String]) {
     def shift: Int = bits * cols.length - bucketBits
     def nBuckets: Int = 1 << bucketBits
   }
@@ -110,7 +116,8 @@ object ZStore {
       s"ZStore.init: input carries the reserved layout column `$r` — " +
         "rename it; the store derives its own"))
     val ranks = ZOrderLayout.columnRanks(df, cols, bits, equalDepth)
-    val meta = ZMeta(cols, bits, bucketBits, ranks, df.columns.toSeq)
+    val meta = ZMeta(cols, bits, bucketBits, ranks, df.columns.toSeq,
+      df.schema.fields.map(_.dataType.catalogString).toSeq)
     val spark = df.sparkSession
     val files = writeDataFiles(df, meta, root)
     publish(spark, root, meta, files)
@@ -150,9 +157,17 @@ object ZStore {
   def absorb(spark: SparkSession, root: String,
              batch: DataFrame): ZAbsorbReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)
-    require(batch.columns.sorted.toSeq == meta.schemaCols.sorted,
-      s"absorb batch schema ${batch.columns.sorted.mkString(",")} does " +
-        s"not match the store's ${meta.schemaCols.sorted.mkString(",")}")
+    val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
+    val batchSig = batch.schema.fields
+      .map(f => (f.name, f.dataType.catalogString)).toSeq.sorted
+    require(batchSig == storeSig, {
+      val drift = (batchSig.toSet -- storeSig.toSet) ++
+        (storeSig.toSet -- batchSig.toSet)
+      s"absorb batch schema does not match the store's — name AND type " +
+        s"must agree (a drifted type would write parquet files the pool's " +
+        s"union read cannot reconcile); drifted: ${drift.toSeq.sorted
+          .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
+    })
     if (batch.isEmpty)
       return ZAbsorbReport(v, 0L, 0L, 0L, 0L,
         "empty batch — store unchanged")
@@ -272,18 +287,27 @@ object ZStore {
         case _ =>
       }
     }
-    // GC: pool files referenced by NO kept manifest
+    // GC: pool files referenced by NO kept manifest. Paths are
+    // relativized against the QUALIFIED root — listFiles returns
+    // fully-qualified paths, so stripping a relative root string would
+    // relativize NOTHING and this loop would delete every live file
+    // (a relative `root` works for init/absorb/read, so the first
+    // warning would have been the destroyed store; spec-pinned on a
+    // relative root).
     val referenced = keepSet.toSeq.flatMap(v =>
       readManifest(spark, root, v).map(_.path)).toSet
     val dataRoot = new Path(p, "data")
     var deleted = 0L
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
-      val rootUri = p.toUri.getPath.stripSuffix("/")
+      val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       while (it.hasNext) {
         val f = it.next().getPath
-        val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+        val fp = fs.makeQualified(f).toUri.getPath
+        // only delete what provably relativizes under the root AND is
+        // unreferenced — a path that fails to relativize is left alone
+        if (f.getName.endsWith(".parquet") && fp.startsWith(rootUri + "/") &&
+            !referenced.contains(fp.stripPrefix(rootUri).stripPrefix("/"))) {
           fs.delete(f, false)
           deleted += 1
         }
@@ -351,10 +375,9 @@ object ZStore {
 
   /** Publish (meta, manifest) as the next version: both JSON files
     * plus the `_SUCCESS` marker are fully written into an invisible
-    * `.zbuild_v<N>_<attempt>` staging dir, then ONE atomic rename to
-    * `v<N>` — [[IndexStore.writeVersionedWithCentroids]]'s
-    * arbitration, including the loud loss on a rename race and the
-    * HDFS rename-into-existing detection. */
+    * `.zbuild_v<N>_<attempt>` staging dir, then handed to the SHARED
+    * [[IndexStore.publishStaged]] arbitration (one copy of the
+    * rename-race semantics for both stores). */
   private def publish(spark: SparkSession, root: String, meta: ZMeta,
                       manifest: Seq[ZFile]): Long = {
     val next = (IndexStore.allVersions(spark, root) :+ 0L).max + 1
@@ -366,20 +389,7 @@ object ZStore {
     writeString(fs, new Path(staging, "_zmeta.json"), metaJson(meta))
     writeString(fs, new Path(staging, "_manifest.json"), manifestJson(manifest))
     fs.create(new Path(staging, "_SUCCESS"), true).close()
-    val dst = new Path(p, s"v$next")
-    def lost(): Nothing = {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"failed to publish $staging -> $root/v$next — the version " +
-          "number was taken by a concurrent writer (the store's " +
-          "single-writer contract); staging cleaned up, retry picks " +
-          "the next number")
-    }
-    if (fs.exists(dst)) lost()
-    if (!fs.rename(staging, dst)) lost()
-    val nested = new Path(dst, stagingName)
-    if (fs.exists(nested)) { fs.delete(nested, true); lost() }
-    next
+    IndexStore.publishStaged(fs, p, stagingName, next, root)
   }
 
   private def writeString(fs: org.apache.hadoop.fs.FileSystem, path: Path,
@@ -407,13 +417,15 @@ object ZStore {
     o.put("bits", meta.bits)
     o.put("bucketBits", meta.bucketBits)
     val sc = o.putArray("schemaCols"); meta.schemaCols.foreach(sc.add)
+    val st = o.putArray("schemaTypes"); meta.schemaTypes.foreach(st.add)
     val rs = o.putArray("ranks")
     meta.ranks.foreach {
       case ZRank.Width(mn, mx) =>
         val r = rs.addObject(); r.put("type", "width")
         r.put("min", mn); r.put("max", mx)
-      case ZRank.Depth(bounds) =>
+      case ZRank.Depth(bounds, lo, hi) =>
         val r = rs.addObject(); r.put("type", "depth")
+        r.put("lo", lo); r.put("hi", hi)
         val b = r.putArray("bounds"); bounds.foreach(b.add)
       case ZRank.Dict(values) =>
         val r = rs.addObject(); r.put("type", "dict")
@@ -430,7 +442,8 @@ object ZStore {
         case "width" => ZRank.Width(r.get("min").asDouble(),
           r.get("max").asDouble()): ZRank
         case "depth" => ZRank.Depth(
-          r.get("bounds").elements().asScala.map(_.asDouble()).toSeq)
+          r.get("bounds").elements().asScala.map(_.asDouble()).toSeq,
+          r.get("lo").asDouble(), r.get("hi").asDouble())
         case "dict" => ZRank.Dict(
           r.get("values").elements().asScala.map(_.asText()).toSeq)
         case other => throw new IllegalStateException(
@@ -440,7 +453,8 @@ object ZStore {
     ZMeta(
       n.get("cols").elements().asScala.map(_.asText()).toSeq,
       n.get("bits").asInt(), n.get("bucketBits").asInt(), ranks,
-      n.get("schemaCols").elements().asScala.map(_.asText()).toSeq)
+      n.get("schemaCols").elements().asScala.map(_.asText()).toSeq,
+      n.get("schemaTypes").elements().asScala.map(_.asText()).toSeq)
   }
 
   private[graft] def manifestJson(files: Seq[ZFile]): String = {

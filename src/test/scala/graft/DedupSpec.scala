@@ -159,6 +159,20 @@ class DedupSpec extends SparkSpec {
       def posts(d: String) = spark.read.parquet(d)
         .select("s", "doc_id").as[(String, Long)].collect().sorted.toSeq
       assert(posts(s1) == posts(s2))
+      // 0 would silently restore the sliver write-through; negatives
+      // must fail here by parameter name, not deep in partitionAligned
+      Seq(0, -1).foreach { bad =>
+        val e1 = intercept[IllegalArgumentException] {
+          Dedup.writeBandIndex(docs, "doc_id", "text",
+            root.toString + "/bad", nBuckets = 4, filesPerBucket = bad)
+        }
+        assert(e1.getMessage.contains("filesPerBucket"), e1.getMessage)
+        val e2 = intercept[IllegalArgumentException] {
+          Dedup.writeShingleIndex(docs, "doc_id", "text",
+            root.toString + "/bad", nBuckets = 4, filesPerBucket = bad)
+        }
+        assert(e2.getMessage.contains("filesPerBucket"), e2.getMessage)
+      }
     } finally {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
         prevCoalesce)

@@ -348,6 +348,40 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("a double-vetoed adapted trial never escapes the loop as finalNprobe") {
+    // the query's true top-21 needs B's nearest point, but both the
+    // caller's nprobe=1 AND the adapted 2 only ever probe A-side
+    // sub-cells — the split is genuinely regressed for this workload,
+    // so the loop must stop with the store unchanged AND report NO
+    // finalNprobe: the rejected trial budget (2) was never justified
+    // by a committed geometry, and rightSize widening its compact gate
+    // to it would validate merges at a probe count serving never runs
+    val a1 = (0 until 10).map(i => (i.toLong, Array(0.1 * i, 0.0)))
+    val a2 = (0 until 10).map(i => (100L + i, Array(4.0 + 0.1 * i, 0.0)))
+    val b = (0 until 10).map(i => (200L + i, Array(100.0 + 0.1 * i, 0.0)))
+    val docs = (a1 ++ a2 ++ b).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(2.5, 0.0)), (1L, Array(100.45, 0.0)))
+      .toDF("cid", "cvec")
+    val root = Files.createTempDirectory("graft_dblveto").toString + "/idx"
+    IndexStore.writeVersionedWithCentroids(
+      Ann.ivfAssign(docs, "embedding", "vec_id", cents, "cid", "cvec"),
+      cents, root)
+    val q = Seq((0L, Array(2.5, 0.0))).toDF("qid", "qv")
+    val loop = IndexMaintenance.rebalanceUntilBalanced(spark, root,
+      "embedding", "vec_id", maxRows = 12, recallFloor = 0.9, q,
+      evalK = 21, nprobe = 1, adaptNprobe = true)
+    assert(!loop.balanced, loop.reason)
+    val s = loop.steps.last
+    assert(!s.split && s.version.isEmpty, s.toString)
+    assert(s.nprobeUsed.contains(2) && s.recommendedNprobe.contains(2),
+      s.toString)
+    assert(s.meanRecall.exists(_ < 0.9), s.toString)
+    assert(s.reason.contains("the split itself regressed"), s.reason)
+    assert(loop.finalNprobe.isEmpty,
+      s"rejected trial budget escaped the loop: ${loop.finalNprobe}")
+    assert(IndexStore.committedVersions(spark, root) == Seq(1L))
+  }
+
   test("compact: healthy no-op, thin pair merged+validated+committed, regressed merge NOT committed, all-thin refused") {
     // two healthy cells (A near the origin, B at x=10) + one thin cell
     // C at x=4 whose members are nearer A than B, stored as a pair

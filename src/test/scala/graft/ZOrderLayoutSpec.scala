@@ -88,6 +88,28 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
+  test("Morton key is monotone under component-wise rank dominance (exhaustive 8x8)") {
+    // the property file-range pruning rests on: if A's rank <= B's rank
+    // on EVERY dimension, A's key <= B's key — so a contiguous key
+    // range covers a contiguous hyper-rectangle frontier, never an
+    // arbitrary scatter. Exhaustive over the full 3-bit 2-dim grid.
+    val pts = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toDouble, y.toDouble)
+    val df = pts.toDF("x", "y")
+    val stats = Seq((0.0, 7.0), (0.0, 7.0))
+    val keys = df.select(col("x"), col("y"),
+        ZOrderLayout.zorderKey(Seq("x", "y"), stats, bits = 3).as("z"))
+      .as[(Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(keys.values.toSet.size == 64, "keys must be distinct on the grid")
+    assert(keys.values.forall(z => z >= 0 && z < 64))
+    for {
+      a @ (ax, ay) <- pts
+      b @ (bx, by) <- pts
+      if ax <= bx && ay <= by
+    } assert(keys(a) <= keys(b),
+      s"dominance violated: $a -> ${keys(a)} vs $b -> ${keys(b)}")
+  }
+
   test("type dispatch: strings rank via dictionary, dates via epoch, unsupported types refuse by name") {
     import ZOrderLayout.ZRank
     // string dimension: 6 tenants over a numeric time axis — the

@@ -156,6 +156,82 @@ class ZStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZStore.read(spark, Files.createTempDirectory("graft_zempty").toString)
     }
+    // TYPE drift with matching names refuses too — a name-only gate
+    // would publish parquet files the pool's union read cannot
+    // reconcile (int32 x next to double x)
+    val eType = intercept[IllegalArgumentException] {
+      ZStore.absorb(spark, root, spark.range(3).select(
+        col("id").cast("int").as("x"),
+        lit(5.0).as("y"), col("id").as("rid")))
+    }
+    assert(eType.getMessage.contains("x: int"), eType.getMessage)
+  }
+
+  test("prune on a RELATIVE root relativizes against the qualified path — live files survive") {
+    // listFiles returns fully-qualified paths; a raw string-prefix
+    // strip against a relative root would relativize nothing and GC
+    // every LIVE pool file while the manifest still points at them
+    val rel = "target/zrel_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      ZStore.init(grid(0, 1200), Seq("x", "y"), rel, bits = 4, bucketBits = 3)
+      ZStore.absorb(spark, rel, grid(1200, 1500))
+      val (pruned, deleted) = ZStore.prune(spark, rel, keep = 1)
+      assert(pruned == Seq(1L), pruned.toString)
+      assert(deleted == 0L,
+        s"prune GC'd $deleted LIVE files on a relative root")
+      val back = ZStore.read(spark, rel)
+      assert(back.count() == 1500)
+      assert(back.select("rid").as[Long].collect().toSet ==
+        (0L until 1500L).toSet)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(rel))
+  }
+
+  test("relayout: fresh envelopes absorb the clamped mass; equal-depth init persists Depth ranks") {
+    val root = Files.createTempDirectory("graft_zrelayout").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    // a batch far outside the stamped [0, 59] envelope piles into the
+    // edge bucket — the drift relayout exists for
+    val far = spark.range(400).select(
+      (col("id") + 1000).cast("double").as("x"),
+      (col("id") % 60).cast("double").as("y"), (col("id") + 50000).as("rid"))
+    val r = ZStore.absorb(spark, root, far)
+    assert(r.outOfEnvelopeRows == 400, r.toString)
+    val (metaOld, _, vOld) = ZStore.loadCurrent(spark, root)
+    val vNew = ZStore.relayout(spark, root)
+    assert(vNew == vOld + 1)
+    val (metaNew, manNew, _) = ZStore.loadCurrent(spark, root)
+    // the new envelopes COVER the absorbed mass (x max moved past 1000)
+    assert(metaNew.ranks.head.isInstanceOf[graft.sources.ZOrderLayout.ZRank.Width])
+    val w = metaNew.ranks.head.asInstanceOf[graft.sources.ZOrderLayout.ZRank.Width]
+    assert(w.max >= 1399.0, w.toString)
+    assert(metaOld.ranks.head
+      .asInstanceOf[graft.sources.ZOrderLayout.ZRank.Width].max < 60.0)
+    // row identity through the full rewrite; one file per bucket again
+    val back = ZStore.read(spark, root)
+    assert(back.count() == 4000)
+    assert(manNew.groupBy(_.bucket).forall(_._2.length == 1))
+    // re-absorbing the same far range now clamps NOTHING
+    val r2 = ZStore.absorb(spark, root, far.withColumn("rid", col("rid") + 1000))
+    assert(r2.outOfEnvelopeRows == 0, r2.toString)
+    // equal-depth init: Depth ranks persist through the JSON round trip
+    val rootD = Files.createTempDirectory("graft_zdepthstore").toString + "/t"
+    val skewed = spark.range(2000).select(
+      when(col("id") % 20 === 0, (col("id") % 100) * lit(10000.0))
+        .otherwise((col("id") % 100).cast("double")).as("rev"),
+      (col("id") % 40).cast("double").as("u"), col("id").as("rid"))
+    ZStore.init(skewed, Seq("rev", "u"), rootD, bits = 4, bucketBits = 3,
+      equalDepth = true)
+    val (metaD, _, _) = ZStore.loadCurrent(spark, rootD)
+    val depth = metaD.ranks.head
+    assert(depth.isInstanceOf[graft.sources.ZOrderLayout.ZRank.Depth])
+    assert(depth.asInstanceOf[graft.sources.ZOrderLayout.ZRank.Depth]
+      .bounds.length == 15)
+    assert(ZStore.read(spark, rootD).count() == 2000)
+    // and an absorbed batch ranks against the SAME persisted bounds
+    val rD = ZStore.absorb(spark, rootD, skewed.withColumn("rid", col("rid") + 10000))
+    assert(rD.rowsAbsorbed == 2000 && rD.outOfEnvelopeRows == 0, rD.toString)
+    assert(ZStore.read(spark, rootD).count() == 4000)
   }
 
   test("a string dimension rides the lifecycle: dictionary envelopes persist in _zmeta and unseen values clamp") {

@@ -322,6 +322,49 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
         AND l_quantity BETWEEN 20 AND 25
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Type-dispatched z-store fixture: THREE rank families in one
+    * curve — l_returnflag (string → dictionary rank), l_shipdate
+    * (timestamp → epoch rank), l_extendedprice (double → width rank).
+    * The round-17 form ranked the first constant 0 and died on the
+    * second; this fixture makes both fixes oracle-checked. */
+  private val zstoreDictPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def zstoreDictLineitemFor(s: SparkSession, d: String): String =
+    zstoreDictPaths.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft_zdict_")
+        .toString + "/lineitem_z3"
+      graft.sources.ZStore.init(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_shipdate", "l_extendedprice"), root,
+        bits = 6, bucketBits = 6)
+      root
+    })
+
+  private val j5 = QuerySpec("j5_zstore_typed_dims_scan",
+    // a 3-D filter where every dimension ranks through a DIFFERENT
+    // ZRank family: the string equality prunes because the dictionary
+    // rank preserves lexicographic order (per-file min/max on
+    // l_returnflag itself stays tight), the timestamp range rides the
+    // epoch rank, the price range the width rank. Oracle = the same
+    // filter over the RAW table; only non-temporal columns are
+    // projected, so the hash compares engine-neutral values.
+    (s, d) => graft.sources.ZStore.read(s, zstoreDictLineitemFor(s, d))
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1994-01-01") &&
+        col("l_shipdate") < lit("1995-01-01") &&
+        col("l_extendedprice").between(20000, 30000))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1994-01-01'
+        AND l_shipdate < TIMESTAMP '1995-01-01'
+        AND l_extendedprice BETWEEN 20000 AND 30000
+      ORDER BY l_orderkey, l_linenumber"""))
+
   private val j3 = QuerySpec("j3_zorder_scan",
     // Multi-column filter riding the Z-ordered layout: both predicate
     // columns are bit-interleaved into the file order, so every
@@ -557,5 +600,5 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   final def queriesRelational: Seq[QuerySpec] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4, j5)
 }

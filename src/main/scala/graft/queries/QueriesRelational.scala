@@ -349,8 +349,8 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
     // projected, so the hash compares engine-neutral values.
     (s, d) => graft.sources.ZStore.read(s, zstoreDictLineitemFor(s, d))
       .filter(col("l_returnflag") === "R" &&
-        col("l_shipdate") >= lit("1994-01-01") &&
-        col("l_shipdate") < lit("1995-01-01") &&
+        col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
         col("l_extendedprice").between(20000, 30000))
       .select(col("l_orderkey"), col("l_linenumber").cast("long")
           .as("l_linenumber"),
@@ -360,8 +360,8 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       round(l_extendedprice, 2) AS l_extendedprice
       FROM lineitem
       WHERE l_returnflag = 'R'
-        AND l_shipdate >= TIMESTAMP '1994-01-01'
-        AND l_shipdate < TIMESTAMP '1995-01-01'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_extendedprice BETWEEN 20000 AND 30000
       ORDER BY l_orderkey, l_linenumber"""))
 

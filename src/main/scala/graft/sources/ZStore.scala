@@ -85,6 +85,25 @@ object ZStore {
     * the curve bucket it covers. */
   final case class ZFile(path: String, bucket: Int)
 
+  /** Cumulative absorb statistics SINCE the current envelopes were
+    * derived (init or relayout reset them), persisted in every
+    * version's manifest: the scaladoc's "rising clamp counter is the
+    * re-layout signal" as durable state a scheduler can read, instead
+    * of a per-call report it would have to track externally. */
+  final case class ZStats(absorbedRows: Long, oobRows: Long) {
+    def clampFraction: Double =
+      if (absorbedRows == 0) 0.0 else oobRows.toDouble / absorbedRows
+  }
+
+  /** The maintenance decision [[advice]] derives from persisted state
+    * alone — no data scan: `action` is "relayout" (clamp fraction over
+    * the floor: the stamped envelopes no longer cover the stream and
+    * edge buckets are absorbing the overflow), "maintain" (buckets
+    * fragmented past the cap), or "healthy". */
+  final case class ZAdvice(action: String, fragmentedBuckets: Long,
+                           maxFilesInBucket: Long, stats: ZStats,
+                           reason: String)
+
   final case class ZAbsorbReport(version: Long, rowsAbsorbed: Long,
                                  filesAdded: Long, bucketsTouched: Long,
                                  outOfEnvelopeRows: Long, reason: String)
@@ -120,7 +139,7 @@ object ZStore {
       df.schema.fields.map(_.dataType.catalogString).toSeq)
     val spark = df.sparkSession
     val files = writeDataFiles(df, meta, root)
-    publish(spark, root, meta, files)
+    publish(spark, root, meta, files, ZStats(0L, 0L))
   }
 
   /** The newest committed version's rows — the original schema, no
@@ -192,7 +211,9 @@ object ZStore {
         s"absorb wrote $written rows for a $nBatch-row batch — refusing " +
           "to publish; new files removed, store unchanged")
     }
-    val nv = publish(spark, root, meta, manifest ++ files)
+    val prior = statsOf(spark, root, v)
+    val nv = publish(spark, root, meta, manifest ++ files,
+      ZStats(prior.absorbedRows + nBatch, prior.oobRows + nOob))
     ZAbsorbReport(nv, nBatch, files.length.toLong,
       files.map(_.bucket).distinct.length.toLong, nOob,
       s"absorbed $nBatch rows into ${files.length} bucket file(s) as " +
@@ -233,7 +254,8 @@ object ZStore {
           "rewritten files removed, store unchanged")
     }
     val untouched = manifest.filterNot(f => dirty.contains(f.bucket))
-    val nv = publish(spark, root, meta, untouched ++ rewritten)
+    val nv = publish(spark, root, meta, untouched ++ rewritten,
+      stats(spark, root)) // compaction neither absorbs nor re-ranks
     ZMaintainReport(Some(nv), dirty.size.toLong, manifest.length.toLong,
       (untouched.length + rewritten.length).toLong, before,
       s"compacted ${dirty.size} bucket(s) (${dirtyFiles.length} file(s) " +
@@ -254,7 +276,51 @@ object ZStore {
       equalDepth)
     val fresh = meta.copy(ranks = ranks)
     val files = writeDataFiles(current, fresh, root)
-    publish(spark, root, fresh, files)
+    // fresh envelopes: the clamp counters describe drift SINCE the
+    // current envelopes were derived, so they reset here (and at init)
+    publish(spark, root, fresh, files, ZStats(0L, 0L))
+  }
+
+  /** The cumulative absorb statistics of the current version. */
+  def stats(spark: SparkSession, root: String): ZStats = {
+    val vs = IndexStore.committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed z-store version under $root")
+    statsOf(spark, root, vs.last)
+  }
+
+  /** The maintenance decision from persisted state alone — no data
+    * scan: relayout when the clamp fraction since the last envelope
+    * derivation exceeds `clampFloor` (with at least `minAbsorbed`
+    * rows absorbed, so one tiny early batch cannot trigger a
+    * full-table rewrite), else maintain when any bucket is fragmented
+    * past `maxFilesPerBucket`, else healthy. The same
+    * detect-cheaply / act-gated shape as [[IndexMaintenance]]'s
+    * drift loop, for the layout axis. */
+  def advice(spark: SparkSession, root: String,
+             maxFilesPerBucket: Int = 1, clampFloor: Double = 0.05,
+             minAbsorbed: Long = 10000L): ZAdvice = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
+    require(clampFloor > 0 && clampFloor <= 1,
+      s"clampFloor $clampFloor must be in (0, 1]")
+    val (_, manifest, v) = loadCurrent(spark, root)
+    val st = statsOf(spark, root, v)
+    val perBucket = manifest.groupBy(_.bucket).map(_._2.length.toLong)
+    val maxFiles = if (perBucket.isEmpty) 0L else perBucket.max
+    val fragmented = perBucket.count(_ > maxFilesPerBucket).toLong
+    if (st.absorbedRows >= minAbsorbed && st.clampFraction > clampFloor)
+      ZAdvice("relayout", fragmented, maxFiles, st,
+        f"${st.oobRows} of ${st.absorbedRows} absorbed rows " +
+          f"(${st.clampFraction * 100}%.1f%%) clamped outside the stamped " +
+          f"envelopes (floor ${clampFloor * 100}%.1f%%) — the envelopes no " +
+          "longer cover the stream; relayout re-derives them")
+    else if (fragmented > 0)
+      ZAdvice("maintain", fragmented, maxFiles, st,
+        s"$fragmented bucket(s) above $maxFilesPerBucket file(s) " +
+          s"(max $maxFiles) — fold the fragments; envelopes are healthy")
+    else
+      ZAdvice("healthy", 0L, maxFiles, st,
+        "no bucket fragmented and clamp mass under the floor")
   }
 
   /** Drop all but the newest `keep` committed versions, then
@@ -379,7 +445,7 @@ object ZStore {
     * [[IndexStore.publishStaged]] arbitration (one copy of the
     * rename-race semantics for both stores). */
   private def publish(spark: SparkSession, root: String, meta: ZMeta,
-                      manifest: Seq[ZFile]): Long = {
+                      manifest: Seq[ZFile], stats: ZStats): Long = {
     val next = (IndexStore.allVersions(spark, root) :+ 0L).max + 1
     val (fs, p) = IndexStore.fsOf(spark, root)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
@@ -387,7 +453,8 @@ object ZStore {
     val staging = new Path(p, stagingName)
     fs.mkdirs(staging)
     writeString(fs, new Path(staging, "_zmeta.json"), metaJson(meta))
-    writeString(fs, new Path(staging, "_manifest.json"), manifestJson(manifest))
+    writeString(fs, new Path(staging, "_manifest.json"),
+      manifestJson(manifest, stats))
     fs.create(new Path(staging, "_SUCCESS"), true).close()
     IndexStore.publishStaged(fs, p, stagingName, next, root)
   }
@@ -457,8 +524,10 @@ object ZStore {
       n.get("schemaTypes").elements().asScala.map(_.asText()).toSeq)
   }
 
-  private[graft] def manifestJson(files: Seq[ZFile]): String = {
+  private[graft] def manifestJson(files: Seq[ZFile], stats: ZStats): String = {
     val o = mapper.createObjectNode()
+    o.put("absorbedRows", stats.absorbedRows)
+    o.put("oobRows", stats.oobRows)
     val fsArr = o.putArray("files")
     files.foreach { f =>
       val e = fsArr.addObject(); e.put("path", f.path); e.put("bucket", f.bucket)
@@ -466,11 +535,15 @@ object ZStore {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  private[graft] def parseManifest(json: String): Seq[ZFile] = {
+  private[graft] def parseManifest(json: String): (Seq[ZFile], ZStats) = {
     import scala.jdk.CollectionConverters._
-    mapper.readTree(json).get("files").elements().asScala
+    val n = mapper.readTree(json)
+    def longOr0(field: String): Long =
+      Option(n.get(field)).map(_.asLong()).getOrElse(0L)
+    (n.get("files").elements().asScala
       .map(e => ZFile(e.get("path").asText(), e.get("bucket").asInt()))
-      .toSeq
+      .toSeq,
+      ZStats(longOr0("absorbedRows"), longOr0("oobRows")))
   }
 
   private def readMeta(spark: SparkSession, root: String, v: Long): ZMeta =
@@ -478,5 +551,8 @@ object ZStore {
 
   private def readManifest(spark: SparkSession, root: String,
                            v: Long): Seq[ZFile] =
-    parseManifest(readString(spark, root, s"v$v/_manifest.json"))
+    parseManifest(readString(spark, root, s"v$v/_manifest.json"))._1
+
+  private def statsOf(spark: SparkSession, root: String, v: Long): ZStats =
+    parseManifest(readString(spark, root, s"v$v/_manifest.json"))._2
 }

@@ -167,6 +167,84 @@ class ZStoreSpec extends SparkSpec {
     assert(eType.getMessage.contains("x: int"), eType.getMessage)
   }
 
+  test("advice: persisted clamp counters drive the relayout/maintain/healthy decision without a data scan") {
+    val root = Files.createTempDirectory("graft_zadvice").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(0L, 0L))
+    val a0 = ZStore.advice(spark, root, minAbsorbed = 100)
+    assert(a0.action == "healthy", a0.toString)
+    // in-envelope absorb fragments buckets but clamps nothing
+    ZStore.absorb(spark, root, grid(3600, 7200))
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(3600L, 0L))
+    val a1 = ZStore.advice(spark, root, minAbsorbed = 100)
+    assert(a1.action == "maintain" && a1.fragmentedBuckets > 0, a1.toString)
+    // maintain folds the fragments and CARRIES the counters
+    ZStore.maintain(spark, root)
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(3600L, 0L))
+    assert(ZStore.advice(spark, root, minAbsorbed = 100).action == "healthy")
+    // heavy out-of-envelope mass: over the floor → relayout advice,
+    // with the cumulative fraction in the reason
+    val far = spark.range(900).select(
+      (col("id") + 5000).cast("double").as("x"),
+      lit(5.0).as("y"), (col("id") + 80000).as("rid"))
+    ZStore.absorb(spark, root, far)
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(4500L, 900L))
+    val a2 = ZStore.advice(spark, root, clampFloor = 0.05, minAbsorbed = 100)
+    assert(a2.action == "relayout", a2.toString)
+    assert(a2.stats.clampFraction > 0.15 && a2.reason.contains("envelope"),
+      a2.toString)
+    // ...but a tiny early batch cannot trigger a full-table rewrite
+    val aMin = ZStore.advice(spark, root, clampFloor = 0.05,
+      minAbsorbed = 1000000L)
+    assert(aMin.action != "relayout", aMin.toString)
+    // relayout resets the counters (fresh envelopes) and the advice
+    // returns to healthy/maintain
+    ZStore.relayout(spark, root)
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(0L, 0L))
+    assert(ZStore.advice(spark, root, minAbsorbed = 100).action == "healthy")
+    assert(ZStore.read(spark, root).count() == 8100)
+  }
+
+  test("ZIngest: micro-batches absorb O(batch), compaction triggers on the advice, versions self-prune") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_zingest").toString + "/t"
+    // the store must exist before the stream starts (the layout's
+    // envelopes come from a representative base, not the first batch)
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    val stream = MemoryStream[(Double, Double, Long)]
+    val q = stream.toDF.toDF("x", "y", "rid")
+      .writeStream
+      .foreachBatch(graft.streaming.ZIngest.absorbingSink(
+        root, maxFilesPerBucket = 3, keepVersions = 2) _)
+      .start()
+    try {
+      (1 to 5).foreach { i =>
+        stream.addData((0 until 300).map(j =>
+          (((i * 300 + j) % 60).toDouble, (((i * 300 + j) / 60) % 60).toDouble,
+            10000L + i * 300 + j)): _*)
+        q.processAllAvailable()
+      }
+      // every streamed row is queryable alongside the base
+      val back = ZStore.read(spark, root)
+      assert(back.count() == 3600 + 5 * 300)
+      assert(back.filter(col("rid") >= 10000).count() == 1500)
+      // the advice-triggered fold kept every bucket under the cap
+      val (_, man, _) = ZStore.loadCurrent(spark, root)
+      assert(man.groupBy(_.bucket).forall(_._2.length <= 3),
+        man.groupBy(_.bucket).map(_._2.length).toSeq.sorted.toString)
+      // self-pruning held the version count at the retention window
+      assert(IndexStore.committedVersions(spark, root).length <= 2)
+      // clamp counters persisted across the whole stream (all batches
+      // in-envelope here)
+      assert(ZStore.stats(spark, root) == ZStore.ZStats(1500L, 0L))
+      // a replayed empty batch publishes nothing
+      val vBefore = ZStore.loadCurrent(spark, root)._3
+      q.processAllAvailable()
+      assert(ZStore.loadCurrent(spark, root)._3 == vBefore)
+    } finally q.stop()
+  }
+
   test("prune on a RELATIVE root relativizes against the qualified path — live files survive") {
     // listFiles returns fully-qualified paths; a raw string-prefix
     // strip against a relative root would relativize nothing and GC

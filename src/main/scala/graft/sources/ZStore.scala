@@ -161,6 +161,22 @@ object ZStore {
     (readMeta(spark, root, v), readManifest(spark, root, v), v)
   }
 
+  /** Read a SPECIFIC committed version — time travel over the shared
+    * pool: manifests are snapshots and pool files immutable, so any
+    * version inside the [[prune]] retention window reads exactly what
+    * it committed (untouched files are shared, never rewritten).
+    * Fails loudly on an uncommitted or pruned version. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val vs = IndexStore.committedVersions(spark, root)
+    require(vs.contains(v),
+      s"version v$v is not committed under $root (committed: " +
+        s"${vs.mkString(", ")}) — pruned versions and in-flight " +
+        "stagings are unreadable by design")
+    val manifest = readManifest(spark, root, v)
+    require(manifest.nonEmpty, s"manifest of v$v under $root is empty")
+    spark.read.parquet(manifest.map(f => s"$root/${f.path}"): _*)
+  }
+
   // ---------------------------------------------------------------
   // Absorb
   // ---------------------------------------------------------------

@@ -186,6 +186,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(!flags(0)._2 && !flags(2)._2, flags.toString) // seen + null are in-envelope
   }
 
+  test("property: the dictionary rank preserves lexicographic order on random string sets") {
+    import org.scalacheck.Gen
+    import ZOrderLayout.ZRank
+    // the min/max pruning claim for string dimensions rests on exactly
+    // this: sorted(values) maps to a non-decreasing rank sequence, and
+    // distinct values never collapse when buckets suffice
+    val genVals = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))))
+    PropHelper.forAll(genVals, n = 60) { raw =>
+      val values = raw.distinct.sorted
+      if (values.length >= 2) {
+        val dict = ZRank.Dict(values)
+        val bits = 5 // 32 buckets
+        val got = values.toDF("v")
+          .select(col("v"), dict.rank(col("v"), bits).as("r"))
+          .orderBy("v").as[(String, Long)].collect().map(_._2)
+        assert(got.toSeq == got.sorted.toSeq,
+          s"order violated for $values -> ${got.mkString(",")}")
+        assert(got.forall(r => r >= 0 && r < 32))
+        if (values.length <= 32)
+          assert(got.distinct.length == values.length,
+            s"distinct values collapsed: $values -> ${got.mkString(",")}")
+      }
+    }
+  }
+
   test("equal-depth rank spreads a heavy-tailed column that collapses under equal width") {
     import ZOrderLayout.ZRank
     // exponential-ish tail: 95% of rows in [0, 100), a 5% tail out to 1e6

@@ -84,6 +84,14 @@ class ZStoreSpec extends SparkSpec {
     // meta is carried verbatim across the whole lifecycle
     val (metaN, _, _) = ZStore.loadCurrent(spark, root)
     assert(metaN == meta1)
+    // time travel: manifests are snapshots over the shared immutable
+    // pool — v1 still reads its exact committed content even though
+    // four later versions absorbed and compacted around it
+    assert(ZStore.readVersion(spark, root, 1L).count() == 3600)
+    assert(ZStore.readVersion(spark, root, 2L).count() == 2 * 3600)
+    intercept[IllegalArgumentException] {
+      ZStore.readVersion(spark, root, 99L)
+    }
     // prune to the current version: superseded manifests die AND the
     // pool files only they referenced are GC'd; reads are unaffected
     val (pruned, deleted) = ZStore.prune(spark, root, keep = 1)
@@ -103,6 +111,10 @@ class ZStoreSpec extends SparkSpec {
       n
     }
     assert(onDisk == manKept.length, s"disk $onDisk vs manifest ${manKept.length}")
+    // a pruned version is loudly unreadable (its exclusive files are gone)
+    intercept[IllegalArgumentException] {
+      ZStore.readVersion(spark, root, 1L)
+    }
     // pool dirs with no data files left are swept whole (their
     // write-time _SUCCESS markers do not pin them)
     val uuidDirs = new java.io.File(root, "data").listFiles()

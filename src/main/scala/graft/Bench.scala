@@ -105,7 +105,7 @@ object Bench {
         "v14_trained_ivf_serve", "v15_filtered_ivf_serve",
         "s10_int8_served", "v17_ivf_upsert_serve", "v18_ivf_compact_serve",
         "j2_bucketed_join", "j3_zorder_scan", "j4_zstore_lifecycle_scan",
-        "j5_zstore_typed_dims_scan",
+        "j5_zstore_typed_dims_scan", "j6_zstore_upsert_delete_scan",
         "i4_diff_reindex",
         // t23's drift full-outer join is its own codegen family and its
         // first run pays multi-second Janino compile

@@ -130,7 +130,11 @@ object IndexMaintenance {
       // on any shared root (the round-15 judge's first weak mark). The
       // retrain has newCents in hand; publishing geometry and
       // cluster-id space atomically is exactly the pair store's case.
-      val v = IndexStore.writeVersionedWithCentroids(assigned, newCents, root)
+      // the stamp: the budget this commit's recall gate PASSED at
+      // rides the version (PairMeta.nprobe), so serving floors itself
+      // there instead of a human carrying the number across
+      val v = IndexStore.writeVersionedWithCentroids(assigned, newCents,
+        root, Some(nprobe))
       Report(js, retrained = true, Some(v), Some(meanRecall),
         s"drift $js exceeded $driftThreshold — retrained, validated " +
           s"(recall $meanRecall), committed pair v$v")
@@ -204,10 +208,16 @@ object IndexMaintenance {
     * nprobe then covers a smaller corpus fraction, and recall sags
     * until the gate floors it — the recommendation keeps the PROBED
     * FRACTION constant across the geometry change (see
-    * [[recommendedNprobe]]). Populated whenever a split was computed
-    * (committed or vetoed); `nprobeUsed` is the nprobe the reported
+    * [[recommendedNprobe]]). `nprobeUsed` is the nprobe the reported
     * recall was validated at — equal to the caller's unless
-    * `adaptNprobe` re-validated at the recommendation. */
+    * `adaptNprobe` re-validated at the recommendation.
+    *
+    * `recommendedNprobe` is populated on the paths that actually
+    * CONSULT the recommendation — a veto (retry guidance) or an
+    * adapted commit; a split committed clean at the caller's budget
+    * reports None, because computing the recommendation costs two
+    * cell-count jobs the happy path must not pay (it needs no
+    * guidance: the budget it validated at is `nprobeUsed`). */
   final case class RebalanceReport(maxCellBefore: Long,
                                    maxCellAfter: Option[Long],
                                    split: Boolean, version: Option[Long],
@@ -307,18 +317,24 @@ object IndexMaintenance {
     val meanRecall = meanRecallAt(splitIdx, splitCents, index, embCol,
       idCol, sampleQueries, evalK, nprobe, sharedExact.map(_()))
     val after = maxCell(splitIdx)
-    // the geometry-change recommendation: both counts are k-row frames
-    val recN = recommendedNprobe(nprobe, cents.count(), splitCents.count())
+    // the geometry-change recommendation: both counts are k-row
+    // frames, but they are still two Spark jobs — LAZY, so the happy
+    // path (first validation passes) never pays them; only the veto
+    // and adapt branches, which actually consult the value, force it
+    lazy val recN = recommendedNprobe(nprobe, cents.count(), splitCents.count())
     def commit(recall: Double, atNprobe: Int, adapted: Boolean)
         : RebalanceReport = {
-      val v = IndexStore.writeVersionedWithCentroids(splitIdx, splitCents, root)
+      // the validated budget rides the version (PairMeta.nprobe):
+      // serving floors itself at the budget this gate passed at
+      val v = IndexStore.writeVersionedWithCentroids(splitIdx, splitCents,
+        root, Some(atNprobe))
       RebalanceReport(before, Some(after), split = true, Some(v),
         Some(recall),
         s"max cell $before exceeded $maxRows — split to $after, " +
           s"validated (recall $recall at nprobe $atNprobe" +
           (if (adapted) s", adapted from $nprobe" else "") +
           s"), committed pair v$v",
-        Some(recN), Some(atNprobe))
+        if (adapted) Some(recN) else None, Some(atNprobe))
     }
     if (meanRecall >= recallFloor) commit(meanRecall, nprobe, adapted = false)
     else if (adaptNprobe && recN > nprobe) {
@@ -581,7 +597,11 @@ object IndexMaintenance {
           s"$after cells), previous geometry stays current " +
           "(raise minRows less aggressively, or raise nprobe)")
     else {
-      val v = IndexStore.writeVersionedWithCentroids(merged, mergedCents, root)
+      // stamp the gate's budget (PairMeta.nprobe) — rightSize passes
+      // the loop's adapted budget through `nprobe` here, so a pass
+      // that raised the budget publishes it with its final geometry
+      val v = IndexStore.writeVersionedWithCentroids(merged, mergedCents,
+        root, Some(nprobe))
       CompactReport(cellIds.length.toLong, thin, Some(after), merged = true,
         Some(v), Some(meanRecall),
         s"$thin of ${cellIds.length} cells below minRows $minRows — " +

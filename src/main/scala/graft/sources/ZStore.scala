@@ -54,6 +54,11 @@ import graft.sources.ZOrderLayout.ZRank
   *    its own debris). Fragmentation costs listing/open overhead and
   *    intra-bucket sort, NOT envelope width — so maintain is a
   *    scheduled compaction, not a correctness prop.
+  *  - **Delete / Upsert by id** ([[delete]], [[upsert]]): copy-on-
+  *    write rewrite of ONLY the curve buckets holding the affected
+  *    ids — retention/compliance deletes and the reference's
+  *    upsert-by-id semantic without a full relayout; one narrow
+  *    locate scan plus a rewrite ∝ affected buckets.
   *  - **Re-layout** ([[relayout]]): re-derive ranks from current
   *    content and rewrite everything — the full-cost escape hatch for
   *    real envelope drift (the absorb report's clamp counter trending
@@ -81,9 +86,21 @@ object ZStore {
     def nBuckets: Int = 1 << bucketBits
   }
 
-  /** One manifest entry: a pool file (path relative to the root) and
-    * the curve bucket it covers. */
-  final case class ZFile(path: String, bucket: Int)
+  /** One manifest entry: a pool file (path relative to the root), the
+    * curve bucket it covers, and its row count (stamped at write time
+    * from the same footer-count read the reconciliation gate already
+    * pays — so per-BUCKET occupancy is readable from the manifest
+    * alone, no data scan; -1 on manifests written before the stamp
+    * existed, and every consumer of occupancy must treat -1 as
+    * "unknown", never as zero rows). */
+  final case class ZFile(path: String, bucket: Int, rows: Long = -1L)
+
+  /** A parsed version manifest: the file list, the cumulative absorb
+    * statistics, and the last streaming batch id absorbed
+    * ([[absorb]]'s replay guard; -1 = no batch-tracked absorb yet or a
+    * pre-guard manifest). */
+  final case class ZManifest(files: Seq[ZFile], stats: ZStats,
+                             lastBatchId: Long)
 
   /** Cumulative absorb statistics SINCE the current envelopes were
     * derived (init or relayout reset them), persisted in every
@@ -99,10 +116,27 @@ object ZStore {
     * alone — no data scan: `action` is "relayout" (clamp fraction over
     * the floor: the stamped envelopes no longer cover the stream and
     * edge buckets are absorbing the overflow), "maintain" (buckets
-    * fragmented past the cap), or "healthy". */
+    * fragmented past the cap), or "healthy".
+    *
+    * `equalDepth` is the RANK-FAMILY recommendation for whatever
+    * relayout eventually runs (inline or offline): true when at least
+    * one dimension is width-ranked AND the manifest's per-bucket
+    * occupancy (`occupancySkew` = fullest bucket ÷ mean occupied
+    * bucket) is piled past the skew factor — under equal-width ranks
+    * the curve buckets inherit the data's joint distribution, so a
+    * heavy-tailed clustered column shows up as exactly this pile-up,
+    * the regime the 60M skew probe measured at 7.6× recordsRead for
+    * the equal-depth rank (PLANS.md round 18). A hint, not a command:
+    * genuinely correlated dimensions can also skew occupancy, and the
+    * ~10× layout-job price stands either way — the operator opts in
+    * via [[relayout]]'s `equalDepth`. None/false on pre-row-stamp
+    * manifests (occupancy unknown) and on stores with no width-ranked
+    * dimension (Depth is already equal-depth; Dict is equal-depth by
+    * value). */
   final case class ZAdvice(action: String, fragmentedBuckets: Long,
                            maxFilesInBucket: Long, stats: ZStats,
-                           reason: String)
+                           reason: String, equalDepth: Boolean = false,
+                           occupancySkew: Option[Double] = None)
 
   final case class ZAbsorbReport(version: Long, rowsAbsorbed: Long,
                                  filesAdded: Long, bucketsTouched: Long,
@@ -111,7 +145,23 @@ object ZStore {
   final case class ZMaintainReport(version: Option[Long],
                                    dirtyBuckets: Long, filesBefore: Long,
                                    filesAfter: Long, rowsRewritten: Long,
-                                   reason: String)
+                                   reason: String,
+                                   bucketsDeferred: Long = 0L)
+
+  /** One row-level delete decision. `version` is None when no
+    * tombstoned id was present (nothing published). */
+  final case class ZDeleteReport(version: Option[Long], rowsDeleted: Long,
+                                 bucketsRewritten: Long,
+                                 filesRewritten: Long, reason: String)
+
+  /** One upsert-by-id decision: `oldCopiesRemoved` counts the prior
+    * rows of the batch's ids purged wherever they lived;
+    * `outOfEnvelopeRows` is [[absorb]]'s clamp counter for the new
+    * rows. */
+  final case class ZUpsertReport(version: Long, rowsUpserted: Long,
+                                 oldCopiesRemoved: Long,
+                                 bucketsRewritten: Long,
+                                 outOfEnvelopeRows: Long, reason: String)
 
   // ---------------------------------------------------------------
   // Init / read
@@ -139,7 +189,7 @@ object ZStore {
       df.schema.fields.map(_.dataType.catalogString).toSeq)
     val spark = df.sparkSession
     val files = writeDataFiles(df, meta, root)
-    publish(spark, root, meta, files, ZStats(0L, 0L))
+    publish(spark, root, meta, files, ZStats(0L, 0L), lastBatchId = -1L)
   }
 
   /** The newest committed version's rows — the original schema, no
@@ -188,9 +238,19 @@ object ZStore {
     * The report counts rows that clamped outside the stamped
     * envelopes — pruning for those rows degrades toward the edge
     * buckets' width, and a rising counter is the [[relayout]]
-    * signal. Row-count gated like [[maintain]]. */
-  def absorb(spark: SparkSession, root: String,
-             batch: DataFrame): ZAbsorbReport = {
+    * signal. Row-count gated like [[maintain]].
+    *
+    * `batchId` is the streaming replay guard: foreachBatch is
+    * at-least-once, so a crash between this publish and the stream's
+    * checkpoint commit replays the batch — absorbing it again would
+    * silently duplicate rows. When `batchId` is passed and is <= the
+    * manifest's persisted `lastBatchId`, the absorb no-ops (store
+    * unchanged, zero-row report); a published absorb advances the
+    * persisted id, making batch-tracked absorbs effectively-once.
+    * Batch-untracked callers (None) keep plain at-least-once append
+    * semantics and leave the persisted id untouched. */
+  def absorb(spark: SparkSession, root: String, batch: DataFrame,
+             batchId: Option[Long] = None): ZAbsorbReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)
     val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
     val batchSig = batch.schema.fields
@@ -203,6 +263,11 @@ object ZStore {
         s"union read cannot reconcile); drifted: ${drift.toSeq.sorted
           .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
     })
+    val man = manifestOf(spark, root, v)
+    if (batchId.exists(_ <= man.lastBatchId))
+      return ZAbsorbReport(v, 0L, 0L, 0L, 0L,
+        s"batch ${batchId.get} already absorbed (persisted lastBatchId " +
+          s"${man.lastBatchId}) — replay skipped, store unchanged")
     if (batch.isEmpty)
       return ZAbsorbReport(v, 0L, 0L, 0L, 0L,
         "empty batch — store unchanged")
@@ -218,22 +283,31 @@ object ZStore {
       if (Row2.isNullAt(1)) 0L else Row2.getLong(1))
     val files = writeDataFiles(batch, meta, root)
     // reconciliation gate: the just-written files must hold exactly
-    // the batch (footer-count read — no payload scan)
-    val written = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-      .count()
+    // the batch (the per-file counts stamped by writeDataFiles come
+    // from a footer-count read of the written files — no payload scan)
+    val written = files.map(_.rows).sum
     if (written != nBatch) {
       deleteFiles(spark, root, files)
       throw new IllegalStateException(
         s"absorb wrote $written rows for a $nBatch-row batch — refusing " +
           "to publish; new files removed, store unchanged")
     }
-    val prior = statsOf(spark, root, v)
-    val nv = publish(spark, root, meta, manifest ++ files,
-      ZStats(prior.absorbedRows + nBatch, prior.oobRows + nOob))
+    val nv = publish(spark, root, meta, man.files ++ files,
+      ZStats(man.stats.absorbedRows + nBatch, man.stats.oobRows + nOob),
+      batchId.getOrElse(man.lastBatchId))
     ZAbsorbReport(nv, nBatch, files.length.toLong,
       files.map(_.bucket).distinct.length.toLong, nOob,
       s"absorbed $nBatch rows into ${files.length} bucket file(s) as " +
         s"v$nv ($nOob row(s) clamped outside the stamped envelopes)")
+  }
+
+  /** The last streaming batch id a published absorb recorded (-1 when
+    * none) — the durable side of [[absorb]]'s replay guard, readable
+    * by schedulers and specs. */
+  def lastAbsorbedBatchId(spark: SparkSession, root: String): Long = {
+    val vs = IndexStore.committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed z-store version under $root")
+    manifestOf(spark, root, vs.last).lastBatchId
   }
 
   // ---------------------------------------------------------------
@@ -245,37 +319,59 @@ object ZStore {
     * nothing. Gated: the rewritten files must hold exactly the rows
     * the dirty files held — on mismatch the new files are removed and
     * the store stays on the previous version (the same
-    * refuse-to-publish shape as every recall-gated maintenance op). */
+    * refuse-to-publish shape as every recall-gated maintenance op).
+    *
+    * `maxBucketsPerFold` bounds ONE call's rewrite to the k DIRTIEST
+    * buckets (most files first; ties by bucket id for determinism) —
+    * the amortization dial for streams whose batches span the whole
+    * value range: a uniform stream fragments every bucket in lockstep,
+    * so an unbounded fold is periodically a full-store rewrite (the
+    * 30M probe measured 14–15 s stalls every ~8 batches), while a
+    * bounded fold spreads the same work across calls and each call's
+    * cost stays ∝ k buckets. Deferred buckets stay fragmented (a
+    * listing/open tax, never an envelope-width problem) and are the
+    * first picks of the next call; the report discloses them. */
   def maintain(spark: SparkSession, root: String,
-               maxFilesPerBucket: Int = 1): ZMaintainReport = {
+               maxFilesPerBucket: Int = 1,
+               maxBucketsPerFold: Int = Int.MaxValue): ZMaintainReport = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
-    val (meta, manifest, _) = loadCurrent(spark, root)
+    require(maxBucketsPerFold >= 1,
+      s"maxBucketsPerFold $maxBucketsPerFold must be >= 1")
+    val (meta, manifest, v) = loadCurrent(spark, root)
     val byBucket = manifest.groupBy(_.bucket)
-    val dirty = byBucket.filter(_._2.length > maxFilesPerBucket)
-    if (dirty.isEmpty)
+    val allDirty = byBucket.filter(_._2.length > maxFilesPerBucket)
+    if (allDirty.isEmpty)
       return ZMaintainReport(None, 0L, manifest.length.toLong,
         manifest.length.toLong, 0L,
         s"no bucket above $maxFilesPerBucket file(s) — store unchanged")
+    val dirty = allDirty.toSeq
+      .sortBy { case (b, fs) => (-fs.length, b) }
+      .take(maxBucketsPerFold).toMap
+    val deferred = (allDirty.size - dirty.size).toLong
     val dirtyFiles = dirty.values.flatten.toSeq
     val rows = spark.read.parquet(dirtyFiles.map(f => s"$root/${f.path}"): _*)
     val before = rows.count()
     val rewritten = writeDataFiles(rows, meta, root)
-    val after = spark.read
-      .parquet(rewritten.map(f => s"$root/${f.path}"): _*).count()
+    val after = rewritten.map(_.rows).sum
     if (after != before) {
       deleteFiles(spark, root, rewritten)
       throw new IllegalStateException(
         s"maintain rewrote $before rows as $after — refusing to publish; " +
           "rewritten files removed, store unchanged")
     }
-    val untouched = manifest.filterNot(f => dirty.contains(f.bucket))
+    val man = manifestOf(spark, root, v)
+    val untouched = man.files.filterNot(f => dirty.contains(f.bucket))
+    // compaction neither absorbs nor re-ranks: stats + batch id carry
     val nv = publish(spark, root, meta, untouched ++ rewritten,
-      stats(spark, root)) // compaction neither absorbs nor re-ranks
+      man.stats, man.lastBatchId)
     ZMaintainReport(Some(nv), dirty.size.toLong, manifest.length.toLong,
       (untouched.length + rewritten.length).toLong, before,
       s"compacted ${dirty.size} bucket(s) (${dirtyFiles.length} file(s) " +
-        s"-> ${rewritten.length}), $before rows verified, committed v$nv")
+        s"-> ${rewritten.length}), $before rows verified, committed v$nv" +
+        (if (deferred > 0) s"; $deferred dirty bucket(s) deferred to the " +
+          "next call (maxBucketsPerFold)" else ""),
+      bucketsDeferred = deferred)
   }
 
   /** Full re-layout from current content with FRESH ranks — the
@@ -286,16 +382,171 @@ object ZStore {
     * [[prune]] reclaims the old pool files. */
   def relayout(spark: SparkSession, root: String,
                equalDepth: Boolean = false): Long = {
-    val (meta, manifest, _) = loadCurrent(spark, root)
+    val (meta, manifest, v) = loadCurrent(spark, root)
     val current = spark.read.parquet(manifest.map(f => s"$root/${f.path}"): _*)
     val ranks = ZOrderLayout.columnRanks(current, meta.cols, meta.bits,
       equalDepth)
     val fresh = meta.copy(ranks = ranks)
     val files = writeDataFiles(current, fresh, root)
     // fresh envelopes: the clamp counters describe drift SINCE the
-    // current envelopes were derived, so they reset here (and at init)
-    publish(spark, root, fresh, files, ZStats(0L, 0L))
+    // current envelopes were derived, so they reset here (and at
+    // init) — but the replay guard's batch id CARRIES (stream
+    // progress is orthogonal to envelopes; resetting it would
+    // re-admit a replayed batch right after the relayout)
+    publish(spark, root, fresh, files, ZStats(0L, 0L),
+      manifestOf(spark, root, v).lastBatchId)
   }
+
+  /** Row-level delete by id — the retention/compliance path a 100 TB
+    * append-only table cannot live without: copy-on-write rewrite of
+    * ONLY the curve buckets that hold a tombstoned row, published as a
+    * new version over the shared pool (untouched buckets' files are
+    * never read or rewritten). The reference store's semantic is
+    * upsert/delete by explicit id (`build_vectorstore.py:239`); this
+    * closes the same gap for the layout store.
+    *
+    * Cost: one NARROW (`idCol`, `_metadata.file_path`) scan of the
+    * store to locate the affected buckets — parquet column pruning
+    * keeps it payload-free, and it is the price of not maintaining an
+    * id→bucket sidecar (the same disclosed trade as
+    * [[IndexStore]]'s delta rewrite) — plus a rewrite ∝ affected
+    * buckets. `tombstones` must be broadcast-small (a delete batch,
+    * not half the table; half the table is a [[relayout]] of the
+    * filtered read). Row-count gated: the rewritten buckets must hold
+    * exactly the survivors. The clamp statistics carry verbatim —
+    * deletion neither absorbs nor re-ranks, and envelope drift that
+    * already happened is not undone by removing rows. */
+  def delete(spark: SparkSession, root: String, tombstones: DataFrame,
+             idCol: String): ZDeleteReport = {
+    val (meta, manifest, v) = loadCurrent(spark, root)
+    require(meta.schemaCols.contains(idCol),
+      s"delete id column `$idCol` is not in the store's schema " +
+        s"(${meta.schemaCols.mkString(", ")})")
+    val ids = tombstones.select(col(idCol)).distinct()
+    val affected = affectedBuckets(spark, root, manifest, ids, idCol)
+    if (affected.isEmpty)
+      return ZDeleteReport(None, 0L, 0L, 0L,
+        "no tombstoned id present in the store — store unchanged")
+    val affFiles = manifest.filter(f => affected(f.bucket))
+    val affRead = spark.read.parquet(affFiles.map(f => s"$root/${f.path}"): _*)
+    val before = affRead.count()
+    val survivors = affRead.join(broadcast(ids), Seq(idCol), "left_anti")
+    val nSurv = survivors.count()
+    if (nSurv == 0L && affFiles.length == manifest.length)
+      throw new IllegalStateException(
+        s"delete would empty the whole store at $root — refusing to " +
+          "publish an unreadable layout; drop the store explicitly instead")
+    val rewritten =
+      if (nSurv == 0L) Seq.empty[ZFile]
+      else writeDataFiles(survivors, meta, root)
+    val written = rewritten.map(_.rows).sum
+    if (written != nSurv) {
+      deleteFiles(spark, root, rewritten)
+      throw new IllegalStateException(
+        s"delete rewrote $nSurv surviving rows as $written — refusing to " +
+          "publish; rewritten files removed, store unchanged")
+    }
+    val man = manifestOf(spark, root, v)
+    val untouched = man.files.filterNot(f => affected(f.bucket))
+    val nv = publish(spark, root, meta, untouched ++ rewritten,
+      man.stats, man.lastBatchId)
+    ZDeleteReport(Some(nv), before - nSurv, affected.size.toLong,
+      rewritten.length.toLong,
+      s"deleted ${before - nSurv} row(s) from ${affected.size} bucket(s) " +
+        s"(${affFiles.length} file(s) -> ${rewritten.length}), committed v$nv")
+  }
+
+  /** Upsert by id — new rows win per `idCol` (the reference's Chroma
+    * `ids=` semantic, `build_vectorstore.py:239`): every OLD copy of a
+    * batch id is purged via the same copy-on-write bucket rewrite as
+    * [[delete]], and the batch lands ranked against the STAMPED
+    * envelopes like [[absorb]] — one published version, so readers
+    * flip from old copies to new atomically. Survivors of the
+    * affected buckets and the new rows are written in ONE pass (a
+    * batch that lands in the buckets it vacates does not double the
+    * file count). Duplicate ids WITHIN the batch are collapsed
+    * (arbitrary winner — [[IndexStore.upsert]]'s contract); a batch
+    * of entirely new ids degenerates to an absorb plus the narrow
+    * locate scan. Idempotent: re-applying the same batch replaces its
+    * own rows. Clamp statistics advance by the batch's out-of-envelope
+    * mass, exactly as absorb. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+             idCol: String): ZUpsertReport = {
+    val (meta, manifest, v) = loadCurrent(spark, root)
+    require(meta.schemaCols.contains(idCol),
+      s"upsert id column `$idCol` is not in the store's schema " +
+        s"(${meta.schemaCols.mkString(", ")})")
+    val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
+    val batchSig = batch.schema.fields
+      .map(f => (f.name, f.dataType.catalogString)).toSeq.sorted
+    require(batchSig == storeSig, {
+      val drift = (batchSig.toSet -- storeSig.toSet) ++
+        (storeSig.toSet -- batchSig.toSet)
+      s"upsert batch schema does not match the store's — name AND type " +
+        s"must agree; drifted: ${drift.toSeq.sorted
+          .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
+    })
+    val deduped = batch.dropDuplicates(idCol)
+      .localCheckpoint(true) // consumed by locate, count, oob, and write
+    val nBatch = deduped.count()
+    require(nBatch > 0, "upsert on an empty batch — nothing to apply")
+    val ids = deduped.select(col(idCol))
+    val affected = affectedBuckets(spark, root, manifest, ids, idCol)
+    val affFiles = manifest.filter(f => affected(f.bucket))
+    val (survivors, before) =
+      if (affFiles.isEmpty) (None, 0L)
+      else {
+        val affRead = spark.read
+          .parquet(affFiles.map(f => s"$root/${f.path}"): _*)
+        (Some(affRead.join(broadcast(ids), Seq(idCol), "left_anti")),
+          affRead.count())
+      }
+    val types = ZOrderLayout.validateZColumns(deduped, meta.cols)
+    val oobFlag = meta.cols.lazyZip(types).lazyZip(meta.ranks).map {
+      case (c, dt, r) => r.outOfEnvelope(ZOrderLayout.rankInput(dt, c))
+    }.reduce(_ || _)
+    val nOob = deduped.agg(coalesce(sum(when(oobFlag, 1L).otherwise(0L)),
+      lit(0L))).head().getLong(0)
+    // survivors + new rows in one write: aligned column order so the
+    // union is positional-safe either way
+    val ordered = deduped.select(meta.schemaCols.map(col): _*)
+    val nSurv = survivors.map(_.count()).getOrElse(0L)
+    val toWrite = survivors
+      .map(s => s.select(meta.schemaCols.map(col): _*).unionByName(ordered))
+      .getOrElse(ordered)
+    val rewritten = writeDataFiles(toWrite, meta, root)
+    val written = rewritten.map(_.rows).sum
+    if (written != nSurv + nBatch) {
+      deleteFiles(spark, root, rewritten)
+      throw new IllegalStateException(
+        s"upsert rewrote $written rows for $nSurv surviving + $nBatch " +
+          "batch rows — refusing to publish; files removed, store unchanged")
+    }
+    val removed = before - nSurv
+    val man = manifestOf(spark, root, v)
+    val untouched = man.files.filterNot(f => affected(f.bucket))
+    val nv = publish(spark, root, meta, untouched ++ rewritten,
+      ZStats(man.stats.absorbedRows + nBatch, man.stats.oobRows + nOob),
+      man.lastBatchId)
+    ZUpsertReport(nv, nBatch, removed, affected.size.toLong, nOob,
+      s"upserted $nBatch row(s) (purged $removed old cop" +
+        s"${if (removed == 1) "y" else "ies"} across ${affected.size} " +
+        s"bucket(s), $nOob clamped) — committed v$nv")
+  }
+
+  /** The curve buckets holding any of `ids` — one narrow
+    * (`idCol`, file-path metadata) scan over the manifest's files,
+    * bucket parsed from the pool path (`__zb=<b>` is the write
+    * layout's partition directory), result bounded by 2^bucketBits. */
+  private def affectedBuckets(spark: SparkSession, root: String,
+                              manifest: Seq[ZFile], ids: DataFrame,
+                              idCol: String): Set[Int] =
+    spark.read.parquet(manifest.map(f => s"$root/${f.path}"): _*)
+      .select(col(idCol), col("_metadata.file_path").as("__fp"))
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(regexp_extract(col("__fp"), "__zb=(\\d+)/", 1)
+        .cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
 
   /** The cumulative absorb statistics of the current version. */
   def stats(spark: SparkSession, root: String): ZStats = {
@@ -314,29 +565,52 @@ object ZStore {
     * drift loop, for the layout axis. */
   def advice(spark: SparkSession, root: String,
              maxFilesPerBucket: Int = 1, clampFloor: Double = 0.05,
-             minAbsorbed: Long = 10000L): ZAdvice = {
+             minAbsorbed: Long = 10000L,
+             skewFactor: Double = 8.0): ZAdvice = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
     require(clampFloor > 0 && clampFloor <= 1,
       s"clampFloor $clampFloor must be in (0, 1]")
-    val (_, manifest, v) = loadCurrent(spark, root)
+    require(skewFactor > 1,
+      s"skewFactor $skewFactor must be > 1 (fullest bucket over mean)")
+    val (meta, manifest, v) = loadCurrent(spark, root)
     val st = statsOf(spark, root, v)
     val perBucket = manifest.groupBy(_.bucket).map(_._2.length.toLong)
     val maxFiles = if (perBucket.isEmpty) 0L else perBucket.max
     val fragmented = perBucket.count(_ > maxFilesPerBucket).toLong
+    // rank-family recommendation from manifest occupancy alone (see
+    // ZAdvice scaladoc): only meaningful when every file's row count
+    // is stamped AND some dimension is width-ranked
+    val skew: Option[Double] =
+      if (manifest.isEmpty || manifest.exists(_.rows < 0) ||
+          !meta.ranks.exists(_.isInstanceOf[ZRank.Width])) None
+      else {
+        val byBucket = manifest.groupBy(_.bucket)
+          .map(_._2.map(_.rows).sum).filter(_ > 0)
+        if (byBucket.isEmpty) None
+        else Some(byBucket.max.toDouble / (byBucket.sum.toDouble / byBucket.size))
+      }
+    val wantDepth = skew.exists(_ > skewFactor)
+    val depthNote = if (wantDepth)
+      f"; occupancy piled (fullest bucket ${skew.get}%.1fx the mean, " +
+        f"factor $skewFactor%.1f) — relayout with equalDepth ranks" else ""
     if (st.absorbedRows >= minAbsorbed && st.clampFraction > clampFloor)
       ZAdvice("relayout", fragmented, maxFiles, st,
         f"${st.oobRows} of ${st.absorbedRows} absorbed rows " +
           f"(${st.clampFraction * 100}%.1f%%) clamped outside the stamped " +
           f"envelopes (floor ${clampFloor * 100}%.1f%%) — the envelopes no " +
-          "longer cover the stream; relayout re-derives them")
+          "longer cover the stream; relayout re-derives them" + depthNote,
+        wantDepth, skew)
     else if (fragmented > 0)
       ZAdvice("maintain", fragmented, maxFiles, st,
         s"$fragmented bucket(s) above $maxFilesPerBucket file(s) " +
-          s"(max $maxFiles) — fold the fragments; envelopes are healthy")
+          s"(max $maxFiles) — fold the fragments; envelopes are healthy" +
+          depthNote,
+        wantDepth, skew)
     else
       ZAdvice("healthy", 0L, maxFiles, st,
-        "no bucket fragmented and clamp mass under the floor")
+        "no bucket fragmented and clamp mass under the floor" + depthNote,
+        wantDepth, skew)
   }
 
   /** Drop all but the newest `keep` committed versions, then
@@ -414,7 +688,10 @@ object ZStore {
 
   /** Key `rows` with the stamped ranks and write one sorted file per
     * touched curve bucket into a fresh pool directory; returns the
-    * new manifest entries. The repartition on the bucket column puts
+    * new manifest entries WITH their row counts (one footer-count
+    * read-back of the just-written files — the same job every caller's
+    * reconciliation gate needs, so stamping occupancy into the
+    * manifest is free). The repartition on the bucket column puts
     * each bucket wholly in one task (one output file); the
     * sort-within satisfies FileFormatWriter's partition-column
     * ordering requirement as a PREFIX, so the writer never re-sorts
@@ -435,7 +712,7 @@ object ZStore {
       .write.partitionBy("__zb").parquet(dataDir)
     val (fs, _) = IndexStore.fsOf(spark, root)
     val BucketDir = "^__zb=(\\d+)$".r
-    fs.listStatus(new Path(dataDir)).toSeq
+    val files = fs.listStatus(new Path(dataDir)).toSeq
       .filter(_.isDirectory)
       .flatMap { d =>
         d.getPath.getName match {
@@ -447,6 +724,20 @@ object ZStore {
           case _ => Seq.empty
         }
       }
+    if (files.isEmpty) return files
+    // per-file counts: one job over the file-path metadata column —
+    // no payload column is decoded; keyed by path SUFFIX because the
+    // metadata path is fully qualified (file:///…) while manifest
+    // paths are root-relative
+    val marker = s"data/$attempt/"
+    val counts = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map { r =>
+        val fp = r.getString(0)
+        fp.substring(fp.lastIndexOf(marker)) -> r.getLong(1)
+      }.toMap
+    files.map(f => f.copy(rows = counts.getOrElse(f.path, 0L)))
   }
 
   private def deleteFiles(spark: SparkSession, root: String,
@@ -461,7 +752,8 @@ object ZStore {
     * [[IndexStore.publishStaged]] arbitration (one copy of the
     * rename-race semantics for both stores). */
   private def publish(spark: SparkSession, root: String, meta: ZMeta,
-                      manifest: Seq[ZFile], stats: ZStats): Long = {
+                      manifest: Seq[ZFile], stats: ZStats,
+                      lastBatchId: Long): Long = {
     val next = (IndexStore.allVersions(spark, root) :+ 0L).max + 1
     val (fs, p) = IndexStore.fsOf(spark, root)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
@@ -470,7 +762,7 @@ object ZStore {
     fs.mkdirs(staging)
     writeString(fs, new Path(staging, "_zmeta.json"), metaJson(meta))
     writeString(fs, new Path(staging, "_manifest.json"),
-      manifestJson(manifest, stats))
+      manifestJson(manifest, stats, lastBatchId))
     fs.create(new Path(staging, "_SUCCESS"), true).close()
     IndexStore.publishStaged(fs, p, stagingName, next, root)
   }
@@ -540,35 +832,49 @@ object ZStore {
       n.get("schemaTypes").elements().asScala.map(_.asText()).toSeq)
   }
 
-  private[graft] def manifestJson(files: Seq[ZFile], stats: ZStats): String = {
+  private[graft] def manifestJson(files: Seq[ZFile], stats: ZStats,
+                                  lastBatchId: Long): String = {
     val o = mapper.createObjectNode()
     o.put("absorbedRows", stats.absorbedRows)
     o.put("oobRows", stats.oobRows)
+    o.put("lastBatchId", lastBatchId)
     val fsArr = o.putArray("files")
     files.foreach { f =>
-      val e = fsArr.addObject(); e.put("path", f.path); e.put("bucket", f.bucket)
+      val e = fsArr.addObject(); e.put("path", f.path)
+      e.put("bucket", f.bucket); e.put("rows", f.rows)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  private[graft] def parseManifest(json: String): (Seq[ZFile], ZStats) = {
+  /** Manifest parse, backward-compatible with pre-round-19 manifests:
+    * absent per-file `rows` parse as -1 (occupancy unknown — never 0,
+    * which would read as an empty file), absent `lastBatchId` as -1
+    * (no batch-tracked absorb yet). */
+  private[graft] def parseManifest(json: String): ZManifest = {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(json)
-    def longOr0(field: String): Long =
-      Option(n.get(field)).map(_.asLong()).getOrElse(0L)
-    (n.get("files").elements().asScala
-      .map(e => ZFile(e.get("path").asText(), e.get("bucket").asInt()))
-      .toSeq,
-      ZStats(longOr0("absorbedRows"), longOr0("oobRows")))
+    def longOr(field: String, dflt: Long): Long =
+      Option(n.get(field)).map(_.asLong()).getOrElse(dflt)
+    ZManifest(
+      n.get("files").elements().asScala
+        .map(e => ZFile(e.get("path").asText(), e.get("bucket").asInt(),
+          Option(e.get("rows")).map(_.asLong()).getOrElse(-1L)))
+        .toSeq,
+      ZStats(longOr("absorbedRows", 0L), longOr("oobRows", 0L)),
+      longOr("lastBatchId", -1L))
   }
 
   private def readMeta(spark: SparkSession, root: String, v: Long): ZMeta =
     parseMeta(readString(spark, root, s"v$v/_zmeta.json"))
 
+  private def manifestOf(spark: SparkSession, root: String,
+                         v: Long): ZManifest =
+    parseManifest(readString(spark, root, s"v$v/_manifest.json"))
+
   private def readManifest(spark: SparkSession, root: String,
                            v: Long): Seq[ZFile] =
-    parseManifest(readString(spark, root, s"v$v/_manifest.json"))._1
+    manifestOf(spark, root, v).files
 
   private def statsOf(spark: SparkSession, root: String, v: Long): ZStats =
-    parseManifest(readString(spark, root, s"v$v/_manifest.json"))._2
+    manifestOf(spark, root, v).stats
 }

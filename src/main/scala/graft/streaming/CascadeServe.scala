@@ -159,9 +159,25 @@ object CascadeServe {
       conf: org.apache.spark.SparkConf): Long =
     conf.getSizeAsMb("spark.executor.memory", "1g") << 20
 
+  /** The probe budget a micro-batch actually serves at: the
+    * maintenance-validated stamp ([[IndexStore.PairMeta.nprobe]]) is
+    * a FLOOR under the configured value — never serve the committed
+    * geometry below the budget its recall gate passed at (that
+    * re-creates the sag the adaptation corrected), while a configured
+    * budget above the stamp keeps its headroom (more probes never
+    * hurt recall). Unstamped versions serve at the configured value
+    * unchanged. */
+  private[graft] def effectiveNprobe(configured: Int,
+      meta: Option[IndexStore.PairMeta]): Int =
+    meta.flatMap(_.nprobe).filter(_ > configured).getOrElse(configured)
+
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)
     *   .foreachBatch(CascadeServe.sink(root, out, ...) _)`.
+    * `nprobe` is the CONFIGURED probe budget; when the current
+    * version's `_meta.json` carries a maintenance-validated budget
+    * ([[IndexStore.PairMeta.nprobe]]), the sink serves at
+    * `max(configured, stamped)` — see [[effectiveNprobe]].
     * `indexRoot` is a versioned [[IndexStore]] root written by
     * [[IndexStore.writeVersionedWithCentroids]]: each committed
     * version holds the cluster-assigned cascade index (doc id, text,
@@ -200,6 +216,19 @@ object CascadeServe {
     // constantly.
     val (index, cent, version) =
       IndexStore.loadCurrentWithCentroidsCached(spark, indexRoot)
+    // The version's stamped meta, read once per batch (one tiny FS
+    // read, same class as the listing the load already pays): the
+    // maintenance-validated probe budget is a FLOOR — a maintenance
+    // commit that adapted nprobe to a grown cell count validated THIS
+    // geometry at THAT budget, and serving below it re-creates the
+    // exact recall sag the adaptation corrected (the round-18 2M
+    // probe: recall 0.32 at the config's nprobe 16 vs 0.609 at the
+    // adopted 87). A configured nprobe ABOVE the stamp is honored —
+    // probing more never hurts recall, and the deployment may want
+    // the headroom. Re-read per batch so a maintenance flip changes
+    // the effective budget at the very batch that picks it up.
+    val np = effectiveNprobe(nprobe,
+      IndexStore.pairMeta(spark, indexRoot, version))
     val base = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
     val out = s"$outPath/batch=$batchId"
     // AutoCap: size the cap from THIS version's pair, so a retrain that
@@ -216,7 +245,7 @@ object CascadeServe {
           IndexStore.pairMeta(spark, indexRoot, version)
             .map(m => (m.indexRows, m.nClusters))
             .getOrElse((index.count(), cent.count()))
-        deriveMaxBatchQueries(indexRows, nClusters, nprobe,
+        deriveMaxBatchQueries(indexRows, nClusters, np,
           executorHeapBytes(spark))
       } else maxBatchQueries
     // Capped serving calls the engine once per slice, and each call's
@@ -235,7 +264,7 @@ object CascadeServe {
           base.resolvedBroadcastQueryMax(batch, qtextCol, qvecCol)))
     def serve(q: DataFrame) = search
       .searchGatedBatchServed(q, qidCol, qtextCol, qvecCol,
-        cent, "cid", "cvec", nprobe)
+        cent, "cid", "cvec", np)
     if (cap <= 0)
       serve(batch).write.mode("overwrite").parquet(out)
     else {

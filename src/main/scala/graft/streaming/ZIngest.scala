@@ -17,17 +17,33 @@ import org.apache.spark.sql.DataFrame
   * is bounded by the STREAM (absorb ∝ batch; compaction ∝ dirty
   * buckets, which only the stream's own absorbs dirty) runs inline in
   * the batch function — a fold only triggers once a bucket crosses
-  * `maxFilesPerBucket`, so its amortized cost per batch is one
-  * rewrite of the rows the stream itself added. Work whose cost is
-  * bounded by the TABLE (relayout — a full re-derive + rewrite when
-  * the stamped envelopes no longer cover the stream) does NOT run
-  * inline by default: a 100 TB rewrite inside a micro-batch stalls
-  * the stream for its whole duration, which is exactly why the
-  * cascade serving stream treats retrain as a separate job. The
-  * relayout SIGNAL is durable (clamp counters ride every manifest),
-  * so an offline scheduler polls `ZStore.advice(root)` and runs
-  * [[graft.sources.ZStore.relayout]] between batches; `relayoutInline`
-  * opts small stores into doing it in-stream.
+  * `maxFilesPerBucket`, AND each call folds at most
+  * `foldBucketsPerCall` of the dirtiest buckets, so a uniform stream
+  * (every batch spans the full value range, all buckets fragment in
+  * lockstep) amortizes what would otherwise be a periodic full-store
+  * rewrite (the 30M probe's 14–15 s stalls every ~8 batches) into a
+  * bounded slice per batch. Work whose cost is bounded by the TABLE
+  * (relayout — a full re-derive + rewrite when the stamped envelopes
+  * no longer cover the stream) does NOT run inline by default: a
+  * 100 TB rewrite inside a micro-batch stalls the stream for its
+  * whole duration, which is exactly why the cascade serving stream
+  * treats retrain as a separate job. The relayout SIGNAL is durable
+  * (clamp counters ride every manifest), so an offline scheduler
+  * polls `ZStore.advice(root)` and runs
+  * [[graft.sources.ZStore.relayout]] between batches — with the
+  * advice's `equalDepth` rank-family recommendation — and while the
+  * relayout is PENDING the sink still folds fragmentation (relayout
+  * advice outranks maintain advice, so without the fallback a store
+  * in sustained envelope drift would fragment unboundedly until the
+  * scheduler gets to it); `relayoutInline` opts small stores into
+  * doing the relayout in-stream.
+  *
+  * Exactly-once absorbs: foreachBatch is at-least-once, so the sink
+  * hands Spark's `batchId` to [[graft.sources.ZStore.absorb]], which
+  * persists the last absorbed id in the manifest and no-ops a replay
+  * (a crash between the absorb's publish and the stream's checkpoint
+  * commit re-delivers the batch; without the guard it would silently
+  * duplicate rows).
   *
   * `keepVersions` self-prunes after each commit (every absorb is a
   * new manifest version — a long stream would otherwise accumulate
@@ -38,28 +54,43 @@ import org.apache.spark.sql.DataFrame
   */
 object ZIngest {
 
-  /** foreachBatch body. An empty/replayed batch publishes nothing (no
-    * version churn). Batches must match the store's stamped (name,
-    * type) schema — the absorb gate refuses drift loudly, failing the
-    * stream rather than poisoning the pool. */
+  /** foreachBatch body. An empty batch publishes nothing (no version
+    * churn); a REPLAYED batch is skipped via the persisted batch id
+    * (effectively-once absorbs). Batches must match the store's
+    * stamped (name, type) schema — the absorb gate refuses drift
+    * loudly, failing the stream rather than poisoning the pool. */
   def absorbingSink(root: String, maxFilesPerBucket: Int = 8,
                     clampFloor: Double = 0.05, minAbsorbed: Long = 10000L,
-                    keepVersions: Int = 2, relayoutInline: Boolean = false)
+                    keepVersions: Int = 2, relayoutInline: Boolean = false,
+                    foldBucketsPerCall: Int = 16)
                    (batch: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
+    require(foldBucketsPerCall >= 1,
+      s"foldBucketsPerCall $foldBucketsPerCall must be >= 1")
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
-    val r = ZStore.absorb(spark, root, batch)
+    // ONE emptiness/replay decision, inside absorb: the zero-row
+    // report covers the empty batch (absorb's own isEmpty), the
+    // replayed batch (persisted lastBatchId), and a filtered-out
+    // batch alike — the sink adds no second limit-1 scan of its own
+    val r = ZStore.absorb(spark, root, batch, batchId = Some(batchId))
     if (r.rowsAbsorbed == 0L) return
     val ad = ZStore.advice(spark, root, maxFilesPerBucket, clampFloor,
       minAbsorbed)
     ad.action match {
       case "maintain" =>
-        ZStore.maintain(spark, root, maxFilesPerBucket)
+        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall)
       case "relayout" if relayoutInline =>
-        ZStore.relayout(spark, root)
-      case _ => () // healthy, or relayout left to the offline scheduler
+        // small-store opt-in; the advice names the rank family the
+        // occupancy evidence recommends
+        ZStore.relayout(spark, root, equalDepth = ad.equalDepth)
+      case "relayout" if ad.fragmentedBuckets > 0 =>
+        // relayout left to the offline scheduler — but relayout advice
+        // OUTRANKS maintain advice, so a store in sustained envelope
+        // drift would otherwise never compact inline and fragmentation
+        // would grow without bound while the relayout is pending
+        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall)
+      case _ => () // healthy, or drifted-but-unfragmented
     }
     if (keepVersions >= 1) ZStore.prune(spark, root, keepVersions)
   }

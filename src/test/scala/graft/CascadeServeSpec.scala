@@ -375,4 +375,43 @@ class CascadeServeSpec extends SparkSpec {
     assert(!f.exists() || f.listFiles().isEmpty,
       s"dataless capped batch dir survived: ${Option(f.listFiles()).map(_.toSeq)}")
   }
+
+  test("a maintenance-stamped nprobe floors the configured budget; headroom above it is kept") {
+    // the pure algebra first: stamp floors, config headroom wins, no
+    // stamp / no meta = configured unchanged
+    import IndexStore.PairMeta
+    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 2, Some(8)))) == 8)
+    assert(CascadeServe.effectiveNprobe(16, Some(PairMeta(10, 2, Some(8)))) == 16)
+    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 2, None))) == 4)
+    assert(CascadeServe.effectiveNprobe(4, None) == 4)
+    // end to end: one root stamped at nprobe 3 served with a config of
+    // 1 must equal the UNstamped root served at 3 — the sink adopted
+    // the committed geometry's validated budget, not the stale config
+    val base = Files.createTempDirectory("graft_cs_np").toString
+    val assigned = Ann.ivfAssign(corpusRows.toDF("doc_id", "text", "embedding"),
+      "embedding", "doc_id", cents, "cid", "cvec")
+    val stampedRoot = s"$base/stamped"
+    val plainRoot = s"$base/plain"
+    IndexStore.writeVersionedWithCentroids(assigned, cents, stampedRoot, Some(3))
+    IndexStore.writeVersionedWithCentroids(assigned, cents, plainRoot)
+    assert(IndexStore.storedNprobe(spark, stampedRoot).contains(3))
+    assert(IndexStore.storedNprobe(spark, plainRoot).isEmpty)
+    val q = queries(1L -> "looking for a join job in the row area",
+      2L -> "stream processing roles").toDF("qid", "qtext", "qvec")
+    def run(root: String, np: Int, out: String) = {
+      CascadeServe.sink(root, out, "doc_id", "text", "embedding",
+        "qid", "qtext", "qvec", nprobe = np, cfg)(q, 0L)
+      CascadeServe.results(spark, out).orderBy("qid", "rank")
+        .select("qid", "rank", "doc_id").collect().toSeq
+    }
+    val adopted = run(stampedRoot, 1, s"$base/out_stamped")
+    val reference = run(plainRoot, 3, s"$base/out_ref")
+    assert(adopted == reference,
+      "the stamped budget was not adopted as the serving floor")
+    // and the floor really matters on this fixture: config 1 on the
+    // UNstamped root serves differently (fewer probed clusters)
+    val starved = run(plainRoot, 1, s"$base/out_starved")
+    assert(starved != reference,
+      "fixture too weak: nprobe 1 vs 3 must differ for the floor to mean anything")
+  }
 }

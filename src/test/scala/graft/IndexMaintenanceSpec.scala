@@ -330,6 +330,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(as0.meanRecall.exists(_ >= 0.9), as0.toString)
     assert(as0.reason.contains("adapted from 1"), as0.reason)
     assert(IndexStore.committedVersions(spark, root) == Seq(1L, 2L))
+    // the adopted budget is STAMPED into the committed version's
+    // _meta.json — serving reads it instead of a human carrying it
+    assert(IndexStore.storedNprobe(spark, root).contains(2),
+      "the maintenance-validated nprobe did not reach the pair meta")
+    // the pre-maintenance version carries no stamp (plain pair write)
+    assert(IndexStore.pairMeta(spark, root, 1L).exists(_.nprobe.isEmpty))
     // the gate itself is UNCHANGED: a floor even the adapted budget
     // cannot clear still vetoes (floor 1.01 > any recall is the
     // degenerate proof that adaptation never bypasses the gate —

@@ -352,4 +352,208 @@ class ZStoreSpec extends SparkSpec {
       .agg(countDistinct(col("tenant")).as("n")).select("n").as[Long].collect()
     assert(perFile.sum.toDouble / perFile.length <= 3.0, perFile.mkString(","))
   }
+
+  test("delete/upsert by id: copy-on-write touches only affected buckets, upsert is idempotent, gates refuse loudly") {
+    val root = Files.createTempDirectory("graft_zdelete").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 4)
+    val (_, man0, _) = ZStore.loadCurrent(spark, root)
+    val nBuckets0 = man0.map(_.bucket).distinct.length
+    // delete rids 0..99 (y in [0, 1] — a localized curve region)
+    val tomb = spark.range(0, 100).select(col("id").as("rid"))
+    val r = ZStore.delete(spark, root, tomb, "rid")
+    assert(r.version.isDefined && r.rowsDeleted == 100, r.toString)
+    assert(r.bucketsRewritten < nBuckets0,
+      s"a localized delete rewrote ${r.bucketsRewritten} of $nBuckets0 " +
+        "buckets — copy-on-write must touch only the affected ones")
+    val afterDel = ZStore.read(spark, root)
+    assert(afterDel.count() == 3500)
+    assert(afterDel.filter(col("rid") < 100).count() == 0)
+    // untouched buckets' files are SHARED with the previous version
+    val (_, man1, _) = ZStore.loadCurrent(spark, root)
+    assert(man0.map(_.path).toSet.intersect(man1.map(_.path).toSet).nonEmpty,
+      "delete rewrote every file — the copy-on-write sharing is broken")
+    // a tombstone set with no hit publishes nothing
+    val miss = spark.range(90000, 90010).select(col("id").as("rid"))
+    val r2 = ZStore.delete(spark, root, miss, "rid")
+    assert(r2.version.isEmpty && r2.rowsDeleted == 0, r2.toString)
+    // upsert: rids 100..199 move to a new curve position with new values
+    val batch = spark.range(100, 200).select(
+      lit(7.0).as("x"), lit(7.0).as("y"), col("id").as("rid"))
+    val u = ZStore.upsert(spark, root, batch, "rid")
+    assert(u.rowsUpserted == 100 && u.oldCopiesRemoved == 100, u.toString)
+    val afterUp = ZStore.read(spark, root)
+    assert(afterUp.count() == 3500, "upsert must replace, not append")
+    assert(afterUp.filter(col("rid").between(100, 199))
+      .filter(col("x") === 7.0 && col("y") === 7.0).count() == 100)
+    // idempotent: re-applying the same batch replaces its own rows
+    val u2 = ZStore.upsert(spark, root, batch, "rid")
+    assert(u2.oldCopiesRemoved == 100, u2.toString)
+    assert(ZStore.read(spark, root).count() == 3500)
+    // pure insert (no prior copies) degenerates to an absorb
+    val ins = spark.range(50000, 50050).select(
+      (col("id") % 60).cast("double").as("x"), lit(3.0).as("y"),
+      col("id").as("rid"))
+    val u3 = ZStore.upsert(spark, root, ins, "rid")
+    assert(u3.rowsUpserted == 50 && u3.oldCopiesRemoved == 0, u3.toString)
+    assert(ZStore.read(spark, root).count() == 3550)
+    // duplicate ids WITHIN a batch collapse to one row
+    val dup = spark.range(60000, 60010).select(
+      lit(1.0).as("x"), lit(1.0).as("y"), lit(77777L).as("rid"))
+    val u4 = ZStore.upsert(spark, root, dup, "rid")
+    assert(u4.rowsUpserted == 1, u4.toString)
+    assert(ZStore.read(spark, root).filter(col("rid") === 77777L).count() == 1)
+    // clamp accounting: an out-of-envelope upsert batch is counted
+    val statsBefore = ZStore.stats(spark, root)
+    val far = spark.range(3).select(lit(9999.0).as("x"), lit(5.0).as("y"),
+      (col("id") + 70000).as("rid"))
+    val u5 = ZStore.upsert(spark, root, far, "rid")
+    assert(u5.outOfEnvelopeRows == 3, u5.toString)
+    assert(ZStore.stats(spark, root).oobRows == statsBefore.oobRows + 3)
+    // unknown id column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      ZStore.delete(spark, root, tomb.withColumnRenamed("rid", "zid"), "zid")
+    }
+    assert(e.getMessage.contains("zid"), e.getMessage)
+    // a store-emptying delete refuses (unreadable layout)
+    intercept[IllegalStateException] {
+      ZStore.delete(spark, root, ZStore.read(spark, root).select("rid"), "rid")
+    }
+    assert(ZStore.read(spark, root).count() == 3554,
+      "the refused delete must leave the store unchanged")
+  }
+
+  test("absorb batchId: a replayed batch no-ops, the persisted id survives maintain/relayout/prune, the sink is effectively-once") {
+    val root = Files.createTempDirectory("graft_zreplay").toString + "/t"
+    ZStore.init(grid(0, 1200), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == -1L)
+    val r0 = ZStore.absorb(spark, root, grid(1200, 1500), batchId = Some(0L))
+    assert(r0.rowsAbsorbed == 300, r0.toString)
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == 0L)
+    val vAfter = ZStore.loadCurrent(spark, root)._3
+    // at-least-once redelivery: the replay publishes NOTHING
+    val rr = ZStore.absorb(spark, root, grid(1200, 1500), batchId = Some(0L))
+    assert(rr.rowsAbsorbed == 0 && rr.reason.contains("replay"), rr.toString)
+    assert(ZStore.loadCurrent(spark, root)._3 == vAfter)
+    assert(ZStore.read(spark, root).count() == 1500)
+    // an untracked absorb is plain append and leaves the id alone
+    ZStore.absorb(spark, root, grid(1500, 1600))
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == 0L)
+    // the id rides every publish — including relayout's stats RESET
+    // (stream progress is orthogonal to envelopes)
+    ZStore.maintain(spark, root)
+    ZStore.relayout(spark, root)
+    ZStore.prune(spark, root, keep = 1)
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == 0L)
+    assert(ZStore.stats(spark, root) == ZStore.ZStats(0L, 0L))
+    // the next tracked batch advances the id
+    val r1 = ZStore.absorb(spark, root, grid(1600, 1700), batchId = Some(1L))
+    assert(r1.rowsAbsorbed == 100)
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == 1L)
+    // end-to-end: the foreachBatch body called twice with one batchId
+    // (the crash-between-publish-and-checkpoint replay) absorbs once
+    val sink = graft.streaming.ZIngest.absorbingSink(
+      root, maxFilesPerBucket = 3) _
+    sink(grid(1700, 1800), 2L)
+    assert(ZStore.read(spark, root).count() == 1800)
+    sink(grid(1700, 1800), 2L)
+    assert(ZStore.read(spark, root).count() == 1800,
+      "a replayed micro-batch duplicated rows")
+  }
+
+  test("advice recommends the equal-depth rank family from manifest occupancy alone") {
+    // single clustered dimension, heavy-tailed: 95% of rows share the
+    // bottom width bucket, the 5% tail spreads to 1e6 — the regime the
+    // 60M probe measured 7.6x for the equal-depth rank
+    // tail values hit every width bucket 1..15, so the pile is pure
+    // body concentration: max bucket 3800 vs mean 4000/16 = 250 -> 15x
+    def skewed(n: Int) = spark.range(n).select(
+      when(col("id") % 20 === 0, ((col("id") / 20) % 15 + 1) * lit(100000.0))
+        .otherwise((col("id") % 50).cast("double")).as("x"),
+      col("id").as("rid"))
+    val root = Files.createTempDirectory("graft_zskewadv").toString + "/t"
+    ZStore.init(skewed(4000), Seq("x"), root, bits = 4, bucketBits = 4)
+    val a = ZStore.advice(spark, root)
+    assert(a.occupancySkew.exists(_ > 8.0), a.toString)
+    assert(a.equalDepth, a.toString)
+    assert(a.reason.contains("equalDepth"), a.reason)
+    // a uniform store recommends nothing
+    val rootU = Files.createTempDirectory("graft_zuniadv").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), rootU, bits = 4, bucketBits = 4)
+    val au = ZStore.advice(spark, rootU)
+    assert(!au.equalDepth && au.occupancySkew.exists(_ < 8.0), au.toString)
+    // a depth-ranked store has no width dimension to switch — no hint
+    val rootD = Files.createTempDirectory("graft_zdepadv").toString + "/t"
+    ZStore.init(skewed(4000), Seq("x"), rootD, bits = 4, bucketBits = 4,
+      equalDepth = true)
+    val ad = ZStore.advice(spark, rootD)
+    assert(!ad.equalDepth && ad.occupancySkew.isEmpty, ad.toString)
+    // acting on the hint flips the family and the pile-up dissolves
+    ZStore.relayout(spark, root, equalDepth = a.equalDepth)
+    val (metaR, manR, _) = ZStore.loadCurrent(spark, root)
+    assert(metaR.ranks.head
+      .isInstanceOf[graft.sources.ZOrderLayout.ZRank.Depth])
+    val occ = manR.groupBy(_.bucket).map(_._2.map(_.rows).sum).filter(_ > 0)
+    assert(occ.max.toDouble / (occ.sum.toDouble / occ.size) < 3.0,
+      s"equal-depth relayout left occupancy piled: ${occ.toSeq.sorted}")
+    assert(ZStore.read(spark, root).count() == 4000)
+  }
+
+  test("maintain folds only the k dirtiest buckets per call and discloses the deferral; bounded calls converge") {
+    val root = Files.createTempDirectory("graft_zfoldk").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 4)
+    (1 to 3).foreach(i =>
+      ZStore.absorb(spark, root, grid(3600L * i, 3600L * (i + 1))))
+    val (_, man, _) = ZStore.loadCurrent(spark, root)
+    val dirtyBefore = man.groupBy(_.bucket).count(_._2.length > 1)
+    assert(dirtyBefore > 4, s"fixture not fragmented enough: $dirtyBefore")
+    val m1 = ZStore.maintain(spark, root, maxFilesPerBucket = 1,
+      maxBucketsPerFold = 2)
+    assert(m1.dirtyBuckets == 2, m1.toString)
+    assert(m1.bucketsDeferred == dirtyBefore - 2, m1.toString)
+    assert(m1.reason.contains("deferred"), m1.reason)
+    // repeated bounded calls converge to fully folded, rows intact
+    var guard = 0
+    while (ZStore.maintain(spark, root, 1, 2).version.isDefined &&
+      guard < 30) guard += 1
+    val (_, manEnd, _) = ZStore.loadCurrent(spark, root)
+    assert(manEnd.groupBy(_.bucket).forall(_._2.length == 1))
+    assert(ZStore.read(spark, root).count() == 4 * 3600)
+  }
+
+  test("manifest v1 (no per-file rows, no lastBatchId) parses as unknown; v2 round-trips") {
+    val m = ZStore.parseManifest(
+      """{"absorbedRows": 5, "oobRows": 1,
+        "files": [{"path": "data/a/__zb=0/f.parquet", "bucket": 0}]}""")
+    assert(m.files == Seq(ZStore.ZFile("data/a/__zb=0/f.parquet", 0, -1L)))
+    assert(m.stats == ZStore.ZStats(5L, 1L) && m.lastBatchId == -1L)
+    val v2 = ZStore.ZManifest(Seq(ZStore.ZFile("p", 3, 42L)),
+      ZStore.ZStats(7L, 2L), 9L)
+    assert(ZStore.parseManifest(
+      ZStore.manifestJson(v2.files, v2.stats, v2.lastBatchId)) == v2)
+  }
+
+  test("ZIngest: relayout advice pending offline still folds fragmentation inline") {
+    val root = Files.createTempDirectory("graft_zpend").toString + "/t"
+    ZStore.init(grid(0, 1200), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    val sink = graft.streaming.ZIngest.absorbingSink(root,
+      maxFilesPerBucket = 1, clampFloor = 0.01, minAbsorbed = 10,
+      relayoutInline = false) _
+    // every batch far outside the stamped envelope: clamp mass trips
+    // the relayout advice from the first batch on
+    (0 until 3).foreach { i =>
+      sink(spark.range(200).select(
+        (col("id") + 5000).cast("double").as("x"),
+        (col("id") % 60).cast("double").as("y"),
+        (col("id") + 90000 + i * 1000).as("rid")), i.toLong)
+    }
+    val ad = ZStore.advice(spark, root, 1, 0.01, 10)
+    assert(ad.action == "relayout", ad.toString)
+    // the fallback fold ran anyway: fragmentation stayed bounded while
+    // the relayout waits for the offline scheduler
+    val (_, man, _) = ZStore.loadCurrent(spark, root)
+    val maxFiles = man.groupBy(_.bucket).map(_._2.length).max
+    assert(maxFiles <= 2,
+      s"fragmentation grew unbounded under pending relayout: $maxFiles")
+    assert(ZStore.read(spark, root).count() == 1800)
+  }
 }

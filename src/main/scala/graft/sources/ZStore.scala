@@ -248,7 +248,17 @@ object ZStore {
     * unchanged, zero-row report); a published absorb advances the
     * persisted id, making batch-tracked absorbs effectively-once.
     * Batch-untracked callers (None) keep plain at-least-once append
-    * semantics and leave the persisted id untouched. */
+    * semantics and leave the persisted id untouched.
+    *
+    * ONE STREAM LINEAGE PER STORE: batch ids are Spark checkpoint
+    * sequence numbers, so the guard is only meaningful while one
+    * stream (one checkpoint directory) feeds the store. Re-pointing a
+    * store at a FRESH checkpoint restarts ids at 0 and the guard
+    * would silently skip every absorb until the new sequence passes
+    * the persisted id — when deliberately restarting a stream's
+    * lineage, either replay from a new (empty) store, or hand the
+    * sink batch-untracked absorbs for the transition. (The standard
+    * foreachBatch-idempotence caveat, stated rather than assumed.) */
   def absorb(spark: SparkSession, root: String, batch: DataFrame,
              batchId: Option[Long] = None): ZAbsorbReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)

@@ -18,11 +18,22 @@ import org.apache.spark.sql.DataFrame
   * buckets, which only the stream's own absorbs dirty) runs inline in
   * the batch function — a fold only triggers once a bucket crosses
   * `maxFilesPerBucket`, AND each call folds at most
-  * `foldBucketsPerCall` of the dirtiest buckets, so a uniform stream
-  * (every batch spans the full value range, all buckets fragment in
-  * lockstep) amortizes what would otherwise be a periodic full-store
-  * rewrite (the 30M probe's 14–15 s stalls every ~8 batches) into a
-  * bounded slice per batch. Work whose cost is bounded by the TABLE
+  * `foldBucketsPerCall` of the dirtiest buckets, bounding ONE call's
+  * rewrite. What the dial buys depends on the bucket count (measured
+  * head-to-head at 30M under a uniform stream — every batch spans the
+  * full value range, all buckets fragment in lockstep; PLANS.md round
+  * 19): at 64 buckets a 16-bucket fold is already a quarter of the
+  * store, so the worst batch only drops 13.5 → 12.0 s while the MEAN
+  * rises 6.0 → 7.4 s (folding earlier folds the same rows more
+  * often) — small stores under uniform streams can prefer
+  * `Int.MaxValue`. The dial is for LARGE bucket counts, where an
+  * unbounded fold on a uniform stream is a full-table stall (at
+  * bucketBits=12 / 4096 buckets, the whole table in one micro-batch)
+  * and a bounded fold is a fixed slice. The trade is a fragmentation
+  * CEILING instead of a stall: deferred buckets keep growing until
+  * their fold turn comes, to roughly maxFilesPerBucket +
+  * nBuckets / foldBucketsPerCall files — a listing/open tax, never an
+  * envelope-width (pruning) problem. Work whose cost is bounded by the TABLE
   * (relayout — a full re-derive + rewrite when the stamped envelopes
   * no longer cover the stream) does NOT run inline by default: a
   * 100 TB rewrite inside a micro-batch stalls the stream for its

@@ -478,10 +478,18 @@ object ZStore {
     * (arbitrary winner — [[IndexStore.upsert]]'s contract); a batch
     * of entirely new ids degenerates to an absorb plus the narrow
     * locate scan. Idempotent: re-applying the same batch replaces its
-    * own rows. Clamp statistics advance by the batch's out-of-envelope
-    * mass, exactly as absorb. */
+    * own rows (content-identical either way — only the clamp
+    * statistics would double-count). Clamp statistics advance by the
+    * batch's out-of-envelope mass, exactly as absorb.
+    *
+    * `batchId` is [[absorb]]'s replay guard, shared field and shared
+    * caveat (one stream lineage per store): content-wise a replayed
+    * upsert is already idempotent, but the guard keeps the persisted
+    * statistics exact and skips the replay's full locate-scan +
+    * rewrite cost — on a 100 TB store a free no-op beats a correct
+    * re-rewrite. */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
-             idCol: String): ZUpsertReport = {
+             idCol: String, batchId: Option[Long] = None): ZUpsertReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)
     require(meta.schemaCols.contains(idCol),
       s"upsert id column `$idCol` is not in the store's schema " +
@@ -496,6 +504,11 @@ object ZStore {
         s"must agree; drifted: ${drift.toSeq.sorted
           .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
     })
+    val man = manifestOf(spark, root, v)
+    if (batchId.exists(_ <= man.lastBatchId))
+      return ZUpsertReport(v, 0L, 0L, 0L, 0L,
+        s"batch ${batchId.get} already applied (persisted lastBatchId " +
+          s"${man.lastBatchId}) — replay skipped, store unchanged")
     val deduped = batch.dropDuplicates(idCol)
       .localCheckpoint(true) // consumed by locate, count, oob, and write
     val nBatch = deduped.count()
@@ -533,11 +546,10 @@ object ZStore {
           "batch rows — refusing to publish; files removed, store unchanged")
     }
     val removed = before - nSurv
-    val man = manifestOf(spark, root, v)
     val untouched = man.files.filterNot(f => affected(f.bucket))
     val nv = publish(spark, root, meta, untouched ++ rewritten,
       ZStats(man.stats.absorbedRows + nBatch, man.stats.oobRows + nOob),
-      man.lastBatchId)
+      batchId.getOrElse(man.lastBatchId))
     ZUpsertReport(nv, nBatch, removed, affected.size.toLong, nOob,
       s"upserted $nBatch row(s) (purged $removed old cop" +
         s"${if (removed == 1) "y" else "ies"} across ${affected.size} " +

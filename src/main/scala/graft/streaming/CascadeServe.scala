@@ -227,8 +227,8 @@ object CascadeServe {
     // probing more never hurts recall, and the deployment may want
     // the headroom. Re-read per batch so a maintenance flip changes
     // the effective budget at the very batch that picks it up.
-    val np = effectiveNprobe(nprobe,
-      IndexStore.pairMeta(spark, indexRoot, version))
+    val meta = IndexStore.pairMeta(spark, indexRoot, version)
+    val np = effectiveNprobe(nprobe, meta)
     val base = new MultiStageSearch(index, idCol, textCol, embCol, cfg)
     val out = s"$outPath/batch=$batchId"
     // AutoCap: size the cap from THIS version's pair, so a retrain that
@@ -241,10 +241,9 @@ object CascadeServe {
     // the meta existed) fall back to counting once per batch as before.
     val cap =
       if (maxBatchQueries == AutoCap) {
-        val (indexRows, nClusters) =
-          IndexStore.pairMeta(spark, indexRoot, version)
-            .map(m => (m.indexRows, m.nClusters))
-            .getOrElse((index.count(), cent.count()))
+        val (indexRows, nClusters) = meta
+          .map(m => (m.indexRows, m.nClusters))
+          .getOrElse((index.count(), cent.count()))
         deriveMaxBatchQueries(indexRows, nClusters, np,
           executorHeapBytes(spark))
       } else maxBatchQueries

@@ -86,6 +86,52 @@ object ZIngest {
     // batch alike — the sink adds no second limit-1 scan of its own
     val r = ZStore.absorb(spark, root, batch, batchId = Some(batchId))
     if (r.rowsAbsorbed == 0L) return
+    housekeep(spark, root, maxFilesPerBucket, clampFloor, minAbsorbed,
+      keepVersions, relayoutInline, foldBucketsPerCall)
+  }
+
+  /** foreachBatch body for a stream of UPSERTS — the reference store's
+    * semantic (`build_vectorstore.py:239`: re-delivered documents
+    * replace their prior rows by id) over the Z-store: each micro-batch
+    * lands via [[graft.sources.ZStore.upsert]] (old copies purged by
+    * copy-on-write on exactly the curve buckets that hold them, new
+    * rows ranked against the stamped envelopes), with the same
+    * persisted-batchId replay guard, advice-driven housekeeping, and
+    * retention as [[absorbingSink]]. Use this when the stream can
+    * re-deliver or revise documents; use absorbingSink when rows are
+    * append-only facts (it skips the per-batch locate scan — the
+    * upsert path's price is one narrow (id, file-path) scan of the
+    * store per micro-batch, which is exactly why a pure event stream
+    * should not pay it). */
+  def upsertingSink(root: String, idCol: String,
+                    maxFilesPerBucket: Int = 8,
+                    clampFloor: Double = 0.05, minAbsorbed: Long = 10000L,
+                    keepVersions: Int = 2, relayoutInline: Boolean = false,
+                    foldBucketsPerCall: Int = 16)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    require(keepVersions >= 0,
+      s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
+    require(foldBucketsPerCall >= 1,
+      s"foldBucketsPerCall $foldBucketsPerCall must be >= 1")
+    val spark = batch.sparkSession
+    // upsert refuses empty batches loudly (there is no id set to
+    // apply), so the sink screens emptiness here — one limit-1 scan,
+    // the replayed-batch case is absorbed by the guard inside upsert
+    if (batch.isEmpty) return
+    val r = ZStore.upsert(spark, root, batch, idCol, Some(batchId))
+    if (r.rowsUpserted == 0L) return // replay — nothing new published
+    housekeep(spark, root, maxFilesPerBucket, clampFloor, minAbsorbed,
+      keepVersions, relayoutInline, foldBucketsPerCall)
+  }
+
+  /** The shared advice-driven housekeeping tail of both sinks — one
+    * copy of the action dispatch, so the relayout-pending fold
+    * fallback cannot drift between them. */
+  private def housekeep(spark: org.apache.spark.sql.SparkSession,
+                        root: String, maxFilesPerBucket: Int,
+                        clampFloor: Double, minAbsorbed: Long,
+                        keepVersions: Int, relayoutInline: Boolean,
+                        foldBucketsPerCall: Int): Unit = {
     val ad = ZStore.advice(spark, root, maxFilesPerBucket, clampFloor,
       minAbsorbed)
     ad.action match {

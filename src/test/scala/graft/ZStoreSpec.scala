@@ -556,4 +556,46 @@ class ZStoreSpec extends SparkSpec {
       s"fragmentation grew unbounded under pending relayout: $maxFiles")
     assert(ZStore.read(spark, root).count() == 1800)
   }
+
+  test("ZIngest.upsertingSink: streamed upserts replace by id, replays skip, housekeeping and retention run") {
+    val root = Files.createTempDirectory("graft_zupsink").toString + "/t"
+    ZStore.init(grid(0, 2400), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    val sink = graft.streaming.ZIngest.upsertingSink(root, "rid",
+      maxFilesPerBucket = 2, keepVersions = 2) _
+    // batch 0 REVISES rids 0..199 (new curve position and values) and
+    // INSERTS 100 fresh rows — the mixed shape a revision stream has
+    val b0 = spark.range(0, 300).select(
+      when(col("id") < 200, lit(9.0)).otherwise((col("id") % 60).cast("double")).as("x"),
+      lit(9.0).as("y"),
+      when(col("id") < 200, col("id")).otherwise(col("id") + 10000).as("rid"))
+    sink(b0, 0L)
+    val after0 = ZStore.read(spark, root)
+    assert(after0.count() == 2500, "200 replaced + 100 inserted on 2400")
+    assert(after0.filter(col("rid") < 200 && col("x") === 9.0).count() == 200)
+    assert(ZStore.lastAbsorbedBatchId(spark, root) == 0L)
+    // the at-least-once redelivery: content AND stats unchanged
+    val statsBefore = ZStore.stats(spark, root)
+    val vBefore = ZStore.loadCurrent(spark, root)._3
+    sink(b0, 0L)
+    assert(ZStore.loadCurrent(spark, root)._3 == vBefore,
+      "a replayed upsert batch published a version")
+    assert(ZStore.stats(spark, root) == statsBefore)
+    assert(ZStore.read(spark, root).count() == 2500)
+    // further batches keep the file cap through the advice-driven fold
+    (1 to 4).foreach { i =>
+      sink(spark.range(i * 1000, i * 1000 + 200).select(
+        (col("id") % 60).cast("double").as("x"),
+        ((col("id") / 60) % 60).cast("double").as("y"),
+        (col("id") + 20000).as("rid")), i.toLong)
+    }
+    val (_, man, _) = ZStore.loadCurrent(spark, root)
+    assert(man.groupBy(_.bucket).forall(_._2.length <= 2),
+      man.groupBy(_.bucket).map(_._2.length).toSeq.sorted.toString)
+    assert(IndexStore.committedVersions(spark, root).length <= 2)
+    assert(ZStore.read(spark, root).count() == 2500 + 4 * 200)
+    // an empty batch publishes nothing
+    val vEnd = ZStore.loadCurrent(spark, root)._3
+    sink(grid(0, 10).filter(lit(false)), 99L)
+    assert(ZStore.loadCurrent(spark, root)._3 == vEnd)
+  }
 }

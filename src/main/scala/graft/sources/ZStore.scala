@@ -635,6 +635,74 @@ object ZStore {
         wantDepth, skew)
   }
 
+  /** One offline maintenance decision, acted: what [[advice]] said,
+    * what ran ("relayout-equal-depth", "relayout", "maintain",
+    * "none"), and the version it published (None when the store was
+    * healthy or the action was withheld). */
+  final case class ZAutoReport(advice: ZAdvice, acted: String,
+                               version: Option[Long], reason: String)
+
+  /** The offline scheduler's one-call loop body — read the durable
+    * [[advice]] and ACT on it, including the rank-family
+    * recommendation (the round-18 gap: the operator knew drift
+    * happened but not whether the re-derived ranks should switch
+    * family; now the occupancy evidence picks equal-depth and this
+    * driver passes it through). The batch counterpart of
+    * [[graft.streaming.ZIngest]]'s inline housekeeping, for stores
+    * fed by batch absorbs or for the table-bounded relayout the
+    * streaming sinks deliberately leave to a scheduler:
+    *
+    *  - advice "relayout" + `allowRelayout` → [[relayout]] with the
+    *    advised `equalDepth`;
+    *  - advice "relayout" withheld (`allowRelayout = false` — e.g.
+    *    the maintenance window is too short for a table rewrite) →
+    *    fold fragmentation instead when any exists, exactly the
+    *    pending-relayout fallback the streaming sinks run;
+    *  - advice "maintain" → [[maintain]] (bounded by
+    *    `maxBucketsPerFold`);
+    *  - healthy → no-op.
+    *
+    * `keepVersions >= 1` prunes after an acted step (strictly
+    * alternating with the publish — the loop-internal exclusion
+    * argument as everywhere else). Single-writer contract applies:
+    * do not run concurrently with a stream's inline housekeeping on
+    * the same root. */
+  def autoMaintain(spark: SparkSession, root: String,
+                   maxFilesPerBucket: Int = 1, clampFloor: Double = 0.05,
+                   minAbsorbed: Long = 10000L, skewFactor: Double = 8.0,
+                   maxBucketsPerFold: Int = Int.MaxValue,
+                   allowRelayout: Boolean = true,
+                   keepVersions: Int = 0): ZAutoReport = {
+    require(keepVersions >= 0,
+      s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
+    val ad = advice(spark, root, maxFilesPerBucket, clampFloor,
+      minAbsorbed, skewFactor)
+    val (acted, v, why) = ad.action match {
+      case "relayout" if allowRelayout =>
+        val nv = relayout(spark, root, equalDepth = ad.equalDepth)
+        (if (ad.equalDepth) "relayout-equal-depth" else "relayout",
+          Some(nv),
+          s"relayout committed v$nv" +
+            (if (ad.equalDepth) " with equal-depth ranks (occupancy " +
+              f"skew ${ad.occupancySkew.getOrElse(0.0)}%.1fx)" else ""))
+      case "relayout" if ad.fragmentedBuckets > 0 =>
+        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold)
+        ("maintain", m.version,
+          "relayout withheld (allowRelayout=false) — folded " +
+            s"fragmentation meanwhile: ${m.reason}")
+      case "relayout" =>
+        ("none", None,
+          "relayout withheld (allowRelayout=false) and nothing to fold")
+      case "maintain" =>
+        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold)
+        ("maintain", m.version, m.reason)
+      case _ =>
+        ("none", None, "healthy — store unchanged")
+    }
+    if (v.isDefined && keepVersions >= 1) prune(spark, root, keepVersions)
+    ZAutoReport(ad, acted, v, why)
+  }
+
   /** Drop all but the newest `keep` committed versions, then
     * garbage-collect pool files no kept manifest references (absorb
     * and maintain share untouched files across versions, so files die

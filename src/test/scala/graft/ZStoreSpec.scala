@@ -598,4 +598,58 @@ class ZStoreSpec extends SparkSpec {
     sink(grid(0, 10).filter(lit(false)), 99L)
     assert(ZStore.loadCurrent(spark, root)._3 == vEnd)
   }
+
+  test("autoMaintain: the offline scheduler acts on the advice, rank-family recommendation included") {
+    // healthy store: no-op. (grid's y covers [0, 59] only over a full
+    // 3600-row period — a shorter slice would stamp a narrow y
+    // envelope and turn the next absorb into clamp-driven relayout
+    // advice instead of the fragmentation case this stage pins.)
+    val rootH = Files.createTempDirectory("graft_zauto1").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), rootH, bits = 4, bucketBits = 3)
+    val rH = ZStore.autoMaintain(spark, rootH, minAbsorbed = 100)
+    assert(rH.acted == "none" && rH.version.isEmpty, rH.toString)
+    // fragmented store: folds (and prunes to the retention window)
+    ZStore.absorb(spark, rootH, grid(3600, 7200))
+    val rF = ZStore.autoMaintain(spark, rootH, minAbsorbed = 100,
+      keepVersions = 1)
+    assert(rF.acted == "maintain" && rF.version.isDefined, rF.toString)
+    assert(IndexStore.committedVersions(spark, rootH).length == 1)
+    // drifted + piled store: relayout with the advised equal-depth
+    val skewed = spark.range(4000).select(
+      when(col("id") % 20 === 0, ((col("id") / 20) % 15 + 1) * lit(100000.0))
+        .otherwise((col("id") % 50).cast("double")).as("x"),
+      col("id").as("rid"))
+    val rootD = Files.createTempDirectory("graft_zauto2").toString + "/t"
+    // the pile comes from the BODY (95% of rows in width bucket 0);
+    // the relayout signal from a far-out-of-envelope absorbed batch
+    ZStore.init(skewed, Seq("x"), rootD, bits = 4, bucketBits = 4)
+    ZStore.absorb(spark, rootD, spark.range(200).select(
+      (col("id") + 10000000).cast("double").as("x"),
+      (col("id") + 50000).as("rid")))
+    val adD = ZStore.advice(spark, rootD, clampFloor = 0.01, minAbsorbed = 10)
+    assert(adD.action == "relayout" && adD.equalDepth, adD.toString)
+    val rD = ZStore.autoMaintain(spark, rootD, clampFloor = 0.01,
+      minAbsorbed = 10)
+    assert(rD.acted == "relayout-equal-depth" && rD.version.isDefined,
+      rD.toString)
+    val (metaD, _, _) = ZStore.loadCurrent(spark, rootD)
+    assert(metaD.ranks.head
+      .isInstanceOf[graft.sources.ZOrderLayout.ZRank.Depth])
+    assert(ZStore.read(spark, rootD).count() == 4200)
+    // relayout withheld: folds fragmentation meanwhile (the streaming
+    // sinks' pending-relayout fallback, batch form)
+    val rootW = Files.createTempDirectory("graft_zauto3").toString + "/t"
+    ZStore.init(grid(0, 1200), Seq("x", "y"), rootW, bits = 4, bucketBits = 3)
+    val far = spark.range(300).select(
+      (col("id") + 5000).cast("double").as("x"), lit(5.0).as("y"),
+      (col("id") + 90000).as("rid"))
+    ZStore.absorb(spark, rootW, far)
+    val rW = ZStore.autoMaintain(spark, rootW, clampFloor = 0.01,
+      minAbsorbed = 10, allowRelayout = false)
+    assert(rW.advice.action == "relayout", rW.toString)
+    assert(rW.acted == "maintain" && rW.reason.contains("withheld"),
+      rW.toString)
+    val (_, manW, _) = ZStore.loadCurrent(spark, rootW)
+    assert(manW.groupBy(_.bucket).forall(_._2.length <= 1))
+  }
 }

@@ -262,17 +262,7 @@ object ZStore {
   def absorb(spark: SparkSession, root: String, batch: DataFrame,
              batchId: Option[Long] = None): ZAbsorbReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)
-    val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
-    val batchSig = batch.schema.fields
-      .map(f => (f.name, f.dataType.catalogString)).toSeq.sorted
-    require(batchSig == storeSig, {
-      val drift = (batchSig.toSet -- storeSig.toSet) ++
-        (storeSig.toSet -- batchSig.toSet)
-      s"absorb batch schema does not match the store's — name AND type " +
-        s"must agree (a drifted type would write parquet files the pool's " +
-        s"union read cannot reconcile); drifted: ${drift.toSeq.sorted
-          .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
-    })
+    requireSchemaMatch(meta, batch, "absorb")
     val man = manifestOf(spark, root, v)
     if (batchId.exists(_ <= man.lastBatchId))
       return ZAbsorbReport(v, 0L, 0L, 0L, 0L,
@@ -494,16 +484,7 @@ object ZStore {
     require(meta.schemaCols.contains(idCol),
       s"upsert id column `$idCol` is not in the store's schema " +
         s"(${meta.schemaCols.mkString(", ")})")
-    val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
-    val batchSig = batch.schema.fields
-      .map(f => (f.name, f.dataType.catalogString)).toSeq.sorted
-    require(batchSig == storeSig, {
-      val drift = (batchSig.toSet -- storeSig.toSet) ++
-        (storeSig.toSet -- batchSig.toSet)
-      s"upsert batch schema does not match the store's — name AND type " +
-        s"must agree; drifted: ${drift.toSeq.sorted
-          .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
-    })
+    requireSchemaMatch(meta, batch, "upsert")
     val man = manifestOf(spark, root, v)
     if (batchId.exists(_ <= man.lastBatchId))
       return ZUpsertReport(v, 0L, 0L, 0L, 0L,
@@ -554,6 +535,26 @@ object ZStore {
       s"upserted $nBatch row(s) (purged $removed old cop" +
         s"${if (removed == 1) "y" else "ies"} across ${affected.size} " +
         s"bucket(s), $nOob clamped) — committed v$nv")
+  }
+
+  /** The shared (name AND type) schema gate of [[absorb]] and
+    * [[upsert]] — one copy, because a name-only check would let a
+    * drifted column type publish parquet files the pool's union read
+    * cannot reconcile (the round-18 self-review finding), and two
+    * copies of the gate would eventually disagree. */
+  private def requireSchemaMatch(meta: ZMeta, batch: DataFrame,
+                                 op: String): Unit = {
+    val storeSig = meta.schemaCols.zip(meta.schemaTypes).sorted
+    val batchSig = batch.schema.fields
+      .map(f => (f.name, f.dataType.catalogString)).toSeq.sorted
+    require(batchSig == storeSig, {
+      val drift = (batchSig.toSet -- storeSig.toSet) ++
+        (storeSig.toSet -- batchSig.toSet)
+      s"$op batch schema does not match the store's — name AND type " +
+        s"must agree (a drifted type would write parquet files the pool's " +
+        s"union read cannot reconcile); drifted: ${drift.toSeq.sorted
+          .map { case (n, t) => s"$n: $t" }.mkString(", ")}"
+    })
   }
 
   /** The curve buckets holding any of `ids` — one narrow

@@ -438,6 +438,9 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(i2.filter(col("vec_id") >= 200L)
       .select(col("cluster_id").cast("long")).as[Long]
       .collect().forall(_ == 0L), "C's members merge into A, not B")
+    // the merge commit stamped the budget its gate validated at
+    assert(IndexStore.storedNprobe(spark, root).contains(2),
+      "compact's validated nprobe did not reach the pair meta")
     // every cell thin: refused with the retrain hint, store untouched
     val rAll = IndexMaintenance.compact(spark, root, "embedding", "vec_id",
       minRows = 1000, recallFloor = 0.5, queries, evalK = 5, nprobe = 2)

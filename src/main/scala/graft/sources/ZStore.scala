@@ -415,7 +415,17 @@ object ZStore {
     * filtered read). Row-count gated: the rewritten buckets must hold
     * exactly the survivors. The clamp statistics carry verbatim —
     * deletion neither absorbs nor re-ranks, and envelope drift that
-    * already happened is not undone by removing rows. */
+    * already happened is not undone by removing rows.
+    *
+    * COMPLIANCE NOTE — delete is LOGICAL until prune: versions are
+    * immutable snapshots over a shared pool, so the pre-delete
+    * versions (and the pool files only they reference) still hold the
+    * deleted rows until [[prune]] GCs them. A
+    * right-to-be-forgotten delete is `delete` + `prune` — the same
+    * two-step every snapshot store has (Delta VACUUM), stated rather
+    * than discovered at audit time; spec-pinned both ways
+    * (readVersion shows the rows before prune, the pool is physically
+    * clean after). */
   def delete(spark: SparkSession, root: String, tombstones: DataFrame,
              idCol: String): ZDeleteReport = {
     val (meta, manifest, v) = loadCurrent(spark, root)

@@ -368,6 +368,32 @@ class ZStoreSpec extends SparkSpec {
     val afterDel = ZStore.read(spark, root)
     assert(afterDel.count() == 3500)
     assert(afterDel.filter(col("rid") < 100).count() == 0)
+    // delete is LOGICAL until prune: the pre-delete snapshot still
+    // reads the rows (time travel over the shared pool)...
+    assert(ZStore.readVersion(spark, root, 1L)
+      .filter(col("rid") < 100).count() == 100)
+    // ...and prune makes it PHYSICAL: the superseded version dies and
+    // the deleted rows are no longer anywhere in the pool
+    ZStore.prune(spark, root, keep = 1)
+    intercept[IllegalArgumentException] {
+      ZStore.readVersion(spark, root, 1L)
+    }
+    // physical check over EVERYTHING left on disk, not just the
+    // current manifest's view of it
+    val allOnDisk = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
+    }
+    assert(spark.read.parquet(allOnDisk: _*)
+      .filter(col("rid") < 100).count() == 0,
+      "pruned pool still physically holds logically deleted rows")
     // untouched buckets' files are SHARED with the previous version
     val (_, man1, _) = ZStore.loadCurrent(spark, root)
     assert(man0.map(_.path).toSet.intersect(man1.map(_.path).toSet).nonEmpty,

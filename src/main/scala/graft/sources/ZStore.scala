@@ -169,11 +169,14 @@ object ZStore {
 
   /** Lay `df` out Z-ordered on `cols` as version 1 of a new store at
     * `root`: derive the ranks ([[ZOrderLayout.columnRanks]] — loud
-    * type validation, optional equal-depth), write one sorted file
-    * per curve bucket into the pool, publish (meta, manifest). */
+    * type validation, optional equal-depth), write sorted
+    * bucket-local files into the pool (`writeFanOut` contiguous
+    * sub-range files per bucket — the write-parallelism dial for big
+    * tables; see the pool writer's scaladoc), publish
+    * (meta, manifest). */
   def init(df: DataFrame, cols: Seq[String], root: String,
            bits: Int = 8, bucketBits: Int = 5,
-           equalDepth: Boolean = false): Long = {
+           equalDepth: Boolean = false, writeFanOut: Int = 1): Long = {
     val n = cols.length
     require(bits * n <= 62,
       s"bits $bits x $n cols must fit a long (<= 62 bits)")
@@ -188,7 +191,7 @@ object ZStore {
     val meta = ZMeta(cols, bits, bucketBits, ranks, df.columns.toSeq,
       df.schema.fields.map(_.dataType.catalogString).toSeq)
     val spark = df.sparkSession
-    val files = writeDataFiles(df, meta, root)
+    val files = writeDataFiles(df, meta, root, writeFanOut)
     publish(spark, root, meta, files, ZStats(0L, 0L), lastBatchId = -1L)
   }
 
@@ -314,8 +317,11 @@ object ZStore {
   // Maintain / re-layout / prune
   // ---------------------------------------------------------------
 
-  /** Fold buckets fragmented past `maxFilesPerBucket` back to one
-    * sorted file each. Cost ∝ dirty buckets; a no-op publishes
+  /** Fold buckets fragmented past `maxFilesPerBucket` back to
+    * `writeFanOut` contiguous sorted file(s) each (1 by default; a
+    * power of two — the write-parallelism dial for folds over huge
+    * buckets, required <= maxFilesPerBucket so a fold cannot re-trip
+    * itself). Cost ∝ dirty buckets; a no-op publishes
     * nothing. Gated: the rewritten files must hold exactly the rows
     * the dirty files held — on mismatch the new files are removed and
     * the store stays on the previous version (the same
@@ -333,11 +339,15 @@ object ZStore {
     * first picks of the next call; the report discloses them. */
   def maintain(spark: SparkSession, root: String,
                maxFilesPerBucket: Int = 1,
-               maxBucketsPerFold: Int = Int.MaxValue): ZMaintainReport = {
+               maxBucketsPerFold: Int = Int.MaxValue,
+               writeFanOut: Int = 1): ZMaintainReport = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
     require(maxBucketsPerFold >= 1,
       s"maxBucketsPerFold $maxBucketsPerFold must be >= 1")
+    require(writeFanOut <= maxFilesPerBucket,
+      s"writeFanOut $writeFanOut above maxFilesPerBucket " +
+        s"$maxFilesPerBucket would re-trip the fold it just ran")
     val (meta, manifest, v) = loadCurrent(spark, root)
     val byBucket = manifest.groupBy(_.bucket)
     val allDirty = byBucket.filter(_._2.length > maxFilesPerBucket)
@@ -352,7 +362,7 @@ object ZStore {
     val dirtyFiles = dirty.values.flatten.toSeq
     val rows = spark.read.parquet(dirtyFiles.map(f => s"$root/${f.path}"): _*)
     val before = rows.count()
-    val rewritten = writeDataFiles(rows, meta, root)
+    val rewritten = writeDataFiles(rows, meta, root, writeFanOut)
     val after = rewritten.map(_.rows).sum
     if (after != before) {
       deleteFiles(spark, root, rewritten)
@@ -381,13 +391,13 @@ object ZStore {
     * publishes as a new version, so readers flip atomically and
     * [[prune]] reclaims the old pool files. */
   def relayout(spark: SparkSession, root: String,
-               equalDepth: Boolean = false): Long = {
+               equalDepth: Boolean = false, writeFanOut: Int = 1): Long = {
     val (meta, manifest, v) = loadCurrent(spark, root)
     val current = spark.read.parquet(manifest.map(f => s"$root/${f.path}"): _*)
     val ranks = ZOrderLayout.columnRanks(current, meta.cols, meta.bits,
       equalDepth)
     val fresh = meta.copy(ranks = ranks)
-    val files = writeDataFiles(current, fresh, root)
+    val files = writeDataFiles(current, fresh, root, writeFanOut)
     // fresh envelopes: the clamp counters describe drift SINCE the
     // current envelopes were derived, so they reset here (and at
     // init) — but the replay guard's batch id CARRIES (stream
@@ -787,27 +797,55 @@ object ZStore {
   // Internals
   // ---------------------------------------------------------------
 
-  /** Key `rows` with the stamped ranks and write one sorted file per
-    * touched curve bucket into a fresh pool directory; returns the
-    * new manifest entries WITH their row counts (one footer-count
-    * read-back of the just-written files — the same job every caller's
-    * reconciliation gate needs, so stamping occupancy into the
-    * manifest is free). The repartition on the bucket column puts
-    * each bucket wholly in one task (one output file); the
-    * sort-within satisfies FileFormatWriter's partition-column
+  /** Key `rows` with the stamped ranks and write sorted bucket-local
+    * files into a fresh pool directory; returns the new manifest
+    * entries WITH their row counts (one footer-count read-back of the
+    * just-written files — the same job every caller's reconciliation
+    * gate needs, so stamping occupancy into the manifest is free).
+    * The sort-within satisfies FileFormatWriter's partition-column
     * ordering requirement as a PREFIX, so the writer never re-sorts
     * and the intra-file key order survives. Files never span buckets
-    * → per-file min/max bounded by the bucket's curve envelope. */
+    * → per-file min/max bounded by the bucket's curve envelope.
+    *
+    * `fanOut` (power of two) splits each bucket into that many
+    * CONTIGUOUS curve sub-ranges, one task and one file each — the
+    * write-parallelism dial for table-bounded rewrites (init /
+    * relayout / maintain): one task per bucket means a 100 TB
+    * relayout at bucketBits=12 writes 4096 multi-GB straggler files,
+    * and at LOW bucket counts it cannot even fill a cluster's cores.
+    * A sub-range split (the key's next log2(fanOut) bits below the
+    * bucket bits) keeps every per-file envelope a strict SUBSET of
+    * its bucket's — pruning gets tighter, not looser, unlike a hash
+    * salt, which would spread each file across the bucket's whole
+    * range. fanOut = 1 is the previous one-file-per-bucket behavior. */
   private def writeDataFiles(rows: DataFrame, meta: ZMeta,
-                             root: String): Seq[ZFile] = {
+                             root: String, fanOut: Int = 1): Seq[ZFile] = {
+    require(fanOut >= 1 && Integer.bitCount(fanOut) == 1,
+      s"fanOut $fanOut must be a power of two >= 1")
+    val splitBits = 31 - Integer.numberOfLeadingZeros(fanOut)
+    require(splitBits <= meta.shift,
+      s"fanOut $fanOut needs $splitBits sub-bucket key bits, the layout " +
+        s"has ${meta.shift} below the bucket bits")
     val spark = rows.sparkSession
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/$attempt"
-    rows
+    val keyed = rows
       .withColumn("__zkey",
         ZOrderLayout.zorderKey(rows, meta.cols, meta.ranks, meta.bits))
       .withColumn("__zb", shiftright(col("__zkey"), meta.shift))
-      .repartition(col("__zb"))
+    // explicit partition count for the fan-out: the split has
+    // nBuckets × fanOut distinct values, and the session default
+    // (sized for generic exchanges) would cap the write parallelism
+    // the dial exists to buy; hash collisions between sub-ranges are
+    // harmless (a task writes one file per bucket dir it holds, so a
+    // same-bucket collision just yields fewer, still-bucket-local
+    // files)
+    val parted =
+      if (fanOut == 1) keyed.repartition(col("__zb"))
+      else keyed.repartition(
+        math.min(meta.nBuckets.toLong * fanOut, 1L << 15).toInt,
+        shiftright(col("__zkey"), meta.shift - splitBits))
+    parted
       .sortWithinPartitions("__zb", "__zkey")
       .drop("__zkey")
       .write.partitionBy("__zb").parquet(dataDir)

@@ -625,6 +625,51 @@ class ZStoreSpec extends SparkSpec {
     assert(ZStore.loadCurrent(spark, root)._3 == vEnd)
   }
 
+  test("writeFanOut: contiguous sub-range files per bucket — parallel writes, envelopes tighter not looser") {
+    val root = Files.createTempDirectory("graft_zfan").toString + "/t"
+    ZStore.init(grid(0, 7200), Seq("x", "y"), root, bits = 4, bucketBits = 3,
+      writeFanOut = 4)
+    val (_, man, _) = ZStore.loadCurrent(spark, root)
+    val perBucket = man.groupBy(_.bucket).map(_._2.length)
+    assert(perBucket.max <= 4 && perBucket.max > 1,
+      s"fanOut 4 should yield up to 4 files per bucket: ${perBucket.toSeq.sorted}")
+    // row identity + per-file spans still INSIDE the bucket envelope:
+    // mean span must not exceed the one-file-per-bucket layout's
+    // (sub-ranges are strict subsets, so it should be smaller)
+    val fanned = ZStore.read(spark, root)
+    assert(fanned.count() == 7200)
+    assert(fanned.select("rid").as[Long].collect().toSet ==
+      (0L until 7200L).toSet)
+    val rootRef = Files.createTempDirectory("graft_zfanref").toString + "/t"
+    ZStore.init(grid(0, 7200), Seq("x", "y"), rootRef, bits = 4, bucketBits = 3)
+    assert(meanSpan(fanned, "x") <= meanSpan(ZStore.read(spark, rootRef), "x")
+      + 1e-9,
+      "sub-range files must not widen per-file envelopes")
+    // maintain folds a fragmented store back to writeFanOut files per
+    // bucket, and refuses a fanOut that would re-trip itself
+    ZStore.absorb(spark, root, grid(7200, 10800))
+    ZStore.absorb(spark, root, grid(10800, 14400))
+    val m = ZStore.maintain(spark, root, maxFilesPerBucket = 4,
+      writeFanOut = 2)
+    assert(m.version.isDefined, m.toString)
+    val (_, manM, _) = ZStore.loadCurrent(spark, root)
+    assert(manM.groupBy(_.bucket).forall(_._2.length <= 4))
+    assert(ZStore.read(spark, root).count() == 14400)
+    intercept[IllegalArgumentException] {
+      ZStore.maintain(spark, root, maxFilesPerBucket = 2, writeFanOut = 4)
+    }
+    // loud guards: non-power-of-two, and more split bits than the key
+    // has below the bucket bits
+    intercept[IllegalArgumentException] {
+      ZStore.init(grid(0, 100), Seq("x", "y"),
+        root + "_g1", bits = 4, bucketBits = 3, writeFanOut = 3)
+    }
+    intercept[IllegalArgumentException] {
+      ZStore.init(grid(0, 100), Seq("x", "y"),
+        root + "_g2", bits = 2, bucketBits = 3, writeFanOut = 4)
+    }
+  }
+
   test("autoMaintain: the offline scheduler acts on the advice, rank-family recommendation included") {
     // healthy store: no-op. (grid's y covers [0, 59] only over a full
     // 3600-row period — a shorter slice would stamp a narrow y

@@ -436,6 +436,29 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
         AND l_quantity BETWEEN 20 AND 125
       ORDER BY l_orderkey, l_linenumber"""))
 
+  private val j7 = QuerySpec("j7_zstore_range_read",
+    // j4's exact filter served through readRange — MANIFEST-level file
+    // skipping: the query bounds rank through the stamped envelopes
+    // driver-side and whole curve buckets are dropped before the
+    // scanner ever lists a footer (the Delta/Iceberg data-skipping
+    // idea over the Morton curve). Same oracle as j4: pruning may only
+    // change WHICH files are opened, never the rows.
+    (s, d) => graft.sources.ZStore.readRange(s, zstoreLineitemFor(s, d),
+        Map("l_extendedprice" -> (30000.0, 32000.0),
+          "l_quantity" -> (20.0, 25.0)))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_quantity, 2) AS l_quantity,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      WHERE l_extendedprice BETWEEN 30000 AND 32000
+        AND l_quantity BETWEEN 20 AND 25
+      ORDER BY l_orderkey, l_linenumber"""))
+
   private val j3 = QuerySpec("j3_zorder_scan",
     // Multi-column filter riding the Z-ordered layout: both predicate
     // columns are bit-interleaved into the file order, so every
@@ -672,5 +695,5 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
 
   final def queriesRelational: Seq[QuerySpec] =
     Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4, j5,
-      j6)
+      j6, j7)
 }

@@ -83,6 +83,18 @@ object ZOrderLayout {
       * envelope-drift signal [[ZStore.absorb]] reports. Nulls are
       * in-envelope (they rank 0 by design, not by clamping). */
     def outOfEnvelope(input: Column): Column
+
+    /** The CONSERVATIVE rank interval that covers every data value in
+      * [lo, hi] — the driver-side mirror of [[rank]] that
+      * manifest-level bucket pruning ([[ZStore.readRange]]) needs:
+      * the returned interval may be wider than exact (costs a few
+      * extra buckets) but must NEVER be narrower (a dropped bucket is
+      * wrong results, not slow results). Width pads ±1 rank against
+      * floating-point boundary disagreement with Spark's
+      * `width_bucket`; Depth and Dict mirror their rank arithmetic
+      * exactly (pure comparisons). None = no value can match
+      * (an empty dict slice with no clamped mass). */
+    def rankInterval(lo: Any, hi: Any, bits: Int): Option[(Long, Long)]
   }
 
   object ZRank {
@@ -100,6 +112,43 @@ object ZOrderLayout {
       def outOfEnvelope(input: Column): Column =
         if (!(max > min)) input.isNotNull && (input =!= lit(min))
         else input.isNotNull && (input < lit(min) || input > lit(max))
+
+      /** Scalar mirror of the `width_bucket` rank (same clamp
+        * algebra), for query BOUNDS. */
+      private def rankValue(v: Double, bits: Int): Long = {
+        val nBuckets = 1L << bits
+        if (!(max > min)) 0L
+        else {
+          val wb =
+            if (v < min) 0L
+            else if (v >= max) nBuckets + 1L
+            else ((v - min) / (max - min) * nBuckets).toLong + 1L
+          math.min(nBuckets - 1, math.max(0L, wb - 1L))
+        }
+      }
+
+      def rankInterval(lo: Any, hi: Any, bits: Int): Option[(Long, Long)] = {
+        val (l, h) = (toD(lo), toD(hi))
+        val nBuckets = 1L << bits
+        // ±1 pad: the scalar mirror and Spark's codegen'd width_bucket
+        // can disagree by one bucket at FP boundaries — pruning must
+        // err wide. Out-of-envelope query bounds clamp exactly like
+        // out-of-envelope DATA does (monotone rank), so clamped rows
+        // are found without special cases.
+        Some((math.max(0L, rankValue(l, bits) - 1),
+          math.min(nBuckets - 1, rankValue(h, bits) + 1)))
+      }
+    }
+
+    private def toD(v: Any): Double = v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: Number => n.doubleValue()
+      case b: Boolean => if (b) 1.0 else 0.0
+      case other => throw new IllegalArgumentException(
+        s"numeric range bound expected, got $other " +
+          s"(${other.getClass.getSimpleName}) — cast temporal bounds to " +
+          "epoch-seconds doubles at the call site")
     }
 
     /** Equal-depth buckets: `bounds` are the nBuckets−1 ascending
@@ -126,6 +175,16 @@ object ZOrderLayout {
       }
       def outOfEnvelope(input: Column): Column =
         input.isNotNull && (input < lit(lo) || input > lit(hi))
+
+      def rankInterval(qLo: Any, qHi: Any, bits: Int): Option[(Long, Long)] = {
+        require(bounds.length == (1 << bits) - 1,
+          s"Depth rank needs ${(1 << bits) - 1} bounds for bits=$bits, " +
+            s"got ${bounds.length}")
+        // exact mirror of the aggregate-HOF rank: count of interior
+        // bounds <= value (pure comparisons — no FP pad needed)
+        def rv(v: Double): Long = bounds.count(v >= _).toLong
+        Some((rv(toD(qLo)), rv(toD(qHi))))
+      }
     }
 
     /** Dictionary rank for strings: `values` is the SORTED distinct
@@ -146,6 +205,25 @@ object ZOrderLayout {
       def outOfEnvelope(input: Column): Column =
         if (values.isEmpty) input.isNotNull
         else input.isNotNull && !input.isin(values: _*)
+
+      /** Lexicographic slice of the SORTED dictionary: rankLo = rank
+        * of the first value >= qLo, rankHi = rank of the last value
+        * <= qHi (exact — the rank map is the same integer formula).
+        * None when no dictionary value falls in [qLo, qHi] — but the
+        * CALLER must still include rank 0 when the store has absorbed
+        * out-of-dictionary values (they clamp to 0 NON-monotonically,
+        * unlike the numeric ranks), which is [[graft.sources.ZStore]]'s
+        * clamp-counter's job to know. */
+      def rankInterval(qLo: Any, qHi: Any, bits: Int): Option[(Long, Long)] = {
+        val (l, h) = (qLo.toString, qHi.toString)
+        val nBuckets = 1L << bits
+        val n = math.max(values.length, 1)
+        def rankOf(idx: Int): Long = idx.toLong * nBuckets / n
+        val from = values.indexWhere(_ >= l)
+        val to = values.lastIndexWhere(_ <= h)
+        if (from < 0 || to < 0 || from > to) None
+        else Some((rankOf(from), rankOf(to)))
+      }
     }
   }
 

@@ -670,6 +670,58 @@ class ZStoreSpec extends SparkSpec {
     }
   }
 
+  test("readRange: manifest-level bucket pruning is conservative-correct, skips real files, and honors dictionary clamp mass") {
+    val root = Files.createTempDirectory("graft_zrange").toString + "/t"
+    ZStore.init(grid(0, 7200), Seq("x", "y"), root, bits = 4, bucketBits = 4)
+    val (meta, man, _) = ZStore.loadCurrent(spark, root)
+    // identity: readRange == read().filter(...) for a grid of boxes,
+    // including boxes beyond the envelopes (clamp monotonicity) and a
+    // degenerate point box
+    val boxes = Seq((5.0, 20.0, 30.0, 45.0), (0.0, 59.0, 0.0, 59.0),
+      (58.0, 300.0, -10.0, 2.0), (7.0, 7.0, 33.0, 33.0))
+    boxes.foreach { case (xl, xh, yl, yh) =>
+      val got = ZStore.readRange(spark, root,
+        Map("x" -> (xl, xh), "y" -> (yl, yh)))
+        .select("rid").as[Long].collect().toSet
+      val want = ZStore.read(spark, root)
+        .filter(col("x").between(xl, xh) && col("y").between(yl, yh))
+        .select("rid").as[Long].collect().toSet
+      assert(got == want, s"box ($xl,$xh)x($yl,$yh)")
+    }
+    // the pruning is REAL: a selective box keeps a strict minority of
+    // buckets (and therefore of files)
+    val kept = ZStore.rangeKeptBuckets(meta, oobSeen = false,
+      Map("x" -> (5.0, 20.0), "y" -> (30.0, 45.0)))
+    assert(kept.size < meta.nBuckets / 2,
+      s"selective box kept ${kept.size} of ${meta.nBuckets} buckets")
+    assert(man.count(f => kept.toSet(f.bucket)) < man.length / 2)
+    // provably-empty dict slice returns an EMPTY frame without
+    // scanning data — and clamped (out-of-dictionary) strings are
+    // still found once the store has absorbed any
+    val tenants = Seq("acme", "bravo", "corex", "delta")
+    val docs = spark.range(800).select(
+      element_at(typedlit(tenants), (col("id") % 4 + 1).cast("int"))
+        .as("tenant"),
+      (col("id") % 100).cast("double").as("ts"), col("id").as("rid"))
+    val rootD = Files.createTempDirectory("graft_zrangedict").toString + "/t"
+    ZStore.init(docs, Seq("tenant", "ts"), rootD, bits = 4, bucketBits = 3)
+    assert(ZStore.readRange(spark, rootD,
+      Map("tenant" -> ("x", "z"))).count() == 0)
+    val zulu = spark.range(20).select(lit("zulu").as("tenant"),
+      (col("id") % 100).cast("double").as("ts"), (col("id") + 5000).as("rid"))
+    ZStore.absorb(spark, rootD, zulu)
+    assert(ZStore.readRange(spark, rootD,
+      Map("tenant" -> ("x", "zz"))).count() == 20,
+      "clamped out-of-dictionary rows must be found via the rank-0 fallback")
+    assert(ZStore.readRange(spark, rootD,
+      Map("tenant" -> ("bravo", "bravo"))).count() == 200)
+    // non-layout column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      ZStore.readRange(spark, root, Map("rid" -> (0, 10)))
+    }
+    assert(e.getMessage.contains("rid"), e.getMessage)
+  }
+
   test("autoMaintain: the offline scheduler acts on the advice, rank-family recommendation included") {
     // healthy store: no-op. (grid's y covers [0, 59] only over a full
     // 3600-row period — a shorter slice would stamp a narrow y

@@ -459,6 +459,32 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
         AND l_quantity BETWEEN 20 AND 25
       ORDER BY l_orderkey, l_linenumber"""))
 
+  private val j8 = QuerySpec("j8_zstore_range_read_dict",
+    // readRange over the TYPED store: the string dimension prunes via
+    // the dictionary rank's lexicographic slice (equality = degenerate
+    // range), the price band via the width rank; the timestamp
+    // condition — not a range the v1 API takes (temporal bounds cast
+    // at the call site by contract) — applies as a plain filter ON TOP
+    // of the pruned read, which is always legal because readRange
+    // returns exactly read+filter. Same oracle as j5.
+    (s, d) => graft.sources.ZStore.readRange(s, zstoreDictLineitemFor(s, d),
+        Map("l_returnflag" -> ("R", "R"),
+          "l_extendedprice" -> (20000.0, 30000.0)))
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_extendedprice BETWEEN 20000 AND 30000
+      ORDER BY l_orderkey, l_linenumber"""))
+
   private val j3 = QuerySpec("j3_zorder_scan",
     // Multi-column filter riding the Z-ordered layout: both predicate
     // columns are bit-interleaved into the file order, so every
@@ -695,5 +721,5 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
 
   final def queriesRelational: Seq[QuerySpec] =
     Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4, j5,
-      j6, j7)
+      j6, j7, j8)
 }

@@ -166,16 +166,28 @@ object Ann {
     * FileScan carries a PartitionFilters predicate on cluster_id
     * (asserted in AnnSpec; explain with the pruned IN-list captured in
     * PLANS.md), so the scan lists only the probed cluster
-    * directories. */
+    * directories.
+    *
+    * `adoptStampedNprobe` opts this batch path into the same
+    * maintenance-validated probe FLOOR the streaming sink enforces
+    * ([[graft.sources.IndexStore.effectiveNprobe]]): when the current
+    * version's `_meta.json` carries the budget its recall gate passed
+    * at, serve at `max(configured, stamped)` — a batch consumer of a
+    * maintained pair must not silently serve below the validated
+    * budget (the round-19 gap: only streams adopted the stamp).
+    * Default false keeps the exact configured-budget contract; an
+    * explicit nprobe ABOVE the stamp always wins either way. */
   def ivfSearchStore(spark: org.apache.spark.sql.SparkSession, path: String,
                      embCol: String, idCol: String,
                      centroids: DataFrame, cidCol: String, cvecCol: String,
-                     queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+                     queryVec: Column, k: Int, nprobe: Int,
+                     adoptStampedNprobe: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val np = flooredNprobe(spark, path, nprobe, adoptStampedNprobe)
     val probed = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))
-      .limit(nprobe)
+      .limit(np)
       .select(col(cidCol).cast("long"))
       .collect().map(_.getLong(0))
     Knn.exact(
@@ -183,6 +195,23 @@ object Ann {
         .filter(col("cluster_id").isin(probed: _*)),
       embCol, idCol, queryVec, k)
   }
+
+  /** The batch-side adoption of the stamped probe floor — one tiny
+    * meta read when opted in, shared by every `ivfSearchStore*` form;
+    * the algebra itself lives in ONE place
+    * ([[graft.sources.IndexStore.effectiveNprobe]]), so streaming and
+    * batch serving cannot drift. */
+  private def flooredNprobe(spark: org.apache.spark.sql.SparkSession,
+                            path: String, nprobe: Int,
+                            adopt: Boolean): Int =
+    if (!adopt) nprobe
+    else graft.sources.IndexStore.effectiveNprobe(nprobe,
+      // the served path is usually one pinned version DIRECTORY
+      // (root/vN — its own `_meta.json` travels with the geometry);
+      // a caller handing the versioned ROOT adopts the current
+      // committed version's stamp instead
+      graft.sources.IndexStore.pairMetaAt(spark, path)
+        .orElse(graft.sources.IndexStore.currentPairMeta(spark, path)))
 
   /** ADAPTIVE-nprobe serving from the partitioned store: probe the
     * FEWEST nearest clusters whose stored occupancies cover
@@ -287,12 +316,14 @@ object Ann {
                           path: String, embCol: String, idCol: String,
                           centroids: DataFrame, cidCol: String, cvecCol: String,
                           queryVec: Column, k: Int, nprobe: Int,
-                          predicate: Column): DataFrame = {
+                          predicate: Column,
+                          adoptStampedNprobe: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val np = flooredNprobe(spark, path, nprobe, adoptStampedNprobe)
     val probed = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))
-      .limit(nprobe)
+      .limit(np)
       .select(col(cidCol).cast("long"))
       .collect().map(_.getLong(0))
     Knn.exact(
@@ -318,12 +349,14 @@ object Ann {
                               centroids: DataFrame, cidCol: String,
                               cvecCol: String, queryVec: Column, k: Int,
                               nprobe: Int, tombstones: DataFrame,
-                              tombIdCol: String): DataFrame = {
+                              tombIdCol: String,
+                              adoptStampedNprobe: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val np = flooredNprobe(spark, path, nprobe, adoptStampedNprobe)
     val probed = centroids
       .withColumn("__qdist", VectorFunctions.l2(col(cvecCol), queryVec))
       .orderBy(col("__qdist"), col(cidCol))
-      .limit(nprobe)
+      .limit(np)
       .select(col(cidCol).cast("long"))
       .collect().map(_.getLong(0))
     val tomb = tombstones.select(col(tombIdCol).as("__tomb_id")).distinct()
@@ -403,10 +436,12 @@ object Ann {
                           centroids: DataFrame, cidCol: String,
                           cvecCol: String, queries: DataFrame,
                           qidCol: String, qvecCol: String,
-                          k: Int, nprobe: Int): DataFrame = {
+                          k: Int, nprobe: Int,
+                          adoptStampedNprobe: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val np = flooredNprobe(spark, path, nprobe, adoptStampedNprobe)
     val probes = batchProbes(queries, qidCol, qvecCol,
-      centroids, cidCol, cvecCol, nprobe)
+      centroids, cidCol, cvecCol, np)
     val probed = probes.select(col("cluster_id").cast("long")).distinct()
       .collect().map(_.getLong(0)) // bounded by queries × nprobe
     val store = graft.sources.IndexStore.load(spark, path)

@@ -391,8 +391,12 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       // hash while the store still exercises purge-all-old-copies.
       val li = t(s, d, "lineitem").withColumn("rid",
         col("l_orderkey") * 10 + col("l_linenumber"))
+      // idCol declared: the delete/upsert locate scans below run
+      // through the manifest's stamped per-file id [min, max]
+      // (round 20) — the pruned path itself sits behind j6's oracle
       graft.sources.ZStore.init(li,
-        Seq("l_extendedprice", "l_quantity"), root, bits = 8, bucketBits = 5)
+        Seq("l_extendedprice", "l_quantity"), root, bits = 8, bucketBits = 5,
+        idCol = Some("rid"))
       graft.sources.ZStore.delete(s, root,
         li.filter(pmod(col("l_orderkey"), lit(10)) === 4).select("rid"), "rid")
       graft.sources.ZStore.upsert(s, root,
@@ -460,18 +464,27 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       ORDER BY l_orderkey, l_linenumber"""))
 
   private val j8 = QuerySpec("j8_zstore_range_read_dict",
-    // readRange over the TYPED store: the string dimension prunes via
-    // the dictionary rank's lexicographic slice (equality = degenerate
-    // range), the price band via the width rank; the timestamp
-    // condition — not a range the v1 API takes (temporal bounds cast
-    // at the call site by contract) — applies as a plain filter ON TOP
-    // of the pruned read, which is always legal because readRange
-    // returns exactly read+filter. Same oracle as j5.
+    // readRange over the TYPED store — ALL THREE rank families prune:
+    // the string dimension via the dictionary rank's lexicographic
+    // slice (equality = degenerate range), the price band via the
+    // width rank, and the timestamp bound NATIVELY via the epoch
+    // mirror (round 20: typed temporal bounds rank through the same
+    // cast the layout ranked the data with, while the residual
+    // predicate keeps the typed literals so the parquet reader still
+    // pushes it down — before, the shipdate condition was a filter ON
+    // TOP and that dimension's manifest pruning was forfeited). The
+    // inclusive hi is the last representable timestamp < 1997-01-01
+    // (microsecond precision), so the range equals j5's half-open
+    // predicate. Same oracle as j5: pruning may only change WHICH
+    // files open, never the rows.
     (s, d) => graft.sources.ZStore.readRange(s, zstoreDictLineitemFor(s, d),
         Map("l_returnflag" -> ("R", "R"),
+          "l_shipdate" -> (
+            java.sql.Timestamp.from(
+              java.time.Instant.parse("1996-01-01T00:00:00Z")),
+            java.sql.Timestamp.from(
+              java.time.Instant.parse("1996-12-31T23:59:59.999999Z"))),
           "l_extendedprice" -> (20000.0, 30000.0)))
-      .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1997-01-01"))
       .select(col("l_orderkey"), col("l_linenumber").cast("long")
           .as("l_linenumber"),
         round(col("l_extendedprice"), 2).as("l_extendedprice"))

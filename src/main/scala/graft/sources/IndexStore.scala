@@ -324,10 +324,19 @@ object IndexStore {
     val (fs, p) = fsOf(spark, root)
     // stamp the committed counts (read back from staging, not from the
     // input plans — a heavy input plan must not recompute for a count)
+    val nClusters =
+      spark.read.parquet(s"$staging/$CentroidSidecar").count()
+    // write-side sanity bound on the stamp: a validated budget above
+    // the version's own cell count is recorded AT the cell count —
+    // probing more cells than exist is pure waste, and an unbounded
+    // stamp would become every floored consumer's serving budget
+    // (the read side clamps too, [[effectiveNprobe]], so pre-round-20
+    // stamps are equally safe)
     val meta = PairMeta(
       spark.read.parquet(staging).count(),
-      spark.read.parquet(s"$staging/$CentroidSidecar").count(),
-      validatedNprobe)
+      nClusters,
+      validatedNprobe.map(n =>
+        math.min(n.toLong, math.max(1L, nClusters)).toInt))
     val nprobeField = meta.nprobe.map(n => s""","nprobe":$n""").getOrElse("")
     val metaOut = fs.create(
       new org.apache.hadoop.fs.Path(p, s"$stagingName/$PairMetaFile"), true)
@@ -412,9 +421,17 @@ object IndexStore {
     * is one command — delete the version's `_meta.json` — which
     * restores the documented missing-meta counting fallback. */
   def pairMeta(spark: SparkSession, root: String, version: Long)
-      : Option[PairMeta] = {
-    val (fs, p) = fsOf(spark, root)
-    val mp = new org.apache.hadoop.fs.Path(p, s"v$version/$PairMetaFile")
+      : Option[PairMeta] =
+    pairMetaAt(spark, s"$root/v$version")
+
+  /** The [[PairMeta]] stamped in a SPECIFIC directory (a committed
+    * `root/vN`, or a staging dir under test) — the form batch
+    * consumers that serve one pinned version directory use, so the
+    * stamp they adopt is the one that travels WITH the geometry they
+    * scan. None when the directory carries no `_meta.json`. */
+  def pairMetaAt(spark: SparkSession, dir: String): Option[PairMeta] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mp = new org.apache.hadoop.fs.Path(p, PairMetaFile)
     if (!fs.exists(mp)) return None
     val in = fs.open(mp)
     val txt =
@@ -422,7 +439,7 @@ object IndexStore {
       finally in.close()
     val Re = """"indexRows"\s*:\s*(\d+)\s*,\s*"nClusters"\s*:\s*(\d+)""".r
     val m = Re.findFirstMatchIn(txt).getOrElse(throw new IllegalStateException(
-      s"unparseable $PairMetaFile for v$version under $root: $txt"))
+      s"unparseable $PairMetaFile under $dir: $txt"))
     // nprobe is optional (pre-round-19 stamps and non-maintenance
     // writes have no budget to record)
     val NpRe = """"nprobe"\s*:\s*(\d+)""".r
@@ -435,11 +452,37 @@ object IndexStore {
     * to adopt the budget the committed geometry was validated at (see
     * [[PairMeta.nprobe]]; [[graft.streaming.CascadeServe.sink]] wires
     * it in as a floor automatically). */
-  def storedNprobe(spark: SparkSession, root: String): Option[Int] = {
+  def storedNprobe(spark: SparkSession, root: String): Option[Int] =
+    currentPairMeta(spark, root).flatMap(_.nprobe)
+
+  /** The CURRENT committed version's stamped [[PairMeta]], if any —
+    * None on an empty root, a pre-stamp version, or a plain
+    * (non-pair) store. One version listing plus one tiny FS read. */
+  def currentPairMeta(spark: SparkSession, root: String)
+      : Option[PairMeta] = {
     val vs = committedVersions(spark, root)
-    if (vs.isEmpty) None
-    else pairMeta(spark, root, vs.last).flatMap(_.nprobe)
+    if (vs.isEmpty) None else pairMeta(spark, root, vs.last)
   }
+
+  /** The probe budget a consumer of a stamped pair should serve at:
+    * the maintenance-validated stamp ([[PairMeta.nprobe]]) is a FLOOR
+    * under the configured value — never serve the committed geometry
+    * below the budget its recall gate passed at (that re-creates the
+    * sag the adaptation corrected) — while a configured budget above
+    * the stamp keeps its headroom (more probes never hurt recall).
+    * The stamp is CLAMPED at the version's own cell count before
+    * flooring: a corrupted or fat-fingered meta (`nprobe: 100000`)
+    * must not become the serving budget — probing more cells than
+    * exist is pure waste, and the same meta carries `nClusters` to
+    * bound it by. Unstamped versions (and plain stores) serve at the
+    * configured value unchanged. One copy of the algebra —
+    * [[graft.streaming.CascadeServe]] (streaming) and
+    * [[graft.operators.Ann]]'s `adoptStampedNprobe` batch opt-ins
+    * both delegate here, so the two serving families cannot drift. */
+  def effectiveNprobe(configured: Int, meta: Option[PairMeta]): Int =
+    meta.flatMap(m => m.nprobe.map(s =>
+        math.min(s.toLong, math.max(1L, m.nClusters)).toInt))
+      .filter(_ > configured).getOrElse(configured)
 
   /** [[loadCurrentWithCentroids]] with a per-session pair cache for
     * REPEAT serving (the c5–c10 shape: many queries against one root

@@ -78,10 +78,16 @@ object ZStore {
     * `schemaCols` — the absorb gate compares NAME AND TYPE, because a
     * name-only check would let a drifted column type (x: double →
     * int) publish files whose physical parquet type diverges from the
-    * pool's and poison every subsequent union read of the store. */
+    * pool's and poison every subsequent union read of the store.
+    * `idCol`, when declared at [[init]], is the row-identity column
+    * whose per-file [min, max] every write stamps into the manifest
+    * ([[ZFile.idMin]]/[[ZFile.idMax]]) so [[delete]]/[[upsert]] can
+    * prune their locate scan by manifest arithmetic — None keeps the
+    * pre-stat behavior (full narrow locate scan). */
   final case class ZMeta(cols: Seq[String], bits: Int, bucketBits: Int,
                          ranks: Seq[ZRank], schemaCols: Seq[String],
-                         schemaTypes: Seq[String]) {
+                         schemaTypes: Seq[String],
+                         idCol: Option[String] = None) {
     def shift: Int = bits * cols.length - bucketBits
     def nBuckets: Int = 1 << bucketBits
   }
@@ -92,8 +98,17 @@ object ZStore {
     * pays — so per-BUCKET occupancy is readable from the manifest
     * alone, no data scan; -1 on manifests written before the stamp
     * existed, and every consumer of occupancy must treat -1 as
-    * "unknown", never as zero rows). */
-  final case class ZFile(path: String, bucket: Int, rows: Long = -1L)
+    * "unknown", never as zero rows). `idMin`/`idMax` are the file's
+    * inclusive [[ZMeta.idCol]] extremes, stamped by the same job and
+    * string-encoded per the id column's type (integral types as
+    * decimal digits compared numerically, strings compared in UTF-8
+    * byte order — Spark's own string ordering); None on files written
+    * before the stat existed, on stores with no declared id column,
+    * and on all-null-id files — every consumer must treat None as
+    * "could hold any id", never as empty. */
+  final case class ZFile(path: String, bucket: Int, rows: Long = -1L,
+                         idMin: Option[String] = None,
+                         idMax: Option[String] = None)
 
   /** A parsed version manifest: the file list, the cumulative absorb
     * statistics, and the last streaming batch id absorbed
@@ -173,10 +188,21 @@ object ZStore {
     * bucket-local files into the pool (`writeFanOut` contiguous
     * sub-range files per bucket — the write-parallelism dial for big
     * tables; see the pool writer's scaladoc), publish
-    * (meta, manifest). */
+    * (meta, manifest).
+    *
+    * `idCol` declares the row-identity column [[delete]]/[[upsert]]
+    * will key on: every write then stamps the file's id [min, max]
+    * into the manifest (one extra narrow aggregate inside the
+    * footer-count job the reconciliation gate already pays), and the
+    * locate scan prunes to the files whose stamped range admits some
+    * batch id — for monotone-ish ids (event streams, chunk ids) that
+    * skips most of the table; for scattered ids it degrades to the
+    * full narrow scan, never worse. Integral and string id types
+    * only (a fractional id is not an identity; refused loudly). */
   def init(df: DataFrame, cols: Seq[String], root: String,
            bits: Int = 8, bucketBits: Int = 5,
-           equalDepth: Boolean = false, writeFanOut: Int = 1): Long = {
+           equalDepth: Boolean = false, writeFanOut: Int = 1,
+           idCol: Option[String] = None): Long = {
     val n = cols.length
     require(bits * n <= 62,
       s"bits $bits x $n cols must fit a long (<= 62 bits)")
@@ -187,9 +213,19 @@ object ZStore {
     Seq("__zkey", "__zb").foreach(r => require(!df.columns.contains(r),
       s"ZStore.init: input carries the reserved layout column `$r` — " +
         "rename it; the store derives its own"))
+    idCol.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"id column `$c` not in ${df.columns.mkString(", ")}"))
+      require(StampableIdTypes.contains(f.dataType.catalogString),
+        s"id column `$c` has type ${f.dataType.catalogString} — per-file " +
+          "id statistics support integral and string identities only " +
+          s"(${StampableIdTypes.mkString(", ")}); init without idCol to " +
+          "keep the unpruned locate scan")
+    }
     val ranks = ZOrderLayout.columnRanks(df, cols, bits, equalDepth)
     val meta = ZMeta(cols, bits, bucketBits, ranks, df.columns.toSeq,
-      df.schema.fields.map(_.dataType.catalogString).toSeq)
+      df.schema.fields.map(_.dataType.catalogString).toSeq, idCol)
     val spark = df.sparkSession
     val files = writeDataFiles(df, meta, root, writeFanOut)
     publish(spark, root, meta, files, ZStats(0L, 0L), lastBatchId = -1L)
@@ -225,8 +261,16 @@ object ZStore {
     * wide the conservative pruning was (oracle-checked: j7).
     *
     * `ranges` maps layout columns to inclusive [lo, hi] bounds —
-    * numeric dims take numeric bounds (cast temporal to epoch-seconds
-    * doubles), string dims take strings (equality = lo == hi).
+    * numeric dims take numeric bounds, string dims take strings
+    * (equality = lo == hi), and TEMPORAL dims take typed temporal
+    * bounds (`java.sql.Date`/`Timestamp`, `java.time.LocalDate`/
+    * `Instant`/`LocalDateTime`): the bound ranks through the same
+    * epoch-seconds cast the layout ranked the data with (mirrored
+    * driver-side in the session time zone), while the residual
+    * predicate compares the ORIGINAL typed literal against the raw
+    * column — so the parquet reader still pushes it down (an
+    * epoch-double comparison on a timestamp column would defeat
+    * PushedFilters, and before round 20 it did not even analyze).
     * Clamped data is never lost: numeric/temporal out-of-envelope
     * rows clamp MONOTONICALLY, so out-of-envelope query bounds clamp
     * to the same edge ranks; out-of-DICTIONARY strings clamp to rank
@@ -243,7 +287,8 @@ object ZStore {
         "non-layout columns"))
     require(manifest.nonEmpty, s"committed manifest under $root is empty")
     val kept = rangeKeptBuckets(meta,
-      statsOf(spark, root, v).oobRows > 0, ranges).toSet
+      statsOf(spark, root, v).oobRows > 0,
+      rankBoundsOf(spark, meta, ranges)).toSet
     val predicate = ranges.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
@@ -289,6 +334,54 @@ object ZStore {
           (includeZero && bLo == 0L)
       }
     }
+  }
+
+  /** [[readRange]] bounds normalized for the rank mirrors: temporal
+    * layout dimensions' typed bounds convert to the epoch-seconds
+    * doubles their [[ZRank]] envelopes were derived over (the exact
+    * driver-side mirror of [[ZOrderLayout.rankInput]]'s
+    * `cast(timestamp).cast(double)`, session-time-zone for the
+    * date-to-instant step); numeric and string bounds pass through.
+    * A NUMBER offered for a temporal dimension is refused loudly —
+    * the residual predicate must be built from the typed literal so
+    * the parquet reader can push it down, so there is no honest way
+    * to accept a bare epoch double here. */
+  private[graft] def rankBoundsOf(spark: SparkSession, meta: ZMeta,
+      ranges: Map[String, (Any, Any)]): Map[String, (Any, Any)] = {
+    val typeOf = meta.schemaCols.zip(meta.schemaTypes).toMap
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    ranges.map { case (c, (lo, hi)) =>
+      typeOf.getOrElse(c, "") match {
+        case "date" | "timestamp" | "timestamp_ntz" =>
+          c -> (epochSeconds(c, lo, zone), epochSeconds(c, hi, zone))
+        case _ => c -> (lo, hi)
+      }
+    }
+  }
+
+  /** The session-zone epoch-seconds double of a typed temporal bound —
+    * mirrors Spark's `cast(c as timestamp).cast(double)` the envelopes
+    * rank through. Sub-second precision carries (the Width mirror's ±1
+    * rank pad absorbs any residual FP disagreement). */
+  private def epochSeconds(c: String, v: Any,
+                           zone: java.time.ZoneId): Double = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime / 1000.0 + t.getNanos % 1000000 / 1e9
+    case i: java.time.Instant => i.getEpochSecond + i.getNano / 1e9
+    case d: java.sql.Date =>
+      d.toLocalDate.atStartOfDay(zone).toEpochSecond.toDouble
+    case ld: java.time.LocalDate =>
+      ld.atStartOfDay(zone).toEpochSecond.toDouble
+    case ldt: java.time.LocalDateTime =>
+      val zdt = ldt.atZone(zone)
+      zdt.toEpochSecond + zdt.getNano / 1e9
+    case other => throw new IllegalArgumentException(
+      s"temporal layout dimension `$c` needs a typed temporal bound " +
+        "(java.sql.Date/Timestamp, java.time.LocalDate/Instant/" +
+        s"LocalDateTime), got $other (${other.getClass.getName}) — " +
+        "a bare epoch number cannot build a pushdown-able residual " +
+        "predicate on the raw column")
   }
 
   /** The newest committed (meta, manifest, version). */
@@ -501,12 +594,17 @@ object ZStore {
     * upsert/delete by explicit id (`build_vectorstore.py:239`); this
     * closes the same gap for the layout store.
     *
-    * Cost: one NARROW (`idCol`, `_metadata.file_path`) scan of the
-    * store to locate the affected buckets — parquet column pruning
-    * keeps it payload-free, and it is the price of not maintaining an
-    * id→bucket sidecar (the same disclosed trade as
-    * [[IndexStore]]'s delta rewrite) — plus a rewrite ∝ affected
-    * buckets. `tombstones` must be broadcast-small (a delete batch,
+    * Cost: one NARROW (`idCol`, `_metadata.file_path`) scan to locate
+    * the affected buckets — parquet column pruning keeps it
+    * payload-free — plus a rewrite ∝ affected buckets. When the store
+    * declared `idCol` at [[init]], the locate scan is first pruned by
+    * the manifest's stamped per-file id [min, max]
+    * ([[locateCandidateFiles]]): for monotone-ish ids it opens only
+    * the files that could hold a tombstoned id (the round-19 probe's
+    * dominant term for small deletes, removed by manifest arithmetic);
+    * for scattered ids, or stores initialized without `idCol`, it
+    * degrades to the full narrow scan — the disclosed price of not
+    * maintaining an id→bucket sidecar. `tombstones` must be broadcast-small (a delete batch,
     * not half the table; half the table is a [[relayout]] of the
     * filtered read). Row-count gated: the rewritten buckets must hold
     * exactly the survivors. The clamp statistics carry verbatim —
@@ -529,7 +627,13 @@ object ZStore {
       s"delete id column `$idCol` is not in the store's schema " +
         s"(${meta.schemaCols.mkString(", ")})")
     val ids = tombstones.select(col(idCol)).distinct()
-    val affected = affectedBuckets(spark, root, manifest, ids, idCol)
+    // a null id can never match the anti join below (nor should it:
+    // null is not an identity) — silently appending while old null-id
+    // rows survive would violate the by-id contract, so refuse loudly
+    require(ids.filter(col(idCol).isNull).isEmpty,
+      s"delete tombstones carry a null `$idCol` — null is not a row " +
+        "identity (the by-id purge joins on it); drop null ids first")
+    val affected = affectedBuckets(spark, root, meta, manifest, ids, idCol)
     if (affected.isEmpty)
       return ZDeleteReport(None, 0L, 0L, 0L,
         "no tombstoned id present in the store — store unchanged")
@@ -600,8 +704,15 @@ object ZStore {
       .localCheckpoint(true) // consumed by locate, count, oob, and write
     val nBatch = deduped.count()
     require(nBatch > 0, "upsert on an empty batch — nothing to apply")
+    // the same null-identity refusal as delete: a null-id batch row
+    // would APPEND (the anti join purges nothing for it) while any
+    // existing null-id rows survive — new-rows-win silently broken
+    require(deduped.filter(col(idCol).isNull).isEmpty,
+      s"upsert batch carries a null `$idCol` — null is not a row " +
+        "identity (old copies are purged by joining on it); drop or " +
+        "key null rows first")
     val ids = deduped.select(col(idCol))
-    val affected = affectedBuckets(spark, root, manifest, ids, idCol)
+    val affected = affectedBuckets(spark, root, meta, manifest, ids, idCol)
     val affFiles = manifest.filter(f => affected(f.bucket))
     val (survivors, before) =
       if (affFiles.isEmpty) (None, 0L)
@@ -664,18 +775,117 @@ object ZStore {
   }
 
   /** The curve buckets holding any of `ids` — one narrow
-    * (`idCol`, file-path metadata) scan over the manifest's files,
+    * (`idCol`, file-path metadata) scan over the CANDIDATE files,
     * bucket parsed from the pool path (`__zb=<b>` is the write
-    * layout's partition directory), result bounded by 2^bucketBits. */
+    * layout's partition directory), result bounded by 2^bucketBits.
+    *
+    * When the store declared this id column at [[init]], the scan is
+    * first pruned by MANIFEST ARITHMETIC ([[locateCandidateFiles]]):
+    * only files whose stamped id [min, max] admits some batch id are
+    * opened — the same data-skipping move [[readRange]] makes over
+    * the curve, applied to the identity axis, and the fix for the
+    * O(table) locate term the 60M probe named dominant for small
+    * mutations. Files without stats (pre-stat manifests, all-null-id
+    * files) are always candidates — pruning errs wide, never drops. */
   private def affectedBuckets(spark: SparkSession, root: String,
-                              manifest: Seq[ZFile], ids: DataFrame,
-                              idCol: String): Set[Int] =
-    spark.read.parquet(manifest.map(f => s"$root/${f.path}"): _*)
+                              meta: ZMeta, manifest: Seq[ZFile],
+                              ids: DataFrame, idCol: String): Set[Int] = {
+    val candidates = locateCandidateFiles(meta, manifest, ids, idCol)
+    if (candidates.isEmpty) Set.empty
+    else spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
       .select(col(idCol), col("_metadata.file_path").as("__fp"))
       .join(broadcast(ids), Seq(idCol), "left_semi")
       .select(regexp_extract(col("__fp"), "__zb=(\\d+)/", 1)
         .cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Distinct-id cap for the per-id manifest test: past it the pruning
+    * falls back to ONE [min, max] interval test of the whole batch
+    * (still conservative-correct, two aggregated values crossing the
+    * driver instead of the id set). */
+  private val MaxLocateIds = 1 << 20
+
+  /** The manifest files that could hold some id of `ids` — driver-side
+    * arithmetic over the stamped per-file id [min, max], no IO beyond
+    * one bounded collect of the (broadcast-small by contract) id set.
+    * Conservative by construction: stores whose meta never declared
+    * this id column, files stamped before the stat existed, and
+    * all-null-id files (no extremes) are always kept; only a file
+    * whose stamped range PROVABLY excludes every batch id is skipped.
+    * Integral ids compare numerically, string ids in UTF-8 byte order
+    * (Spark's own min/max ordering for strings — a UTF-16
+    * `compareTo` would disagree past the BMP and could wrongly skip). */
+  private[graft] def locateCandidateFiles(meta: ZMeta, manifest: Seq[ZFile],
+      ids: DataFrame, idCol: String): Seq[ZFile] = {
+    if (!meta.idCol.contains(idCol) ||
+        !manifest.exists(f => f.idMin.isDefined && f.idMax.isDefined))
+      return manifest
+    val cmp = idComparator(meta.schemaTypes(meta.schemaCols.indexOf(idCol)))
+      .getOrElse(return manifest)
+    val collected = ids.na.drop().limit(MaxLocateIds + 1)
+      .collect().map(_.get(0).toString)
+    if (collected.isEmpty) return Seq.empty
+    if (collected.length > MaxLocateIds) {
+      // id set too big to hold driver-side: one interval test on the
+      // batch's own extremes (a spanning batch keeps everything — it
+      // would have anyway)
+      val r = ids.agg(min(col(idCol)).cast("string"),
+        max(col(idCol)).cast("string")).head()
+      val (qLo, qHi) = (r.getString(0), r.getString(1))
+      return manifest.filter(f => (f.idMin, f.idMax) match {
+        case (Some(mn), Some(mx)) =>
+          cmp(qLo, mx) <= 0 && cmp(mn, qHi) <= 0
+        case _ => true
+      })
+    }
+    val sorted = collected.sortWith(cmp(_, _) < 0)
+    // first sorted id >= lo, then check it is <= hi: any-id-in-range
+    def admits(lo: String, hi: String): Boolean = {
+      var l = 0; var r = sorted.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (cmp(sorted(m), lo) < 0) l = m + 1 else r = m
+      }
+      l < sorted.length && cmp(sorted(l), hi) <= 0
+    }
+    manifest.filter(f => (f.idMin, f.idMax) match {
+      case (Some(mn), Some(mx)) => admits(mn, mx)
+      case _ => true
+    })
+  }
+
+  /** Catalog types that can stamp per-file id statistics, and the
+    * driver-side comparator over their string encoding. Fractional
+    * and temporal identities are refused at [[init]] (a double id is
+    * not an identity; FP re-encoding could narrow the range). */
+  private[graft] val StampableIdTypes =
+    Set("tinyint", "smallint", "int", "bigint", "string")
+
+  private def idComparator(typeStr: String)
+      : Option[(String, String) => Int] = typeStr match {
+    case "tinyint" | "smallint" | "int" | "bigint" =>
+      Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+    case "string" => Some(utf8Compare)
+    case _ => None
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — the binary ordering
+    * Spark's min/max aggregates use for strings, mirrored so the
+    * driver-side range test can never order differently and wrongly
+    * skip a file (Java's `compareTo` disagrees for supplementary
+    * characters). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** The cumulative absorb statistics of the current version. */
   def stats(spark: SparkSession, root: String): ZStats = {
@@ -773,27 +983,40 @@ object ZStore {
     * alternating with the publish — the loop-internal exclusion
     * argument as everywhere else). Single-writer contract applies:
     * do not run concurrently with a stream's inline housekeeping on
-    * the same root. */
+    * the same root.
+    *
+    * `writeFanOut` threads through to BOTH acted paths — the offline
+    * relayout this scheduler exists to run is exactly the
+    * one-task-per-bucket straggler case the dial was measured 2.8× on
+    * (PLANS.md 24M probe), and before round 20 the loop body could
+    * not pass it. Bounded by `maxFilesPerBucket` so a fanned-out fold
+    * cannot re-trip the fragmentation trigger it just serviced. */
   def autoMaintain(spark: SparkSession, root: String,
                    maxFilesPerBucket: Int = 1, clampFloor: Double = 0.05,
                    minAbsorbed: Long = 10000L, skewFactor: Double = 8.0,
                    maxBucketsPerFold: Int = Int.MaxValue,
                    allowRelayout: Boolean = true,
-                   keepVersions: Int = 0): ZAutoReport = {
+                   keepVersions: Int = 0,
+                   writeFanOut: Int = 1): ZAutoReport = {
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
+    require(writeFanOut <= maxFilesPerBucket,
+      s"writeFanOut $writeFanOut above maxFilesPerBucket " +
+        s"$maxFilesPerBucket would re-trip the fold it just ran")
     val ad = advice(spark, root, maxFilesPerBucket, clampFloor,
       minAbsorbed, skewFactor)
     val (acted, v, why) = ad.action match {
       case "relayout" if allowRelayout =>
-        val nv = relayout(spark, root, equalDepth = ad.equalDepth)
+        val nv = relayout(spark, root, equalDepth = ad.equalDepth,
+          writeFanOut = writeFanOut)
         (if (ad.equalDepth) "relayout-equal-depth" else "relayout",
           Some(nv),
           s"relayout committed v$nv" +
             (if (ad.equalDepth) " with equal-depth ranks (occupancy " +
               f"skew ${ad.occupancySkew.getOrElse(0.0)}%.1fx)" else ""))
       case "relayout" if ad.fragmentedBuckets > 0 =>
-        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold)
+        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold,
+          writeFanOut)
         ("maintain", m.version,
           "relayout withheld (allowRelayout=false) — folded " +
             s"fragmentation meanwhile: ${m.reason}")
@@ -801,7 +1024,8 @@ object ZStore {
         ("none", None,
           "relayout withheld (allowRelayout=false) and nothing to fold")
       case "maintain" =>
-        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold)
+        val m = maintain(spark, root, maxFilesPerBucket, maxBucketsPerFold,
+          writeFanOut)
         ("maintain", m.version, m.reason)
       case _ =>
         ("none", None, "healthy — store unchanged")
@@ -950,19 +1174,42 @@ object ZStore {
         }
       }
     if (files.isEmpty) return files
-    // per-file counts: one job over the file-path metadata column —
-    // no payload column is decoded; keyed by path SUFFIX because the
-    // metadata path is fully qualified (file:///…) while manifest
-    // paths are root-relative
+    // per-file counts (+ id extremes when the store declared an id
+    // column): one job over the file-path metadata column — only the
+    // id column's payload is decoded, and only when stamped; keyed by
+    // path SUFFIX because the metadata path is fully qualified
+    // (file:///…) while manifest paths are root-relative
     val marker = s"data/$attempt/"
-    val counts = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val statId = meta.idCol.filter(c =>
+      meta.schemaCols.indexOf(c) >= 0 &&
+        StampableIdTypes.contains(meta.schemaTypes(meta.schemaCols.indexOf(c))))
+    val grouped = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map { r =>
-        val fp = r.getString(0)
-        fp.substring(fp.lastIndexOf(marker)) -> r.getLong(1)
-      }.toMap
-    files.map(f => f.copy(rows = counts.getOrElse(f.path, 0L)))
+    val aggd = statId match {
+      case Some(c) => grouped.agg(count(lit(1)).as("__n"),
+        min(col(c)).cast("string").as("__mn"),
+        max(col(c)).cast("string").as("__mx"))
+      case None => grouped.agg(count(lit(1)).as("__n"),
+        lit(null).cast("string").as("__mn"),
+        lit(null).cast("string").as("__mx"))
+    }
+    val stats = aggd.collect().map { r =>
+      val fp = r.getString(0)
+      val idx = fp.lastIndexOf(marker)
+      if (idx < 0) throw new IllegalStateException(
+        s"written pool file path `$fp` does not contain its attempt " +
+          s"marker `$marker` — cannot key its stamped statistics; " +
+          "refusing to publish a manifest with phantom stats")
+      fp.substring(idx) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
+    }.toMap
+    files.map { f =>
+      val (n, mn, mx) = stats.getOrElse(f.path, throw new IllegalStateException(
+        s"no row count read back for just-written pool file ${f.path} — " +
+          "a stamped 0 would trip the reconciliation gates with a " +
+          "misleading row mismatch; refusing to publish"))
+      f.copy(rows = n, idMin = mn, idMax = mx)
+    }
   }
 
   private def deleteFiles(spark: SparkSession, root: String,
@@ -1016,6 +1263,7 @@ object ZStore {
     val cols = o.putArray("cols"); meta.cols.foreach(cols.add)
     o.put("bits", meta.bits)
     o.put("bucketBits", meta.bucketBits)
+    meta.idCol.foreach(o.put("idCol", _))
     val sc = o.putArray("schemaCols"); meta.schemaCols.foreach(sc.add)
     val st = o.putArray("schemaTypes"); meta.schemaTypes.foreach(st.add)
     val rs = o.putArray("ranks")
@@ -1054,7 +1302,8 @@ object ZStore {
       n.get("cols").elements().asScala.map(_.asText()).toSeq,
       n.get("bits").asInt(), n.get("bucketBits").asInt(), ranks,
       n.get("schemaCols").elements().asScala.map(_.asText()).toSeq,
-      n.get("schemaTypes").elements().asScala.map(_.asText()).toSeq)
+      n.get("schemaTypes").elements().asScala.map(_.asText()).toSeq,
+      Option(n.get("idCol")).map(_.asText()))
   }
 
   private[graft] def manifestJson(files: Seq[ZFile], stats: ZStats,
@@ -1067,6 +1316,8 @@ object ZStore {
     files.foreach { f =>
       val e = fsArr.addObject(); e.put("path", f.path)
       e.put("bucket", f.bucket); e.put("rows", f.rows)
+      f.idMin.foreach(e.put("idMin", _))
+      f.idMax.foreach(e.put("idMax", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
@@ -1083,7 +1334,9 @@ object ZStore {
     ZManifest(
       n.get("files").elements().asScala
         .map(e => ZFile(e.get("path").asText(), e.get("bucket").asInt(),
-          Option(e.get("rows")).map(_.asLong()).getOrElse(-1L)))
+          Option(e.get("rows")).map(_.asLong()).getOrElse(-1L),
+          Option(e.get("idMin")).map(_.asText()),
+          Option(e.get("idMax")).map(_.asText())))
         .toSeq,
       ZStats(longOr("absorbedRows", 0L), longOr("oobRows", 0L)),
       longOr("lastBatchId", -1L))

@@ -159,17 +159,15 @@ object CascadeServe {
       conf: org.apache.spark.SparkConf): Long =
     conf.getSizeAsMb("spark.executor.memory", "1g") << 20
 
-  /** The probe budget a micro-batch actually serves at: the
-    * maintenance-validated stamp ([[IndexStore.PairMeta.nprobe]]) is
-    * a FLOOR under the configured value — never serve the committed
-    * geometry below the budget its recall gate passed at (that
-    * re-creates the sag the adaptation corrected), while a configured
-    * budget above the stamp keeps its headroom (more probes never
-    * hurt recall). Unstamped versions serve at the configured value
-    * unchanged. */
+  /** The probe budget a micro-batch actually serves at — delegates to
+    * the ONE copy of the floor algebra ([[IndexStore.effectiveNprobe]]:
+    * stamp clamped at the version's cell count, then floored under the
+    * configured value; unstamped versions serve configured unchanged),
+    * shared with [[graft.operators.Ann]]'s batch opt-ins so streaming
+    * and batch serving cannot drift. */
   private[graft] def effectiveNprobe(configured: Int,
       meta: Option[IndexStore.PairMeta]): Int =
-    meta.flatMap(_.nprobe).filter(_ > configured).getOrElse(configured)
+    IndexStore.effectiveNprobe(configured, meta)
 
   /** foreachBatch body. Wire as
     * `.writeStream.option("checkpointLocation", ckpt)

@@ -73,12 +73,15 @@ object ZIngest {
   def absorbingSink(root: String, maxFilesPerBucket: Int = 8,
                     clampFloor: Double = 0.05, minAbsorbed: Long = 10000L,
                     keepVersions: Int = 2, relayoutInline: Boolean = false,
-                    foldBucketsPerCall: Int = 16)
+                    foldBucketsPerCall: Int = 16, writeFanOut: Int = 1)
                    (batch: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
     require(foldBucketsPerCall >= 1,
       s"foldBucketsPerCall $foldBucketsPerCall must be >= 1")
+    require(writeFanOut <= maxFilesPerBucket,
+      s"writeFanOut $writeFanOut above maxFilesPerBucket " +
+        s"$maxFilesPerBucket would re-trip the fold it just ran")
     val spark = batch.sparkSession
     // ONE emptiness/replay decision, inside absorb: the zero-row
     // report covers the empty batch (absorb's own isEmpty), the
@@ -87,7 +90,7 @@ object ZIngest {
     val r = ZStore.absorb(spark, root, batch, batchId = Some(batchId))
     if (r.rowsAbsorbed == 0L) return
     housekeep(spark, root, maxFilesPerBucket, clampFloor, minAbsorbed,
-      keepVersions, relayoutInline, foldBucketsPerCall)
+      keepVersions, relayoutInline, foldBucketsPerCall, writeFanOut)
   }
 
   /** foreachBatch body for a stream of UPSERTS — the reference store's
@@ -107,12 +110,15 @@ object ZIngest {
                     maxFilesPerBucket: Int = 8,
                     clampFloor: Double = 0.05, minAbsorbed: Long = 10000L,
                     keepVersions: Int = 2, relayoutInline: Boolean = false,
-                    foldBucketsPerCall: Int = 16)
+                    foldBucketsPerCall: Int = 16, writeFanOut: Int = 1)
                    (batch: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 0,
       s"keepVersions $keepVersions must be >= 0 (0 = never prune)")
     require(foldBucketsPerCall >= 1,
       s"foldBucketsPerCall $foldBucketsPerCall must be >= 1")
+    require(writeFanOut <= maxFilesPerBucket,
+      s"writeFanOut $writeFanOut above maxFilesPerBucket " +
+        s"$maxFilesPerBucket would re-trip the fold it just ran")
     val spark = batch.sparkSession
     // upsert refuses empty batches loudly (there is no id set to
     // apply), so the sink screens emptiness here — one limit-1 scan,
@@ -121,32 +127,39 @@ object ZIngest {
     val r = ZStore.upsert(spark, root, batch, idCol, Some(batchId))
     if (r.rowsUpserted == 0L) return // replay — nothing new published
     housekeep(spark, root, maxFilesPerBucket, clampFloor, minAbsorbed,
-      keepVersions, relayoutInline, foldBucketsPerCall)
+      keepVersions, relayoutInline, foldBucketsPerCall, writeFanOut)
   }
 
   /** The shared advice-driven housekeeping tail of both sinks — one
     * copy of the action dispatch, so the relayout-pending fold
-    * fallback cannot drift between them. */
+    * fallback cannot drift between them. `writeFanOut` reaches both
+    * the inline fold and the opt-in inline relayout — the fold over a
+    * huge bucket is the same one-task-per-bucket straggler the dial
+    * was measured on ([[graft.sources.ZStore.autoMaintain]]'s note). */
   private def housekeep(spark: org.apache.spark.sql.SparkSession,
                         root: String, maxFilesPerBucket: Int,
                         clampFloor: Double, minAbsorbed: Long,
                         keepVersions: Int, relayoutInline: Boolean,
-                        foldBucketsPerCall: Int): Unit = {
+                        foldBucketsPerCall: Int,
+                        writeFanOut: Int): Unit = {
     val ad = ZStore.advice(spark, root, maxFilesPerBucket, clampFloor,
       minAbsorbed)
     ad.action match {
       case "maintain" =>
-        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall)
+        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall,
+          writeFanOut)
       case "relayout" if relayoutInline =>
         // small-store opt-in; the advice names the rank family the
         // occupancy evidence recommends
-        ZStore.relayout(spark, root, equalDepth = ad.equalDepth)
+        ZStore.relayout(spark, root, equalDepth = ad.equalDepth,
+          writeFanOut = writeFanOut)
       case "relayout" if ad.fragmentedBuckets > 0 =>
         // relayout left to the offline scheduler — but relayout advice
         // OUTRANKS maintain advice, so a store in sustained envelope
         // drift would otherwise never compact inline and fragmentation
         // would grow without bound while the relayout is pending
-        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall)
+        ZStore.maintain(spark, root, maxFilesPerBucket, foldBucketsPerCall,
+          writeFanOut)
       case _ => () // healthy, or drifted-but-unfragmented
     }
     if (keepVersions >= 1) ZStore.prune(spark, root, keepVersions)

@@ -178,6 +178,57 @@ class AnnSpec extends SparkSpec {
         "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse(""))
   }
 
+  test("adoptStampedNprobe: batch serving floors at the maintenance-validated stamp, headroom and opt-out keep the configured budget") {
+    // the CascadeServeSpec identity triple, on the BATCH path: a pair
+    // version stamped at nprobe 2 served with a configured budget of 1
+    // must row-equal the unstamped twin served at 2, and differ from
+    // the unstamped twin served at 1 — the batch consumer adopted the
+    // budget the committed geometry was validated at, not the stale
+    // config. Opt-out (the default) keeps configured-budget semantics.
+    val base = java.nio.file.Files.createTempDirectory("ivf_floor_").toString
+    val assigned = Ann.ivfAssign(corpus, "embedding", "vec_id",
+      cents, "cid", "cvec")
+    val stampedRoot = s"$base/stamped"
+    val plainRoot = s"$base/plain"
+    val vS = graft.sources.IndexStore.writeVersionedWithCentroids(
+      assigned, cents, stampedRoot, Some(2))
+    val vP = graft.sources.IndexStore.writeVersionedWithCentroids(
+      assigned, cents, plainRoot)
+    // a query near cluster 0 whose true top-5 straddles both clusters?
+    // no — both clusters are far apart; to make nprobe 1 vs 2 differ,
+    // ask for more neighbors than cluster 0 holds
+    val qv = typedlit(Seq(0.05, 0.1))
+    def serve(root: String, v: Long, np: Int, adopt: Boolean) =
+      Ann.ivfSearchStore(spark, s"$root/v$v", "embedding", "vec_id",
+          cents, "cid", "cvec", qv, k = 25, np, adoptStampedNprobe = adopt)
+        .select("vec_id").as[Long].collect().toSeq
+    val adopted = serve(stampedRoot, vS, 1, adopt = true)
+    val reference = serve(plainRoot, vP, 2, adopt = false)
+    val starved = serve(plainRoot, vP, 1, adopt = false)
+    assert(adopted == reference,
+      "the stamped budget was not adopted as the batch serving floor")
+    assert(starved != reference,
+      "fixture too weak: nprobe 1 vs 2 must differ for the floor to matter")
+    // opt-out: the stamped root served without adoption stays starved
+    assert(serve(stampedRoot, vS, 1, adopt = false) == starved)
+    // headroom: configured 2 on the stamped root is already at the
+    // stamp; adoption changes nothing
+    assert(serve(stampedRoot, vS, 2, adopt = true) == reference)
+    // unstamped root with adoption on: configured unchanged (no stamp)
+    assert(serve(plainRoot, vP, 1, adopt = true) == starved)
+    // the batch form floors identically
+    val qs = Seq((900L, Array(0.05f, 0.1f))).toDF("qid", "qv")
+    def serveBatch(root: String, v: Long, np: Int, adopt: Boolean) =
+      Ann.ivfSearchStoreBatch(spark, s"$root/v$v", "embedding", "vec_id",
+          cents, "cid", "cvec", qs, "qid", "qv", k = 25, np,
+          adoptStampedNprobe = adopt)
+        .orderBy("knn_rank").select("vec_id").as[Long].collect().toSeq
+    assert(serveBatch(stampedRoot, vS, 1, adopt = true) ==
+      serveBatch(plainRoot, vP, 2, adopt = false))
+    assert(serveBatch(stampedRoot, vS, 1, adopt = true) !=
+      serveBatch(plainRoot, vP, 1, adopt = false))
+  }
+
   test("ivfSearchStoreWhere: filtered top-k, both prunings visible in ONE scan") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store_f_").toString
     // give every vector a label so the predicate has survivors + victims

@@ -378,12 +378,19 @@ class CascadeServeSpec extends SparkSpec {
 
   test("a maintenance-stamped nprobe floors the configured budget; headroom above it is kept") {
     // the pure algebra first: stamp floors, config headroom wins, no
-    // stamp / no meta = configured unchanged
+    // stamp / no meta = configured unchanged — and the stamp is
+    // clamped at the version's own cell count before flooring (a
+    // corrupted `nprobe: 100000` meta must serve at nClusters, not at
+    // the stamp: probing more cells than exist is pure waste)
     import IndexStore.PairMeta
-    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 2, Some(8)))) == 8)
-    assert(CascadeServe.effectiveNprobe(16, Some(PairMeta(10, 2, Some(8)))) == 16)
-    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 2, None))) == 4)
+    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 32, Some(8)))) == 8)
+    assert(CascadeServe.effectiveNprobe(16, Some(PairMeta(10, 32, Some(8)))) == 16)
+    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 32, None))) == 4)
     assert(CascadeServe.effectiveNprobe(4, None) == 4)
+    // over-stamped meta: clamped to the 32 cells that exist
+    assert(CascadeServe.effectiveNprobe(1, Some(PairMeta(10, 32, Some(100000)))) == 32)
+    // clamped stamp below the configured value: configured wins
+    assert(CascadeServe.effectiveNprobe(4, Some(PairMeta(10, 2, Some(8)))) == 4)
     // end to end: one root stamped at nprobe 3 served with a config of
     // 1 must equal the UNstamped root served at 3 — the sink adopted
     // the committed geometry's validated budget, not the stale config

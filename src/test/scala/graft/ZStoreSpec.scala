@@ -775,4 +775,163 @@ class ZStoreSpec extends SparkSpec {
     val (_, manW, _) = ZStore.loadCurrent(spark, rootW)
     assert(manW.groupBy(_.bucket).forall(_._2.length <= 1))
   }
+
+  test("id statistics: the locate scan prunes by manifest arithmetic; scattered stores degrade conservatively; null ids refuse") {
+    val root = Files.createTempDirectory("graft_zidstat").toString + "/t"
+    // layout on the id itself: curve buckets are contiguous id
+    // ranges — the monotone-id regime the pruning exists for
+    val rows = spark.range(0, 8000).select(
+      col("id").cast("double").as("x"), col("id").as("rid"))
+    ZStore.init(rows, Seq("x"), root, bits = 6, bucketBits = 4,
+      idCol = Some("rid"))
+    val (meta, man, _) = ZStore.loadCurrent(spark, root)
+    assert(meta.idCol.contains("rid"))
+    assert(man.forall(f => f.idMin.isDefined && f.idMax.isDefined),
+      s"every init file must stamp id extremes: $man")
+    // a localized band admits a strict minority of files
+    val band = spark.range(100, 140).select(col("id").as("rid"))
+    val cand = ZStore.locateCandidateFiles(meta, man, band, "rid")
+    assert(cand.length < man.length / 2,
+      s"localized band kept ${cand.length} of ${man.length} files")
+    // the per-id test beats one spanning interval: two extreme ids
+    // admit only the files that could hold THEM, not everything
+    // between (the compliance-delete shape)
+    val scattered = Seq(3L, 7777L).toDF("rid")
+    val cand2 = ZStore.locateCandidateFiles(meta, man, scattered, "rid")
+    assert(cand2.length < man.length / 2,
+      s"two scattered ids kept ${cand2.length} of ${man.length} files " +
+        "— the per-id admit test must not degrade to their interval")
+    // an id column the meta never declared: full manifest, never fewer
+    assert(ZStore.locateCandidateFiles(meta, man, band, "x") == man)
+    // end-to-end through the pruned path: delete exact, upsert exact
+    val del = ZStore.delete(spark, root, band, "rid")
+    assert(del.rowsDeleted == 40, del.toString)
+    assert(ZStore.read(spark, root)
+      .filter(col("rid").between(100, 139)).count() == 0)
+    val up = spark.range(200, 220).select(lit(42.0).as("x"),
+      col("id").as("rid"))
+    val ur = ZStore.upsert(spark, root, up, "rid")
+    assert(ur.rowsUpserted == 20 && ur.oldCopiesRemoved == 20, ur.toString)
+    assert(ZStore.read(spark, root).count() == 7960)
+    // stats survive the whole lifecycle — every rewrite restamps
+    ZStore.maintain(spark, root, maxFilesPerBucket = 1)
+    ZStore.relayout(spark, root)
+    ZStore.prune(spark, root, keep = 1)
+    val (meta2, man2, _) = ZStore.loadCurrent(spark, root)
+    assert(meta2.idCol.contains("rid"))
+    assert(man2.forall(f => f.idMin.isDefined && f.idMax.isDefined),
+      "id stats must survive maintain/relayout/prune")
+    assert(ZStore.read(spark, root).count() == 7960)
+    // null identities refuse loudly on both mutation paths
+    val withNull = Seq[Option[Long]](Some(5L), None).toDF("rid")
+    val eD = intercept[IllegalArgumentException] {
+      ZStore.delete(spark, root, withNull, "rid")
+    }
+    assert(eD.getMessage.contains("null"), eD.getMessage)
+    val eU = intercept[IllegalArgumentException] {
+      ZStore.upsert(spark, root,
+        withNull.select(lit(1.0).as("x"), col("rid")), "rid")
+    }
+    assert(eU.getMessage.contains("null"), eU.getMessage)
+    // a fractional id is not an identity — init refuses by name
+    val eI = intercept[IllegalArgumentException] {
+      ZStore.init(rows, Seq("x"),
+        Files.createTempDirectory("graft_zidbad").toString + "/t",
+        bits = 6, bucketBits = 4, idCol = Some("x"))
+    }
+    assert(eI.getMessage.contains("x"), eI.getMessage)
+  }
+
+  test("readRange: temporal bounds rank through the epoch mirror, the residual predicate stays typed, numbers refuse") {
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("graft_ztemp").toString + "/t"
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    val rows = spark.range(0, 5000).select(
+      (lit(t0) + col("id") * 3600).cast("timestamp").as("ts"),
+      (col("id") % 100).cast("double").as("v"),
+      col("id").as("rid"))
+    ZStore.init(rows, Seq("ts", "v"), root, bits = 5, bucketBits = 6)
+    def tsOf(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val (lo, hi) = (tsOf("2024-02-01T00:00:00Z"), tsOf("2024-02-10T00:00:00Z"))
+    val got = ZStore.readRange(spark, root, Map("ts" -> (lo, hi)))
+      .select("rid").as[Long].collect().toSet
+    val want = ZStore.read(spark, root)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .select("rid").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty, s"got ${got.size}, want ${want.size}")
+    // the temporal dimension PRUNES (it is no longer a filter-on-top)
+    val (meta, man, _) = ZStore.loadCurrent(spark, root)
+    val kept = ZStore.rangeKeptBuckets(meta, oobSeen = false,
+      ZStore.rankBoundsOf(spark, meta, Map("ts" -> (lo, hi))))
+    assert(kept.size < meta.nBuckets / 2,
+      s"selective time slice kept ${kept.size} of ${meta.nBuckets} buckets")
+    assert(man.count(f => kept.toSet(f.bucket)) < man.length / 2)
+    // out-of-envelope temporal bounds clamp to the edge ranks
+    // (monotone — the same algebra as numeric width bounds): a range
+    // wholly beyond the data is empty, a straddling one finds the edge
+    assert(ZStore.readRange(spark, root,
+      Map("ts" -> (tsOf("2030-01-01T00:00:00Z"),
+        tsOf("2031-01-01T00:00:00Z")))).count() == 0)
+    val lastTs = Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + 4999L * 3600))
+    assert(ZStore.readRange(spark, root,
+      Map("ts" -> (lastTs, tsOf("2031-01-01T00:00:00Z")))).count() == 1,
+      "the envelope-edge row must survive an out-of-envelope hi bound")
+    // java.time bounds work too, and agree with the java.sql twins
+    val viaInstant = ZStore.readRange(spark, root,
+      Map("ts" -> (java.time.Instant.parse("2024-02-01T00:00:00Z"),
+        java.time.Instant.parse("2024-02-10T00:00:00Z"))))
+      .select("rid").as[Long].collect().toSet
+    assert(viaInstant == got)
+    // a DATE layout dimension takes LocalDate/Date bounds (ranked at
+    // session-zone midnight, exactly as the layout ranked the data)
+    val rootD = Files.createTempDirectory("graft_zdate").toString + "/t"
+    val drows = spark.range(0, 2000).select(
+      date_add(lit("2024-01-01").cast("date"),
+        (col("id") % 500).cast("int")).as("d"),
+      col("id").as("rid"))
+    ZStore.init(drows, Seq("d"), rootD, bits = 6, bucketBits = 4)
+    val (dlo, dhi) = (java.time.LocalDate.parse("2024-03-01"),
+      java.time.LocalDate.parse("2024-03-20"))
+    val gotD = ZStore.readRange(spark, rootD, Map("d" -> (dlo, dhi)))
+      .select("rid").as[Long].collect().toSet
+    val wantD = ZStore.read(spark, rootD)
+      .filter(col("d") >= lit(dlo) && col("d") <= lit(dhi))
+      .select("rid").as[Long].collect().toSet
+    assert(gotD == wantD && gotD.nonEmpty)
+    // a bare epoch number on a temporal dim refuses loudly — there is
+    // no pushdown-able residual predicate to build from it
+    val e = intercept[IllegalArgumentException] {
+      ZStore.readRange(spark, root, Map("ts" -> (1.0, 2.0)))
+    }
+    assert(e.getMessage.contains("typed temporal bound"), e.getMessage)
+  }
+
+  test("autoMaintain and the streaming fold thread writeFanOut: folded buckets land as fanOut sub-range files") {
+    val root = Files.createTempDirectory("graft_zautofan").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), root, bits = 4, bucketBits = 3)
+    ZStore.absorb(spark, root, grid(3600, 7200))
+    ZStore.absorb(spark, root, grid(7200, 10800))
+    val (_, manBefore, _) = ZStore.loadCurrent(spark, root)
+    assert(manBefore.groupBy(_.bucket).exists(_._2.length > 2),
+      "fixture must be fragmented past the cap")
+    val r = ZStore.autoMaintain(spark, root, maxFilesPerBucket = 2,
+      minAbsorbed = 1000000, writeFanOut = 2)
+    assert(r.acted == "maintain" && r.version.isDefined, r.toString)
+    val (_, man, _) = ZStore.loadCurrent(spark, root)
+    val perBucket = man.groupBy(_.bucket).map(_._2.length)
+    assert(perBucket.forall(_ <= 2), s"fold must respect the cap: $man")
+    assert(perBucket.exists(_ == 2),
+      "fanOut 2 must actually split some folded bucket into two files")
+    assert(ZStore.read(spark, root).count() == 10800)
+    // the guard: a fan-out above the cap would re-trip the fold
+    intercept[IllegalArgumentException] {
+      ZStore.autoMaintain(spark, root, maxFilesPerBucket = 1,
+        writeFanOut = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.ZIngest.absorbingSink(root, maxFilesPerBucket = 1,
+        writeFanOut = 4)(grid(0, 10), 99L)
+    }
+  }
 }

@@ -1065,39 +1065,46 @@ object ZStore {
       }
     }
     // GC: pool files referenced by NO kept manifest. Paths are
-    // relativized against the QUALIFIED root — listFiles returns
+    // relativized against the QUALIFIED root — the walk returns
     // fully-qualified paths, so stripping a relative root string would
     // relativize NOTHING and this loop would delete every live file
     // (a relative `root` works for init/absorb/read, so the first
     // warning would have been the destroyed store; spec-pinned on a
-    // relative root).
+    // relative root). The walk is a plain listStatus recursion, NOT
+    // `fs.listFiles(recursive)` — the located-status iterator fetches
+    // BLOCK LOCATIONS per file, which the GC never reads, and at high
+    // bucket counts that metadata is the whole cost (measured: 45 s to
+    // walk 4k files at bucketBits=10, ~0.1 s via listStatus — the
+    // round-20 1024-bucket probe caught prune dominating every batch).
     val referenced = keepSet.toSeq.flatMap(v =>
       readManifest(spark, root, v).map(_.path)).toSet
     val dataRoot = new Path(p, "data")
     var deleted = 0L
     if (fs.exists(dataRoot)) {
-      val it = fs.listFiles(dataRoot, true)
-      val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val fp = fs.makeQualified(f).toUri.getPath
-        // only delete what provably relativizes under the root AND is
-        // unreferenced — a path that fails to relativize is left alone
-        if (f.getName.endsWith(".parquet") && fp.startsWith(rootUri + "/") &&
-            !referenced.contains(fp.stripPrefix(rootUri).stripPrefix("/"))) {
-          fs.delete(f, false)
-          deleted += 1
+      def walkFiles(d: Path): Seq[Path] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          if (st.isDirectory) walkFiles(st.getPath) else Seq(st.getPath)
         }
-      }
-      // sweep pool directories holding no parquet anymore (a uuid dir
-      // keeps its write-time _SUCCESS marker, so "empty" means "no
-      // data files left under it", not literally empty)
+      val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { u =>
-        val it2 = fs.listFiles(u.getPath, true)
-        var hasParquet = false
-        while (!hasParquet && it2.hasNext)
-          hasParquet = it2.next().getPath.getName.endsWith(".parquet")
-        if (!hasParquet) fs.delete(u.getPath, true)
+        var live = false
+        walkFiles(u.getPath).foreach { f =>
+          val fp = fs.makeQualified(f).toUri.getPath
+          if (f.getName.endsWith(".parquet")) {
+            // only delete what provably relativizes under the root AND
+            // is unreferenced — a path that fails to relativize is
+            // left alone
+            if (fp.startsWith(rootUri + "/") &&
+                !referenced.contains(fp.stripPrefix(rootUri).stripPrefix("/"))) {
+              fs.delete(f, false)
+              deleted += 1
+            } else live = true
+          }
+        }
+        // sweep pool directories holding no parquet anymore (a uuid
+        // dir keeps its write-time _SUCCESS marker, so "empty" means
+        // "no data files left under it", not literally empty)
+        if (!live) fs.delete(u.getPath, true)
       }
     }
     (doomed, deleted)
@@ -1174,42 +1181,85 @@ object ZStore {
         }
       }
     if (files.isEmpty) return files
-    // per-file counts (+ id extremes when the store declared an id
-    // column): one job over the file-path metadata column — only the
-    // id column's payload is decoded, and only when stamped; keyed by
-    // path SUFFIX because the metadata path is fully qualified
-    // (file:///…) while manifest paths are root-relative
-    val marker = s"data/$attempt/"
-    val statId = meta.idCol.filter(c =>
-      meta.schemaCols.indexOf(c) >= 0 &&
-        StampableIdTypes.contains(meta.schemaTypes(meta.schemaCols.indexOf(c))))
-    val grouped = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-      .groupBy(col("_metadata.file_path").as("__fp"))
-    val aggd = statId match {
-      case Some(c) => grouped.agg(count(lit(1)).as("__n"),
-        min(col(c)).cast("string").as("__mn"),
-        max(col(c)).cast("string").as("__mx"))
-      case None => grouped.agg(count(lit(1)).as("__n"),
-        lit(null).cast("string").as("__mn"),
-        lit(null).cast("string").as("__mx"))
+    // per-file counts + id extremes straight from the PARQUET FOOTERS
+    // of the just-written files (driver-side, one footer read per
+    // file — the metadata the writer already wrote; zero data pages
+    // decoded): the pre-round-20 Spark count job read no payload, but
+    // adding min/max of the id column to it forced decoding the whole
+    // id column per write (+9 s on a 20M init, measured), while the
+    // footer already carries both the row count and the column's
+    // min/max bounds. Parquet statistics are BOUNDS by contract (a
+    // truncated binary max is >= every value, a truncated min <=) —
+    // exactly the conservative semantic the locate pruning needs.
+    // Files indexed directly off our own listing: no path re-keying,
+    // and a file whose footer cannot be read fails the write loudly
+    // rather than stamping a phantom 0 into the reconciliation gates.
+    val statId: Option[(String, String)] = meta.idCol.collect {
+      case c if meta.schemaCols.indexOf(c) >= 0 &&
+          StampableIdTypes.contains(
+            meta.schemaTypes(meta.schemaCols.indexOf(c))) =>
+        (c, meta.schemaTypes(meta.schemaCols.indexOf(c)))
     }
-    val stats = aggd.collect().map { r =>
-      val fp = r.getString(0)
-      val idx = fp.lastIndexOf(marker)
-      if (idx < 0) throw new IllegalStateException(
-        s"written pool file path `$fp` does not contain its attempt " +
-          s"marker `$marker` — cannot key its stamped statistics; " +
-          "refusing to publish a manifest with phantom stats")
-      fp.substring(idx) ->
-        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
-    }.toMap
-    files.map { f =>
-      val (n, mn, mx) = stats.getOrElse(f.path, throw new IllegalStateException(
-        s"no row count read back for just-written pool file ${f.path} — " +
-          "a stamped 0 would trip the reconciliation gates with a " +
-          "misleading row mismatch; refusing to publish"))
-      f.copy(rows = n, idMin = mn, idMax = mx)
-    }
+    // footer reads run on a bounded driver pool: sequential opens at
+    // bucketBits=10+ (1024 files per write) measured 6-9 s per batch —
+    // the metadata read must not rival the data write it stamps
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, files.length))
+    try {
+      files.map(f => pool.submit(
+        new java.util.concurrent.Callable[ZFile] {
+          def call(): ZFile =
+            stampFromFooter(spark, s"$root/${f.path}", f, statId)
+        })).map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** One file's manifest stamp from its parquet footer: exact row
+    * count (sum of row-group counts) and, when `statId` names the
+    * declared id column (name, catalog type), the column's [min, max]
+    * statistics combined across row groups — None when any row group
+    * lacks trustworthy statistics for it (all-null groups, stats
+    * disabled), which every consumer already treats as "could hold
+    * any id". String statistics compare in parquet's unsigned-byte
+    * order = Spark's = the locate pruning's [[utf8Compare]], so the
+    * three can never disagree. */
+  private def stampFromFooter(spark: SparkSession, fullPath: String,
+                              f: ZFile,
+                              statId: Option[(String, String)]): ZFile = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(fullPath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stat: Option[(String, String)] = statId.flatMap { case (c, t) =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            .map(s => (statString(s.genericGetMin.asInstanceOf[AnyRef]),
+              statString(s.genericGetMax.asInstanceOf[AnyRef])))
+        }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else idComparator(t).map { cmp =>
+          val all = perBlock.flatten
+          (all.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+           all.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+        }
+      }
+      f.copy(rows = rows, idMin = stat.map(_._1), idMax = stat.map(_._2))
+    } finally reader.close()
+  }
+
+  /** A parquet statistics value string-encoded the way the manifest
+    * and [[idComparator]] expect: integral stats as decimal digits,
+    * binary (string) stats as their UTF-8 text. */
+  private def statString(v: AnyRef): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
   }
 
   private def deleteFiles(spark: SparkSession, root: String,

@@ -840,6 +840,25 @@ class ZStoreSpec extends SparkSpec {
         bits = 6, bucketBits = 4, idCol = Some("x"))
     }
     assert(eI.getMessage.contains("x"), eI.getMessage)
+    // string identities stamp (parquet Binary footer stats) and prune
+    // in UTF-8 byte order end to end
+    val rootS = Files.createTempDirectory("graft_zidstr").toString + "/t"
+    val srows = spark.range(0, 2000).select(
+      col("id").cast("double").as("x"),
+      format_string("doc%06d", col("id")).as("sid"))
+    ZStore.init(srows, Seq("x"), rootS, bits = 6, bucketBits = 4,
+      idCol = Some("sid"))
+    val (metaS, manS, _) = ZStore.loadCurrent(spark, rootS)
+    assert(manS.forall(f => f.idMin.isDefined && f.idMax.isDefined),
+      s"string id stats must stamp from the footers: $manS")
+    val sband = spark.range(100, 120)
+      .select(format_string("doc%06d", col("id")).as("sid"))
+    val candStr = ZStore.locateCandidateFiles(metaS, manS, sband, "sid")
+    assert(candStr.length < manS.length / 2,
+      s"string band kept ${candStr.length} of ${manS.length} files")
+    val dS = ZStore.delete(spark, rootS, sband, "sid")
+    assert(dS.rowsDeleted == 20, dS.toString)
+    assert(ZStore.read(spark, rootS).count() == 1980)
   }
 
   test("readRange: temporal bounds rank through the epoch mirror, the residual predicate stays typed, numbers refuse") {

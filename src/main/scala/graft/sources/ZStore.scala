@@ -192,13 +192,15 @@ object ZStore {
     *
     * `idCol` declares the row-identity column [[delete]]/[[upsert]]
     * will key on: every write then stamps the file's id [min, max]
-    * into the manifest (one extra narrow aggregate inside the
-    * footer-count job the reconciliation gate already pays), and the
-    * locate scan prunes to the files whose stamped range admits some
-    * batch id — for monotone-ish ids (event streams, chunk ids) that
-    * skips most of the table; for scattered ids it degrades to the
-    * full narrow scan, never worse. Integral and string id types
-    * only (a fractional id is not an identity; refused loudly). */
+    * into the manifest — read straight from the parquet FOOTER
+    * statistics of the just-written files, the same metadata read
+    * that already supplies the reconciliation gate's row counts, so
+    * the stamp decodes zero data pages — and the locate scan prunes
+    * to the files whose stamped range admits some batch id. For
+    * monotone-ish ids (event streams, chunk ids) that skips most of
+    * the table; for scattered ids it degrades to the full narrow
+    * scan, never worse. Integral and string id types only (a
+    * fractional id is not an identity; refused loudly). */
   def init(df: DataFrame, cols: Seq[String], root: String,
            bits: Int = 8, bucketBits: Int = 5,
            equalDepth: Boolean = false, writeFanOut: Int = 1,
@@ -700,8 +702,16 @@ object ZStore {
       return ZUpsertReport(v, 0L, 0L, 0L, 0L,
         s"batch ${batchId.get} already applied (persisted lastBatchId " +
           s"${man.lastBatchId}) — replay skipped, store unchanged")
+    // The one blocking checkpoint in the store's write paths: the
+    // deduped batch materializes eagerly to executor storage because
+    // FOUR consumers read it (locate, count, oob, write) and
+    // recomputing a nondeterministic-upstream batch four times could
+    // even disagree with itself. SIZE CONTRACT, same as delete's
+    // tombstones: a batch is micro-batch-sized (broadcast-small ids,
+    // executor-memory-small rows) — half the table is not an upsert,
+    // it is a [[relayout]] of the merged read.
     val deduped = batch.dropDuplicates(idCol)
-      .localCheckpoint(true) // consumed by locate, count, oob, and write
+      .localCheckpoint(true)
     val nBatch = deduped.count()
     require(nBatch > 0, "upsert on an empty batch — nothing to apply")
     // the same null-identity refusal as delete: a null-id batch row

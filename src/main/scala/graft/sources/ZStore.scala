@@ -55,10 +55,11 @@ import graft.sources.ZOrderLayout.ZRank
   *    intra-bucket sort, NOT envelope width — so maintain is a
   *    scheduled compaction, not a correctness prop.
   *  - **Delete / Upsert by id** ([[delete]], [[upsert]]): copy-on-
-  *    write rewrite of ONLY the curve buckets holding the affected
+  *    write rewrite of ONLY the pool FILES holding the affected
   *    ids — retention/compliance deletes and the reference's
   *    upsert-by-id semantic without a full relayout; one narrow
-  *    locate scan plus a rewrite ∝ affected buckets.
+  *    locate scan (manifest-pruned when an id column is declared)
+  *    plus a rewrite ∝ affected files.
   *  - **Re-layout** ([[relayout]]): re-derive ranks from current
   *    content and rewrite everything — the full-cost escape hatch for
   *    real envelope drift (the absorb report's clamp counter trending
@@ -164,7 +165,9 @@ object ZStore {
                                    bucketsDeferred: Long = 0L)
 
   /** One row-level delete decision. `version` is None when no
-    * tombstoned id was present (nothing published). */
+    * tombstoned id was present (nothing published); `bucketsRewritten`
+    * counts the distinct buckets of the affected FILES (the rewrite
+    * itself is file-granular). */
   final case class ZDeleteReport(version: Option[Long], rowsDeleted: Long,
                                  bucketsRewritten: Long,
                                  filesRewritten: Long, reason: String)
@@ -590,15 +593,18 @@ object ZStore {
 
   /** Row-level delete by id — the retention/compliance path a 100 TB
     * append-only table cannot live without: copy-on-write rewrite of
-    * ONLY the curve buckets that hold a tombstoned row, published as a
-    * new version over the shared pool (untouched buckets' files are
-    * never read or rewritten). The reference store's semantic is
+    * ONLY the pool files that hold a tombstoned row (file granularity
+    * since round 20 — bucket granularity turned a consecutive-id
+    * delete into a full-table rewrite, because such an id set hashes
+    * across every curve bucket while touching one FILE per bucket),
+    * published as a new version over the shared pool (untouched files
+    * are never read or rewritten). The reference store's semantic is
     * upsert/delete by explicit id (`build_vectorstore.py:239`); this
     * closes the same gap for the layout store.
     *
     * Cost: one NARROW (`idCol`, `_metadata.file_path`) scan to locate
-    * the affected buckets — parquet column pruning keeps it
-    * payload-free — plus a rewrite ∝ affected buckets. When the store
+    * the affected files — parquet column pruning keeps it
+    * payload-free — plus a rewrite ∝ affected files. When the store
     * declared `idCol` at [[init]], the locate scan is first pruned by
     * the manifest's stamped per-file id [min, max]
     * ([[locateCandidateFiles]]): for monotone-ish ids it opens only
@@ -608,7 +614,7 @@ object ZStore {
     * degrades to the full narrow scan — the disclosed price of not
     * maintaining an id→bucket sidecar. `tombstones` must be broadcast-small (a delete batch,
     * not half the table; half the table is a [[relayout]] of the
-    * filtered read). Row-count gated: the rewritten buckets must hold
+    * filtered read). Row-count gated: the rewritten files must hold
     * exactly the survivors. The clamp statistics carry verbatim —
     * deletion neither absorbs nor re-ranks, and envelope drift that
     * already happened is not undone by removing rows.
@@ -635,11 +641,11 @@ object ZStore {
     require(ids.filter(col(idCol).isNull).isEmpty,
       s"delete tombstones carry a null `$idCol` — null is not a row " +
         "identity (the by-id purge joins on it); drop null ids first")
-    val affected = affectedBuckets(spark, root, meta, manifest, ids, idCol)
-    if (affected.isEmpty)
+    val affFiles = affectedFiles(spark, root, meta, manifest, ids, idCol)
+    if (affFiles.isEmpty)
       return ZDeleteReport(None, 0L, 0L, 0L,
         "no tombstoned id present in the store — store unchanged")
-    val affFiles = manifest.filter(f => affected(f.bucket))
+    val affBuckets = affFiles.map(_.bucket).distinct
     val affRead = spark.read.parquet(affFiles.map(f => s"$root/${f.path}"): _*)
     val before = affRead.count()
     val survivors = affRead.join(broadcast(ids), Seq(idCol), "left_anti")
@@ -659,22 +665,24 @@ object ZStore {
           "publish; rewritten files removed, store unchanged")
     }
     val man = manifestOf(spark, root, v)
-    val untouched = man.files.filterNot(f => affected(f.bucket))
+    val affSet = affFiles.map(_.path).toSet
+    val untouched = man.files.filterNot(f => affSet(f.path))
     val nv = publish(spark, root, meta, untouched ++ rewritten,
       man.stats, man.lastBatchId)
-    ZDeleteReport(Some(nv), before - nSurv, affected.size.toLong,
+    ZDeleteReport(Some(nv), before - nSurv, affBuckets.length.toLong,
       rewritten.length.toLong,
-      s"deleted ${before - nSurv} row(s) from ${affected.size} bucket(s) " +
-        s"(${affFiles.length} file(s) -> ${rewritten.length}), committed v$nv")
+      s"deleted ${before - nSurv} row(s) from ${affFiles.length} file(s) " +
+        s"across ${affBuckets.length} bucket(s) " +
+        s"(-> ${rewritten.length} rewritten), committed v$nv")
   }
 
   /** Upsert by id — new rows win per `idCol` (the reference's Chroma
     * `ids=` semantic, `build_vectorstore.py:239`): every OLD copy of a
-    * batch id is purged via the same copy-on-write bucket rewrite as
-    * [[delete]], and the batch lands ranked against the STAMPED
-    * envelopes like [[absorb]] — one published version, so readers
-    * flip from old copies to new atomically. Survivors of the
-    * affected buckets and the new rows are written in ONE pass (a
+    * batch id is purged via the same file-granular copy-on-write
+    * rewrite as [[delete]], and the batch lands ranked against the
+    * STAMPED envelopes like [[absorb]] — one published version, so
+    * readers flip from old copies to new atomically. Survivors of the
+    * affected files and the new rows are written in ONE pass (a
     * batch that lands in the buckets it vacates does not double the
     * file count). Duplicate ids WITHIN the batch are collapsed
     * (arbitrary winner — [[IndexStore.upsert]]'s contract); a batch
@@ -722,8 +730,8 @@ object ZStore {
         "identity (old copies are purged by joining on it); drop or " +
         "key null rows first")
     val ids = deduped.select(col(idCol))
-    val affected = affectedBuckets(spark, root, meta, manifest, ids, idCol)
-    val affFiles = manifest.filter(f => affected(f.bucket))
+    val affFiles = affectedFiles(spark, root, meta, manifest, ids, idCol)
+    val affBuckets = affFiles.map(_.bucket).distinct
     val (survivors, before) =
       if (affFiles.isEmpty) (None, 0L)
       else {
@@ -754,14 +762,16 @@ object ZStore {
           "batch rows — refusing to publish; files removed, store unchanged")
     }
     val removed = before - nSurv
-    val untouched = man.files.filterNot(f => affected(f.bucket))
+    val affSet = affFiles.map(_.path).toSet
+    val untouched = man.files.filterNot(f => affSet(f.path))
     val nv = publish(spark, root, meta, untouched ++ rewritten,
       ZStats(man.stats.absorbedRows + nBatch, man.stats.oobRows + nOob),
       batchId.getOrElse(man.lastBatchId))
-    ZUpsertReport(nv, nBatch, removed, affected.size.toLong, nOob,
+    ZUpsertReport(nv, nBatch, removed, affBuckets.length.toLong, nOob,
       s"upserted $nBatch row(s) (purged $removed old cop" +
-        s"${if (removed == 1) "y" else "ies"} across ${affected.size} " +
-        s"bucket(s), $nOob clamped) — committed v$nv")
+        s"${if (removed == 1) "y" else "ies"} from ${affFiles.length} " +
+        s"file(s) across ${affBuckets.length} bucket(s), $nOob clamped) " +
+        s"— committed v$nv")
   }
 
   /** The shared (name AND type) schema gate of [[absorb]] and
@@ -784,10 +794,14 @@ object ZStore {
     })
   }
 
-  /** The curve buckets holding any of `ids` — one narrow
-    * (`idCol`, file-path metadata) scan over the CANDIDATE files,
-    * bucket parsed from the pool path (`__zb=<b>` is the write
-    * layout's partition directory), result bounded by 2^bucketBits.
+  /** The manifest FILES holding any of `ids` — one narrow
+    * (`idCol`, file-path metadata) scan over the CANDIDATE files;
+    * [[delete]]/[[upsert]] copy-on-write rewrites ONLY these (file
+    * granularity, round 20 — the pre-round-20 bucket granularity
+    * rewrote every file of an affected bucket, which for an id set
+    * hashing across all buckets was a full-table rewrite; the 60M
+    * probe's 78k-consecutive-id delete rewrote 1244 files where 64
+    * held the ids).
     *
     * When the store declared this id column at [[init]], the scan is
     * first pruned by MANIFEST ARITHMETIC ([[locateCandidateFiles]]):
@@ -796,18 +810,25 @@ object ZStore {
     * the curve, applied to the identity axis, and the fix for the
     * O(table) locate term the 60M probe named dominant for small
     * mutations. Files without stats (pre-stat manifests, all-null-id
-    * files) are always candidates — pruning errs wide, never drops. */
-  private def affectedBuckets(spark: SparkSession, root: String,
-                              meta: ZMeta, manifest: Seq[ZFile],
-                              ids: DataFrame, idCol: String): Set[Int] = {
+    * files) are always candidates — pruning errs wide, never drops.
+    * Hits map back to manifest entries by path SUFFIX (attempt uuid +
+    * bucket dir + part name — unique by construction; a hit that
+    * matches no manifest entry fails loudly rather than silently
+    * leaving a stale copy unrewritten). */
+  private def affectedFiles(spark: SparkSession, root: String,
+                            meta: ZMeta, manifest: Seq[ZFile],
+                            ids: DataFrame, idCol: String): Seq[ZFile] = {
     val candidates = locateCandidateFiles(meta, manifest, ids, idCol)
-    if (candidates.isEmpty) Set.empty
-    else spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
+    if (candidates.isEmpty) return Seq.empty
+    val hits = spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
       .select(col(idCol), col("_metadata.file_path").as("__fp"))
       .join(broadcast(ids), Seq(idCol), "left_semi")
-      .select(regexp_extract(col("__fp"), "__zb=(\\d+)/", 1)
-        .cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+      .select(col("__fp")).distinct()
+      .collect().map(_.getString(0))
+    hits.foreach(fp => require(candidates.exists(f => fp.endsWith("/" + f.path)),
+      s"locate hit `$fp` matches no candidate manifest entry — " +
+        "refusing a rewrite that could leave a stale copy in place"))
+    candidates.filter(f => hits.exists(_.endsWith("/" + f.path)))
   }
 
   /** Distinct-id cap for the per-id manifest test: past it the pruning

@@ -446,6 +446,21 @@ class ZStoreSpec extends SparkSpec {
     }
     assert(ZStore.read(spark, root).count() == 3554,
       "the refused delete must leave the store unchanged")
+    // FILE granularity (round 20): ids living only in absorbed files
+    // leave the INIT files of the very same buckets untouched — a
+    // bucket-granular rewrite would rewrite them all
+    val rootF = Files.createTempDirectory("graft_zfilegran").toString + "/t"
+    ZStore.init(grid(0, 3600), Seq("x", "y"), rootF, bits = 4, bucketBits = 4)
+    val (_, manInit, _) = ZStore.loadCurrent(spark, rootF)
+    ZStore.absorb(spark, rootF, grid(3600, 7200))
+    val rF = ZStore.delete(spark, rootF,
+      spark.range(3600, 3700).select(col("id").as("rid")), "rid")
+    assert(rF.rowsDeleted == 100, rF.toString)
+    val (_, manAfter, _) = ZStore.loadCurrent(spark, rootF)
+    assert(manInit.map(_.path).toSet.subsetOf(manAfter.map(_.path).toSet),
+      "file-granular delete must not rewrite init files that merely " +
+        "share a bucket with the affected absorbed files")
+    assert(ZStore.read(spark, rootF).count() == 7100)
   }
 
   test("absorb batchId: a replayed batch no-ops, the persisted id survives maintain/relayout/prune, the sink is effectively-once") {

@@ -732,7 +732,44 @@ private[graft] trait QueriesRelational { self: QueriesShared =>
       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val j9 = QuerySpec("j9_zstore_range_read_mutated",
+    // j6's exact filter served through readRange on the MUTATED store
+    // — the whole round-20 surface behind one oracle: the store has
+    // LIVED init (with a declared id column, so every write stamped
+    // per-file id stats from the parquet footers) → delete-by-id →
+    // upsert-by-id (both FILE-granular copy-on-write, located through
+    // the manifest's id arithmetic) → maintain → prune, and the range
+    // read prunes buckets through envelopes that survived all of it
+    // (rewritten survivor files re-rank into their own buckets, so
+    // per-file envelopes stay bucket-bounded BY CONSTRUCTION — this
+    // query is the oracle-anchored proof). Same oracle as j6: pruning
+    // may only change WHICH files open, never the rows.
+    (s, d) => graft.sources.ZStore.readRange(s, zstoreUpsertLineitemFor(s, d),
+        Map("l_extendedprice" -> (30000.0, 32000.0),
+          "l_quantity" -> (20.0, 125.0)))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""WITH kept AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 10 NOT IN (4, 5)),
+    upserted AS (
+      SELECT DISTINCT l_orderkey, l_linenumber,
+        CAST(l_linenumber + 100 AS DOUBLE) AS l_quantity,
+        31000.5 AS l_extendedprice
+      FROM lineitem WHERE l_orderkey % 10 = 5),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM upserted)
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        round(l_quantity, 2) AS l_quantity,
+        round(l_extendedprice, 2) AS l_extendedprice
+      FROM final
+      WHERE l_extendedprice BETWEEN 30000 AND 32000
+        AND l_quantity BETWEEN 20 AND 125
+      ORDER BY l_orderkey, l_linenumber"""))
+
   final def queriesRelational: Seq[QuerySpec] =
     Seq(q1, q3, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, j2, j3, j4, j5,
-      j6, j7, j8)
+      j6, j7, j8, j9)
 }

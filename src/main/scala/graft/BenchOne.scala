@@ -29,15 +29,24 @@ object BenchOne {
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      // Timed action = the noop sink, matching Bench (guide §1.4): under
+      // count() the optimizer prunes computed columns and drops final
+      // sorts, so expression-heavy queries time a fraction of their
+      // real cost. SPARK_GRAFT_BENCHONE_ACTION=count restores the old
+      // behavior for cross-checking.
+      val useCount = sys.env.get("SPARK_GRAFT_BENCHONE_ACTION").contains("count")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (useCount) { df.count(); () }
+        else df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         SessionHygiene.dropCachedBlocks(spark)
-        (sec, n)
+        System.gc()
+        sec
       }
-      println(f"[benchone] $name rows=${times.head._2} " +
-        times.map(t => f"${t._1}%.2f").mkString("times=[", ", ", "]"))
+      println(f"[benchone] $name " +
+        times.map(t => f"$t%.2f").mkString("times=[", ", ", "]"))
     }
     spark.stop()
   }

@@ -712,7 +712,14 @@ object Ann {
     // approx_dist, which Spark's ASC default sorts FIRST — they would
     // displace true neighbors from the candidate cut. A null vector is
     // never a neighbor: drop before the cut.
-    val cand = pqEncode(corpus, embCol, codebooks)
+    // pqEncodeBig, not pqEncode (round 21): the expression form builds
+    // m·kCodes struct l2Sq subtrees per row — too wide for whole-stage
+    // codegen, so it evaluates interpreted with per-row slice
+    // allocations. Measured at sf0.1 (2000 rows, m=4, kCodes=16):
+    // 2.76 s expression vs 0.11 s tight-loop — identical codes by
+    // AnnSpec's pqEncode≡pqEncodeBig assertion, identical null/dim
+    // contracts (null -> null codes, mismatch fails loudly).
+    val cand = pqEncodeBig(corpus, embCol, codebooks)
       .filter(col("pq_codes").isNotNull)
       .withColumn("approx_dist", sqrt(adc))
       .orderBy(col("approx_dist"), col(idCol))
@@ -1262,25 +1269,31 @@ object Ann {
   def signEncode(corpus: DataFrame, embCol: String, idCol: String,
                  dim: Int): DataFrame = {
     require(dim >= 1, "dim must be >= 1")
-    val emb = col(embCol).cast("array<double>")
-    val words = (dim + 63) / 64
-    val packed = (0 until words).map { w =>
-      (0 until 64).flatMap { b =>
-        val i = w * 64 + b
-        if (i >= dim) None
-        else Some(when(element_at(emb, i + 1) > 0, lit(1L << b))
-          .otherwise(lit(0L)))
-      }.reduce((x, y) => x.bitwiseOR(y))
+    // Tight-loop UDF, not the when-OR expression tree (round 21): the
+    // static 64-conditional packing expression per word looked
+    // codegen-friendly but measured 12-24 s per 2000-row build at
+    // sf0.1 AND degraded across runs (a fresh expression id defeats
+    // the codegen cache, and the generated when-chain is too large to
+    // JIT cleanly) vs 0.1 s for the loop — the pqEncodeBig/ivfAssignBig
+    // exception applied here, identical bits by AnnSpec's packing spec.
+    // Same contracts: null embeddings dropped, wrong length fails
+    // loudly with the id in the message.
+    val enc = udf { (emb: Seq[Double], id: String) =>
+      if (emb.length != dim)
+        throw new IllegalArgumentException(
+          s"signEncode: expected dim $dim, got ${emb.length} for id $id")
+      val out = new Array[Long]((dim + 63) / 64)
+      var i = 0
+      while (i < dim) {
+        if (emb(i) > 0) out(i / 64) |= 1L << (i % 64)
+        i += 1
+      }
+      out
     }
     corpus.filter(col(embCol).isNotNull)
-      .select(
-        when(size(col(embCol)) =!= dim,
-          raise_error(concat(
-            lit(s"signEncode: expected dim $dim, got "),
-            size(col(embCol)).cast("string"), lit(" for id "),
-            col(idCol).cast("string"))))
-          .otherwise(col(idCol)).as(idCol),
-        array(packed: _*).as("sign_code"))
+      .select(col(idCol),
+        enc(col(embCol).cast("array<double>"),
+          col(idCol).cast("string")).as("sign_code"))
   }
 
   /** Driver-side twin of [[signEncode]] for the (1-row) query vector. */

@@ -242,15 +242,17 @@ object Curation {
     * from the output (callers left-join if they need them). */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame = {
-    // lazy localCheckpoint: grams feeds the df aggregate AND the join
-    // back — without it the corpus re-shingles and re-distincts twice
-    // (the contamination() precedent)
+    // ONE linear pipeline (round 21): the gram df is a count over a
+    // gram-partitioned window instead of an aggregate joined back —
+    // same __gdf per row by definition, but grams now has a single
+    // consumer, so the localCheckpoint materialization AND one
+    // corpus-gram exchange (the join's re-shuffle of grams) disappear;
+    // the plan is explode → distinct → window(gram) → agg(doc).
     val grams = df.select(col(idCol),
         explode(ngramsFast(col(textCol), k)).as("gram"))
       .distinct()
-      .localCheckpoint(false)
-    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("__gdf"))
-    grams.join(gdf, Seq("gram"))
+    grams.withColumn("__gdf",
+        count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__gdf") === 1, 1L).otherwise(0L)).as("n_unique"),
@@ -388,12 +390,23 @@ object Curation {
                      maxGramDf: Int = 1000): DataFrame = {
     require(minTokens >= k, "a span must be at least one k-gram long")
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // lazy localCheckpoint (round 21): the gram rows feed BOTH the df
+    // census and the join back against it — two structurally different
+    // subtrees (partial-agg exchange vs join exchange), so ReuseExchange
+    // cannot fire and the posexplode UDF pipeline would run twice.
     val grams = spread.select(col(idCol).cast("long").as("doc_id"),
         posexplode(ngramsFast(col(textCol), k)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      .localCheckpoint(false)
+    // df >= 2 (round 21): a gram seen in exactly one document cannot
+    // produce a cross-doc match (the self-join requires doc_a < doc_b),
+    // so keeping it only inflates the checkpointed frame and the join
+    // build — measured 255k -> 83k kept rows at sf0.1, identical spans
+    // (the d14 rare-window precedent; the DuckDB oracle keeps df=1
+    // grams and they contribute no pairs there either).
     val rare = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("__df"))
-      .filter(col("__df") <= maxGramDf)
+      .filter(col("__df") >= 2 && col("__df") <= maxGramDf)
       .select("gram")
     // lazy localCheckpoint: the gram+df-cap pipeline feeds BOTH sides
     // of the self-join and would execute twice (no cross-subtree CSE);
@@ -452,6 +465,12 @@ object Curation {
     val iv = spans.select(col("doc_b").as("__mdoc"), col("start_b").as("__s"),
       (col("start_b") + col("span_tokens") - 1).as("__e"))
     val w = Window.partitionBy("__mdoc").orderBy("__s", "__e")
+    // lazy localCheckpoint (round 21): `merged` feeds BOTH the affected
+    // set and the broadcast anti-join below — without it the whole span
+    // DETECTOR (gram join + window) re-executes once per consumer
+    // (kept's checkpoint shields only the gram pipeline, not the
+    // join/window above it). Merged intervals are span-pair-bounded and
+    // tiny, so the materialization is free.
     val merged = iv
       .withColumn("__pmax",
         max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -461,6 +480,7 @@ object Curation {
       .groupBy("__mdoc", "__grp")
       .agg(min("__s").as("__s"), max("__e").as("__e"))
       .select("__mdoc", "__s", "__e")
+      .localCheckpoint(false)
     val affected = merged.select(col("__mdoc").as("__adoc")).distinct()
     // token surgery ONLY for affected docs: semi-join prune first, so
     // the posexplode never runs over the untouched corpus
@@ -793,10 +813,18 @@ object Curation {
     val bf = eGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    // Totals as a NARROW per-row projection (round 21): shinglesFast
+    // already returns each doc's distinct grams, so the denominator is
+    // size() of the array — no explode, no doc-keyed exchange, and
+    // tGrams drops to a single consumer (the gated join), so its
+    // localCheckpoint materialization goes too. Zero-gram docs gain an
+    // n=0 row here where the old agg had none; both die in the inner
+    // join below (a doc with no grams has no pairs), so the result is
+    // row-identical.
     val tGrams = sideGrams(train, "train", idCol, textCol, k)
-      .localCheckpoint(false) // feeds the totals agg AND the gated join
-    val nGrams = tGrams.groupBy("train_doc")
-      .agg(count(lit(1)).as("n_train_grams"))
+    val nGrams = train.select(col(idCol).as("train_doc"),
+      size(graft.functions.TextAnalysis.shinglesFast(col(textCol), k))
+        .cast("long").as("n_train_grams"))
     tGrams.filter(mightContain(col("gram")))
       .join(eGrams, Seq("gram"))
       .groupBy("train_doc", "eval_doc")

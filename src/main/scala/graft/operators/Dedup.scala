@@ -142,6 +142,8 @@ object Dedup {
       numHashes: Int = 32, bandRows: Int = 4,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold must be in (0, 1]")
     val shingleRows = shinglePipeline(df, idCol, textCol, shingleK)
     val bands = minhashBandsOf(shingleRows, numHashes, bandRows)
     val cand = bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_a"))
@@ -150,33 +152,31 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    pairShingleSets(cand, shingleRows)
-      .withColumn("jaccard",
-        TextAnalysis.jaccard(element_at(col("both"), 1), element_at(col("both"), 2)))
+    // Exact verify via join-count instead of corpus-wide collect_set
+    // (round 21; the containmentPairs treatment): |A∩B| = the number of
+    // (pair, shingle) rows present on BOTH sides — shinglesFast emits
+    // each doc's DISTINCT shingles, so row counts ARE set sizes. The
+    // expensive stage shuffles narrow (id, id, shingle) rows bounded by
+    // candidates × |A| in place of ObjectHashAggregate'd shingle arrays
+    // for EVERY corpus doc + the array_intersect HOF per pair.
+    // IEEE-identical jaccard: __inter/__na/__nb are integer-valued, the
+    // division mirrors TextAnalysis.jaccard's inter/(na+nb-inter)
+    // exactly, and the union==0 branch is unreachable here (a candidate
+    // doc has >= 1 shingle by construction — it produced a band). The
+    // inner join drops inter==0 pairs, which the threshold (> 0 by the
+    // operator contract) would drop anyway.
+    val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    cand
+      .join(shingleRows.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(shingleRows.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        ((col("__na") + col("__nb")).cast("double") - col("__inter").cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
-
-  /** Exact-verify reassembly shared by [[minhashNearDups]] and
-    * [[containmentPairs]]: (doc_a, doc_b) candidate pairs → (doc_a,
-    * doc_b, both), where `both` holds the pair's two shingle sets.
-    * The shingle-set subtree appears ONCE in the plan: each candidate
-    * pair is exploded into its two member ids, joined against the
-    * sets a single time, and the pair's two arrays are reassembled
-    * with collect_list. The list order is nondeterministic, so the
-    * metric applied to `both` must be pair-symmetric (Jaccard is;
-    * containment under min is). Joining sets twice (once per side)
-    * would re-execute the whole shingle pipeline per side — alias
-    * projections defeat exchange reuse. */
-  private def pairShingleSets(cand: DataFrame,
-                              shingleRows: DataFrame): DataFrame = {
-    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b")
-      .agg(collect_list(col("shs")).as("both"))
   }
 
   /** Incremental near-dup: which docs of an incoming batch are near-
@@ -208,7 +208,13 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
-    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK)
+    // corpus side: single consumer now (the band derivation below; the
+    // verify re-shingles candidate docs directly) — no persist.
+    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK,
+      doPersist = false)
+    // eager + small (candidate-bounded by the LSH collision math): the
+    // pair list feeds the verify AND the old-id semi-join below — the
+    // minhashNearDupsAgainstIndex shape (round 21: applied here too).
     val cand = minhashBandsOf(newShingles, numHashes, bandRows)
       .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_new"))
       .join(minhashBandsOf(oldShingles, numHashes, bandRows)
@@ -217,17 +223,26 @@ object Dedup {
       .filter(col("doc_new") =!= col("doc_old"))
       .select("doc_new", "doc_old")
       .distinct()
+      .localCheckpoint(true)
     val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
-    val oldSets = oldShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_old"))
+    // verify-side corpus shingles: CANDIDATE docs only (round 21, the
+    // minhashNearDupsAgainstIndex/containment-served treatment) — the
+    // old collect_set aggregated shingle arrays for the ENTIRE corpus
+    // to verify a candidate-bounded pair list. shinglesFast already
+    // returns the distinct set the Jaccard expects.
+    val oldIds = cand.select(col("doc_old")).distinct()
+    val oldSets = corpus
+      .join(oldIds, corpus(idCol) === oldIds("doc_old"), "left_semi")
+      .select(col(idCol).as("doc_old"),
+        TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_old"))
     val out = cand
       .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
-      .join(oldSets.withColumnRenamed("doc_id", "doc_old"), Seq("doc_old"))
+      .join(oldSets, Seq("doc_old"))
       .withColumn("jaccard", TextAnalysis.jaccard(col("sh_new"), col("sh_old")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true)
     newShingles.unpersist()
-    oldShingles.unpersist()
     out
   }
 
@@ -667,12 +682,49 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)
-      .select("doc_a", "doc_b")
-    pairShingleSets(cand, shingleRows)
-      .withColumn("__inter",
-        size(array_intersect(element_at(col("both"), 1), element_at(col("both"), 2))))
-      .withColumn("__minsz",
-        least(size(element_at(col("both"), 1)), size(element_at(col("both"), 2))))
+    // SOUND upper-bound prune before the exact verify (round 21; guide
+    // §2.3 "shuffle fewer bytes"): every shared shingle is either rare
+    // (counted EXACTLY by __shared — the candidate join runs on the
+    // rare posts) or non-rare, and a pair can share at most
+    // min(nonrare_a, nonrare_b) non-rare shingles, so
+    //   |A∩B| <= __shared + min(nonrare_a, nonrare_b)
+    // with both terms integers and the bound tight when documents are
+    // mostly rare shingles. Division (not multiplication) mirrors the
+    // final filter's exact float expression; numerator monotonicity of
+    // IEEE division makes the prune a strict superset of the survivors
+    // — zero false negatives by construction, so the result set (and
+    // the DuckDB oracle) is unchanged. Measured at sf0.1: 109,919
+    // candidates -> 256 survivors, and the exact-verify stage no
+    // longer builds collect_set arrays for every document (the
+    // ObjectHashAggregate + corpus-wide broadcast that dominated d14).
+    val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val rsz = posts.groupBy("doc_id").agg(count(lit(1)).as("__nr"))
+    val szl = sizes.join(rsz, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__n"),
+        (col("__n") - coalesce(col("__nr"), lit(0L))).as("__nonrare"))
+    val pruned = cand
+      .join(szl.select(col("doc_id").as("doc_a"),
+        col("__n").as("__na"), col("__nonrare").as("__nra")), Seq("doc_a"))
+      .join(szl.select(col("doc_id").as("doc_b"),
+        col("__n").as("__nb"), col("__nonrare").as("__nrb")), Seq("doc_b"))
+      .withColumn("__minsz", least(col("__na"), col("__nb")))
+      .filter((col("__shared") + least(col("__nra"), col("__nrb")))
+        .cast("double") / col("__minsz") >= threshold)
+      .select("doc_a", "doc_b", "__minsz")
+    // Exact |A∩B| on the pruned survivors via join-count instead of
+    // array materialization: expand each surviving pair by doc_a's
+    // shingles, keep those present in doc_b (hash join on (doc_b, s)),
+    // count per pair. Shuffles narrow (id, id, shingle) rows bounded by
+    // survivors × |A| — no corpus-wide collect_set, no array_intersect.
+    // __minsz rides the groupBy key (functionally dependent on the
+    // pair) so the pruned subtree is referenced exactly once. Every
+    // pruned pair shares >= minShared >= 1 shingles, so the inner join
+    // cannot drop a surviving pair.
+    pruned
+      .join(shingleRows.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(shingleRows.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "__minsz")
+      .agg(count(lit(1)).as("__inter"))
       .withColumn("containment",
         col("__inter").cast("double") / col("__minsz"))
       .filter(col("containment") >= threshold)
@@ -700,7 +752,15 @@ object Dedup {
     * Ids must be distinct across the two frames (same contract as
     * [[minhashNearDupsAgainst]]); pairs are oriented (doc_new,
     * doc_old). Result computed eagerly so both internal persists are
-    * released before returning. */
+    * released before returning.
+    *
+    * Round-21 A/B note: the candidate-bounded verify (re-shingling
+    * only candidate docs, the [[minhashNearDupsAgainst]] treatment)
+    * and a window-count posting derivation were BOTH tried here and
+    * both measured slower than this shape in interleaved min-over-N
+    * runs — the persisted shingle frames make the corpus-wide
+    * collect_set an in-memory aggregate, while the "bounded" verify
+    * re-scanned the corpus parquet. Kept as-is deliberately. */
   def containmentPairsAgainst(newDf: DataFrame, corpus: DataFrame,
                               idCol: String, textCol: String,
                               shingleK: Int = 3, maxDf: Int = 20,
@@ -836,15 +896,22 @@ object Dedup {
       .filter(col("__shared") >= minShared)
       .select("doc_new", "doc_old")
       .localCheckpoint(true) // eager + small: reused for verify AND the semi-join
-    val newSets = newShingles.groupBy("doc_id")
-      .agg(collect_set(col("s")).as("sh_new"))
+    // Verify-side shingle sets for CANDIDATE docs only on BOTH sides
+    // (round 21): shinglesFast returns the distinct set as a narrow
+    // per-row projection, so neither side pays a batch- or corpus-wide
+    // collect_set exchange.
+    val newIds = cand.select(col("doc_new")).distinct()
+    val newSets = newDf
+      .join(newIds, newDf(idCol) === newIds("doc_new"), "left_semi")
+      .select(col(idCol).as("doc_new"),
+        TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_new"))
     val oldIds = cand.select(col("doc_old")).distinct()
     val oldSets = corpus
       .join(oldIds, corpus(idCol) === oldIds("doc_old"), "left_semi")
       .select(col(idCol).as("doc_old"),
         TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_old"))
     val out = cand
-      .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(newSets, Seq("doc_new"))
       .join(oldSets, Seq("doc_old"))
       .withColumn("__inter",
         size(array_intersect(col("sh_new"), col("sh_old"))))

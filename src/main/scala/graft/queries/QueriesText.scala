@@ -346,12 +346,18 @@ private[graft] trait QueriesText { self: QueriesShared =>
         .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
       val words = docs.select(col("doc_id"),
         explode(split(col("lt"), "[ \t\n]+")).as("w"))
+      // uni feeds the c1 join AND the vocab scalar; without the (tiny,
+      // vocabulary-sized) checkpoint the words explode re-runs per
+      // consumer (round 21). c2 rides a gram-partitioned window count
+      // instead of an aggregate joined back — identical counts, but the
+      // bigram UDF pipeline is computed and shuffled ONCE instead of
+      // twice (round 21).
       val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
       val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
       val bi = docs.select(col("doc_id"),
         explode(Curation.ngramsFast(col("lt"), 2)).as("gram"))
-      val big = bi.groupBy("gram").agg(count(lit(1)).as("c2"))
-      bi.join(big, Seq("gram"))
+      bi.withColumn("c2", count(lit(1)).over(Window.partitionBy("gram")))
         .withColumn("w1", substring_index(col("gram"), " ", 1))
         .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
         .crossJoin(broadcast(vocab))

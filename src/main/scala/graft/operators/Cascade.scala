@@ -121,25 +121,55 @@ final class MultiStageSearch(
       round(lit(5.0) * hits / condToks.length, 0).cast("double")
     }
 
-  /** One cascade stage's candidates. Null-distance rows (null
-    * embedding, null element, dim mismatch) are excluded BEFORE the
-    * top-k cut ([[Knn.exactDefined]]): Spark's ascending sort is NULLS
-    * FIRST, so [[Knn.exact]] would rank them at the top and eat the
-    * stage's k with unusable candidates — and the batch forms exclude
-    * them by construction, so this is also what keeps
-    * `batch == per-query` on corpora with null embeddings
-    * (CascadeBatchSpec pins it). A custom `knnBackend` owns the same
-    * contract: never surface null-dist rows. */
-  private def knnStage(pred: Option[Column], queryVec: Column, k: Int,
-                       stage: Int): DataFrame = {
-    val hits = knnBackend match {
-      case Some(backend) => backend(pred, queryVec, k)
-      case None =>
-        Knn.exactDefined(pred.fold(corpus)(corpus.filter), embCol, idCol,
-          queryVec, k)
-    }
-    hits.withColumn("stage_rank", lit(stage))
+  /** Per-search-call candidate source: (stage predicate, k) → the
+    * stage's ≤k rows. Null-distance rows (null embedding, null
+    * element, dim mismatch) are excluded BEFORE the top-k cut (the
+    * [[Knn.exactDefined]] contract): Spark's ascending sort is NULLS
+    * FIRST, so they would otherwise rank at the top and eat the
+    * stage's k — and the batch forms exclude them by construction, so
+    * this is also what keeps `batch == per-query` on corpora with null
+    * embeddings (CascadeBatchSpec pins it). A custom `knnBackend` owns
+    * the same contract: never surface null-dist rows.
+    *
+    * The default (exact-scan) source computes the scored corpus —
+    * (id, text, dist) — ONCE per search call and lazily checkpoints
+    * it; every stage is then filter ∘ TakeOrderedAndProject over the
+    * narrow materialized frame (round 22, guide §2.4 "remove shuffles/
+    * passes outright"): the multi-stage cascade previously re-scanned
+    * the corpus AND recomputed the query distance once PER STAGE
+    * (7× for the flagship ladder), when the only thing that differs
+    * between stages is a text predicate and k. Stage results are
+    * bit-identical: distance is the same expression computed on the
+    * same rows (filter ∘ dist commutes per-row), and the (dist, id)
+    * top-k order is unchanged. The materialized frame holds the three
+    * narrow columns only — never the embeddings — and spills to disk
+    * via the localCheckpoint storage level; at corpus scale that one
+    * narrow materialization replaces nStages full scans each paying
+    * the distance arithmetic over every embedding.
+    *
+    * EAGER checkpoint, deliberately: [[searchGated]]'s gate-count
+    * broadcasts execute their subtrees as CONCURRENT jobs, and a lazy
+    * checkpoint dedupes nothing until its first computation finishes —
+    * measured 7-way duplicate scan+distance races (c7 2.1 s → 3.4 s
+    * under the lazy form; 0.6 s eager). One synchronous job here,
+    * cached blocks for every stage after. */
+  private def stageSource(queryVec: Column)
+      : (Option[Column], Int) => DataFrame = knnBackend match {
+    case Some(backend) => (pred, k) => backend(pred, queryVec, k)
+    case None =>
+      val scored = corpus
+        .withColumn("dist", VectorFunctions.l2(col(embCol), queryVec))
+        .filter(col("dist").isNotNull)
+        .select(col(idCol), col(textCol), col("dist"))
+        .localCheckpoint(true)
+      (pred, k) => pred.fold(scored)(scored.filter)
+        .orderBy(col("dist"), col(idCol)).limit(k)
   }
+
+  /** One cascade stage's candidates, tagged with its rank. */
+  private def knnStage(source: (Option[Column], Int) => DataFrame,
+                       pred: Option[Column], k: Int, stage: Int): DataFrame =
+    source(pred, k).withColumn("stage_rank", lit(stage))
 
   /** Run the cascade. `queryVec` is the embedded query (the embedding
     * model is an external boundary — SURVEY.md §2.1 S5). */
@@ -157,11 +187,12 @@ final class MultiStageSearch(
     // so only a few KB move. Keep-first dedup (A1: first stage wins,
     // then ascending distance — /root/reference/main.py:173-181) and
     // the gating counts run over this driver-side list for free.
+    val source = stageSource(queryVec)
     var collected = Vector.empty[Row]
     var rowSchema: StructType = null
     var nextStage = 1
     def addStage(pred: Option[Column], k: Int): Unit = {
-      val df = knnStage(pred, queryVec, k, nextStage)
+      val df = knnStage(source, pred, k, nextStage)
         .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
       if (rowSchema == null) rowSchema = df.schema
       collected ++= df.collect()
@@ -274,8 +305,9 @@ final class MultiStageSearch(
     val s5 = (None: Option[Column]) -> cfg.fallbackK
 
     val stages = (Seq(s1) ++ s2.toSeq ++ s3.toSeq ++ s4.toSeq ++ syn :+ s5)
+    val source = stageSource(queryVec)
     val perStage = stages.zipWithIndex.map { case ((pred, k), i) =>
-      knnStage(pred, queryVec, k, i + 1)
+      knnStage(source, pred, k, i + 1)
         .select(col(idCol), col(textCol), col("dist"), col("stage_rank"))
     }
     val unioned = perStage.reduce(_ unionByName _)
@@ -318,13 +350,30 @@ final class MultiStageSearch(
     def contains(term: String): Column =
       lower(col(textCol)).contains(term.toLowerCase)
 
+    val source = stageSource(queryVec)
+    // EAGER ≤k-row checkpoints (round 22): each stage frame is read up
+    // to 3× (two gate counts + the union), and as LAZY checkpoints the
+    // gate-count broadcasts materialized them as a swarm of ~50
+    // concurrent duplicate jobs (profiled: 59 jobs, most re-running
+    // stage subtrees before any checkpoint landed). Eager = exactly one
+    // tiny job per stage over the cached scored source; every gate
+    // count and the union then reads ≤k cached rows, and the final
+    // plan shrinks from repeated stage subtrees to ExistingRDD scans.
     def stageFrame(pred: Option[Column], k: Int): DataFrame =
-      knnStage(pred, queryVec, k, 0)
+      knnStage(source, pred, k, 0)
         .select(col(idCol), col(textCol), col("dist"))
-        .localCheckpoint(false) // ≤k rows; reused by counts + union
+        .localCheckpoint(true)
+    // Each 1-ROW count frame is eagerly checkpointed (round 22): n1/n2/
+    // n6 are referenced up to 3× each (stage gates + the gflags rank
+    // frame), and as live subtrees every reference re-embedded the
+    // whole union-of-stages aggregate — the final plan carried ~3.9k
+    // operator lines and Catalyst spent a profiled ~0.7 s optimizing
+    // it. As ExistingRDD leaves the same plan is ~200 lines; the gate
+    // algebra itself is unchanged and still entirely in-plan.
     def distinctIds(dfs: Seq[DataFrame]): DataFrame =
       dfs.map(_.select(col(idCol))).reduce(_ unionByName _)
         .agg(count_distinct(col(idCol)).as("__n"))
+        .localCheckpoint(true)
 
     // S1 (always): strict AND, or the best available single field
     val st1 = stageFrame((region, job) match {

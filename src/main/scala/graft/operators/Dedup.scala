@@ -140,10 +140,43 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bandRows: Int = 4,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashNearDupsImpl(df, idCol, textCol, numHashes, bandRows, shingleK,
+      threshold, joinCountVerify = None)
+
+  /** Corpus-row threshold for [[minhashNearDups]]' verify-shape gate
+    * (see the impl note). Round-22 interleaved min-over-3 A/B on a
+    * quiet box: 5k docs (sf0.1) collect_set 0.95–1.12 s vs join-count
+    * 1.17–1.42 s; 20k docs (4×-replicated, dup-heavy) join-count
+    * 2.63 s vs collect_set 4.83 s. Crossover sits between; 10k splits
+    * the gap. */
+  private[graft] val JoinCountVerifyMinDocs = 10000L
+
+  /** `joinCountVerify`: None = gate on corpus size (the public form);
+    * Some(b) pins the verify shape — the round-22 A/B hook. */
+  private[graft] def minhashNearDupsImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bandRows: Int,
+      shingleK: Int, threshold: Double,
+      joinCountVerify: Option[Boolean]): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold must be in (0, 1]")
+    // Verify-shape gate (round 22, closing the r21 verdict's task #1):
+    // the round-21 join-count verify REGRESSED at sf0.1 in both bench
+    // windows (d2 1.18→1.37 builder / 1.89 driver) while winning at a
+    // 4×-replicated dup-heavy corpus — the corpus-wide collect_set is
+    // an in-memory aggregate over the persisted shingle frame and beats
+    // the extra join chain while the corpus is small, and loses once
+    // ObjectHashAggregate arrays for every doc outgrow it. Gate by a
+    // bounded limit-probe (the components()/batchPrelude idiom — never
+    // a full count of a big input): small corpus → collect_set verify,
+    // large → join-count. Both verifies are oracle-bit-identical (each
+    // was hash-green across rounds 20/21; integer-valued counts divide
+    // identically in IEEE doubles), so the gate can never change rows.
+    val useJoinCount = joinCountVerify.getOrElse(
+      df.select(col(idCol)).limit(JoinCountVerifyMinDocs.toInt + 1).count()
+        > JoinCountVerifyMinDocs)
     val shingleRows = shinglePipeline(df, idCol, textCol, shingleK)
     val bands = minhashBandsOf(shingleRows, numHashes, bandRows)
     val cand = bands.select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_a"))
@@ -152,31 +185,65 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // Exact verify via join-count instead of corpus-wide collect_set
-    // (round 21; the containmentPairs treatment): |A∩B| = the number of
-    // (pair, shingle) rows present on BOTH sides — shinglesFast emits
-    // each doc's DISTINCT shingles, so row counts ARE set sizes. The
-    // expensive stage shuffles narrow (id, id, shingle) rows bounded by
-    // candidates × |A| in place of ObjectHashAggregate'd shingle arrays
-    // for EVERY corpus doc + the array_intersect HOF per pair.
-    // IEEE-identical jaccard: __inter/__na/__nb are integer-valued, the
-    // division mirrors TextAnalysis.jaccard's inter/(na+nb-inter)
-    // exactly, and the union==0 branch is unreachable here (a candidate
-    // doc has >= 1 shingle by construction — it produced a band). The
-    // inner join drops inter==0 pairs, which the threshold (> 0 by the
-    // operator contract) would drop anyway.
-    val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    if (!useJoinCount) {
+      // Small-corpus exact verify (the round-20 shape): one
+      // explode+join+collect_list pass reassembles each candidate
+      // pair's two shingle sets from the persisted shingle frame
+      // (pair-symmetric Jaccard, so collect_list order is harmless).
+      pairShingleSets(cand, shingleRows)
+        .withColumn("jaccard",
+          TextAnalysis.jaccard(element_at(col("both"), 1), element_at(col("both"), 2)))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // Large-corpus exact verify via join-count (round 21; the
+      // containmentPairs treatment): |A∩B| = the number of (pair,
+      // shingle) rows present on BOTH sides — shinglesFast emits each
+      // doc's DISTINCT shingles, so row counts ARE set sizes. The
+      // expensive stage shuffles narrow (id, id, shingle) rows bounded
+      // by candidates × |A| in place of ObjectHashAggregate'd shingle
+      // arrays for EVERY corpus doc + the array_intersect HOF per pair.
+      // IEEE-identical jaccard: __inter/__na/__nb are integer-valued,
+      // the division mirrors TextAnalysis.jaccard's inter/(na+nb-inter)
+      // exactly, and the union==0 branch is unreachable here (a
+      // candidate doc has >= 1 shingle by construction — it produced a
+      // band). The inner join drops inter==0 pairs, which the threshold
+      // (> 0 by the operator contract) would drop anyway.
+      val sizes = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      cand
+        .join(shingleRows.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(shingleRows.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("__inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+        .withColumn("jaccard", col("__inter").cast("double") /
+          ((col("__na") + col("__nb")).cast("double") - col("__inter").cast("double")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
+  /** Exact-verify reassembly shared by [[minhashNearDups]]' small-
+    * corpus shape: (doc_a, doc_b) candidate pairs → (doc_a, doc_b,
+    * both), where `both` holds the pair's two shingle sets. The
+    * shingle-set subtree appears ONCE in the plan: each candidate
+    * pair is exploded into its two member ids, joined against the
+    * sets a single time, and the pair's two arrays are reassembled
+    * with collect_list. The list order is nondeterministic, so the
+    * metric applied to `both` must be pair-symmetric (Jaccard is).
+    * Joining sets twice (once per side) would re-execute the whole
+    * shingle pipeline per side — alias projections defeat exchange
+    * reuse. */
+  private def pairShingleSets(cand: DataFrame,
+                              shingleRows: DataFrame): DataFrame = {
+    val sets = shingleRows.groupBy("doc_id").agg(collect_set(col("s")).as("shs"))
     cand
-      .join(shingleRows.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(shingleRows.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        ((col("__na") + col("__nb")).cast("double") - col("__inter").cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .agg(collect_list(col("shs")).as("both"))
   }
 
   /** Incremental near-dup: which docs of an incoming batch are near-
@@ -196,25 +263,19 @@ object Dedup {
     * family, band scheme, and exact-Jaccard verify as
     * [[minhashNearDups]] — d11 shares d2's oracle fragments.
     *
-    * The result is computed EAGERLY (localCheckpoint of the pair
-    * list, which is candidate-bounded and small by the LSH collision
-    * math) so the two internally-persisted shingle frames can be
-    * unpersisted before returning — persist lifetime is bounded
-    * inside the method and repeated callers (a per-batch ingest
-    * loop) never accumulate session cache. */
+    * The result is computed EAGERLY (localCheckpoint of the verified
+    * pair list, which is candidate-bounded and small by the LSH
+    * collision math) so the two internally-persisted shingle frames
+    * can be unpersisted before returning — persist lifetime is
+    * bounded inside the method and repeated callers (a per-batch
+    * ingest loop) never accumulate session cache. */
   def minhashNearDupsAgainst(
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bandRows: Int = 4,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val newShingles = shinglePipeline(newDf, idCol, textCol, shingleK)
-    // corpus side: single consumer now (the band derivation below; the
-    // verify re-shingles candidate docs directly) — no persist.
-    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK,
-      doPersist = false)
-    // eager + small (candidate-bounded by the LSH collision math): the
-    // pair list feeds the verify AND the old-id semi-join below — the
-    // minhashNearDupsAgainstIndex shape (round 21: applied here too).
+    val oldShingles = shinglePipeline(corpus, idCol, textCol, shingleK)
     val cand = minhashBandsOf(newShingles, numHashes, bandRows)
       .select(col("band_idx"), col("band_sig"), col("doc_id").as("doc_new"))
       .join(minhashBandsOf(oldShingles, numHashes, bandRows)
@@ -223,26 +284,27 @@ object Dedup {
       .filter(col("doc_new") =!= col("doc_old"))
       .select("doc_new", "doc_old")
       .distinct()
-      .localCheckpoint(true)
+    // Exact verify from the PERSISTED corpus shingle frame (round 22,
+    // REVERTING the round-21 candidate-bounded verify, which regressed
+    // in both bench windows — d11 0.97→1.28/1.29 s): the "bounded"
+    // re-shingle of candidate docs re-scanned the corpus parquet and
+    // re-ran shinglesFast, while collect_set over the already-persisted
+    // shingle rows is an in-memory aggregate — the SAME outcome the
+    // round-21 containmentPairsAgainst A/B measured, now confirmed here
+    // by an interleaved min-over-3 A/B at sf0.1 (0.79 vs 1.04 s) AND at
+    // a 4×-replicated corpus (2.42 vs 3.15 s): collect_set wins at both
+    // scales, so no gate — this form, unconditionally.
     val newSets = newShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_new"))
-    // verify-side corpus shingles: CANDIDATE docs only (round 21, the
-    // minhashNearDupsAgainstIndex/containment-served treatment) — the
-    // old collect_set aggregated shingle arrays for the ENTIRE corpus
-    // to verify a candidate-bounded pair list. shinglesFast already
-    // returns the distinct set the Jaccard expects.
-    val oldIds = cand.select(col("doc_old")).distinct()
-    val oldSets = corpus
-      .join(oldIds, corpus(idCol) === oldIds("doc_old"), "left_semi")
-      .select(col(idCol).as("doc_old"),
-        TextAnalysis.shinglesFast(col(textCol), shingleK).as("sh_old"))
+    val oldSets = oldShingles.groupBy("doc_id").agg(collect_set(col("s")).as("sh_old"))
     val out = cand
       .join(newSets.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
-      .join(oldSets, Seq("doc_old"))
+      .join(oldSets.withColumnRenamed("doc_id", "doc_old"), Seq("doc_old"))
       .withColumn("jaccard", TextAnalysis.jaccard(col("sh_new"), col("sh_old")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true)
     newShingles.unpersist()
+    oldShingles.unpersist()
     out
   }
 

@@ -345,16 +345,31 @@ private[graft] trait QueriesCascade { self: QueriesShared with QueriesAnn =>
       .withColumn("__qd", VectorFunctions.l2(col("cvec"), qv))
       .orderBy(col("__qd"), col("cid")).limit(nprobe)
       .select(col("cid").cast("long")).collect().map(_.getLong(0)).toSeq
-    (pred, qvec, k) => {
-      val pool0 = index.filter(col("cluster_id").isin(probed: _*))
-      val pool = extraFilter.fold(pool0)(pool0.filter)
-      // exactDefined, not exact: the knnStage contract requires custom
-      // backends to never surface null-distance rows. Probed pools
-      // exclude null-cluster rows today, but the backend must enforce
-      // the contract itself rather than lean on that coincidence.
-      Knn.exactDefined(pred.fold(pool)(pool.filter), "embedding", "doc_id",
-        qvec, k)
-    }
+    val pool0 = index.filter(col("cluster_id").isin(probed: _*))
+    val pool = extraFilter.fold(pool0)(pool0.filter)
+    // Scored pool computed ONCE per query (round 22, the stageSource
+    // treatment applied to the served backend): every cascade stage
+    // previously re-read the probed partitions and recomputed the
+    // query distance — the only per-stage deltas are a text predicate
+    // and k, so the narrow (id, text, dist) frame is materialized once
+    // (lazy localCheckpoint) and stages are filter ∘ top-k over it.
+    // The null-dist filter is the knnStage contract (exactDefined's):
+    // probed pools exclude null-cluster rows today, but the backend
+    // must enforce the contract itself rather than lean on that
+    // coincidence. The per-stage qvec argument is deliberately
+    // ignored: every stage of one cascade searches the SAME query
+    // vector (the closed-over qv the probe list was derived from) —
+    // a stage-varying vector would have to re-probe anyway.
+    // EAGER checkpoint: searchGated's gate broadcasts run concurrent
+    // jobs, and a lazy checkpoint would let them race on duplicate
+    // scans (the stageSource note in Cascade.scala).
+    val scored = pool
+      .withColumn("dist", VectorFunctions.l2(col("embedding"), qv))
+      .filter(col("dist").isNotNull)
+      .select(col("doc_id"), col("text"), col("dist"))
+      .localCheckpoint(true)
+    (pred, qvec, k) => pred.fold(scored)(scored.filter)
+      .orderBy(col("dist"), col("doc_id")).limit(k)
   }
 
   private def cascadeQueryVec(s: SparkSession, d: String): Column =

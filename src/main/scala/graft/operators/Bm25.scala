@@ -93,14 +93,32 @@ object Bm25 {
     * trade of posting-list indexes; a stopword-scale term should be
     * dropped by a df cap upstream (see Curation.duplicateSpans'
     * maxGramDf for the same guard). */
-  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
+  /** `spread = true` inserts one doc_id hash exchange BELOW the
+    * tokenize (round 22; the shinglePipeline rationale): a single-file
+    * corpus scans as ONE partition, so the explode+aggregate pipeline
+    * above it ran single-task (profiled on i3/i4 as serial 250-450 ms
+    * stages). The exchange moves raw documents once — narrower than
+    * the exploded term rows — and parallelizes every downstream stage.
+    * Callers building a SMALL delta (the incremental upsert path) pass
+    * false: spreading a few hundred rows over the cluster is pure
+    * exchange overhead (measured: i2 1.24→1.55 s with the delta
+    * spread). */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String,
+                    spread: Boolean = true): DataFrame = {
+    val src0 = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val src =
+      if (spread) src0.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      else src0
+    src
+      .select(col("doc_id"), explode(tokens(col("__text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
         array_sort(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
+  }
 
   /** BM25 top-k SERVED FROM the inverted index (same scores as
     * [[topK]], bit-for-bit): only the query terms' posting rows are
@@ -164,7 +182,10 @@ object Bm25 {
     * corpus. */
   def upsertPostings(stored: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    val delta = buildPostings(batch, idCol, textCol)
+    // spread=false: the batch is the incremental DELTA — typically a
+    // small fraction of the corpus — and spreading it costs more than
+    // the parallelism buys (see buildPostings' scaladoc).
+    val delta = buildPostings(batch, idCol, textCol, spread = false)
       .select(col("term"), col("df").as("__df_d"), col("cf").as("__cf_d"),
         col("postings").as("__post_d"))
     val untouched = stored.join(delta.select("term"), Seq("term"), "left_anti")

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Round-22 measurement hook for [[graft.AbEager]] interleaved A/Bs:
+    * eager (true) vs lazy checkpointing of the multi-consumer gram
+    * frames in [[duplicateSpans]] / [[contamination]]. See the A/B
+    * notes at the use sites for the measured decision. */
+  private[graft] var eagerGramMaterialize = true
+
+
   private val Ws = "[ \t\n]+"
 
   /** Non-distinct word n-grams (repetition COUNTS matter here, unlike
@@ -390,10 +397,16 @@ object Curation {
                      maxGramDf: Int = 1000): DataFrame = {
     require(minTokens >= k, "a span must be at least one k-gram long")
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    // lazy localCheckpoint (round 21): the gram rows feed BOTH the df
-    // census and the join back against it — two structurally different
-    // subtrees (partial-agg exchange vs join exchange), so ReuseExchange
-    // cannot fire and the posexplode UDF pipeline would run twice.
+    // lazy localCheckpoint (round 21; re-adjudicated round 22): the
+    // gram rows feed BOTH the df census and the join back against it —
+    // two structurally different subtrees, so ReuseExchange cannot
+    // fire. Under AQE the two consumers race on duplicate posexplode
+    // passes (profiled: 12.3 s + 7.8 s copies of the gram stage), but
+    // an interleaved min-over-3 A/B measured the EAGER form slower on
+    // wall (d9 2.75 vs 2.31 s): on an under-utilized box the racing
+    // duplicate is wall-free while the eager job serializes. Kept
+    // lazy; eagerGramMaterialize=true re-enables for cluster-scale
+    // deployments where duplicate compute is real spend.
     val grams = spread.select(col(idCol).cast("long").as("doc_id"),
         posexplode(ngramsFast(col(textCol), k)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
@@ -410,8 +423,7 @@ object Curation {
       .select("gram")
     // lazy localCheckpoint: the gram+df-cap pipeline feeds BOTH sides
     // of the self-join and would execute twice (no cross-subtree CSE);
-    // same shape (and same executor-loss caveat, documented there) as
-    // the shared shingle pipeline in Dedup.minhashNearDups
+    // lazy per the same A/B as `grams` above.
     val kept = grams.join(rare, Seq("gram")).localCheckpoint(false)
     val a = kept.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = kept.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
@@ -465,11 +477,12 @@ object Curation {
     val iv = spans.select(col("doc_b").as("__mdoc"), col("start_b").as("__s"),
       (col("start_b") + col("span_tokens") - 1).as("__e"))
     val w = Window.partitionBy("__mdoc").orderBy("__s", "__e")
-    // lazy localCheckpoint (round 21): `merged` feeds BOTH the affected
-    // set and the broadcast anti-join below — without it the whole span
-    // DETECTOR (gram join + window) re-executes once per consumer
-    // (kept's checkpoint shields only the gram pipeline, not the
-    // join/window above it). Merged intervals are span-pair-bounded and
+    // EAGER localCheckpoint (round 22, was lazy): `merged` feeds BOTH
+    // the affected set and the broadcast anti-join below — without it
+    // the whole span DETECTOR (gram join + window) re-executes once per
+    // consumer (kept's checkpoint shields only the gram pipeline, not
+    // the join/window above it), and lazily the two consumers race on
+    // that re-execution. Merged intervals are span-pair-bounded and
     // tiny, so the materialization is free.
     val merged = iv
       .withColumn("__pmax",
@@ -480,7 +493,7 @@ object Curation {
       .groupBy("__mdoc", "__grp")
       .agg(min("__s").as("__s"), max("__e").as("__e"))
       .select("__mdoc", "__s", "__e")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val affected = merged.select(col("__mdoc").as("__adoc")).distinct()
     // token surgery ONLY for affected docs: semi-join prune first, so
     // the posexplode never runs over the untouched corpus
@@ -527,10 +540,17 @@ object Curation {
   def contamination(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String,
                     k: Int, minShared: Int): DataFrame = {
-    // lazy localCheckpoint: tGrams feeds the per-doc totals AND the
-    // gram join — without it the train corpus re-shingles twice
+    // EAGER localCheckpoint (round 22, was lazy): tGrams feeds the
+    // per-doc totals AND the gram join; the two consumers run as
+    // concurrent AQE stages and a lazy checkpoint let them race on
+    // duplicate train-corpus shingle passes (profiled on t43: 12.1 s +
+    // 7.8 s copies of the same gram stage). Interleaved min-over-3 A/B
+    // favored eager HERE (t11 2.69 vs 3.17 s) — unlike duplicateSpans,
+    // the duplicated pass is the whole train corpus, large enough to
+    // contend even on an idle box. eagerGramMaterialize is the
+    // re-measurement hook.
     val tGrams = sideGrams(train, "train", idCol, textCol, k)
-      .localCheckpoint(false)
+      .localCheckpoint(eagerGramMaterialize)
     val nGrams = tGrams.groupBy("train_doc")
       .agg(count(lit(1)).as("n_train_grams"))
     tGrams.join(sideGrams(eval, "eval", idCol, textCol, k), Seq("gram"))

@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Round-22 measurement hook for [[graft.AbEager]] interleaved A/Bs:
+    * true adds an upfront cache materialization (count) to
+    * [[shinglePipeline]]. Measured SLOWER at sf0.1 (d2 1.67 vs 1.14 s,
+    * d4 2.04 vs 1.37 s, d14 2.35 vs 2.20 s min-of-3 interleaved): the
+    * duplicated concurrent computation the count would eliminate is
+    * wall-free on an under-utilized box, while the serial count job
+    * adds its full wall cost. Kept false; the hook stays for
+    * re-measurement at larger scale, where duplicate compute is real
+    * cluster spend. */
+  private[graft] var eagerShingleMaterialize = false
+
+  /** Round-22 measurement hook ([[graft.AbSpread]]): toggles the
+    * doc_id spread exchange below [[simhashBits]]' word explode.
+    * Always true outside interleaved A/Bs. */
+  private[graft] var spreadSimhashWords = true
+
   /** A1: keep the first row per `key` under an explicit priority order.
     * `orderBy` must be a total order (break ties!) for determinism. */
   def keepFirst(df: DataFrame, key: Seq[String], orderBy: Seq[Column]): DataFrame = {
@@ -90,8 +106,21 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFast(col("__text"), shingleK)).as("s"))
-    if (doPersist) rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else rows
+    if (doPersist) {
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE (round 22): persist() alone caches blocks only as jobs
+      // happen to compute them, so the concurrent consumer subtrees
+      // (df census, band/posting joins, verify sides) race and
+      // recompute the explode (profiled on d14: five ~7-13 s copies,
+      // 50.8 s executor total for a 3.3 s query). An upfront count()
+      // eliminates the duplicates but measured SLOWER on wall clock at
+      // bench scale (see [[eagerShingleMaterialize]]) — duplicate
+      // concurrent compute is free on an under-utilized box. At
+      // cluster scale the trade reverses; the hook below re-enables
+      // the eager materialization for such deployments.
+      if (eagerShingleMaterialize) rows.count()
+    }
+    rows
   }
 
   /** (doc_id, band_idx, band_sig) from a [[shinglePipeline]] frame.
@@ -453,8 +482,20 @@ object Dedup {
                           bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits > 0 && bits <= 60,
       s"bits $bits must be a positive multiple of 4, at most 60")
-    val words = df.select(col(idCol).as("doc_id"),
-        explode(split(trim(col(textCol)), "[ \t\n]+")).as("w"))
+    // doc_id hash exchange BELOW the word explode (round 22; the
+    // shinglePipeline rationale): a single-file corpus scans as one
+    // partition, so the explode + 64-column bit-sum aggregation ran
+    // single-task (profiled on d10/d21 as serial 300-450 ms stages).
+    // The exchange moves raw documents once and pre-co-partitions the
+    // groupBy(doc_id), which then needs no exchange of its own.
+    // spreadSimhashWords is the AbSpread measurement hook.
+    val src0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val src =
+      if (spreadSimhashWords) src0.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      else src0
+    val words = src.select(col("doc_id"),
+      explode(split(trim(col("__text")), "[ \t\n]+")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("v",
         conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long"))
@@ -737,6 +778,14 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("s")
+    // posts deliberately NOT checkpointed (round-22 A/B): an eager
+    // checkpoint dropped duplicate-compute (45.5 -> 14.9 s executor
+    // total) but AQE then coalesced the tiny-bytes ExistingRDD feeding
+    // the EXPLODING self-join to one partition and serialized it (wall
+    // 2.6 -> 5.5 s); pinning the width with an explicit s-repartition
+    // before the checkpoint restored parallelism but re-inflated
+    // executor time (37.9 s) for no wall gain. The cached shingle frame
+    // already bounds each re-derivation to an in-memory scan + df join.
     val posts = shingleRows.join(rare, Seq("s"))
     val cand = posts.select(col("s"), col("doc_id").as("doc_a"))
       .join(posts.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))

@@ -1566,37 +1566,66 @@ private[graft] trait QueriesAnn { self: QueriesShared =>
     // indexes at a fixed nprobe; this sweeps nprobe on one index —
     // together they are the two dials of index release. Toy centroids
     // keep every point on the curve DuckDB-replayable, so the CURVE
-    // hash-checks. Scale shape: assignment is computed once and
-    // checkpointed ((id, cluster) pairs only); each sweep point adds
-    // probe selection over the k-row centroid table and a candidate
-    // join bounded by the probed clusters — the corpus is never
-    // rescanned per point beyond its probed slice.
+    // hash-checks. Scale shape (round 22): assignment, probe ranks
+    // and candidate distances are each computed ONCE at the widest
+    // probe and checkpointed; every sweep point is a filter + bounded
+    // window over the tagged candidate frame — the corpus's probed
+    // slice is scanned once per sweep, not once per point.
     (s, d) => {
       val e = t(s, d, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // Round 22 (the r21 verdict's v22 adjudication): the sweep was
+      // job-overhead-bound, not compute-bound — profiled 41 jobs
+      // spanning 2.85 s around 1.66 s of executor time, because each
+      // of the 4 points re-ran probe selection AND the probed
+      // candidate join, and the three lazily-checkpointed shared
+      // frames raced their consumers. Probe ranks are a PREFIX
+      // property (row_number at width 8 restricted to <= n equals
+      // row_number at width n — same (dist, cid) order), and a point's
+      // top-10 is the top-10 among candidates with probe rank <= n, so
+      // ONE candidate pass at the widest probe, tagged with the rank,
+      // serves every point: distances are the same expression on the
+      // same rows and the (dist, id) cut order is unchanged, so each
+      // point's rows are bit-identical to the per-point ivfSearchBatch
+      // it replaces (the DuckDB oracle replays every point unchanged).
+      // Shared frames are checkpointed EAGERLY: four consumers each.
       val exact = Knn.batchAgg(e, "embedding", "vec_id", qs, "qid", "qv", 10)
         .select(col("qid"), col("vec_id"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val assigned = Ann.ivfAssignBig(e, "embedding", "vec_id",
-        cent, "cid", "cvec").localCheckpoint(false)
+          cent, "cid", "cvec")
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+        .localCheckpoint(true)
       val sizes = assigned.groupBy("cluster_id")
-        .agg(count(lit(1)).as("csz")).localCheckpoint(false)
+        .agg(count(lit(1)).as("csz")).localCheckpoint(true)
+      val maxProbe = SweepProbes.max
+      val pw = Window.partitionBy("qid").orderBy(col("__qd"), col("cid"))
+      val probes = qs.crossJoin(broadcast(cent))
+        .withColumn("__qd", VectorFunctions.l2(col("cvec"), col("qv")))
+        .withColumn("__pr", row_number().over(pw))
+        .filter(col("__pr") <= maxProbe)
+        .select(col("qid"), col("qv"), col("cid").as("cluster_id"),
+          col("__pr"))
+        .localCheckpoint(true)
+      val cands = assigned.join(broadcast(probes), Seq("cluster_id"))
+        .select(col("qid"), col("__pr"),
+          VectorFunctions.l2(col("embedding"), col("qv")).as("__dist"),
+          col("vec_id"))
+        .localCheckpoint(true)
       val points = SweepProbes.map { n =>
-        val ivf = Ann.ivfSearchBatch(assigned, "embedding", "vec_id",
-            cent, "cid", "cvec", qs, "qid", "qv", k = 10, nprobe = n)
+        val w = Window.partitionBy("qid").orderBy(col("__dist"), col("vec_id"))
+        val ivf = cands.filter(col("__pr") <= n)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10)
           .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
         val rec = exact.join(ivf, Seq("qid", "vec_id"), "left")
           .groupBy("qid").agg((count(col("__hit")) / 10.0).as("recall"))
-        val pw = Window.partitionBy("qid").orderBy(col("__qd"), col("cid"))
-        val probes = qs.crossJoin(broadcast(cent))
-          .withColumn("__qd", VectorFunctions.l2(col("cvec"), col("qv")))
-          .withColumn("__pr", row_number().over(pw))
-          .filter(col("__pr") <= n)
-          .select(col("qid"), col("cid").as("cluster_id"))
-        val cand = probes.join(sizes, Seq("cluster_id"))
+        val cand = probes.filter(col("__pr") <= n)
+          .select("qid", "cluster_id")
+          .join(sizes, Seq("cluster_id"))
           .groupBy("qid").agg(sum("csz").as("n_cand"))
         rec.join(cand, Seq("qid"))
           .agg(round(avg("recall"), 6).as("mean_recall"),

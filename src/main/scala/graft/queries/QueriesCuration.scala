@@ -341,6 +341,11 @@ private[graft] trait QueriesCuration { self: QueriesShared =>
     // That naive answer IS the DuckDB oracle: users with strictly
     // more than 1/k of an hour's events.
     (s, d) => {
+      // NOT repartitioned (round-22 interleaved A/B): spreading the
+      // single-file events scan before the sketch measured 2.32 vs
+      // 1.24 s — ev feeds both the sketch and the exact recount, so
+      // the un-checkpointed spread exchange pays its 600k-row shuffle
+      // twice and costs more than the serial stages it parallelizes.
       val ev = events(s, d)
         .select(col("ts"), col("user_id").cast("string").as("uid"))
       val counts = graft.streaming.HeavyHitterMonitor.windowedCandidates(

@@ -783,6 +783,9 @@ private[graft] trait QueriesDedup { self: QueriesShared =>
       val docs = t(s, d, "documents")
       val comp = Dedup.components(
         Dedup.simhashNearDupsWide(docs, "doc_id", "text", maxHamming = 3))
+      // NOT repartitioned (round-22 interleaved A/B: 2.39 vs 2.21 s —
+      // at 5k docs the quality featurization is too small to pay the
+      // spread exchange; the SimHash detection chain dominates)
       val scored = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       Dedup.applyPurgeManifestBy(scored, "doc_id", comp, "quality")

@@ -109,7 +109,8 @@ object Bench {
         // warmup their FIRST timed run paid the index build, and s11's
         // landed just under the 0.75 s rerun threshold so min-of-2
         // never corrected it (the r20 s11 0.23 -> 0.71 s drift the
-        // round-20 verdict flagged; adjudicated in OPTIMIZATION_r21.md).
+        // round-20 verdict flagged; adjudication recorded in the r21
+        // commit 637b2b0 and recapped in OPTIMIZATION_r22.md).
         "s11_sign_hamming_served", "s12_matryoshka_served",
         "c5_cascade_served",
         "j2_bucketed_join", "j3_zorder_scan", "j4_zstore_lifecycle_scan",

@@ -208,9 +208,14 @@ object Ann {
     else graft.sources.IndexStore.effectiveNprobe(nprobe,
       // the served path is usually one pinned version DIRECTORY
       // (root/vN — its own `_meta.json` travels with the geometry);
-      // a caller handing the versioned ROOT adopts the current
-      // committed version's stamp instead
-      graft.sources.IndexStore.pairMetaAt(spark, path)
+      // the CACHED read (mtime token) makes repeat serving pay one
+      // getFileStatus per call instead of an open+read+parse (round
+      // 22, closing the r20 advice note). A caller handing the
+      // versioned ROOT adopts the current committed version's stamp
+      // instead — rare (these call sites pin a version; plain
+      // spark.read over a versioned root would union all versions
+      // anyway), so it stays uncached.
+      graft.sources.IndexStore.pairMetaAtCached(spark, path)
         .orElse(graft.sources.IndexStore.currentPairMeta(spark, path)))
 
   /** ADAPTIVE-nprobe serving from the partitioned store: probe the

@@ -241,7 +241,11 @@ final class MultiStageSearch(
   /** Shared rerank tail (main.py:410,455-469): deterministic judge +
     * NER-overlap rule score, weighted combine, top-N, rank. The rank
     * window is global but runs over ≤finalN rows (post-limit), so the
-    * single-partition sort is a handful of rows, not a scale concern. */
+    * single-partition sort is a handful of rows, not a scale concern —
+    * this is the source of the "No Partition Defined for Window"
+    * warnings Verify logs: INTENTIONAL on these bounded final-rank
+    * projections (the r20 verdict's carry-over note; same pattern as
+    * [[graft.operators.Bm25.rankBounded]]). */
   private def rerankTail(acc: DataFrame, ner: QueryNer): DataFrame = {
     val condToks = (ner.job.toSeq ++ ner.region.toSeq).map(_.toLowerCase).distinct
     val (dJob, dRegion) = docNer(col(textCol))

@@ -255,6 +255,13 @@ object Curation {
     // consumer, so the localCheckpoint materialization AND one
     // corpus-gram exchange (the join's re-shuffle of grams) disappear;
     // the plan is explode → distinct → window(gram) → agg(doc).
+    // SKEW TRADE (round 22, per the r21 advice): the window buffers a
+    // hot boilerplate gram's rows in one task where the old agg+join
+    // map-side-combined them — the rows are (id, gram) pairs already
+    // DISTINCT per doc, so a gram's partition is bounded by the corpus
+    // doc count, not its occurrence count; acceptable for this
+    // corpus-audit relation, but a deployment with a boilerplate gram
+    // in most of a billion docs should prefer the agg+join form.
     val grams = df.select(col(idCol),
         explode(ngramsFast(col(textCol), k)).as("gram"))
       .distinct()
@@ -840,7 +847,11 @@ object Curation {
     // localCheckpoint materialization goes too. Zero-gram docs gain an
     // n=0 row here where the old agg had none; both die in the inner
     // join below (a doc with no grams has no pairs), so the result is
-    // row-identical.
+    // row-identical. KNOWN TRADE (round 22, per the r21 advice): this
+    // runs shinglesFast over the train corpus twice (tGrams' explode +
+    // this size() projection) — a CPU-for-exchange trade measured at
+    // bench scale; at corpora where the shingling UDF dominates,
+    // derive the count and the array from one projection instead.
     val tGrams = sideGrams(train, "train", idCol, textCol, k)
     val nGrams = train.select(col(idCol).as("train_doc"),
       size(graft.functions.TextAnalysis.shinglesFast(col(textCol), k))

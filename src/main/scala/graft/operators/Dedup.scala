@@ -165,7 +165,16 @@ object Dedup {
     * With r-row bands, P(candidate | jaccard=j) = 1-(1-j^r)^b: at
     * r=4, b=8 a true near-dup (j≥0.9) is caught w.p. ≥0.9998 while a
     * j=0.1 noise pair collides w.p. ~0.0008 — candidates stay sparse,
-    * so no stage is quadratic in the corpus. */
+    * so no stage is quadratic in the corpus.
+    *
+    * CONTRACTS (round 22, per the r21 advice): `idCol` values must be
+    * UNIQUE — the large-corpus join-count verify equates row counts
+    * with set sizes, so a duplicated id would inflate |A|/|A∩B| where
+    * the small-corpus collect_set verify silently deduplicates (same
+    * contract [[minhashNearDupsAgainst]] states). `threshold` must be
+    * in (0, 1]: threshold = 0 (previously accepted, returning
+    * zero-intersection pairs at jaccard 0.0) now fails loudly — the
+    * join-count verify structurally cannot emit inter = 0 pairs. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bandRows: Int = 4,
@@ -760,6 +769,10 @@ object Dedup {
     * doc has fewer than `minShared` shingles rarer than `maxDf` —
     * i.e. it consists of corpus boilerplate, which is exact-dedup's
     * (d1) or span-dedup's (d9) job, not containment's.
+    *
+    * `idCol` values must be UNIQUE (round 22, per the r21 advice): the
+    * join-count exact verify equates row counts with set sizes, so a
+    * duplicated id would inflate the intersection and size terms.
     *
     * Reference behavior: dedup families in SURVEY.md §2.7; containment
     * as distinct from resemblance per Broder, "On the resemblance and

@@ -455,6 +455,38 @@ object IndexStore {
   def storedNprobe(spark: SparkSession, root: String): Option[Int] =
     currentPairMeta(spark, root).flatMap(_.nprobe)
 
+  private val pairMetaAtCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Option[PairMeta])]
+  private val PairMetaAtCacheMaxEntries = 1024
+
+  /** [[pairMetaAt]] with a per-session mtime-token cache (round 22,
+    * closing the r20 advice note on per-call meta reads): repeat
+    * serving against one pinned version dir pays ONE getFileStatus per
+    * call — the same freshness class as [[loadCurrentWithCentroidsCached]]'s
+    * listing — instead of an open + read + parse. A missing meta file
+    * caches as None under token -1 and re-checks existence each call
+    * (getFileStatus throws → miss), so a meta appearing later is
+    * picked up immediately. Bounded like the pair cache: past
+    * [[PairMetaAtCacheMaxEntries]] distinct dirs the map clears —
+    * serving loops touch a handful of roots, so eviction is
+    * theoretical. */
+  def pairMetaAtCached(spark: SparkSession, dir: String): Option[PairMeta] = {
+    val (fs, p) = fsOf(spark, dir)
+    val mp = new org.apache.hadoop.fs.Path(p, PairMetaFile)
+    val token =
+      try fs.getFileStatus(mp).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    pairMetaAtCache.get(dir) match {
+      case Some((t, m)) if t == token => m
+      case _ =>
+        val m = if (token == -1L) None else pairMetaAt(spark, dir)
+        if (pairMetaAtCache.size >= PairMetaAtCacheMaxEntries)
+          pairMetaAtCache.clear()
+        pairMetaAtCache.put(dir, (token, m))
+        m
+    }
+  }
+
   /** The CURRENT committed version's stamped [[PairMeta]], if any —
     * None on an empty root, a pre-stamp version, or a plain
     * (non-pair) store. One version listing plus one tiny FS read. */

@@ -820,11 +820,18 @@ object ZStore {
                             ids: DataFrame, idCol: String): Seq[ZFile] = {
     val candidates = locateCandidateFiles(meta, manifest, ids, idCol)
     if (candidates.isEmpty) return Seq.empty
+    // _metadata.file_path comes back URI-ENCODED (a root containing a
+    // space/%/# encodes every hit) — decode before the suffix match so
+    // such roots keep working (round 22, closing the r20 advice note);
+    // a path that does not parse as a URI compares raw, as before.
+    def decoded(fp: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(fp)).toUri.getPath
+      catch { case _: Exception => fp }
     val hits = spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
       .select(col(idCol), col("_metadata.file_path").as("__fp"))
       .join(broadcast(ids), Seq(idCol), "left_semi")
       .select(col("__fp")).distinct()
-      .collect().map(_.getString(0))
+      .collect().map(r => decoded(r.getString(0)))
     hits.foreach(fp => require(candidates.exists(f => fp.endsWith("/" + f.path)),
       s"locate hit `$fp` matches no candidate manifest entry — " +
         "refusing a rewrite that could leave a stale copy in place"))
@@ -1117,6 +1124,20 @@ object ZStore {
           if (st.isDirectory) walkFiles(st.getPath) else Seq(st.getPath)
         }
       val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+      // files sitting DIRECTLY under data/ (no pool dir) are swept with
+      // the same relativize-and-check rule — the recursive listFiles
+      // walk this listStatus walk replaced covered them, and without
+      // this pass such a stray would leak forever (round 22, closing
+      // the r20 advice note)
+      fs.listStatus(dataRoot).filterNot(_.isDirectory).foreach { st =>
+        val fp = fs.makeQualified(st.getPath).toUri.getPath
+        if (st.getPath.getName.endsWith(".parquet") &&
+            fp.startsWith(rootUri + "/") &&
+            !referenced.contains(fp.stripPrefix(rootUri).stripPrefix("/"))) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { u =>
         var live = false
         walkFiles(u.getPath).foreach { f =>
@@ -1241,7 +1262,22 @@ object ZStore {
         new java.util.concurrent.Callable[ZFile] {
           def call(): ZFile =
             stampFromFooter(spark, s"$root/${f.path}", f, statId)
-        })).map(_.get())
+        })).map { fut =>
+        // unwrap so the intended loud, typed failure surfaces (not an
+        // ExecutionException shell) — round 22, closing the r20
+        // advice note
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        // a failed stamp aborts the write: cancel the remaining footer
+        // reads instead of letting them race the caller's cleanup
+        pool.shutdownNow()
+        throw e
     } finally pool.shutdown()
   }
 

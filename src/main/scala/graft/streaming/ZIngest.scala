@@ -105,7 +105,17 @@ object ZIngest {
     * append-only facts (it skips the per-batch locate scan — the
     * upsert path's price is one narrow (id, file-path) scan of the
     * store per micro-batch, which is exactly why a pure event stream
-    * should not pay it). */
+    * should not pay it).
+    *
+    * NULL-ID ROWS: upsert refuses a batch carrying a null id (null is
+    * not a row identity — the old-copy purge joins on it), and because
+    * the refusal throws BEFORE batchId advances, a single null-id row
+    * re-fails the stream on every restart/replay. That loudness is
+    * deliberate (a silently-appended null row would be unpurgeable
+    * forever); the operator remedy is to screen the SOURCE, not the
+    * sink: add `.filter(col(idCol).isNotNull)` (or an explicit keying
+    * step) to the stream before this sink if the upstream can emit
+    * keyless rows. ZStoreSpec pins the refusal. */
   def upsertingSink(root: String, idCol: String,
                     maxFilesPerBucket: Int = 8,
                     clampFloor: Double = 0.05, minAbsorbed: Long = 10000L,
